@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship zonal-stats pipeline on sf0.001;
+``queries()`` exposes one named pipeline per implemented operator
+(SURVEY.md §2); ``oracle_sql()`` gives the bit-exact DuckDB equivalent for
+every SQL-expressible query (see geoglue_ray/fixtures.py for why float
+results match exactly).  Ray is initialised by the caller — nothing here
+calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +15,33 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: interleaved corpus -> spatial join -> zonal stats (sf0.001)."""
+    from geoglue_ray.pipelines.zonal import zonal_pipeline
+
+    return zonal_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from geoglue_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "corpus_derive": q.corpus_derive,
+        "spatial_join": q.spatial_join_query,
+        "knn_outside": q.knn_outside,
+        "zonal_stats": q.zonal_stats,
+        "zonal_stats_admin1": q.zonal_stats_admin1,
+        "events_zonal": q.events_zonal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geoglue_ray import oracles as o
+
+    return {
+        "corpus_derive": o.corpus_derive(),
+        "spatial_join": o.spatial_join(),
+        "knn_outside": o.knn_outside(),
+        "zonal_stats": o.zonal_stats(),
+        "zonal_stats_admin1": o.zonal_stats_admin1(),
+        "events_zonal": o.events_zonal(),
+    }

@@ -1,0 +1,83 @@
+"""GGrid — hierarchical global grid cells (the engine's H3/S2 stand-in).
+
+The north_star calls for encoding document coordinates to H3 cells with an
+S2 covering on the polygon side; neither library is available here, so the
+engine uses an equivalent hierarchical equirectangular grid: resolution
+``r`` divides lon [-180,180) x lat [-90,90) into ``2**r x 2**(r-1)`` cells.
+Cell ids pack ``(res, x, y)`` into one int64, so a column of cells is a
+plain Arrow int64 column and parent/child moves are bit shifts — the same
+properties the design relies on from H3 (point->cell is O(1) vectorized,
+coarse cells contain fine cells, neighbor rings are cheap).
+
+Resolution guide: r=13 -> ~0.044 deg (~4.9 km) cells; r=16 -> ~0.0055 deg.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_RES_BITS = 5
+_XY_BITS = 29  # supports res <= 29
+
+
+def encode(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized point -> cell id at resolution ``res``."""
+    n = 1 << res
+    x = np.clip(((np.asarray(lon) + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    y = np.clip(((np.asarray(lat) + 90.0) / 180.0 * (n >> 1)).astype(np.int64), 0, (n >> 1) - 1)
+    return (np.int64(res) << (2 * _XY_BITS)) | (y << _XY_BITS) | x
+
+
+def decode(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cell id -> (res, x, y)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell >> (2 * _XY_BITS)
+    y = (cell >> _XY_BITS) & ((1 << _XY_BITS) - 1)
+    x = cell & ((1 << _XY_BITS) - 1)
+    return res, x, y
+
+
+def cell_bounds(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """cell id -> (minx, miny, maxx, maxy)."""
+    res, x, y = decode(cell)
+    n = (np.int64(1) << res).astype(np.float64)
+    dx, dy = 360.0 / n, 180.0 / (n / 2)
+    minx = -180.0 + x * dx
+    miny = -90.0 + y * dy
+    return minx, miny, minx + dx, miny + dy
+
+
+def parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    res, x, y = decode(cell)
+    shift = res - parent_res
+    return (
+        (np.int64(parent_res) << (2 * _XY_BITS)) | ((y >> shift) << _XY_BITS) | (x >> shift)
+    )
+
+
+def xy_to_cell(x: np.ndarray, y: np.ndarray, res: int) -> np.ndarray:
+    return (np.int64(res) << (2 * _XY_BITS)) | (np.asarray(y, np.int64) << _XY_BITS) | np.asarray(x, np.int64)
+
+
+def ring(cell: int, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k (incl. center) — kNN ring search."""
+    res, x, y = decode(np.asarray([cell]))
+    res, x, y = int(res[0]), int(x[0]), int(y[0])
+    n = 1 << res
+    xs = (np.arange(x - k, x + k + 1) % n)  # wrap longitude
+    ys = np.arange(max(0, y - k), min((n >> 1) - 1, y + k) + 1)
+    gx, gy = np.meshgrid(xs, ys)
+    return xy_to_cell(gx.ravel(), gy.ravel(), res)
+
+
+def cover_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int) -> np.ndarray:
+    """All cells at ``res`` intersecting the (half-open) bbox — the polygon-side
+    covering used to build the candidate index (S2-covering equivalent)."""
+    n = 1 << res
+    eps = 1e-12
+    x0 = int(np.clip(np.floor((minx + 180.0) / 360.0 * n), 0, n - 1))
+    x1 = int(np.clip(np.floor((maxx - eps + 180.0) / 360.0 * n), 0, n - 1))
+    y0 = int(np.clip(np.floor((miny + 90.0) / 180.0 * (n >> 1)), 0, (n >> 1) - 1))
+    y1 = int(np.clip(np.floor((maxy - eps + 90.0) / 180.0 * (n >> 1)), 0, (n >> 1) - 1))
+    gx, gy = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+    return xy_to_cell(gx.ravel(), gy.ravel(), res)

@@ -1,0 +1,163 @@
+"""Admin-polygon table + broadcastable spatial index.
+
+Mirrors the reference's vector side: GADM-shaped admin hierarchy with a
+declared primary key (``region.py:225-287`` pk ``GID_{level}``;
+``Region.read_admin`` at ``region.py:111-122``), re-expressed as a small
+Arrow table of WKB polygons (one row per admin-2 unit) plus an
+``AdminIndex`` — the pickled polygon index each spatial-join actor loads
+once in ``__init__`` (north_star: "stateful actor pools holding pickled
+polygon indexes").
+
+The index couples a GGrid cell covering (S2-covering equivalent; cells ->
+candidate features via two sorted arrays + searchsorted) with the CSR
+``PolygonSet`` for exact point-in-polygon refinement and vertex-mean
+centroids for the kNN fallback.  Everything is numpy → cheaply picklable →
+one ``ray.put`` on the driver, read by every actor (never re-shipped per
+batch).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from geoglue_ray import cells as gcells
+from geoglue_ray import fixtures as fx
+from geoglue_ray.geom import PolygonSet, polygon_wkb
+
+DEFAULT_INDEX_RES = 11  # ~0.176 deg cells; a few triangle candidates per cell
+
+
+def build_admin_table() -> pa.Table:
+    """Deterministic GADM-shaped admin-2 table (triangle tessellation).
+
+    Columns follow FIXTURES.md F2: pk ``admin_id`` (unique, asserted like
+    ``config.py:88-91``), parent ``admin1_id``, ``name``, ``geometry_wkb``,
+    per-feature bbox, and vertex-mean centroid.
+    """
+    idx = np.arange(fx.N_ADMIN2, dtype=np.int64)
+    tri = idx % 2
+    cell = idx // 2
+    cx = (cell % fx.NX).astype(np.float64)
+    cy = (cell // fx.NX).astype(np.float64)
+    x0 = fx.LON0 + cx * fx.CELL
+    y0 = fx.LAT0 + cy * fx.CELL
+    x1, y1 = x0 + fx.CELL, y0 + fx.CELL
+
+    wkbs = []
+    for i in range(fx.N_ADMIN2):
+        if tri[i] == 0:  # lower-left triangle
+            ring = np.array(
+                [[x0[i], y0[i]], [x1[i], y0[i]], [x0[i], y1[i]], [x0[i], y0[i]]]
+            )
+        else:  # upper-right triangle
+            ring = np.array(
+                [[x1[i], y0[i]], [x1[i], y1[i]], [x0[i], y1[i]], [x1[i], y0[i]]]
+            )
+        wkbs.append(polygon_wkb([ring]))
+
+    gx, gy = fx.admin2_centroids()
+    admin_id = fx.admin2_name(idx)
+    a1 = fx.admin1_of(idx)
+    admin1_id = np.char.mod("ADM1-%02d", a1)
+    names = np.char.mod("Region %04d", idx)
+    minx = np.where(tri == 0, x0, x0)
+    table = pa.table(
+        {
+            "admin_id": pa.array(admin_id.tolist()),
+            "admin1_id": pa.array(admin1_id.tolist()),
+            "name": pa.array(names.tolist()),
+            "geometry_wkb": pa.array(wkbs, type=pa.binary()),
+            "minx": minx,
+            "miny": y0,
+            "maxx": x1,
+            "maxy": y1,
+            "centroid_x": gx,
+            "centroid_y": gy,
+        }
+    )
+    # pk uniqueness assertion, as the reference validates at config load
+    assert len(set(admin_id.tolist())) == len(table), "admin_id pk not unique"
+    return table
+
+
+@dataclass
+class AdminIndex:
+    """Broadcast polygon index: GGrid covering -> candidates -> exact PIP."""
+
+    polyset: PolygonSet
+    admin_id: np.ndarray  # (F,) str
+    admin1_id: np.ndarray  # (F,) str
+    res: int
+    cand_cells: np.ndarray  # sorted unique covering cell ids
+    cand_off: np.ndarray  # (len(cand_cells)+1,) offsets into cand_feat
+    cand_feat: np.ndarray  # feature indices, grouped by cell
+
+    @staticmethod
+    def build(table: pa.Table, res: int = DEFAULT_INDEX_RES) -> "AdminIndex":
+        wkbs = table["geometry_wkb"].to_pylist()
+        polyset = PolygonSet.from_wkb(wkbs)
+        pairs_c, pairs_f = [], []
+        bb = polyset.bbox
+        for f in range(polyset.n_features):
+            cov = gcells.cover_bbox(bb[f, 0], bb[f, 1], bb[f, 2], bb[f, 3], res)
+            pairs_c.append(cov)
+            pairs_f.append(np.full(len(cov), f, dtype=np.int64))
+        cc = np.concatenate(pairs_c)
+        ff = np.concatenate(pairs_f)
+        order = np.argsort(cc, kind="stable")
+        cc, ff = cc[order], ff[order]
+        uniq, start = np.unique(cc, return_index=True)
+        off = np.concatenate([start, [len(cc)]]).astype(np.int64)
+        return AdminIndex(
+            polyset=polyset,
+            admin_id=np.asarray(table["admin_id"].to_pylist()),
+            admin1_id=np.asarray(table["admin1_id"].to_pylist()),
+            res=res,
+            cand_cells=uniq,
+            cand_off=off,
+            cand_feat=ff,
+        )
+
+    # ----------------------------------------------------------- assignment
+    def candidates(self, cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """cells -> CSR (pair_point_idx, pair_feature) candidate pairs."""
+        pos = np.searchsorted(self.cand_cells, cell)
+        pos = np.clip(pos, 0, len(self.cand_cells) - 1)
+        hit = self.cand_cells[pos] == cell
+        n = np.where(hit, self.cand_off[pos + 1] - self.cand_off[pos], 0)
+        pt = np.repeat(np.arange(len(cell)), n)
+        tot = int(n.sum())
+        within = np.arange(tot) - np.repeat(np.cumsum(n) - n, n)
+        feat = self.cand_feat[np.repeat(self.cand_off[pos], n) + within]
+        return pt, feat
+
+    def assign(self, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Points -> (feature idx, via_knn flag).
+
+        Exact PIP on GGrid candidates; points matching no polygon fall back
+        to nearest-centroid kNN (brute-force vectorized over all features —
+        the sandbox admin set is small; at 10^12-doc scale this switches to
+        :func:`geoglue_ray.cells.ring` expansion around the point's cell).
+        Ties broken by lowest feature index, deterministically.
+        """
+        cell = gcells.encode(lon, lat, self.res)
+        pt, feat = self.candidates(cell)
+        inside = self.polyset.contains_pairs(lon[pt], lat[pt], feat)
+        out = np.full(len(lon), -1, dtype=np.int64)
+        # lowest-feature-wins determinism: process hits in descending feature
+        # order so the lowest index is written last
+        hit_pt, hit_ft = pt[inside], feat[inside]
+        order = np.argsort(-hit_ft, kind="stable")
+        out[hit_pt[order]] = hit_ft[order]
+        via_knn = out == -1
+        if via_knn.any():
+            cen = self.polyset.centroid
+            miss = np.nonzero(via_knn)[0]
+            d2 = (lon[miss, None] - cen[None, :, 0]) ** 2 + (
+                lat[miss, None] - cen[None, :, 1]
+            ) ** 2
+            out[miss] = np.argmin(d2, axis=1)
+        return out, via_knn

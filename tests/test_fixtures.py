@@ -1,0 +1,75 @@
+"""Bit-exactness of the fixture derivation: numpy vs DuckDB, and the
+geometric engine (WKB + PIP + kNN) vs the closed-form arithmetic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+import geoglue_ray.fixtures as fx
+from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+from geoglue_ray.sources.weights import build_weights_grid, lookup_weight
+
+
+def _ids(sf_dir):
+    return pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+
+
+def test_numpy_matches_duckdb(duck, sf_dir):
+    q = f"""WITH c AS ({fx.sql_corpus_cte()})
+    SELECT id, lon, lat, value, event_time, {fx.sql_weight('lon','lat')} AS weight
+    FROM c ORDER BY id"""
+    df = duck.execute(q).fetchdf()
+    ids = df["id"].to_numpy()
+    lon, lat = fx.derive_lonlat(ids)
+    assert np.array_equal(lon, df["lon"].to_numpy())
+    assert np.array_equal(lat, df["lat"].to_numpy())
+    assert np.array_equal(fx.derive_value(ids), df["value"].to_numpy())
+    assert np.array_equal(
+        fx.derive_event_time(ids), df["event_time"].to_numpy().astype("datetime64[us]")
+    )
+    assert np.array_equal(fx.derive_weight(lon, lat), df["weight"].to_numpy())
+
+
+def test_engine_assignment_matches_arithmetic(sf_dir):
+    ids = _ids(sf_dir)
+    lon, lat = fx.derive_lonlat(ids)
+    index = AdminIndex.build(build_admin_table())
+    feat, via_knn = index.assign(lon, lat)
+    a2 = fx.assign_admin2_arith(lon, lat)
+    inside = a2 >= 0
+    assert np.array_equal(feat[inside], a2[inside])
+    assert np.array_equal(via_knn, ~inside)
+    knn = fx.assign_knn_arith(lon[~inside], lat[~inside])
+    assert np.array_equal(feat[~inside], knn)
+
+
+def test_weight_grid_lookup_matches_formula(sf_dir):
+    ids = _ids(sf_dir)
+    lon, lat = fx.derive_lonlat(ids)
+    grid = build_weights_grid()
+    assert np.array_equal(lookup_weight(lon, lat, grid), fx.derive_weight(lon, lat))
+
+
+def test_no_point_on_cell_boundary(sf_dir):
+    """The dyadic odd-numerator construction keeps every point strictly off
+    admin-cell edges and triangle diagonals (see fixtures.py docstring)."""
+    ids = np.arange(200_000)
+    lon, lat = fx.derive_lonlat(ids)
+    fxx = (lon - fx.LON0) / fx.CELL
+    fyy = (lat - fx.LAT0) / fx.CELL
+    assert not np.any(fxx == np.floor(fxx))
+    assert not np.any(fyy == np.floor(fyy))
+    fr = (fxx - np.floor(fxx)) + (fyy - np.floor(fyy))
+    assert not np.any(fr == 1.0)
+
+
+def test_admin_table_shape():
+    t = build_admin_table()
+    assert len(t) == fx.N_ADMIN2
+    ids = t["admin_id"].to_pylist()
+    assert len(set(ids)) == len(ids)  # pk uniqueness (config.py:88-91 analogue)
+    a1 = set(t["admin1_id"].to_pylist())
+    assert len(a1) == fx.NX1 * fx.NY1

@@ -1,0 +1,51 @@
+"""Replica of the driver's correctness gate: every ``queries()`` entry with
+an ``oracle_sql()`` twin must match DuckDB on row count, schema (sorted
+column names) and values — here compared exactly, not just hashed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+QUERIES = sorted(set(entrymod.queries()) & set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(name, duck, sf_dir):
+    ray_df = _to_pandas(entrymod.queries()[name](sf_dir))
+    sql_df = duck.execute(entrymod.oracle_sql()[name]).fetchdf()
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), (
+        f"{name}: column mismatch {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}"
+    )
+    a, b = _normalize(ray_df), _normalize(sql_df)
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    for col in a.columns:
+        av, bv = a[col].to_numpy(), b[col].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.array_equal(av, bv, equal_nan=True), f"{name}.{col} float mismatch"
+        else:
+            assert np.array_equal(av, bv), f"{name}.{col} mismatch"
+
+
+def test_entry_smoke():
+    res = entrymod.entry()
+    df = _to_pandas(res)
+    assert len(df) >= 0
+    assert "admin_id" in df.columns
