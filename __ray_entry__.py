@@ -24,6 +24,8 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from geoglue_ray.pipelines import queries as q
 
+    from geoglue_ray.pipelines import raster as r
+
     return {
         "corpus_derive": q.corpus_derive,
         "spatial_join": q.spatial_join_query,
@@ -31,6 +33,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": q.zonal_stats,
         "zonal_stats_admin1": q.zonal_stats_admin1,
         "events_zonal": q.events_zonal,
+        "daily_admin1": q.daily_admin1,
+        "weekly_events": q.weekly_events,
+        "timeshift_local_daily": q.timeshift_local_daily,
+        "hourly_check": q.hourly_check,
+        "raster_daily": lambda sf_dir: r.raster_daily(),
+        "raster_zonal": lambda sf_dir: r.raster_zonal(),
+        "raster_weekly_zonal": lambda sf_dir: r.raster_weekly_zonal(),
+        "raster_stats": lambda sf_dir: r.raster_stats(),
     }
 
 
@@ -44,4 +54,12 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": o.zonal_stats(),
         "zonal_stats_admin1": o.zonal_stats_admin1(),
         "events_zonal": o.events_zonal(),
+        "daily_admin1": o.daily_admin1(),
+        "weekly_events": o.weekly_events(),
+        "timeshift_local_daily": o.timeshift_local_daily(),
+        "hourly_check": o.hourly_check(),
+        "raster_daily": o.raster_daily(),
+        "raster_zonal": o.raster_zonal(),
+        "raster_weekly_zonal": o.raster_weekly_zonal(),
+        "raster_stats": o.raster_stats(),
     }

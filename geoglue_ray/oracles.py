@@ -78,6 +78,135 @@ FROM asg GROUP BY 1 ORDER BY 1
 """
 
 
+def daily_admin1() -> str:
+    return f"""{_assigned_cte()}
+SELECT {fx.sql_admin1_name('a2')} AS admin1_id,
+       date_trunc('day', event_time)::TIMESTAMP AS day,
+       CAST(count(*) AS DOUBLE) AS "count",
+       sum(value) AS "sum"
+FROM asg GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def weekly_events() -> str:
+    return """
+SELECT event_type,
+       date_trunc('week', ts)::TIMESTAMP AS week,
+       CAST(count(*) AS DOUBLE) AS "count",
+       sum(floor(value)) AS "sum"
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def timeshift_local_daily() -> str:
+    return f"""
+WITH c AS ({fx.sql_corpus_cte()}),
+s AS (
+  SELECT CASE WHEN id % 2 = 0 THEN 'instant' ELSE 'accum' END AS vartype,
+         event_time + INTERVAL 1 HOUR * (CASE WHEN id % 2 = 0 THEN 7 ELSE 6 END) AS local_time,
+         value
+  FROM c)
+SELECT vartype, date_trunc('day', local_time)::TIMESTAMP AS local_day,
+       CAST(count(*) AS DOUBLE) AS "count", sum(value) AS "sum"
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def hourly_check() -> str:
+    return f"""
+WITH c AS ({fx.sql_corpus_cte()})
+SELECT date_trunc('day', event_time)::TIMESTAMP AS day,
+       CAST(count(DISTINCT extract(hour FROM event_time)) AS DOUBLE) AS n_hours
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------------------ raster oracles
+def _raster_cells_cte() -> str:
+    """Distinct raster cells with admin assignment (PIP arithmetic inside the
+    admin bbox; kNN centroid outside — col 32 sits east of the bbox)."""
+    from geoglue_ray.sources.raster import RINC, RXFIRST, RXSIZE, RYFIRST, RYSIZE
+
+    return f"""
+cells AS (
+  SELECT r.range AS r, c.range AS c,
+         {RXFIRST} + c.range*{RINC} AS lon,
+         {RYFIRST} - r.range*{RINC} AS lat
+  FROM range({RYSIZE}) r, range({RXSIZE}) c),
+cen AS ({fx.SQL_CENTROIDS}),
+cass AS (
+  SELECT cells.r, cells.c,
+         CASE WHEN cells.lon >= {fx.LON0} AND cells.lon < {fx.LON0 + fx.LON_SPAN}
+                   AND cells.lat >= {fx.LAT0} AND cells.lat < {fx.LAT0 + fx.LAT_SPAN}
+              THEN {fx.sql_admin2_inside('cells.lon', 'cells.lat')}
+              ELSE (SELECT cen.a2 FROM cen
+                    ORDER BY (cells.lon-cen.gx)*(cells.lon-cen.gx) + (cells.lat-cen.gy)*(cells.lat-cen.gy), cen.a2
+                    LIMIT 1) END AS a2
+  FROM cells)
+"""
+
+
+def raster_daily() -> str:
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()})
+SELECT variable,
+       CAST(r AS INTEGER) AS cell_row, CAST(c AS INTEGER) AS cell_col,
+       date_trunc('day', valid_time)::TIMESTAMP AS day,
+       CASE WHEN vartype = 'accum' THEN sum(value)
+            ELSE sum(value) / count(value) END AS stat
+FROM rast WHERE value IS NOT NULL
+GROUP BY 1, 2, 3, 4, vartype ORDER BY 1, 2, 3, 4
+"""
+
+
+def raster_zonal() -> str:
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+{_raster_cells_cte()}
+SELECT {fx.sql_admin2_name('cass.a2')} AS admin_id, rast.variable,
+       CAST(count(rast.value) AS DOUBLE) AS "count",
+       sum(rast.value) AS "sum",
+       sum(rast.value) / count(rast.value) AS "mean"
+FROM rast JOIN cass ON rast.r = cass.r AND rast.c = cass.c
+WHERE rast.value IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def raster_weekly_zonal() -> str:
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+{_raster_cells_cte()}
+SELECT {fx.sql_admin2_name('cass.a2')} AS admin_id, rast.variable,
+       date_trunc('week', rast.valid_time)::TIMESTAMP AS week,
+       CASE WHEN rast.vartype = 'accum'
+            THEN sum(rast.value) / (count(rast.value) / 24.0)
+            ELSE sum(rast.value) / count(rast.value) END AS stat
+FROM rast JOIN cass ON rast.r = cass.r AND rast.c = cass.c
+WHERE rast.value IS NOT NULL
+GROUP BY 1, 2, 3, rast.vartype ORDER BY 1, 2, 3
+"""
+
+
+def raster_stats() -> str:
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()})
+SELECT variable,
+       CAST(count(value) AS DOUBLE) AS "count",
+       sum(value) / count(value) AS "mean",
+       min(value) AS "min", max(value) AS "max"
+FROM rast WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_zonal() -> str:
     return f"""
 WITH c AS (

@@ -63,6 +63,122 @@ def zonal_stats_admin1(sf_dir: str) -> rd.Dataset:
     return out.sort("admin1_id")
 
 
+def daily_admin1(sf_dir: str) -> rd.Dataset:
+    """Corpus -> daily counts/sums per admin-1 (hierarchy roll-up)."""
+    from geoglue_ray.stages.timeagg import add_time_key, key_to_timestamp
+
+    ds = corpus_with_admin(sf_dir, emit_names=False)
+
+    def a1(b: pa.Table) -> pa.Table:
+        idx = b["admin_idx"].to_numpy().astype(np.int64)
+        return b.append_column("a1_idx", pa.array(fx.admin1_of(idx).astype(np.int32)))
+
+    ds = add_time_key(ds.map_batches(a1, batch_format="pyarrow"), "D")
+    out = zonal_aggregate(ds, ["count", "sum"], keys=["a1_idx", "time_key"])
+    out = key_to_timestamp(out)
+    pool = pa.array(np.char.mod("ADM1-%02d", np.arange(fx.NX1 * fx.NY1)).tolist())
+
+    def project(b: pa.Table) -> pa.Table:
+        idx = pa.compute.cast(b["a1_idx"], "int64")
+        return pa.table(
+            {
+                "admin1_id": pool.take(idx),
+                "day": b["time_key"],
+                "count": b["count"],
+                "sum": b["sum"],
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow").sort(["admin1_id", "day"])
+
+
+def weekly_events(sf_dir: str) -> rd.Dataset:
+    """events -> (event_type, W-MON week): count + sum(floor(value))."""
+    from geoglue_ray.stages.timeagg import add_time_key, key_to_timestamp
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "ts": b["ts"],
+                "value": pa.array(np.floor(b["value"].to_numpy())),
+            }
+        )
+
+    ds = add_time_key(ds.map_batches(prep, batch_format="pyarrow"), "W-MON", time_col="ts")
+    out = zonal_aggregate(ds, ["count", "sum"], keys=["event_type", "time_key"])
+    out = key_to_timestamp(out)
+
+    def rename(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("time_key")
+        return b.set_column(i, "week", b["time_key"])
+
+    return out.map_batches(rename, batch_format="pyarrow").sort(["event_type", "week"])
+
+
+def timeshift_local_daily(sf_dir: str) -> rd.Dataset:
+    """Corpus shifted UTC->+07:00 with the instant/accum off-by-one
+    (``cds.py:298-356``), then daily counts/sums per vartype."""
+    from geoglue_ray.stages.timeagg import add_time_key, key_to_timestamp, timeshift_hours
+
+    ds = read_corpus(sf_dir, with_spans=False)
+
+    def vt(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        return b.append_column("vt_code", pa.array((ids % 2).astype(np.int8)))
+
+    ds = ds.map_batches(vt, batch_format="pyarrow")
+    pool = pa.array(["instant", "accum"])
+
+    def vt_name(b: pa.Table) -> pa.Table:
+        return b.append_column("vartype", pool.take(pa.compute.cast(b["vt_code"], "int64")))
+
+    ds = ds.map_batches(vt_name, batch_format="pyarrow")
+    ds = timeshift_hours(ds, 7, vartype_col="vartype")
+    ds = add_time_key(ds, "D")
+    out = zonal_aggregate(ds, ["count", "sum"], keys=["vt_code", "time_key"])
+    out = key_to_timestamp(out)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vartype": pool.take(pa.compute.cast(b["vt_code"], "int64")),
+                "local_day": b["time_key"],
+                "count": b["count"],
+                "sum": b["sum"],
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow").sort(["vartype", "local_day"])
+
+
+def hourly_check(sf_dir: str) -> rd.Dataset:
+    """Distinct observation hours per day (``cds.py:53-55`` invariant)."""
+    from geoglue_ray.stages.timeagg import key_to_timestamp
+    from geoglue_ray.stages.validate import count_distinct
+
+    ds = read_corpus(sf_dir, with_spans=False)
+
+    def keys(b: pa.Table) -> pa.Table:
+        ts = b["event_time"].to_numpy()
+        day = ts.astype("datetime64[D]").astype(np.int32)
+        hour = (ts.astype("datetime64[h]").astype(np.int64) % 24).astype(np.int32)
+        return pa.table({"time_key": day, "hour": hour})
+
+    out = count_distinct(
+        ds.map_batches(keys, batch_format="pyarrow"), ["time_key"], ["hour"], "n_hours"
+    )
+    out = key_to_timestamp(out)
+
+    def rename(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("time_key")
+        return b.set_column(i, "day", b["time_key"])
+
+    return out.map_batches(rename, batch_format="pyarrow").sort("day")
+
+
 class DeriveEventObservations:
     """events table -> geospatial observations keyed by event_id.
 

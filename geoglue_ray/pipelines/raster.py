@@ -1,0 +1,154 @@
+"""Raster pipelines: daily reduce, zonal aggregation, weekly zonal covariates.
+
+The engine's equivalents of the reference's raster lifecycle
+(``cds.py:933-1016`` ``weekly_reduce``; ``cds.py:140-153`` daily;
+``zonalstats.py:71-100`` zonal) over the long-form raster table:
+
+- per-vartype reducers: instant -> mean, accum -> sum (``cds.py:972-986``)
+- weekly accum = weekly mean of daily sums, computed exactly as
+  ``sum / (count/24)`` under the hourly-completeness invariant the
+  reference asserts (``cds.py:53-55``) — a single division over exact
+  integer partials, so distributed execution matches serial SQL bit-exactly
+- raster -> vector: cell centers spatial-joined to admin polygons through
+  the same GGrid/PIP actor pool as the document corpus
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+from geoglue_ray.sources.raster import VARS, read_raster
+from geoglue_ray.stages.spatial import encode_cells, spatial_join
+from geoglue_ray.stages.timeagg import add_time_key, key_to_timestamp
+from geoglue_ray.stages.zonal import zonal_aggregate
+
+_VAR_NAMES = pa.array([v[0] for v in VARS])
+_VAR_IS_ACCUM = np.array([v[1] == "accum" for v in VARS])
+
+
+def _add_var_code(batch: pa.Table) -> pa.Table:
+    """variable/vartype strings -> int8 var_code for the int-key fast path."""
+    var = np.asarray(batch["variable"])
+    code = np.full(len(var), -1, dtype=np.int8)
+    for i, (name, _, _) in enumerate(VARS):
+        code[var == name] = i
+    return batch.append_column("var_code", pa.array(code))
+
+
+def _lonlat_alias(batch: pa.Table) -> pa.Table:
+    out = batch.append_column("lon", batch["longitude"])
+    return out.append_column("lat", batch["latitude"])
+
+
+def _attach_var(batch: pa.Table, drop: str = "var_code") -> pa.Table:
+    code = pa.compute.cast(batch[drop], "int64")
+    batch = batch.drop_columns([drop])
+    return batch.add_column(0, "variable", _VAR_NAMES.take(code))
+
+
+def _vartype_stat(batch: pa.Table, weekly: bool) -> pa.Table:
+    """stat = mean for instant vars; sum (daily) or sum/(cnt/24) (weekly
+    mean-of-daily-sums) for accum vars."""
+    code = batch["var_code"].to_numpy()
+    s = batch["sum"].to_numpy()
+    c = batch["count"].to_numpy()
+    accum = _VAR_IS_ACCUM[code]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stat = np.where(accum, s / (c / 24.0) if weekly else s, s / c)
+    return batch.append_column("stat", pa.array(stat))
+
+
+def raster_daily(n_days: int | None = None) -> rd.Dataset:
+    """Hourly -> daily per (variable, cell): instant mean / accum sum."""
+    ds = read_raster(**({"n_days": n_days} if n_days else {}))
+    ds = ds.map_batches(_add_var_code, batch_format="pyarrow")
+    ds = add_time_key(ds, "D", time_col="valid_time")
+    agg = zonal_aggregate(
+        ds,
+        ["sum", "count"],
+        keys=["var_code", "cell_row", "cell_col", "time_key"],
+        skip_nulls=True,
+    )
+    agg = agg.map_batches(lambda b: _vartype_stat(b, weekly=False), batch_format="pyarrow")
+    agg = key_to_timestamp(agg)
+
+    def project(b: pa.Table) -> pa.Table:
+        b = _attach_var(b)
+        return b.select(["variable", "cell_row", "cell_col", "time_key", "stat"]).rename_columns(
+            ["variable", "cell_row", "cell_col", "day", "stat"]
+        )
+
+    return agg.map_batches(project, batch_format="pyarrow").sort(
+        ["variable", "cell_row", "cell_col", "day"]
+    )
+
+
+def _raster_with_admin(concurrency=(1, 8)) -> rd.Dataset:
+    ds = read_raster()
+    ds = ds.map_batches(_add_var_code, batch_format="pyarrow")
+    ds = ds.map_batches(_lonlat_alias, batch_format="pyarrow")
+    ds = ds.map_batches(encode_cells, batch_format="pyarrow")
+    index = AdminIndex.build(build_admin_table())
+    return spatial_join(
+        ds, index_ref=ray.put(index), emit_names=False, concurrency=concurrency
+    )
+
+
+def raster_zonal() -> rd.Dataset:
+    """Whole-period zonal stats per (admin, variable) — the reference's core
+    zonal output shape (``zonalstats.py:92-100``) from the raster table."""
+    ds = _raster_with_admin()
+    agg = zonal_aggregate(
+        ds, ["count", "sum", "mean"], keys=["admin_idx", "var_code"], skip_nulls=True
+    )
+    names = build_admin_table()["admin_id"].combine_chunks()
+
+    def project(b: pa.Table) -> pa.Table:
+        b = _attach_var(b)
+        idx = pa.compute.cast(b["admin_idx"], "int64")
+        b = b.drop_columns(["admin_idx"])
+        return b.add_column(0, "admin_id", names.take(idx))
+
+    return agg.map_batches(project, batch_format="pyarrow").sort(["admin_id", "variable"])
+
+
+def raster_weekly_zonal() -> rd.Dataset:
+    """Weekly zonal covariates per (admin, variable, week) — the engine's
+    ``DatasetPool.weekly_reduce`` + zonalstats composition (A4 + A1)."""
+    ds = _raster_with_admin()
+    ds = add_time_key(ds, "W-MON", time_col="valid_time")
+    agg = zonal_aggregate(
+        ds,
+        ["sum", "count"],
+        keys=["admin_idx", "var_code", "time_key"],
+        skip_nulls=True,
+    )
+    agg = agg.map_batches(lambda b: _vartype_stat(b, weekly=True), batch_format="pyarrow")
+    agg = key_to_timestamp(agg)
+    names = build_admin_table()["admin_id"].combine_chunks()
+
+    def project(b: pa.Table) -> pa.Table:
+        b = _attach_var(b)
+        idx = pa.compute.cast(b["admin_idx"], "int64")
+        b = b.drop_columns(["admin_idx"])
+        b = b.add_column(0, "admin_id", names.take(idx))
+        return b.select(["admin_id", "variable", "time_key", "stat"]).rename_columns(
+            ["admin_id", "variable", "week", "stat"]
+        )
+
+    return agg.map_batches(project, batch_format="pyarrow").sort(
+        ["admin_id", "variable", "week"]
+    )
+
+
+def raster_stats() -> rd.Dataset:
+    """Global per-variable stats (``validate.py:37-43`` ``minimal_stats``)."""
+    ds = read_raster().map_batches(_add_var_code, batch_format="pyarrow")
+    agg = zonal_aggregate(
+        ds, ["count", "mean", "min", "max"], keys=["var_code"], skip_nulls=True
+    )
+    return agg.map_batches(_attach_var, batch_format="pyarrow").sort("variable")

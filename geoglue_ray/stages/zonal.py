@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
@@ -45,13 +46,25 @@ class AttachWeights:
         return batch.append_column("weight", pa.array(w))
 
 
-def partial_zonal(batch: pa.Table, keys: list[str], value_col: str, weight_col: str | None):
+def partial_zonal(
+    batch: pa.Table,
+    keys: list[str],
+    value_col: str,
+    weight_col: str | None,
+    skip_nulls: bool = False,
+):
     """Per-batch partial aggregation: one row per key combination.
 
     Fast path: when every key column is integer, groups are formed with one
     ``np.unique`` + argsort + ``reduceat`` pass (no pandas, no string
     hashing in the hot loop).  String keys fall back to pandas groupby.
+    ``skip_nulls`` drops null/NaN values first (SQL ``WHERE v IS NOT NULL``
+    semantics; the raster pipelines' NaN "ocean" holes).
     """
+    if skip_nulls:
+        col = batch[value_col]
+        mask = pc.and_kleene(pc.is_valid(col), pc.invert(pc.is_nan(col)))
+        batch = batch.filter(mask)
     v = batch[value_col].to_numpy(zero_copy_only=False)
     w = batch[weight_col].to_numpy(zero_copy_only=False) if weight_col else None
     key_arrays = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
@@ -106,6 +119,7 @@ def zonal_aggregate(
     weight_col: str | None = None,
     aliases: dict[str, str] | None = None,
     batch_size: int = 65536,
+    skip_nulls: bool = False,
 ) -> rd.Dataset:
     """Dataset -> one row per key combo with a column per requested op.
 
@@ -118,7 +132,7 @@ def zonal_aggregate(
         raise ValueError("weighted op requested but no weight_col given")
 
     partial = ds.map_batches(
-        lambda b: partial_zonal(b, keys, value_col, weight_col),
+        lambda b: partial_zonal(b, keys, value_col, weight_col, skip_nulls),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

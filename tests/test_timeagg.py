@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from geoglue_ray.stages.timeagg import (
+    day_number,
+    first_monday,
+    last_sunday,
+    timeshift_hours,
+    week_start_number,
+)
+
+
+def test_first_monday_last_sunday():
+    # golden ISO-week boundaries (util.py:106-117 semantics)
+    assert first_monday(2020) == np.datetime64("2020-01-06")
+    assert first_monday(2024) == np.datetime64("2024-01-01")  # Jan 1 2024 is Monday
+    assert last_sunday(2020) == np.datetime64("2020-12-27")
+    assert last_sunday(2023) == np.datetime64("2023-12-31")
+
+
+def test_week_start_is_monday():
+    ts = (
+        np.datetime64("2024-01-01T00:00:00", "us")
+        + np.arange(0, 40 * 24, 7).astype("timedelta64[h]")
+    )
+    wk = week_start_number(ts).astype("datetime64[D]")
+    # every week start is a Monday ((day + 3) % 7 == 0)
+    assert ((wk.astype(np.int64) + 3) % 7 == 0).all()
+    # and never after the timestamp
+    assert (wk.astype("datetime64[us]") <= ts).all()
+    assert ((ts - wk.astype("datetime64[us]")).astype("timedelta64[D]").astype(int) < 7).all()
+
+
+def test_day_number_roundtrip():
+    ts = np.array(["2020-01-06T13:00:00", "2020-02-01T23:59:59"], dtype="datetime64[us]")
+    d = day_number(ts)
+    assert list(d.astype("datetime64[D]").astype(str)) == ["2020-01-06", "2020-02-01"]
+
+
+def test_timeshift_instant_accum_offset():
+    t = pa.table(
+        {
+            "event_time": pa.array(
+                np.array(["2020-01-06T00:00:00"] * 2, dtype="datetime64[us]"),
+                type=pa.timestamp("us"),
+            ),
+            "vartype": ["instant", "accum"],
+        }
+    )
+    ds = timeshift_hours(rd.from_arrow(t), 7, vartype_col="vartype")
+    out = ds.to_pandas()
+    # instant shifts by h, accum by h-1 (cds.py:308-315)
+    assert str(out["event_time"][0]) == "2020-01-06 07:00:00"
+    assert str(out["event_time"][1]) == "2020-01-06 06:00:00"
+
+
+def test_timeshift_range_validation():
+    import pytest
+
+    t = pa.table({"event_time": pa.array([0], type=pa.timestamp("us"))})
+    with pytest.raises(ValueError):
+        timeshift_hours(rd.from_arrow(t), 13)
+
+
+def test_assert_hourly():
+    from geoglue_ray.stages.validate import assert_hourly
+
+    full = np.datetime64("2020-01-06T00", "us") + np.arange(48).astype("timedelta64[h]")
+    ds = rd.from_arrow(pa.table({"valid_time": pa.array(full, type=pa.timestamp("us"))}))
+    assert assert_hourly(ds)
+    holey = full[:-1]  # last day missing hour 23
+    ds2 = rd.from_arrow(pa.table({"valid_time": pa.array(holey, type=pa.timestamp("us"))}))
+    assert not assert_hourly(ds2)
