@@ -41,6 +41,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_zonal": lambda sf_dir: r.raster_zonal(),
         "raster_weekly_zonal": lambda sf_dir: r.raster_weekly_zonal(),
         "raster_stats": lambda sf_dir: r.raster_stats(),
+        # training-data ops (oracle-backed)
+        "token_count": q.token_count_query,
+        "text_quality": q.text_quality,
+        "dedup_exact": q.dedup_exact,
+        "media_explode": q.media_explode,
+        "embed_knn": q.embed_knn,
+        # training-data ops (rows-only: not SQL-expressible)
+        "lang_id": q.lang_id,
+        "doc_fingerprint": q.doc_fingerprint,
+        "minhash_neardup": q.minhash_neardup,
+        "simhash_neardup": q.simhash_neardup,
+        "ngram_neardup": q.ngram_neardup,
+        "embed_knn_lsh": q.embed_knn_lsh,
+        "embed_neardup": q.embed_neardup,
+        "media_features": q.media_features,
     }
 
 
@@ -62,4 +77,9 @@ def oracle_sql() -> dict[str, str]:
         "raster_zonal": o.raster_zonal(),
         "raster_weekly_zonal": o.raster_weekly_zonal(),
         "raster_stats": o.raster_stats(),
+        "token_count": o.token_count(),
+        "text_quality": o.text_quality(),
+        "dedup_exact": o.dedup_exact(),
+        "media_explode": o.media_explode(),
+        "embed_knn": o.embed_knn(),
     }

