@@ -41,6 +41,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_zonal": lambda sf_dir: r.raster_zonal(),
         "raster_weekly_zonal": lambda sf_dir: r.raster_weekly_zonal(),
         "raster_stats": lambda sf_dir: r.raster_stats(),
+        "crop_bbox": q.crop_bbox,
+        "resample_nearest": q.resample_nearest,
+        "resample_bilinear": q.resample_bilinear,
+        "resample_sparse": q.resample_sparse,
         # training-data ops (oracle-backed)
         "token_count": q.token_count_query,
         "text_quality": q.text_quality,
@@ -77,6 +81,10 @@ def oracle_sql() -> dict[str, str]:
         "raster_zonal": o.raster_zonal(),
         "raster_weekly_zonal": o.raster_weekly_zonal(),
         "raster_stats": o.raster_stats(),
+        "crop_bbox": o.crop_bbox(),
+        "resample_nearest": o.resample_nearest(),
+        "resample_bilinear": o.resample_bilinear(),
+        "resample_sparse": o.resample_sparse(),
         "token_count": o.token_count(),
         "text_quality": o.text_quality(),
         "dedup_exact": o.dedup_exact(),

@@ -207,6 +207,114 @@ FROM rast WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1
 """
 
 
+# ------------------------------------------------------ crop / resample
+def crop_bbox() -> str:
+    from geoglue_ray.pipelines.queries import CROP_BBOX
+
+    minx, miny, maxx, maxy = CROP_BBOX
+    return f"""
+WITH c AS ({fx.sql_corpus_cte()})
+SELECT id AS doc_id, lon, lat, value FROM c
+WHERE lon >= {minx} AND lon < {maxx} AND lat >= {miny} AND lat < {maxy}
+ORDER BY doc_id
+"""
+
+
+def _era5_targets() -> str:
+    from geoglue_ray.sources.raster import RINC, RXFIRST, RXSIZE, RYFIRST, RYSIZE
+
+    return f"""
+targets AS (
+  SELECT r.range AS tr, c.range AS tc,
+         {RXFIRST} + c.range*{RINC} AS x,
+         {RYFIRST} - r.range*{RINC} AS y
+  FROM range({RYSIZE}) r, range({RXSIZE}) c)
+"""
+
+
+def _wval(i: str, j: str) -> str:
+    """Weights value at (col i, north-row j) of the 0.125-deg grid."""
+    return f"CAST((({i})*31 + (255 - ({j}))*17 + 7) % 101 AS DOUBLE)"
+
+
+def resample_nearest() -> str:
+    return f"""
+WITH {_era5_targets()},
+g AS (
+  SELECT tr, tc,
+         CAST(floor((x - 96.0625)/0.125 + 0.5) AS BIGINT) AS i,
+         CAST(floor((31.9375 - y)/0.125 + 0.5) AS BIGINT) AS j
+  FROM targets)
+SELECT CAST(tr AS INTEGER) AS cell_row, CAST(tc AS INTEGER) AS cell_col,
+       {_wval('i', 'j')} AS resampled
+FROM g ORDER BY 1, 2
+"""
+
+
+def resample_bilinear() -> str:
+    return f"""
+WITH {_era5_targets()},
+g AS (
+  SELECT tr, tc,
+         (x - 96.0625)/0.125 AS gx,
+         (31.9375 - y)/0.125 AS gy
+  FROM targets),
+h AS (
+  SELECT tr, tc, gx, gy,
+         CAST(floor(gx) AS BIGINT) AS i0, CAST(floor(gy) AS BIGINT) AS j0,
+         gx - floor(gx) AS fxx, gy - floor(gy) AS fy
+  FROM g)
+SELECT CAST(tr AS INTEGER) AS cell_row, CAST(tc AS INTEGER) AS cell_col,
+       (1.0-fxx)*(1.0-fy)*{_wval('i0', 'j0')}
+       + fxx*(1.0-fy)*{_wval('i0+1', 'j0')}
+       + (1.0-fxx)*fy*{_wval('i0', 'j0+1')}
+       + fxx*fy*{_wval('i0+1', 'j0+1')} AS resampled
+FROM h ORDER BY 1, 2
+"""
+
+
+def _rval(i: str, j: str) -> str:
+    """ERA5 t2m hour-0 value at (col i, north-row j); NULL on ocean holes."""
+    from geoglue_ray.sources.raster import HOLE_MOD, RXSIZE, VAL_MOD
+
+    return (
+        f"(CASE WHEN (({j})*{RXSIZE} + ({i})) % {HOLE_MOD} = 0 THEN NULL "
+        f"ELSE CAST((({j})*7 + ({i})*13) % {VAL_MOD} AS DOUBLE) END)"
+    )
+
+
+def resample_sparse() -> str:
+    fill = {k: f"COALESCE({_rval(*ij)}, 0.0)" for k, ij in
+            {"f00": ("i0", "j0"), "f01": ("i0+1", "j0"),
+             "f10": ("i0", "j0+1"), "f11": ("i0+1", "j0+1")}.items()}
+    mask = {k: f"(CASE WHEN {_rval(*ij)} IS NULL THEN 0.0 ELSE 1.0 END)" for k, ij in
+            {"m00": ("i0", "j0"), "m01": ("i0+1", "j0"),
+             "m10": ("i0", "j0+1"), "m11": ("i0+1", "j0+1")}.items()}
+    bil_f = (f"(1.0-fxx)*(1.0-fy)*{fill['f00']} + fxx*(1.0-fy)*{fill['f01']}"
+             f" + (1.0-fxx)*fy*{fill['f10']} + fxx*fy*{fill['f11']}")
+    bil_m = (f"(1.0-fxx)*(1.0-fy)*{mask['m00']} + fxx*(1.0-fy)*{mask['m01']}"
+             f" + (1.0-fxx)*fy*{mask['m10']} + fxx*fy*{mask['m11']}")
+    return f"""
+WITH targets AS (
+  SELECT r.range AS tr, c.range AS tc,
+         102.25 + c.range*0.125 AS x,
+         21.4375 - r.range*0.125 AS y
+  FROM range(100) r, range(60) c),
+g AS (
+  SELECT tr, tc, (x - 102.125)/0.25 AS gx, (23.9375 - y)/0.25 AS gy FROM targets),
+h AS (
+  SELECT tr, tc,
+         CAST(floor(gx) AS BIGINT) AS i0, CAST(floor(gy) AS BIGINT) AS j0,
+         gx - floor(gx) AS fxx, gy - floor(gy) AS fy
+  FROM g),
+bl AS (
+  SELECT tr, tc, {bil_f} AS fillr, {bil_m} AS maskr FROM h)
+SELECT CAST(tr AS INTEGER) AS cell_row, CAST(tc AS INTEGER) AS cell_col,
+       CASE WHEN maskr > 0.000001 THEN fillr / maskr ELSE NULL END AS resampled
+FROM bl ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------- training-data oracles
 def token_count() -> str:
     return r"""

@@ -179,6 +179,77 @@ def hourly_check(sf_dir: str) -> rd.Dataset:
     return out.map_batches(rename, batch_format="pyarrow").sort("day")
 
 
+# --------------------------------------------------------- crop / resample
+CROP_BBOX = (104.0, 10.0, 106.0, 14.0)
+
+
+def crop_bbox(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.geom import Bbox
+    from geoglue_ray.stages.crop import crop
+
+    ds = read_corpus(sf_dir, with_spans=False)
+    out = crop(ds, Bbox(*CROP_BBOX))
+    return out.select_columns(["doc_id", "lon", "lat", "value"]).sort("doc_id")
+
+
+def _weights_dense_north():
+    """Weights grid as (row 0 = north) dense array + matching spec."""
+    from geoglue_ray.sources.weights import build_weights_grid, weights_grid_spec
+
+    return build_weights_grid()[::-1].copy(), weights_grid_spec()
+
+
+def _resample_weights_to_era5(method: str) -> rd.Dataset:
+    import ray
+
+    from geoglue_ray.sources.raster import raster_grid_spec
+    from geoglue_ray.stages.resample import Resampler, target_grid_dataset
+
+    dense, spec = _weights_dense_north()
+    ds = target_grid_dataset(raster_grid_spec())
+    out = ds.map_batches(
+        Resampler,
+        fn_constructor_args=(ray.put(dense), spec, method),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["cell_row", "cell_col", "resampled"]).sort(
+        ["cell_row", "cell_col"]
+    )
+
+
+def resample_nearest(sf_dir: str) -> rd.Dataset:
+    return _resample_weights_to_era5("remapnn")
+
+
+def resample_bilinear(sf_dir: str) -> rd.Dataset:
+    return _resample_weights_to_era5("remapbil")
+
+
+def resample_sparse(sf_dir: str) -> rd.Dataset:
+    """ERA5 t2m hour-0 field (NaN ocean holes) -> fine 0.125-deg grid via
+    sparse bilinear (``resample.py:19-78`` fill/mask semantics)."""
+    import ray
+
+    from geoglue_ray.grid import GridSpec
+    from geoglue_ray.sources.raster import RXSIZE, RYSIZE, raster_grid_spec, raster_value
+    from geoglue_ray.stages.resample import Resampler, target_grid_dataset
+
+    r, c = np.meshgrid(np.arange(RYSIZE), np.arange(RXSIZE), indexing="ij")
+    dense = raster_value(np.zeros_like(r), r, c, 0).reshape(RYSIZE, RXSIZE)
+    dst = GridSpec(xsize=60, ysize=100, xfirst=102.25, xinc=0.125, yfirst=21.4375, yinc=-0.125)
+    ds = target_grid_dataset(dst)
+    out = ds.map_batches(
+        Resampler,
+        fn_constructor_args=(ray.put(dense), raster_grid_spec(), "sremapbil"),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["cell_row", "cell_col", "resampled"]).sort(
+        ["cell_row", "cell_col"]
+    )
+
+
 # ------------------------------------------------------ training-data ops
 def token_count_query(sf_dir: str) -> rd.Dataset:
     from geoglue_ray.stages.text import token_count

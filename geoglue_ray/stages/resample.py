@@ -1,0 +1,216 @@
+"""Grid resampling as pure Arrow/numpy math — no external ``cdo`` process.
+
+Re-implements the reference's resampling operators (``resample.py:81-161``):
+
+- ``remapnn``  — nearest source cell (CDO remapnn)
+- ``remapbil`` — bilinear from the 4 surrounding source cell centers
+- ``remapdis`` — inverse-distance weighted mean of the 4 nearest centers
+- ``sremapbil`` — sparse bilinear (``resample.py:19-78``): bilinear of the
+  zero-filled field divided by bilinear of the non-NaN mask, thresholded at
+  ``eps`` — prevents NaN bleeding across land/ocean boundaries.
+
+The source raster is a dense 2D array + :class:`GridSpec`, broadcast via
+``ray.put`` once and interpolated per batch inside an actor pool; the
+destination is any Dataset of points (or a generated target grid).  With
+dyadic grid geometry every weight and product is exact, so distributed
+output matches the serial SQL oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from geoglue_ray.geom import Bbox
+from geoglue_ray.grid import GridSpec
+
+EPS = 1e-6  # sparse-mask threshold (resample.py:23 eps)
+WARN_BELOW_COVERAGE = 0.8  # resample.py:16
+
+
+def grid_to_dense(
+    table: pa.Table, spec: GridSpec, value_col: str = "value"
+) -> np.ndarray:
+    """Long-form raster table -> dense (ysize, xsize) array (NaN-filled)."""
+    out = np.full((spec.ysize, spec.xsize), np.nan)
+    r = table["cell_row"].to_numpy()
+    c = table["cell_col"].to_numpy()
+    out[r, c] = table[value_col].to_numpy(zero_copy_only=False)
+    return out
+
+
+def check_coverage(src: GridSpec, dst_bbox: Bbox) -> bool:
+    """Warn-level check that the source covers the target
+    (``resample.py:118-128``)."""
+    return Bbox(*src.bbox()) >= dst_bbox
+
+
+def _index_space(
+    x: np.ndarray, y: np.ndarray, spec: GridSpec
+) -> tuple[np.ndarray, np.ndarray]:
+    gx = (x - spec.xfirst) / spec.xinc
+    gy = (y - spec.yfirst) / spec.yinc  # yinc<0: gy grows southward
+    return gx, gy
+
+
+def nearest(grid: np.ndarray, spec: GridSpec, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    # round-half-up via floor(g + 0.5): deterministic and identical to the
+    # SQL oracle's floor arithmetic (np.rint's banker's rounding is not)
+    gx, gy = _index_space(x, y, spec)
+    i = np.clip(np.floor(gx + 0.5).astype(np.int64), 0, spec.xsize - 1)
+    j = np.clip(np.floor(gy + 0.5).astype(np.int64), 0, spec.ysize - 1)
+    return grid[j, i]
+
+
+def bilinear(grid: np.ndarray, spec: GridSpec, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """4-corner bilinear; NaN outside the source interior or when any
+    corner is NaN (dense semantics — use :func:`bilinear_sparse` for the
+    mask-normalized variant)."""
+    gx, gy = _index_space(x, y, spec)
+    i0 = np.floor(gx).astype(np.int64)
+    j0 = np.floor(gy).astype(np.int64)
+    inside = (i0 >= 0) & (i0 < spec.xsize - 1) & (j0 >= 0) & (j0 < spec.ysize - 1)
+    i0c = np.clip(i0, 0, spec.xsize - 2)
+    j0c = np.clip(j0, 0, spec.ysize - 2)
+    fx = gx - i0
+    fy = gy - j0
+    v00 = grid[j0c, i0c]
+    v01 = grid[j0c, i0c + 1]
+    v10 = grid[j0c + 1, i0c]
+    v11 = grid[j0c + 1, i0c + 1]
+    v = (
+        (1.0 - fx) * (1.0 - fy) * v00
+        + fx * (1.0 - fy) * v01
+        + (1.0 - fx) * fy * v10
+        + fx * fy * v11
+    )
+    return np.where(inside, v, np.nan)
+
+
+def bilinear_sparse(
+    grid: np.ndarray, spec: GridSpec, x: np.ndarray, y: np.ndarray, eps: float = EPS
+) -> np.ndarray:
+    """Sparse bilinear (``resample.py:19-78``): bilinear(fillna(0)) /
+    bilinear(mask) where mask>eps, NaN elsewhere."""
+    fill = np.where(np.isnan(grid), 0.0, grid)
+    mask = np.where(np.isnan(grid), 0.0, 1.0)
+    rf = bilinear(fill, spec, x, y)
+    rm = bilinear(mask, spec, x, y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(rm > eps, rf / rm, np.nan)
+    return out
+
+
+def inverse_distance(
+    grid: np.ndarray, spec: GridSpec, x: np.ndarray, y: np.ndarray
+) -> np.ndarray:
+    """Distance-weighted mean of the 4 surrounding cell centers (CDO
+    remapdis with neighbors=4), weights 1/d, exact hit -> source value;
+    NaN corners are skipped (weight 0)."""
+    gx, gy = _index_space(x, y, spec)
+    i0 = np.clip(np.floor(gx).astype(np.int64), 0, spec.xsize - 2)
+    j0 = np.clip(np.floor(gy).astype(np.int64), 0, spec.ysize - 2)
+    acc_w = np.zeros(len(x))
+    acc_wv = np.zeros(len(x))
+    exact = np.full(len(x), np.nan)
+    for dj in (0, 1):
+        for di in (0, 1):
+            vi = grid[j0 + dj, i0 + di]
+            dx = (gx - (i0 + di)) * spec.xinc
+            dy = (gy - (j0 + dj)) * spec.yinc
+            d = np.hypot(dx, dy)
+            hit = d == 0
+            exact = np.where(hit & ~np.isnan(vi), vi, exact)
+            ok = ~np.isnan(vi) & (d > 0)
+            w = np.where(ok, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+            acc_w += w
+            acc_wv += w * np.where(ok, vi, 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(acc_w > 0, acc_wv / acc_w, np.nan)
+    return np.where(~np.isnan(exact), exact, out)
+
+
+_METHODS = {
+    "remapnn": nearest,
+    "remapbil": bilinear,
+    "remapdis": inverse_distance,
+    "sremapbil": bilinear_sparse,
+}
+
+
+class Resampler:
+    """Actor-pool stage: interpolate the broadcast source raster at each
+    batch's (x, y) points; appends ``resampled``."""
+
+    def __init__(self, src_ref, spec: GridSpec, method: str):
+        if method not in _METHODS:
+            raise ValueError(f"unknown resampling {method!r} (one of {sorted(_METHODS)})")
+        self.grid = ray.get(src_ref) if isinstance(src_ref, ray.ObjectRef) else src_ref
+        self.spec = spec
+        self.fn = _METHODS[method]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = self.fn(
+            self.grid, self.spec, batch["lon"].to_numpy(), batch["lat"].to_numpy()
+        )
+        return batch.append_column("resampled", pa.array(v))
+
+
+def target_grid_dataset(spec: GridSpec, rows_per_task: int = 64) -> rd.Dataset:
+    """Generate the target grid's cell centers as a streaming Dataset."""
+    n_chunks = max(1, spec.ysize // rows_per_task)
+
+    def gen(batch: pa.Table):
+        for chunk in batch["id"].to_numpy():
+            r0 = int(chunk) * rows_per_task
+            r1 = min(r0 + rows_per_task, spec.ysize)
+            if r0 >= r1:
+                continue
+            rr, cc = np.meshgrid(np.arange(r0, r1), np.arange(spec.xsize), indexing="ij")
+            rr, cc = rr.ravel(), cc.ravel()
+            lon, lat = spec.cell_lonlat(rr, cc)
+            yield pa.table(
+                {
+                    "cell_row": rr.astype(np.int32),
+                    "cell_col": cc.astype(np.int32),
+                    "lon": lon,
+                    "lat": lat,
+                }
+            )
+
+    n_tasks = (spec.ysize + rows_per_task - 1) // rows_per_task
+    return rd.range(n_tasks).map_batches(gen, batch_format="pyarrow", batch_size=1)
+
+
+def resample(
+    src_table: pa.Table,
+    src_spec: GridSpec,
+    dst_spec: GridSpec,
+    method: str,
+    value_col: str = "value",
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """Long-form source raster -> resampled long-form raster on dst grid.
+
+    The dense source (one broadcast object) + generated target grid; mirrors
+    ``resample(resampling, infile, target)`` (``resample.py:81-161``)
+    including the coverage warning.
+    """
+    if not check_coverage(src_spec, Bbox(*dst_spec.bbox())):
+        import warnings
+
+        warnings.warn(
+            "source grid does not fully cover target grid; edge cells will be NaN"
+            " (resample.py:118-128 semantics)"
+        )
+    dense = grid_to_dense(src_table, src_spec, value_col)
+    src_ref = ray.put(dense)
+    ds = target_grid_dataset(dst_spec)
+    return ds.map_batches(
+        Resampler,
+        fn_constructor_args=(src_ref, src_spec, method),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
