@@ -1,0 +1,79 @@
+"""Forecast reshape: collapse sparse (time, step) to dense (time, month).
+
+The reference's seasonal-forecast densification (``reshape.py:6-64``):
+cdsapi monthly forecasts arrive with a ``step`` axis holding every possible
+day-offset while only one per month is populated — collapse the non-NaN
+entries per (time, cell) into ``month = 1..m`` rank order.  Plus the
+calendar helpers ``days_in_nth_month`` / ``get_durations``
+(``reshape.py:67-102``).
+
+Engine shape: long-form (time, cell_row, cell_col, step, value) table ->
+per-batch collapse (requires batches partition-aligned on (time, cell) —
+guaranteed when the generator emits whole tiles, asserted otherwise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def collapse_step_to_month(batch: pa.Table, n_months: int | None = None) -> pa.Table:
+    """Within-batch collapse: for each (valid_time, cell_row, cell_col),
+    drop NaN steps and re-key the survivors by rank -> month 1..m.
+
+    The reference assumes a fixed survivor count per row
+    (``reshape.py:41-44``); we assert the same.
+    """
+    df = batch.select(
+        ["valid_time", "cell_row", "cell_col", "step", "value"]
+    ).to_pandas()
+    df = df[~df["value"].isna()]
+    df = df.sort_values(["valid_time", "cell_row", "cell_col", "step"], kind="mergesort")
+    g = df.groupby(["valid_time", "cell_row", "cell_col"], sort=False)
+    df["month"] = (g.cumcount() + 1).astype(np.int32)
+    counts = g.size().to_numpy()
+    m = n_months or (counts[0] if len(counts) else 0)
+    if len(counts) and not (counts == counts[0]).all():
+        raise ValueError("variable number of valid steps per (time, cell)")
+    if n_months is not None and len(counts) and counts[0] != n_months:
+        raise ValueError(f"expected {n_months} valid steps, found {counts[0]}")
+    out = df[["valid_time", "cell_row", "cell_col", "month", "value"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def days_in_nth_month(t: np.datetime64 | str, n_month: int) -> int:
+    """Days in the n-th month after ``t`` (``reshape.py:67-83``)."""
+    ts = pd.Timestamp(t)
+    if n_month < 1:
+        raise ValueError("Negative n_month not supported")
+    if n_month > 12:
+        raise ValueError("Only supports n_month 1..12")
+    if ts.day != 1:
+        raise ValueError("Can only work with start of months")
+    new_month = (ts.month + n_month - 1) % 12 + 1
+    new_year = ts.year + (ts.month + n_month) // 12
+    prev_month = (new_month - 2) % 12 + 1
+    prev_month_year = new_year if prev_month != 12 else new_year - 1
+    return (
+        pd.Timestamp(new_year, new_month, 1) - pd.Timestamp(prev_month_year, prev_month, 1)
+    ).days
+
+
+def get_durations(times: np.ndarray, months: np.ndarray) -> np.ndarray:
+    """(T, M) duration-in-days matrix (``reshape.py:86-102``)."""
+    out = np.zeros((len(times), len(months)))
+    for i, t in enumerate(times):
+        for j, m in enumerate(months):
+            out[i, j] = days_in_nth_month(t, int(m))
+    return out
+
+
+def collapse_dataset(ds: rd.Dataset, n_months: int | None = None) -> rd.Dataset:
+    """Dataset-level collapse; batches must be (time, cell)-aligned (the
+    raster generator emits whole days per batch, so they are)."""
+    return ds.map_batches(
+        lambda b: collapse_step_to_month(b, n_months), batch_format="pyarrow"
+    )
