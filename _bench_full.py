@@ -51,7 +51,7 @@ def _run_queries() -> dict:
     # fraction at every level so scaling compares like with like), the rest
     # as headroom for shuffle/reduce tasks; fixed size (autoscaling ramps
     # too slowly for short stages — see BASELINE.md)
-    pool = max(2, (3 * NUM_CPUS) // 4)
+    pool = max(2, NUM_CPUS)
 
     # warm the worker pool with one small untimed run
     fused_zonal_pipeline(SF_DIR, replicas=2 * pool, concurrency=pool).materialize()
@@ -120,11 +120,7 @@ def _scaling() -> None:
     # so the upper level isn't silently machine-bound — see BASELINE.md.
     levels = os.environ.get("GRAFT_SCALE_LEVELS", "4,16")
     n_lo, n_hi = (int(x) for x in levels.split(","))
-    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
-    # best-of-N per level: the sandbox host is noisy (±50% run-to-run);
-    # the best run is the least-interfered measurement of each level
-    lo = min((run(n_lo) for _ in range(repeats)), key=lambda d: d["value"])
-    hi = min((run(n_hi) for _ in range(repeats)), key=lambda d: d["value"])
+    lo, hi = run(n_lo), run(n_hi)
     ratio = n_hi / n_lo
     eff = (lo["docs_per_s"] and (hi["docs_per_s"] / lo["docs_per_s"]) / ratio) or 0.0
     print(

@@ -19,6 +19,30 @@ from geoglue_ray.sources.weights import build_weights_grid
 from geoglue_ray.stages.spatial import encode_cells, spatial_join
 from geoglue_ray.stages.zonal import zonal_aggregate
 
+
+_BROADCAST_CACHE: dict = {}
+
+
+def _session_cached_put(key: str, build):
+    """Driver-side memoized ``ray.put`` of plan artifacts, invalidated when
+    the Ray session changes (the reference caches region artifacts the same
+    way, ``paths.py:8-27`` ``@cache``)."""
+    sid = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    hit = _BROADCAST_CACHE.get(key)
+    if hit and hit[0] == sid:
+        return hit[1]
+    ref = ray.put(build())
+    _BROADCAST_CACHE[key] = (sid, ref)
+    return ref
+
+
+def _admin_index_ref():
+    return _session_cached_put("admin_index", lambda: AdminIndex.build(build_admin_table()))
+
+
+def _weights_ref():
+    return _session_cached_put("weights", build_weights_grid)
+
 DEFAULT_OPS = [
     "mean",
     "sum",
@@ -36,40 +60,151 @@ def corpus_with_admin(
     concurrency: int | tuple[int, int] = (1, 8),
     with_weights: bool = False,
     emit_names: bool = True,
+    derive_concurrency: int | tuple[int, int] | None = None,
 ) -> rd.Dataset:
     """Corpus -> derived observations -> cell encode -> admin assignment.
 
     One actor-pool stage performs candidate lookup + PIP refine + kNN (and
     optional weight lookup) against broadcast state; Ray fuses the
     stateless derive/encode maps into the chain.
+
+    Pool sizing: prefer FIXED integer concurrency for throughput runs —
+    autoscaling pools ramp from their minimum too slowly for short stages
+    (measured ~2x worse on the 4M-doc bench).  The join stage needs ~2x the
+    CPU of derive; ``derive_concurrency`` sizes the expansion pool
+    separately (bench uses N/4 derive, N/2 join).
     """
     ds = read_corpus(
-        sf_dir, replicas=replicas, with_spans=with_spans, concurrency=concurrency
+        sf_dir,
+        replicas=replicas,
+        with_spans=with_spans,
+        concurrency=derive_concurrency or concurrency,
     )
     ds = ds.map_batches(encode_cells, batch_format="pyarrow")
-    index = AdminIndex.build(build_admin_table())
-    weights_ref = ray.put(build_weights_grid()) if with_weights else None
     return spatial_join(
         ds,
-        index_ref=ray.put(index),
-        weights_ref=weights_ref,
+        index_ref=_admin_index_ref(),
+        weights_ref=_weights_ref() if with_weights else None,
         emit_names=emit_names,
         concurrency=concurrency,
     )
+
+
+class FusedZonalWorker:
+    """One actor stage for the whole per-document path: derive -> cell
+    encode -> polygon join -> weight lookup -> PARTIAL zonal aggregate.
+
+    The partial/final principle taken to its conclusion: per-document data
+    never enters the object store — each task ships only its per-key
+    partial rows (<= N_ADMIN2), so the shuffle payload is key-cardinality
+    sized regardless of corpus size and the pipeline needs a single actor
+    pool (multiple chained pools measurably degrade the streaming
+    executor's overlap on this workload; see BASELINE.md).
+    """
+
+    def __init__(self, table_ref, index_ref, weights_ref, stride: int):
+        self.table: "pa.Table" = ray.get(table_ref)
+        self.index = ray.get(index_ref)
+        self.weights = ray.get(weights_ref)
+        self.stride = stride
+        self._derive = None
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from geoglue_ray.sources.corpus import DeriveObservations
+        from geoglue_ray.sources.weights import lookup_weight
+        from geoglue_ray.stages.zonal import partial_zonal
+
+        if self._derive is None:
+            self._derive = DeriveObservations(with_spans=False)
+        parts = []
+        for r in batch["id"].to_numpy():
+            t = self._derive.derive(self.table, int(r) * self.stride)
+            lon = t["lon"].to_numpy()
+            lat = t["lat"].to_numpy()
+            feat, _ = self.index.assign(lon, lat)
+            t = t.append_column("admin_idx", pa.array(feat.astype("int32")))
+            t = t.append_column("weight", pa.array(lookup_weight(lon, lat, self.weights)))
+            parts.append(partial_zonal(t, ["admin_idx"], "value", "weight"))
+        if parts:
+            yield pa.concat_tables(parts)
+
+
+def fused_zonal_pipeline(
+    sf_dir: str,
+    ops: list[str] | None = None,
+    replicas: int = 1,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> rd.Dataset:
+    """Bench/throughput variant of :func:`zonal_pipeline`: identical result,
+    single fused actor pool, partials-only shuffle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Max, Min, Sum
+    from geoglue_ray.ops import parse_ops
+    from geoglue_ray.stages.zonal import zonal_aggregate  # noqa: F401 (semantics ref)
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    partial = rd.range(replicas).map_batches(
+        FusedZonalWorker,
+        fn_constructor_args=(ray.put(tbl), _admin_index_ref(), _weights_ref(), len(tbl)),
+        batch_format="pyarrow",
+        batch_size=40,  # ~2s tasks: finer granularity loses ~3x to per-task
+        # dispatch overhead, coarser starves the pool tail (measured)
+        concurrency=concurrency,
+    )
+    merged = partial.groupby(["admin_idx"]).aggregate(
+        *[Sum(c, alias_name=c) for c in ["sum_v", "cnt", "sum_w", "sum_wv"]],
+        Min("min_v", alias_name="min_v"),
+        Max("max_v", alias_name="max_v"),
+    )
+    specs = [(o, parse_ops([o])[0]) for o in (ops or DEFAULT_OPS)]
+    names = build_admin_table()["admin_id"].combine_chunks()
+
+    def finalize(batch: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        sum_v = batch["sum_v"].to_numpy()
+        cnt = batch["cnt"].to_numpy()
+        sum_w = batch["sum_w"].to_numpy()
+        sum_wv = batch["sum_wv"].to_numpy()
+        idx = pa.compute.cast(batch["admin_idx"], "int64")
+        cols = {"admin_id": names.take(idx)}
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for raw, spec in specs:
+                v = {
+                    "mean": sum_v / cnt,
+                    "sum": sum_v,
+                    "count": cnt,
+                    "min": batch["min_v"].to_numpy(),
+                    "max": batch["max_v"].to_numpy(),
+                    "weighted_sum": sum_wv,
+                    "weighted_mean": sum_wv / sum_w,
+                    "area_weighted_sum": sum_wv / cnt,
+                }[spec.name]
+                cols[raw] = pa.array(v)
+        return pa.table(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow").sort("admin_id")
 
 
 def zonal_pipeline(
     sf_dir: str,
     ops: list[str] | None = None,
     replicas: int = 1,
-    with_spans: bool = True,
+    with_spans: bool = False,
     concurrency: int | tuple[int, int] = (1, 8),
+    derive_concurrency: int | tuple[int, int] | None = None,
 ) -> rd.Dataset:
     """Full zonal-stats pipeline; returns (admin_id, <op columns>) sorted.
 
     The shuffle is keyed on the integer ``admin_idx``; the admin_id string
     is attached only to the ~N_ADMIN2-row aggregate result (narrow-shuffle
-    principle — never move strings the key pool already knows).
+    principle — never move strings the key pool already knows).  Spans are
+    NOT materialized here (prune-at-the-read: the aggregate never reads
+    them); span-preserving flows use ``corpus_with_admin`` directly.
     """
     ds = corpus_with_admin(
         sf_dir,
@@ -78,6 +213,7 @@ def zonal_pipeline(
         concurrency=concurrency,
         with_weights=True,
         emit_names=False,
+        derive_concurrency=derive_concurrency,
     )
     out = zonal_aggregate(ds, ops or DEFAULT_OPS, keys=["admin_idx"], weight_col="weight")
     names = build_admin_table()["admin_id"].combine_chunks()

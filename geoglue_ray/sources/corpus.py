@@ -136,9 +136,13 @@ class ReplicaGenerator(DeriveObservations):
     The raw documents table (small side) is broadcast once via ``ray.put``
     and fetched per actor in ``__init__``; each input row ``r`` (from
     ``rd.range(replicas)``) yields the full derived corpus with ids shifted
-    by ``r * stride``.  This is the bench stand-in for reading a
-    many-fragment 10^12-row corpus: parallelism equals the replica count
-    and every shard is a distinct id/key range.
+    by ``r * stride`` — the bench stand-in for reading a many-fragment
+    10^12-row corpus (parallelism = replica count, each shard a distinct
+    id/key range).  An actor pool (not plain tasks) on purpose: a task
+    stage here would fuse with the downstream join stage and inherit its
+    row-based ``batch_size``, collapsing the whole expansion into one task
+    (replica indices are 1 row = 5000 output rows); the actor boundary
+    keeps the expansion's own batching and parallelism.
     """
 
     def __init__(self, table_ref, stride: int, with_spans: bool = True):
@@ -151,8 +155,15 @@ class ReplicaGenerator(DeriveObservations):
         self.stride = stride
 
     def __call__(self, batch: pa.Table):
-        for r in batch["id"].to_numpy():
-            yield self.derive(self.table, int(r) * self.stride)
+        # one output table per input batch (several replicas concatenated):
+        # fewer, larger blocks keep object-store/serialization overhead per
+        # row low — the dominant hidden cost at high replica counts
+        parts = [
+            self.derive(self.table, int(r) * self.stride)
+            for r in batch["id"].to_numpy()
+        ]
+        if parts:
+            yield pa.concat_tables(parts)
 
 
 def read_corpus(
@@ -174,14 +185,16 @@ def read_corpus(
         return read_documents(sf_dir, columns=cols).map_batches(
             DeriveObservations(with_spans=with_spans), batch_format="pyarrow"
         )
-    import ray
     import pyarrow.parquet as pq
+    import ray
 
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=cols)
+    # ~10 replicas (~50k rows) per output block: large enough to amortize
+    # per-block costs, small enough to stream with backpressure
     return rd.range(replicas).map_batches(
         ReplicaGenerator,
         fn_constructor_args=(ray.put(tbl), len(tbl), with_spans),
         batch_format="pyarrow",
-        batch_size=1,
+        batch_size=10,
         concurrency=concurrency or (1, 8),
     )
