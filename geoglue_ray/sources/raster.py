@@ -77,13 +77,17 @@ def _day_table(day: int) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def read_raster(n_days: int = N_DAYS, concurrency=None) -> rd.Dataset:
+def read_raster(n_days: int = N_DAYS, concurrency=None, start_day: int = 0) -> rd.Dataset:
     """Synthetic hourly raster as a streaming Dataset (one generator task
-    per day — the stand-in for a partitioned raster-table read)."""
+    per day — the stand-in for a partitioned raster-table read).
+
+    ``start_day`` may be negative (days before T0) so fixtures can span a
+    year boundary, exercising the timezone-halo paths (``cds.py:876-931``).
+    """
 
     def gen(batch: pa.Table):
         for d in batch["id"].to_numpy():
-            yield _day_table(int(d))
+            yield _day_table(int(d) + start_day)
 
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return rd.range(n_days).map_batches(
