@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.lang_id,
         "doc_fingerprint": q.doc_fingerprint,
         "minhash_neardup": q.minhash_neardup,
+        "dedup_clusters": q.dedup_clusters,
         "simhash_neardup": q.simhash_neardup,
         "ngram_neardup": q.ngram_neardup,
         "embed_knn_lsh": q.embed_knn_lsh,

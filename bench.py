@@ -67,6 +67,14 @@ def _run_queries() -> dict:
     total_docs = n_docs * REPLICAS
     assert out.count() > 0
 
+    # determinism across parallelism levels: a content hash of the full
+    # result, compared between the --scaling pair (two-parallelism
+    # equivalence, SURVEY.md §5)
+    import pandas as pd
+
+    df = out.to_pandas()
+    result_hash = int(pd.util.hash_pandas_object(df.round(9)).sum())
+
     extra = [] if os.environ.get("GRAFT_HEADLINE_ONLY") else [
         ("events_zonal", q.events_zonal),
         ("raster_weekly_zonal", lambda _sf: r.raster_weekly_zonal()),
@@ -88,6 +96,7 @@ def _run_queries() -> dict:
         "replicas": REPLICAS,
         "docs": total_docs,
         "docs_per_s": round(total_docs / headline, 1),
+        "result_hash": result_hash,
     }
     ray.shutdown()
     return payload
@@ -136,6 +145,7 @@ def _scaling() -> None:
                 f"docs_per_s_{n_hi}": hi["docs_per_s"],
                 "scaling_efficiency": round(eff, 3),
                 "docs": lo["docs"],
+                "results_match": lo["result_hash"] == hi["result_hash"],
             }
         )
     )

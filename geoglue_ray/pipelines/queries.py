@@ -321,6 +321,14 @@ def ngram_neardup(sf_dir: str) -> rd.Dataset:
     ).sort(["doc_a", "doc_b"])
 
 
+def dedup_clusters(sf_dir: str) -> rd.Dataset:
+    """Near-duplicate clusters: MinHash+LSH pairs -> connected components."""
+    from geoglue_ray.stages.dedup import duplicate_clusters, minhash_neardup as mh
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    return duplicate_clusters(mh(ds, threshold=0.4)).sort("doc_id")
+
+
 def embed_knn(sf_dir: str) -> rd.Dataset:
     from geoglue_ray.stages.similarity import knn_bruteforce
 

@@ -262,6 +262,72 @@ def simhash_neardup(
     return out.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
+# ------------------------------------------------ duplicate-cluster resolve
+def duplicate_clusters(
+    pairs: rd.Dataset, max_iters: int = 20
+) -> rd.Dataset:
+    """Connected components over candidate-duplicate pairs -> (doc_id,
+    cluster_id) with cluster_id = the component's lowest doc_id.
+
+    Distributed min-label propagation (the groupby-iteration scheme for
+    near-dup graphs): each round, every node takes the min label among
+    itself and its neighbors (messages = edges joined with labels), until a
+    fixpoint.  Per-round cost is one narrow groupby over (node, label)
+    pairs; rounds ~ graph diameter (near-dup clusters are shallow).
+    Labels are collected driver-side per round for the broadcast join —
+    fine while the *candidate* node set is small relative to the corpus
+    (it is: only docs appearing in near-dup pairs); at extreme scale the
+    join becomes hash-bucketed instead.
+    """
+    import pyarrow as pa
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
+    if not len(edges):
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        )
+    both = pd.concat(
+        [
+            edges.rename(columns={"doc_a": "src", "doc_b": "dst"}),
+            edges.rename(columns={"doc_b": "src", "doc_a": "dst"}),
+        ]
+    )
+    edges_ds = rd.from_pandas(both)
+    nodes = np.unique(both["src"].to_numpy())
+    labels = dict(zip(nodes.tolist(), nodes.tolist()))
+
+    import ray
+
+    for _ in range(max_iters):
+        lab_ref = ray.put(labels)
+
+        def msgs(b: pa.Table) -> pa.Table:
+            lab = ray.get(lab_ref)
+            src = b["src"].to_numpy()
+            dst = b["dst"].to_numpy()
+            lbl = np.array([lab[int(s)] for s in src], dtype=np.int64)
+            return pa.table({"node": dst, "label": lbl})
+
+        prop = edges_ds.map_batches(msgs, batch_format="pyarrow")
+        mins = prop.groupby("node").min("label").to_pandas()
+        new = dict(labels)
+        changed = False
+        for n, l in zip(mins["node"], mins["min(label)"]):
+            if l < new[int(n)]:
+                new[int(n)] = int(l)
+                changed = True
+        labels = new
+        if not changed:
+            break
+    out = pa.table(
+        {
+            "doc_id": pa.array(sorted(labels), pa.int64()),
+            "cluster_id": pa.array([labels[k] for k in sorted(labels)], pa.int64()),
+        }
+    )
+    return rd.from_arrow(out)
+
+
 # ----------------------------------------------------- n-gram Jaccard verify
 def char_ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     sa = {a[i : i + n] for i in range(max(1, len(a) - n + 1))}

@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for the pure kernels: PIP vs the
+closed-form assignment on arbitrary ids, Bbox algebra laws, logfmt
+round-trips, cell-encode containment, op-grammar parsing."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import geoglue_ray.fixtures as fx
+from geoglue_ray import cells
+from geoglue_ray.functions.logfmt import logfmt_line, parse_logfmt
+from geoglue_ray.geom import Bbox
+from geoglue_ray.ops import parse_op
+
+
+@st.composite
+def bboxes(draw):
+    minx = draw(st.floats(-179, 178, allow_nan=False))
+    miny = draw(st.floats(-89, 88, allow_nan=False))
+    w = draw(st.floats(0.1, 10))
+    h = draw(st.floats(0.1, 10))
+    return Bbox(minx, miny, minx + w, miny + h)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 10_000_000), min_size=1, max_size=200, unique=True))
+def test_pip_matches_arithmetic_for_any_ids(ids):
+    """For every conceivable doc id, the WKB ray-casting assignment equals
+    the closed-form floor/triangle arithmetic (inside points) and the kNN
+    centroid argmin (outside points)."""
+    from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+
+    global _IDX
+    if "_IDX" not in globals():
+        _IDX = AdminIndex.build(build_admin_table())
+    arr = np.asarray(ids, dtype=np.int64)
+    lon, lat = fx.derive_lonlat(arr)
+    feat, via_knn = _IDX.assign(lon, lat)
+    a2 = fx.assign_admin2_arith(lon, lat)
+    inside = a2 >= 0
+    assert np.array_equal(feat[inside], a2[inside])
+    assert np.array_equal(via_knn, ~inside)
+    if (~inside).any():
+        knn = fx.assign_knn_arith(lon[~inside], lat[~inside])
+        assert np.array_equal(feat[~inside], knn)
+
+
+@settings(max_examples=100, deadline=None)
+@given(bboxes(), bboxes())
+def test_bbox_intersection_laws(a, b):
+    ab = a & b
+    ba = b & a
+    assert ab == ba  # commutative
+    if ab is not None:
+        assert ab <= a and ab <= b  # intersection contained in both
+        assert 0.0 < a.overlap_fraction(b) <= 1.0
+    else:
+        assert a.overlap_fraction(b) == 0.0
+    assert a & a == a
+    assert a <= a.enlarge(0.5)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+            min_size=1,
+            max_size=8,
+        ),
+        st.text(max_size=30),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_logfmt_roundtrip_fuzz(d):
+    line = logfmt_line(**d)
+    assert parse_logfmt(line) == {k: str(v) for k, v in d.items()}
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(-179.999, 179.999, allow_nan=False),
+    st.floats(-89.999, 89.999, allow_nan=False),
+    st.integers(3, 20),
+)
+def test_cell_encode_contains_point(lon, lat, res):
+    # containment holds to within float rounding of the encode (a point a
+    # half-ulp below a boundary may round into the upper cell — the encode
+    # is still deterministic, which is what the join relies on)
+    eps = 1e-9
+    c = cells.encode(np.array([lon]), np.array([lat]), res)
+    minx, miny, maxx, maxy = cells.cell_bounds(c)
+    assert minx[0] - eps <= lon <= maxx[0] + eps
+    assert miny[0] - eps <= lat <= maxy[0] + eps
+    # parent at a coarser resolution contains the child cell exactly
+    if res > 3:
+        p = cells.parent(c, res - 2)
+        pminx, pminy, pmaxx, pmaxy = cells.cell_bounds(p)
+        assert pminx[0] <= minx[0] and pmaxx[0] >= maxx[0]
+        assert pminy[0] <= miny[0] and pmaxy[0] >= maxy[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.sampled_from(
+        ["mean", "sum", "count", "min", "max", "weighted_mean", "weighted_sum", "area_weighted_sum"]
+    ),
+    st.dictionaries(
+        st.sampled_from(["default_value", "default_weight", "coverage_weight"]),
+        st.sampled_from(["0", "1", "area_spherical_km2"]),
+        max_size=3,
+    ),
+)
+def test_op_grammar_roundtrip(name, params):
+    s = name if not params else f"{name}({','.join(f'{k}={v}' for k, v in params.items())})"
+    spec = parse_op(s)
+    assert spec.name == name
+    assert spec.param_dict == params

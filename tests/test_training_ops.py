@@ -69,6 +69,24 @@ def test_minhash_detects_true_duplicates():
     assert (1, 3) not in got and (2, 3) not in got  # unrelated
 
 
+def test_duplicate_clusters():
+    """Min-label propagation: chain 1-2-3 and pair 7-9 resolve to two
+    components labeled by their lowest member; transitive closure works."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.dedup import duplicate_clusters
+
+    pairs = rd.from_arrow(
+        pa.table({"doc_a": [1, 2, 7], "doc_b": [2, 3, 9]})
+    )
+    out = duplicate_clusters(pairs).to_pandas().set_index("doc_id")["cluster_id"]
+    assert out.to_dict() == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    # empty graph
+    empty = rd.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}))
+    assert duplicate_clusters(empty).count() == 0
+
+
 def test_simhash_neardup(q, sf_dir):
     df = q["simhash_neardup"](sf_dir).to_pandas()
     if len(df):
