@@ -83,6 +83,22 @@ def build_admin_table() -> pa.Table:
     return table
 
 
+def attach_geometry(stats: pa.Table, admin: pa.Table | None = None) -> pa.Table:
+    """Keyed join of per-admin stats onto the polygon table — the engine's
+    ``geom_plot``/``plot()`` geometry attach (``util.py:288-289``,
+    ``plot.py:62-63``), always by ``admin_id`` key, never positional."""
+    admin = admin if admin is not None else build_admin_table()
+    aid = np.asarray(admin["admin_id"].to_pylist())
+    sid = np.asarray(stats["admin_id"].to_pylist())
+    pos = {a: i for i, a in enumerate(aid)}
+    idx = np.array([pos[s] for s in sid], dtype=np.int64)
+    taken = admin.take(pa.array(idx))
+    out = stats
+    for name in ("name", "geometry_wkb", "centroid_x", "centroid_y"):
+        out = out.append_column(name, taken[name])
+    return out
+
+
 @dataclass
 class AdminIndex:
     """Broadcast polygon index: GGrid covering -> candidates -> exact PIP."""
