@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_zonal": lambda sf_dir: r.raster_zonal(),
         "raster_weekly_zonal": lambda sf_dir: r.raster_weekly_zonal(),
         "raster_stats": lambda sf_dir: r.raster_stats(),
+        "q1_pricing": q.q1_pricing,
+        "segment_revenue": q.segment_revenue,
         "crop_bbox": q.crop_bbox,
         "resample_nearest": q.resample_nearest,
         "resample_bilinear": q.resample_bilinear,
@@ -82,6 +84,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_zonal": o.raster_zonal(),
         "raster_weekly_zonal": o.raster_weekly_zonal(),
         "raster_stats": o.raster_stats(),
+        "q1_pricing": o.q1_pricing(),
+        "segment_revenue": o.segment_revenue(),
         "crop_bbox": o.crop_bbox(),
         "resample_nearest": o.resample_nearest(),
         "resample_bilinear": o.resample_bilinear(),

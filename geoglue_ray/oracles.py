@@ -207,6 +207,29 @@ FROM rast WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1
 """
 
 
+# ------------------------------------------------------- relational oracles
+def q1_pricing() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       sum(floor(l_quantity)) AS sum_qty,
+       CAST(count(*) AS DOUBLE) AS n_rows,
+       sum(floor(l_extendedprice)) AS sum_price
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def segment_revenue() -> str:
+    return """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS DOUBLE) AS "count",
+       sum(floor(o.o_totalprice)) AS "sum",
+       min(floor(o.o_totalprice)) AS "min",
+       max(floor(o.o_totalprice)) AS "max"
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ------------------------------------------------------ crop / resample
 def crop_bbox() -> str:
     from geoglue_ray.pipelines.queries import CROP_BBOX

@@ -179,6 +179,74 @@ def hourly_check(sf_dir: str) -> rd.Dataset:
     return out.map_batches(rename, batch_format="pyarrow").sort("day")
 
 
+# ------------------------------------------------------- relational queries
+def q1_pricing(sf_dir: str) -> rd.Dataset:
+    """TPC-H-Q1-shaped pricing summary over lineitem (integer measures via
+    floor so distributed sums match serial SQL exactly)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": pa.array(np.floor(b["l_quantity"].to_numpy())),
+                "price": pa.array(np.floor(b["l_extendedprice"].to_numpy())),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    qty = zonal_aggregate(ds, ["sum", "count"], keys=["l_returnflag", "l_linestatus"], value_col="qty")
+    price = zonal_aggregate(ds, ["sum"], keys=["l_returnflag", "l_linestatus"], value_col="price")
+
+    qdf = qty.to_pandas().rename(columns={"sum": "sum_qty", "count": "n_rows"})
+    pdf = price.to_pandas().rename(columns={"sum": "sum_price"})
+    out = qdf.merge(pdf, on=["l_returnflag", "l_linestatus"])
+    return rd.from_pandas(
+        out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    )
+
+
+def segment_revenue(sf_dir: str) -> rd.Dataset:
+    """orders joined to customer by broadcast lookup (small side via
+    ray.put — never a shuffle join), grouped by market segment."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    class AttachSegment:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            seg = [self.lookup[k] for k in b["o_custkey"].to_pylist()]
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(seg),
+                    "price": pa.array(np.floor(b["o_totalprice"].to_numpy())),
+                }
+            )
+
+    ds = ds.map_batches(
+        AttachSegment, fn_constructor_args=(lookup_ref,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    out = zonal_aggregate(ds, ["count", "sum", "min", "max"], keys=["c_mktsegment"], value_col="price")
+    return out.sort("c_mktsegment")
+
+
 # --------------------------------------------------------- crop / resample
 CROP_BBOX = (104.0, 10.0, 106.0, 14.0)
 

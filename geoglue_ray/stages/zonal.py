@@ -120,24 +120,48 @@ def zonal_aggregate(
     aliases: dict[str, str] | None = None,
     batch_size: int = 65536,
     skip_nulls: bool = False,
+    salt: int | None = None,
 ) -> rd.Dataset:
     """Dataset -> one row per key combo with a column per requested op.
 
     Output column names are the op names (pre-alias), so they line up with
     the SQL oracles.
+
+    ``salt=k`` enables explicit hot-key salting (north_star: skewed
+    mega-cells): partials first merge under ``(keys..., _salt)`` — a
+    deterministic per-batch value spreading one key's many partial rows
+    over k reducers — then a second tiny groupby merges the k salted
+    partials per key.  Exact for sums/counts/min/max; results are
+    identical to the unsalted path (tested).
     """
     specs: list[OpSpec] = parse_ops(ops, aliases)
     keys = keys or ["admin_id"]
     if any(s.needs_weight for s in specs) and weight_col is None:
         raise ValueError("weighted op requested but no weight_col given")
 
-    partial = ds.map_batches(
-        lambda b: partial_zonal(b, keys, value_col, weight_col, skip_nulls),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
+    def _partial(b: pa.Table) -> pa.Table:
+        out = partial_zonal(b, keys, value_col, weight_col, skip_nulls)
+        if salt:
+            # one deterministic salt per source batch: different batches of
+            # the same hot key land on different reducers
+            s = int(abs(out["sum_v"][0].as_py()) + len(b)) % salt if len(out) else 0
+            out = out.append_column(
+                "_salt", pa.array(np.full(len(out), s, dtype=np.int32))
+            )
+        return out
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+    sum_aggs = lambda: [  # noqa: E731
+        Sum(c, alias_name=c) for c in ["sum_v", "cnt", "sum_w", "sum_wv"]
+    ]
+    if salt:
+        partial = partial.groupby(keys + ["_salt"]).aggregate(
+            *sum_aggs(),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
     merged = partial.groupby(keys).aggregate(
-        *[Sum(c, alias_name=c) for c in ["sum_v", "cnt", "sum_w", "sum_wv"]],
+        *sum_aggs(),
         Min("min_v", alias_name="min_v"),
         Max("max_v", alias_name="max_v"),
     )
