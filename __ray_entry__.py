@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_stats": lambda sf_dir: r.raster_stats(),
         "q1_pricing": q.q1_pricing,
         "segment_revenue": q.segment_revenue,
+        "topk_by_admin1": q.topk_by_admin1,
+        "distinct_sources": q.distinct_sources,
+        "events_sessionize": q.events_sessionize,
         "crop_bbox": q.crop_bbox,
         "resample_nearest": q.resample_nearest,
         "resample_bilinear": q.resample_bilinear,
@@ -86,6 +89,9 @@ def oracle_sql() -> dict[str, str]:
         "raster_stats": o.raster_stats(),
         "q1_pricing": o.q1_pricing(),
         "segment_revenue": o.segment_revenue(),
+        "topk_by_admin1": o.topk_by_admin1(),
+        "distinct_sources": o.distinct_sources(),
+        "events_sessionize": o.events_sessionize(),
         "crop_bbox": o.crop_bbox(),
         "resample_nearest": o.resample_nearest(),
         "resample_bilinear": o.resample_bilinear(),

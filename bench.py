@@ -2,7 +2,7 @@
 
 Headline: the flagship interleaved-corpus -> spatial-join -> zonal-stats
 pipeline over ``$GRAFT_SF_DIR`` (default sf0.1), with the corpus
-deterministically replicated ``$GRAFT_REPLICAS``x (default 200 -> ~1M docs
+deterministically replicated ``$GRAFT_REPLICAS``x (default 800 -> ~4M docs
 at sf0.1) as the small-scale stand-in for the 10^12-row design point.
 
 ``--scaling`` runs the headline twice in fresh processes at
@@ -21,7 +21,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "200"))
+REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "800"))
 
 
 def _run_queries() -> dict:

@@ -207,6 +207,42 @@ FROM rast WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1
 """
 
 
+def topk_by_admin1() -> str:
+    return f"""{_assigned_cte()}
+SELECT {fx.sql_admin1_name('a2')} AS admin1_id, id AS doc_id, value,
+       row_number() OVER (
+         PARTITION BY {fx.sql_admin1_name('a2')}
+         ORDER BY value DESC, id
+       ) AS rank
+FROM asg QUALIFY rank <= 10 ORDER BY admin1_id, rank
+"""
+
+
+def distinct_sources() -> str:
+    return """
+SELECT lang, CAST(count(DISTINCT source) AS DOUBLE) AS n_sources
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_sessionize() -> str:
+    return """
+WITH e AS (SELECT user_id, ts, floor(value) AS v FROM events),
+s AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s)
+SELECT user_id, min(ts) AS session_start,
+       CAST(count(*) AS DOUBLE) AS n_events, sum(v) AS sum_val
+FROM g GROUP BY user_id, sid ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------------------- relational oracles
 def q1_pricing() -> str:
     return """

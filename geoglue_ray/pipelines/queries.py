@@ -179,6 +179,73 @@ def hourly_check(sf_dir: str) -> rd.Dataset:
     return out.map_batches(rename, batch_format="pyarrow").sort("day")
 
 
+def topk_by_admin1(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Top-k documents by value within each admin-1 (deterministic ties:
+    value desc, doc_id asc) — groupby + per-group sorted head."""
+    import pandas as pd
+
+    ds = corpus_with_admin(sf_dir, with_spans=False)
+    ds = ds.select_columns(["admin1_id", "doc_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "doc_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = ds.groupby("admin1_id").map_groups(topk, batch_format="pandas")
+    return out.sort(["admin1_id", "rank"])
+
+
+def distinct_sources(sf_dir: str) -> rd.Dataset:
+    """Exact COUNT(DISTINCT source) per lang via partial-deduped shuffle."""
+    from geoglue_ray.stages.validate import count_distinct
+
+    ds = read_documents_cols(sf_dir, ["lang", "source"])
+    return count_distinct(ds, ["lang"], ["source"], "n_sources").sort("lang")
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Session windows per user (gap > 30 min starts a new session) — the
+    streaming-shaped pattern: partition by key, sort by time within the
+    group, window with pandas (Ray Data has no event-time windows)."""
+    import pandas as pd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "v": pa.array(np.floor(b["value"].to_numpy())),
+            }
+        )
+
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].to_numpy()
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
+        g = g.assign(_sid=np.cumsum(brk))
+        out = g.groupby("_sid", sort=True).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("ts", "size"),
+            sum_val=("v", "sum"),
+        )
+        out["n_events"] = out["n_events"].astype("float64")
+        return out.reset_index(drop=True)
+
+    out = ds.map_batches(prep, batch_format="pyarrow").groupby("user_id").map_groups(
+        sessions, batch_format="pandas"
+    )
+    return out.sort(["user_id", "session_start"])
+
+
 # ------------------------------------------------------- relational queries
 def q1_pricing(sf_dir: str) -> rd.Dataset:
     """TPC-H-Q1-shaped pricing summary over lineitem (integer measures via
