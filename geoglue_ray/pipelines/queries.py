@@ -286,22 +286,32 @@ def segment_revenue(sf_dir: str) -> rd.Dataset:
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
+    keys = cust["c_custkey"].to_numpy()
+    order = np.argsort(keys)
     lookup_ref = ray.put(
-        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+        {
+            "keys": keys[order],
+            "seg": cust["c_mktsegment"].combine_chunks().take(pa.array(order)),
+        }
     )
     ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
     class AttachSegment:
+        """Broadcast hash/merge join side: vectorized searchsorted lookup
+        into the sorted key array + Arrow take of the dictionary values."""
+
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            d = ray.get(ref)
+            self.keys: np.ndarray = d["keys"]
+            self.seg: pa.Array = d["seg"]
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            seg = [self.lookup[k] for k in b["o_custkey"].to_pylist()]
+            pos = np.searchsorted(self.keys, b["o_custkey"].to_numpy())
             return pa.table(
                 {
-                    "c_mktsegment": pa.array(seg),
+                    "c_mktsegment": self.seg.take(pa.array(pos, type=pa.int64())),
                     "price": pa.array(np.floor(b["o_totalprice"].to_numpy())),
                 }
             )

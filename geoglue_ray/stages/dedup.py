@@ -60,25 +60,65 @@ def exact_dedup(
 
 
 # ----------------------------------------------------------------- MinHash
-def _shingle_hashes(texts: np.ndarray, k: int = 3) -> list[np.ndarray]:
-    """Per-doc sets of hashed k-word shingles (vectorized hashing; the
-    per-doc split is numpy slicing, not string work)."""
-    out = []
-    for t in texts:  # token splitting per doc; hashing is vectorized below
-        words = t.split()
-        if len(words) < k:
-            sh = [" ".join(words)] if words else []
-        else:
-            sh = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-        out.append(np.unique(pd.util.hash_array(np.asarray(sh, dtype=object))))
-    return out
+_MIX1 = np.uint64(0x9E3779B185EBCA87)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def shingle_hash_batch(texts, k: int = 3):
+    """Fully vectorized word-shingle hashing for a batch of documents.
+
+    Tokens are split/hashed with Arrow + siphash kernels; a k-shingle's
+    hash is an arithmetic combine of k consecutive token hashes (no string
+    joins, no per-row Python).  Returns (shingle_hashes, doc_offsets) in
+    CSR layout; docs with < k tokens contribute one whole-doc shingle.
+    """
+    import pyarrow.compute as pc
+
+    toks = pc.utf8_split_whitespace(texts)
+    n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = toks.flatten() if hasattr(toks, "flatten") else pc.list_flatten(toks)
+    th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False)).astype(np.uint64)
+
+    tok_off = np.concatenate(([0], np.cumsum(n_tok)))
+    n_sh = np.where(n_tok >= k, n_tok - k + 1, (n_tok > 0).astype(np.int64))
+    sh_off = np.concatenate(([0], np.cumsum(n_sh)))
+    total = int(sh_off[-1])
+    out = np.empty(total, dtype=np.uint64)
+
+    # long docs: combine k consecutive token hashes with shifted views
+    longd = n_tok >= k
+    if longd.any():
+        # global positions of each long doc's shingle starts
+        starts = np.repeat(tok_off[:-1][longd], n_sh[longd])
+        within = np.arange(int(n_sh[longd].sum())) - np.repeat(
+            np.cumsum(n_sh[longd]) - n_sh[longd], n_sh[longd]
+        )
+        pos = starts + within
+        h = th[pos] * _MIX1
+        for j in range(1, k):
+            h = (h ^ th[pos + j]) * _MIX2
+        dest = np.repeat(sh_off[:-1][longd], n_sh[longd]) + within
+        out[dest] = h
+    # short docs (0 < n_tok < k): one combined hash of all their tokens
+    shortd = (n_tok > 0) & (n_tok < k)
+    if shortd.any():
+        hs = np.full(int(shortd.sum()), np.uint64(1469598103), dtype=np.uint64)
+        idxs = tok_off[:-1][shortd]
+        nts = n_tok[shortd]
+        for j in range(int(nts.max())):
+            sel = nts > j
+            hs[sel] = (hs[sel] ^ th[idxs[sel] + j]) * _MIX2
+        out[sh_off[:-1][shortd]] = hs
+    return out, sh_off
 
 
 class MinHasher:
     """Actor-pool stage: text -> minhash signature (num_perm x uint64).
 
     Universal-hash permutations ``(a*x + b) mod p`` with a fixed seed —
-    identical on every actor, so signatures are globally comparable.
+    identical on every actor, so signatures are globally comparable.  The
+    whole batch is one (P, S_total) vectorized pass with per-doc
+    ``minimum.reduceat``; no Python loop over documents.
     """
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
@@ -89,18 +129,23 @@ class MinHasher:
         self.num_perm = num_perm
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
+        """Signature of one shingle-hash set (used by tests)."""
         if len(shingles) == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (P, S) universal hashes -> min over shingles
         x = shingles.astype(np.uint64)[None, :]
         h = (self.a[:, None] * x + self.b[:, None]) % _MERSENNE
         return h.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_numpy(zero_copy_only=False)
-        sigs = np.stack(
-            [self.signature(s) for s in _shingle_hashes(texts, self.k)]
-        )
+        sh, off = shingle_hash_batch(batch["text"].combine_chunks(), self.k)
+        n_docs = len(batch)
+        sigs = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        nonempty = np.diff(off) > 0
+        if sh.size:
+            # (P, S_total) universal hashes, min-reduced per doc segment
+            h = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+            red = np.minimum.reduceat(h, off[:-1][nonempty], axis=1)
+            sigs[nonempty] = red.T
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
