@@ -87,7 +87,14 @@ def raster_daily(n_days: int | None = None) -> rd.Dataset:
     )
 
 
-def _raster_with_admin(concurrency=(1, 8)) -> rd.Dataset:
+def _raster_with_admin(concurrency: int | None = None) -> rd.Dataset:
+    # library default: AUTOSCALING pool capped to the session's CPUs —
+    # a fixed pool can deadlock small sessions (two fixed pools once
+    # consumed all 4 test CPUs leaving no task slots); throughput-tuned
+    # fixed pools live in bench.py, which owns its session
+    from geoglue_ray.runtime import pool_size
+
+    concurrency = concurrency or (1, pool_size(8, reserve=2))
     ds = read_raster()
     ds = ds.map_batches(_add_var_code, batch_format="pyarrow")
     ds = ds.map_batches(_lonlat_alias, batch_format="pyarrow")

@@ -77,6 +77,24 @@ def _day_table(day: int) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+class RasterGen:
+    """Day-index -> day table generator as an actor-pool stage.
+
+    A callable class (not a bare function) on purpose: a function stage
+    would fuse with downstream actor pools and inherit their row-based
+    batch_size, bundling all day indices into one task (measured: the
+    whole 3M-row synthesis serialized onto a single actor).  The actor
+    boundary preserves per-day task granularity.
+    """
+
+    def __init__(self, start_day: int = 0):
+        self.start_day = start_day
+
+    def __call__(self, batch: pa.Table):
+        for d in batch["id"].to_numpy():
+            yield _day_table(int(d) + self.start_day)
+
+
 def read_raster(n_days: int = N_DAYS, concurrency=None, start_day: int = 0) -> rd.Dataset:
     """Synthetic hourly raster as a streaming Dataset (one generator task
     per day — the stand-in for a partitioned raster-table read).
@@ -84,14 +102,14 @@ def read_raster(n_days: int = N_DAYS, concurrency=None, start_day: int = 0) -> r
     ``start_day`` may be negative (days before T0) so fixtures can span a
     year boundary, exercising the timezone-halo paths (``cds.py:876-931``).
     """
+    from geoglue_ray.runtime import pool_size
 
-    def gen(batch: pa.Table):
-        for d in batch["id"].to_numpy():
-            yield _day_table(int(d) + start_day)
-
-    kwargs = {"concurrency": concurrency} if concurrency else {}
     return rd.range(n_days).map_batches(
-        gen, batch_format="pyarrow", batch_size=1, **kwargs
+        RasterGen,
+        fn_constructor_args=(start_day,),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency or (1, pool_size(4, reserve=2)),
     )
 
 
