@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_lsh": q.embed_knn_lsh,
         "embed_neardup": q.embed_neardup,
         "media_features": q.media_features,
+        "approx_distinct_users": q.approx_distinct_users,
     }
 
 

@@ -179,6 +179,16 @@ def hourly_check(sf_dir: str) -> rd.Dataset:
     return out.map_batches(rename, batch_format="pyarrow").sort("day")
 
 
+def approx_distinct_users(sf_dir: str) -> rd.Dataset:
+    """HLL approximate distinct users per event type (mergeable-sketch
+    partial/final pattern; ~1.6% expected error — rows-only check, with
+    accuracy asserted against the exact count in tests)."""
+    from geoglue_ray.stages.sketch import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return approx_distinct(ds, ["event_type"], "user_id").sort("event_type")
+
+
 def topk_by_admin1(sf_dir: str, k: int = 10) -> rd.Dataset:
     """Top-k documents by value within each admin-1 (deterministic ties:
     value desc, doc_id asc) — groupby + per-group sorted head."""

@@ -110,6 +110,11 @@ class AdminIndex:
     cand_cells: np.ndarray  # sorted unique covering cell ids
     cand_off: np.ndarray  # (len(cand_cells)+1,) offsets into cand_feat
     cand_feat: np.ndarray  # feature indices, grouped by cell
+    # centroid buckets at a coarse resolution for ring-expansion kNN
+    knn_res: int = 7
+    knn_cells: np.ndarray | None = None  # sorted unique coarse cells
+    knn_off: np.ndarray | None = None
+    knn_feat: np.ndarray | None = None
 
     @staticmethod
     def build(table: pa.Table, res: int = DEFAULT_INDEX_RES) -> "AdminIndex":
@@ -127,6 +132,13 @@ class AdminIndex:
         cc, ff = cc[order], ff[order]
         uniq, start = np.unique(cc, return_index=True)
         off = np.concatenate([start, [len(cc)]]).astype(np.int64)
+        # coarse centroid buckets for ring-expansion kNN (H3-ring analogue)
+        knn_res = 7
+        kcell = gcells.encode(polyset.centroid[:, 0], polyset.centroid[:, 1], knn_res)
+        korder = np.argsort(kcell, kind="stable")
+        kc, kf = kcell[korder], np.arange(polyset.n_features, dtype=np.int64)[korder]
+        kuniq, kstart = np.unique(kc, return_index=True)
+        koff = np.concatenate([kstart, [len(kc)]]).astype(np.int64)
         return AdminIndex(
             polyset=polyset,
             admin_id=np.asarray(table["admin_id"].to_pylist()),
@@ -135,6 +147,10 @@ class AdminIndex:
             cand_cells=uniq,
             cand_off=off,
             cand_feat=ff,
+            knn_res=knn_res,
+            knn_cells=kuniq,
+            knn_off=koff,
+            knn_feat=kf,
         )
 
     # ----------------------------------------------------------- assignment
@@ -150,13 +166,55 @@ class AdminIndex:
         feat = self.cand_feat[np.repeat(self.cand_off[pos], n) + within]
         return pt, feat
 
-    def assign(self, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def _knn_ring(self, lon: float, lat: float) -> int:
+        """Ring-expansion nearest centroid (the at-scale kNN path, per the
+        north_star's H3 ring-expansion candidate search): expand Chebyshev
+        rings of coarse cells around the point until candidates appear,
+        then widen by the found distance (in cells) + 1 so the true nearest
+        cannot hide in a diagonal ring, and take the exact argmin."""
+        n = 1 << self.knn_res
+        cell_deg = 360.0 / n
+        center = int(gcells.encode(np.array([lon]), np.array([lat]), self.knn_res)[0])
+        cen = self.polyset.centroid
+
+        def gather(k: int) -> np.ndarray:
+            ring_cells = gcells.ring(center, k)
+            pos = np.searchsorted(self.knn_cells, ring_cells)
+            pos = np.clip(pos, 0, len(self.knn_cells) - 1)
+            hit = self.knn_cells[pos] == ring_cells
+            if not hit.any():
+                return np.empty(0, dtype=np.int64)
+            return np.concatenate(
+                [
+                    self.knn_feat[self.knn_off[p] : self.knn_off[p + 1]]
+                    for p in pos[hit]
+                ]
+            )
+
+        k = 0
+        cands = gather(k)
+        while len(cands) == 0 and k < n:
+            k += 1
+            cands = gather(k)
+        d2 = (lon - cen[cands, 0]) ** 2 + (lat - cen[cands, 1]) ** 2
+        d = float(np.sqrt(d2.min()))
+        k2 = int(np.ceil(d / cell_deg)) + 1
+        if k2 > k:
+            cands = gather(k2)
+            d2 = (lon - cen[cands, 0]) ** 2 + (lat - cen[cands, 1]) ** 2
+        best = d2.min()
+        return int(cands[d2 == best].min())  # lowest-index tie-break
+
+    def assign(
+        self, lon: np.ndarray, lat: np.ndarray, knn_method: str = "brute"
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Points -> (feature idx, via_knn flag).
 
         Exact PIP on GGrid candidates; points matching no polygon fall back
-        to nearest-centroid kNN (brute-force vectorized over all features —
-        the sandbox admin set is small; at 10^12-doc scale this switches to
-        :func:`geoglue_ray.cells.ring` expansion around the point's cell).
+        to nearest-centroid kNN.  ``knn_method``: ``"brute"`` (vectorized
+        over all centroids — exact, fine for sandbox-size admin sets and
+        bit-identical to the SQL oracle) or ``"ring"`` (coarse-cell ring
+        expansion — the 10^12-doc scale path; equal results, tested).
         Ties broken by lowest feature index, deterministically.
         """
         cell = gcells.encode(lon, lat, self.res)
@@ -170,10 +228,13 @@ class AdminIndex:
         out[hit_pt[order]] = hit_ft[order]
         via_knn = out == -1
         if via_knn.any():
-            cen = self.polyset.centroid
             miss = np.nonzero(via_knn)[0]
-            d2 = (lon[miss, None] - cen[None, :, 0]) ** 2 + (
-                lat[miss, None] - cen[None, :, 1]
-            ) ** 2
-            out[miss] = np.argmin(d2, axis=1)
+            if knn_method == "ring":
+                out[miss] = [self._knn_ring(lon[i], lat[i]) for i in miss]
+            else:
+                cen = self.polyset.centroid
+                d2 = (lon[miss, None] - cen[None, :, 0]) ** 2 + (
+                    lat[miss, None] - cen[None, :, 1]
+                ) ** 2
+                out[miss] = np.argmin(d2, axis=1)
         return out, via_knn

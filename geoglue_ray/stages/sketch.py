@@ -1,0 +1,90 @@
+"""Mergeable sketches: HyperLogLog approximate distinct count.
+
+The reference has no approximate aggregates, but a 10^12-row engine needs
+them (SURVEY.md §2.5 notes the gap); HLL is the canonical mergeable-sketch
+pattern for Ray Data: each ``map_batches`` task emits ONE serialized
+register array per group, sketches merge with an elementwise max in a tiny
+groupby, and the estimate is computed in a final stateless step.  Standard
+HLL with the Flajolet et al. bias corrections; p=12 -> 4096 registers,
+~1.6% relative error.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+P = 12
+M = 1 << P
+_ALPHA = 0.7213 / (1 + 1.079 / M)
+
+
+def _registers(values: np.ndarray) -> np.ndarray:
+    """One HLL register array (uint8[M]) from hashed values."""
+    h = pd.util.hash_array(values).astype(np.uint64)
+    idx = (h >> np.uint64(64 - P)).astype(np.int64)
+    rest = (h << np.uint64(P)) | np.uint64((1 << P) - 1)
+    # rank = leading zeros of `rest` + 1.  Exact vectorized bit-length via
+    # 32-bit halves (32-bit ints are exactly representable in float64, so
+    # frexp gives the true exponent; a direct u64->f64 frexp can round a
+    # 53-ones mantissa up across a power of two and miscount by one).
+    hi = (rest >> np.uint64(32)).astype(np.uint32)
+    lo = (rest & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    def _bl32(x: np.ndarray) -> np.ndarray:
+        e = np.frexp(x.astype(np.float64))[1]
+        return np.where(x == 0, 0, e).astype(np.int64)
+
+    bit_length = np.where(hi > 0, 32 + _bl32(hi), _bl32(lo))
+    rank = (64 - bit_length + 1).astype(np.uint8)  # rest!=0 by construction
+    regs = np.zeros(M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def merge_registers(regs: list[np.ndarray]) -> np.ndarray:
+    out = np.zeros(M, dtype=np.uint8)
+    for r in regs:
+        np.maximum(out, r, out=out)
+    return out
+
+
+def estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL cardinality estimate."""
+    e = _ALPHA * M * M / np.sum(2.0 ** (-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * M and zeros:
+        return M * np.log(M / zeros)  # linear counting, small range
+    return float(e)
+
+
+def approx_distinct(
+    ds: rd.Dataset, group_keys: list[str], distinct_col: str, out_col: str = "approx_distinct"
+) -> rd.Dataset:
+    """Approximate COUNT(DISTINCT distinct_col) GROUP BY group_keys.
+
+    partial: one sketch per (group x batch) -> shuffle moves 4 KiB
+    sketches, never values -> merge by elementwise max -> estimate.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table({k: b[k] for k in group_keys}).to_pandas()
+        df["_v"] = b[distinct_col].to_numpy(zero_copy_only=False)
+        rows = []
+        for key, g in df.groupby(group_keys, sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            rows.append((*key, _registers(g["_v"].to_numpy()).tobytes()))
+        out = pd.DataFrame(rows, columns=[*group_keys, "_sketch"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    sketches = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        regs = merge_registers([np.frombuffer(s, dtype=np.uint8) for s in g["_sketch"]])
+        out = g.iloc[:1][group_keys].copy()
+        out[out_col] = estimate(regs)
+        return out
+
+    return sketches.groupby(group_keys).map_groups(merge_group, batch_format="pandas")

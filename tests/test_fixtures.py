@@ -46,6 +46,22 @@ def test_engine_assignment_matches_arithmetic(sf_dir):
     assert np.array_equal(feat[~inside], knn)
 
 
+def test_ring_knn_equals_brute():
+    """The ring-expansion kNN scale path returns exactly the brute-force
+    nearest centroid — fixture outside points and adversarial far points."""
+    index = AdminIndex.build(build_admin_table())
+    ids = np.arange(0, 500_000, 128)
+    lon, lat = fx.derive_lonlat(ids)
+    brute, _ = index.assign(lon, lat, knn_method="brute")
+    ring, _ = index.assign(lon, lat, knn_method="ring")
+    assert np.array_equal(brute, ring)
+    rng = np.random.default_rng(5)
+    flon, flat = rng.uniform(60, 150, 200), rng.uniform(-40, 60, 200)
+    b, _ = index.assign(flon, flat, knn_method="brute")
+    r, _ = index.assign(flon, flat, knn_method="ring")
+    assert np.array_equal(b, r)
+
+
 def test_weight_grid_lookup_matches_formula(sf_dir):
     ids = _ids(sf_dir)
     lon, lat = fx.derive_lonlat(ids)
