@@ -18,6 +18,14 @@ import numpy as np
 
 _RES_BITS = 5
 _XY_BITS = 29  # supports res <= 29
+RES_SHIFT = 2 * _XY_BITS  # public: res field position in a cell id
+
+
+def res_of(cell: np.ndarray | int) -> np.ndarray | int:
+    """Resolution encoded in cell id(s)."""
+    if np.isscalar(cell):
+        return int(cell) >> RES_SHIFT
+    return np.asarray(cell, dtype=np.int64) >> RES_SHIFT
 
 
 def encode(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:

@@ -275,7 +275,9 @@ def q1_pricing(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    ds = ds.map_batches(prep, batch_format="pyarrow")
+    # materialize the prepped (narrow) table once: both aggregates reuse the
+    # in-store blocks instead of re-reading + re-prepping lineitem
+    ds = ds.map_batches(prep, batch_format="pyarrow").materialize()
     qty = zonal_aggregate(ds, ["sum", "count"], keys=["l_returnflag", "l_linestatus"], value_col="qty")
     price = zonal_aggregate(ds, ["sum"], keys=["l_returnflag", "l_linestatus"], value_col="price")
 

@@ -35,7 +35,6 @@ def zonal_daily_resumable(
     aggregate — at a real deployment the corpus read is day-partitioned so
     this filter is partition pruning, not a scan.
     """
-    base_days = days or [f"{d:05d}" for d in range(18267, 18268)]  # derived below
 
     def build(pid: str) -> rd.Dataset:
         ds = corpus_with_admin(
@@ -61,6 +60,8 @@ def zonal_daily_resumable(
 
         d0 = fx.T0.astype("datetime64[D]").astype(np.int64)
         base_days = [str(int(d0 + i)) for i in range(fx.N_HOURS // 24)]
+    else:
+        base_days = list(days)  # [] is a valid no-op
 
     return resumable_write(
         base_days, build, out_dir, open_partitions=set(open_days),

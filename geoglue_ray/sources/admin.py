@@ -63,7 +63,7 @@ def build_admin_table() -> pa.Table:
     a1 = fx.admin1_of(idx)
     admin1_id = np.char.mod("ADM1-%02d", a1)
     names = np.char.mod("Region %04d", idx)
-    minx = np.where(tri == 0, x0, x0)
+    minx = x0  # both triangle orientations include an x0 vertex
     table = pa.table(
         {
             "admin_id": pa.array(admin_id.tolist()),
@@ -206,7 +206,11 @@ class AdminIndex:
         return int(cands[d2 == best].min())  # lowest-index tie-break
 
     def assign(
-        self, lon: np.ndarray, lat: np.ndarray, knn_method: str = "brute"
+        self,
+        lon: np.ndarray,
+        lat: np.ndarray,
+        knn_method: str = "brute",
+        cell: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Points -> (feature idx, via_knn flag).
 
@@ -216,8 +220,11 @@ class AdminIndex:
         bit-identical to the SQL oracle) or ``"ring"`` (coarse-cell ring
         expansion — the 10^12-doc scale path; equal results, tested).
         Ties broken by lowest feature index, deterministically.
+        ``cell`` may carry precomputed GGrid ids (from ``encode_cells``) at
+        this index's resolution, skipping the re-encode.
         """
-        cell = gcells.encode(lon, lat, self.res)
+        if cell is None:
+            cell = gcells.encode(lon, lat, self.res)
         pt, feat = self.candidates(cell)
         inside = self.polyset.contains_pairs(lon[pt], lat[pt], feat)
         out = np.full(len(lon), -1, dtype=np.int64)

@@ -10,8 +10,9 @@ Training-data dedup at corpus scale, Ray-Data-first:
   universal hashing) -> band buckets -> ``groupby(band, bucket)`` ->
   candidate pairs -> signature-estimated Jaccard filter.  Shuffle payload
   is (band_hash, doc_id, signature) — signatures are k*8 bytes, not text.
-- **SimHash**: 64-bit weighted-bit fingerprint; near-dups collide on at
-  least one of 4 16-bit bands when Hamming distance <= 3 w.h.p.
+- **SimHash**: 64-bit weighted-bit fingerprint; bands derived from the
+  Hamming threshold (max_hamming+1 bands) so every qualifying pair is
+  guaranteed (pigeonhole) to collide in at least one band — complete.
 - **n-gram Jaccard**: exact character-n-gram Jaccard verification for
   candidate pairs within groups (``map_groups``).
 
@@ -196,7 +197,7 @@ def _bucket_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
     """All candidate pairs within one LSH bucket, filtered by
     signature-estimated Jaccard; canonical (a < b) ordering."""
     if len(group) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+        return _empty_pairs("est_jaccard")
     ids = group["doc_id"].to_numpy()
     order = np.argsort(ids)
     ids = ids[order]
@@ -271,33 +272,56 @@ class SimHasher:
         )
 
 
+def _empty_pairs(third: str) -> pd.DataFrame:
+    """Typed empty pair frame (object-dtype empties corrupt block schemas)."""
+    return pd.DataFrame(
+        {
+            "doc_a": np.array([], dtype=np.int64),
+            "doc_b": np.array([], dtype=np.int64),
+            third: np.array([], dtype=np.int64 if third == "hamming" else np.float64),
+        }
+    )
+
+
 def simhash_neardup(
     ds: rd.Dataset, max_hamming: int = 3, concurrency=(1, 8)
 ) -> rd.Dataset:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming via 16-bit-band
-    collision buckets (4 bands; <=3 differing bits must leave one band
-    untouched)."""
+    """COMPLETE near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Banding is derived from the threshold: splitting 64 bits into
+    ``max_hamming + 1`` bands guarantees (pigeonhole) that any pair within
+    the threshold collides untouched in at least one band — so no
+    qualifying pair is missed, at any configured threshold."""
+    bands = min(max_hamming + 1, 16)
+    width = 64 // bands  # first bands get an extra bit if 64 % bands != 0
+    extra = 64 % bands
+    shifts, widths, s = [], [], 0
+    for i in range(bands):
+        w = width + (1 if i < extra else 0)
+        shifts.append(s)
+        widths.append(w)
+        s += w
     sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=concurrency)
 
     def explode(b: pa.Table) -> pa.Table:
         sh = b["simhash"].to_numpy().view(np.uint64)
         n = len(sh)
-        band = np.tile(np.arange(4, dtype=np.int32), n)
-        chunk = (
-            (sh[:, None] >> (np.arange(4, dtype=np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)
-        ).astype(np.int64)
+        chunks = np.empty((n, bands), dtype=np.int64)
+        for i in range(bands):
+            mask = np.uint64((1 << widths[i]) - 1)
+            chunks[:, i] = ((sh >> np.uint64(shifts[i])) & mask).astype(np.int64)
         return pa.table(
             {
-                "band_id": pa.array(band),
-                "bucket": pa.array(chunk.reshape(-1)),
-                "doc_id": pa.array(np.repeat(b["doc_id"].to_numpy(), 4)),
-                "simhash": pa.array(np.repeat(sh, 4).view(np.int64)),
+                "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "bucket": pa.array(chunks.reshape(-1)),
+                "doc_id": pa.array(np.repeat(b["doc_id"].to_numpy(), bands)),
+                "simhash": pa.array(np.repeat(sh, bands).view(np.int64)),
             }
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            return _empty_pairs("hamming")
         ids = g["doc_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
@@ -316,7 +340,7 @@ def simhash_neardup(
 
 # ------------------------------------------------ duplicate-cluster resolve
 def duplicate_clusters(
-    pairs: rd.Dataset, max_iters: int = 20
+    pairs: rd.Dataset, max_iters: int = 64
 ) -> rd.Dataset:
     """Connected components over candidate-duplicate pairs -> (doc_id,
     cluster_id) with cluster_id = the component's lowest doc_id.
@@ -350,6 +374,7 @@ def duplicate_clusters(
 
     import ray
 
+    converged = False
     for _ in range(max_iters):
         lab_ref = ray.put(labels)
 
@@ -370,7 +395,13 @@ def duplicate_clusters(
                 changed = True
         labels = new
         if not changed:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} iterations "
+            "(component diameter exceeds the cap); raise max_iters"
+        )
     out = pa.table(
         {
             "doc_id": pa.array(sorted(labels), pa.int64()),
@@ -397,7 +428,7 @@ def ngram_jaccard_block(
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+            return _empty_pairs("jaccard")
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         texts = g["text"].to_numpy()

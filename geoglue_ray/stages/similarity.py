@@ -44,6 +44,14 @@ class BatchTopK:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # LSH pruning can empty whole blocks
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
         ids = batch[self.id_col].to_numpy()
         mat = _normalize(_emb_matrix(batch, self.emb_col))
         scores = self.qmat @ mat.T  # (Q, B)
@@ -200,7 +208,13 @@ def embedding_neardup(
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+            return pd.DataFrame(
+                {
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
         ids = g[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]

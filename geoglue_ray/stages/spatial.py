@@ -28,9 +28,12 @@ from geoglue_ray.sources.admin import AdminIndex
 DEFAULT_CELL_RES = 11
 
 
+CELL_COL = "gg_cell"  # namespaced: never collides with user cell-id columns
+
+
 def encode_cells(batch: pa.Table, res: int = DEFAULT_CELL_RES) -> pa.Table:
     cell = gcells.encode(batch["lon"].to_numpy(), batch["lat"].to_numpy(), res)
-    return batch.append_column("cell", pa.array(cell))
+    return batch.append_column(CELL_COL, pa.array(cell))
 
 
 class SpatialJoiner:
@@ -60,7 +63,13 @@ class SpatialJoiner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy()
         lat = batch["lat"].to_numpy()
-        feat, via_knn = self.index.assign(lon, lat)
+        cell = None
+        if CELL_COL in batch.column_names and len(batch):
+            c = batch[CELL_COL].to_numpy(zero_copy_only=False)
+            # our own namespaced column; still verify the encoded resolution
+            if c.dtype.kind == "i" and int(gcells.res_of(c[0])) == self.index.res:
+                cell = c
+        feat, via_knn = self.index.assign(lon, lat, cell=cell)
         out = batch.append_column("admin_idx", pa.array(feat.astype(np.int32)))
         if self.emit_names:
             idx = pa.array(feat, type=pa.int64())

@@ -69,16 +69,43 @@ def partial_zonal(
     w = batch[weight_col].to_numpy(zero_copy_only=False) if weight_col else None
     key_arrays = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
 
-    if all(a.dtype.kind in "iu" for a in key_arrays):
+    if all(a.dtype.kind in "iu" for a in key_arrays) and len(v):
         if len(key_arrays) == 1:
             uniq, inv = np.unique(key_arrays[0], return_inverse=True)
             key_cols = {keys[0]: uniq}
+            n_groups = len(uniq)
         else:
-            stacked = np.stack(key_arrays, axis=1)
-            uniq, inv = np.unique(stacked, axis=0, return_inverse=True)
-            key_cols = {k: uniq[:, i] for i, k in enumerate(keys)}
+            # pack composite int keys into one int64 (np.unique(axis=0) is
+            # ~20x slower than a 1D unique); falls back to axis-unique only
+            # if the combined range would overflow
+            arrs = [a.astype(np.int64) for a in key_arrays]
+            mins = [int(a.min()) for a in arrs]
+            spans = [int(a.max()) - m + 1 for a, m in zip(arrs, mins)]
+            total_span = 1
+            for s in spans:
+                total_span *= s
+            if total_span < (1 << 62):
+                packed = np.zeros(len(v), dtype=np.int64)
+                for a, m, s in zip(arrs, mins, spans):
+                    packed = packed * s + (a - m)
+                uniq_p, inv = np.unique(packed, return_inverse=True)
+                key_cols = {}
+                rem = uniq_p
+                for k, m, s in zip(reversed(keys), reversed(mins), reversed(spans)):
+                    key_cols[k] = (rem % s + m)
+                    rem = rem // s
+                key_cols = {k: key_cols[k] for k in keys}  # original order
+                # restore original dtypes
+                for k, a in zip(keys, key_arrays):
+                    key_cols[k] = key_cols[k].astype(a.dtype)
+                n_groups = len(uniq_p)
+            else:  # pragma: no cover - astronomically wide key ranges
+                stacked = np.stack(key_arrays, axis=1)
+                uniq, inv = np.unique(stacked, axis=0, return_inverse=True)
+                key_cols = {k: uniq[:, i] for i, k in enumerate(keys)}
+                n_groups = uniq.shape[0]
         order = np.argsort(inv, kind="stable")
-        starts = np.searchsorted(inv[order], np.arange(len(uniq) if uniq.ndim == 1 else uniq.shape[0]))
+        starts = np.searchsorted(inv[order], np.arange(n_groups))
         vs = v[order]
         out = dict(key_cols)
         out["sum_v"] = np.add.reduceat(vs, starts)
