@@ -76,7 +76,14 @@ class DecodeMedia:
         refs = batch["media_ref"].to_pylist()
         kinds = batch["kind"].to_pylist()
         payload = [_decode_impl(r, k) for r, k in zip(refs, kinds)]
-        return batch.append_column("payload", pa.array(payload, type=pa.binary()))
+        # opaque binary column with typed metadata (codec/content type) —
+        # the multimodal-column convention
+        field = pa.field(
+            "payload",
+            pa.binary(),
+            metadata={"codec": self.codec_name, "content": "media-bytes"},
+        )
+        return batch.append_column(field, pa.array(payload, type=pa.binary()))
 
 
 class MediaFeaturizer:
