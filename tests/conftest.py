@@ -3,6 +3,12 @@ from __future__ import annotations
 import duckdb
 import pytest
 import ray
+from hypothesis import settings
+
+# deterministic property tests: the driver treats any pytest failure as a
+# build failure, so no per-run random seeds
+settings.register_profile("ci", derandomize=True, deadline=None)
+settings.load_profile("ci")
 
 SF_DIRS = {
     "smoke": "/root/testdata/sf0.001",
