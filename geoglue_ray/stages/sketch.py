@@ -60,6 +60,61 @@ def estimate(regs: np.ndarray) -> float:
     return float(e)
 
 
+def deterministic_sample(
+    ds: rd.Dataset, rate: float, key_col: str, seed: int = 0
+) -> rd.Dataset:
+    """Deterministic uniform sample: keep rows whose key hash falls below
+    ``rate`` of the hash space.  Unlike ``ds.random_sample`` this is
+    reproducible across runs/cluster sizes and consistent per key (the
+    same key is always in or out — the property dedup/eval splits need).
+    """
+    threshold = np.uint64(int(rate * float(2**64 - 1)))
+    salt = np.uint64(seed * 0x9E3779B97F4A7C15 % (1 << 64))
+
+    def keep(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(b[key_col].to_numpy(zero_copy_only=False)).astype(np.uint64)
+        return b.filter(pa.array((h ^ salt) <= threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _bottomk(values: np.ndarray, hashes: np.ndarray, k: int):
+    if len(values) <= k:
+        return hashes, values
+    part = np.argpartition(hashes, k - 1)[:k]
+    return hashes[part], values[part]
+
+
+def approx_quantiles(
+    ds: rd.Dataset,
+    value_col: str,
+    quantiles: list[float],
+    k: int = 4096,
+    key_col: str | None = None,
+) -> dict[float, float]:
+    """Approximate quantiles via a mergeable bottom-k-by-hash sample.
+
+    Each batch keeps the k (hash, value) pairs with the smallest row
+    hashes; merged bottom-k of a union is the bottom-k of the union, so
+    the sketch is order-independent and deterministic, and the surviving
+    values are a uniform sample of the population (error ~ 1/sqrt(k)).
+    Returns a small driver-side dict — the canonical "tiny result" shape.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        basis = b[key_col].to_numpy(zero_copy_only=False) if key_col else v
+        h = pd.util.hash_array(np.ascontiguousarray(basis)).astype(np.uint64)
+        hh, vv = _bottomk(v, h, k)
+        return pa.table({"_h": hh.view(np.int64), "_v": vv})
+
+    sk = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    h = np.array([r["_h"] for r in sk], dtype=np.int64).view(np.uint64)
+    v = np.array([r["_v"] for r in sk])
+    _, v = _bottomk(v, h, k)
+    return {q: float(np.quantile(v, q)) for q in quantiles}
+
+
 def approx_distinct(
     ds: rd.Dataset, group_keys: list[str], distinct_col: str, out_col: str = "approx_distinct"
 ) -> rd.Dataset:

@@ -27,6 +27,37 @@ def test_hll_merge_equals_single_pass():
     assert np.array_equal(whole, merged)  # sketches merge losslessly
 
 
+def test_deterministic_sample_reproducible_and_uniform():
+    from geoglue_ray.stages.sketch import deterministic_sample
+
+    t = pa.table({"k": np.arange(100_000, dtype=np.int64), "v": np.arange(100_000)})
+    s1 = deterministic_sample(rd.from_arrow(t), 0.1, "k").to_pandas()
+    s2 = deterministic_sample(rd.from_arrow(t), 0.1, "k").to_pandas()
+    assert s1.equals(s2)  # reproducible
+    assert abs(len(s1) / 100_000 - 0.1) < 0.01  # ~rate
+    # per-key consistency: a subset dataset samples the same keys
+    sub = deterministic_sample(rd.from_arrow(t.slice(0, 50_000)), 0.1, "k").to_pandas()
+    assert set(sub["k"]) == set(s1[s1["k"] < 50_000]["k"])
+    # different seed -> different sample
+    s3 = deterministic_sample(rd.from_arrow(t), 0.1, "k", seed=1).to_pandas()
+    assert set(s3["k"]) != set(s1["k"])
+
+
+def test_approx_quantiles():
+    from geoglue_ray.stages.sketch import approx_quantiles
+
+    rng = np.random.default_rng(21)
+    vals = rng.normal(100, 15, size=300_000)
+    t = pa.table({"k": np.arange(len(vals), dtype=np.int64), "v": vals})
+    est = approx_quantiles(rd.from_arrow(t), "v", [0.1, 0.5, 0.9], k=4096, key_col="k")
+    for q, e in est.items():
+        true = np.quantile(vals, q)
+        assert abs(e - true) < 1.5, (q, e, true)  # ~0.1 sigma at k=4096
+    # determinism
+    est2 = approx_quantiles(rd.from_arrow(t), "v", [0.1, 0.5, 0.9], k=4096, key_col="k")
+    assert est == est2
+
+
 def test_approx_distinct_dataset():
     rng = np.random.default_rng(13)
     n = 120_000
