@@ -460,7 +460,7 @@ def simhash_neardup(sf_dir: str) -> rd.Dataset:
     from geoglue_ray.stages.dedup import simhash_neardup as sh
 
     ds = read_documents_cols(sf_dir, ["doc_id", "text"])
-    return sh(ds, max_hamming=8).sort(["doc_a", "doc_b"])
+    return sh(ds, max_hamming=4).sort(["doc_a", "doc_b"])
 
 
 def ngram_neardup(sf_dir: str) -> rd.Dataset:

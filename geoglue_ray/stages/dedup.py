@@ -193,22 +193,46 @@ def _explode_bands(batch: pa.Table, bands: int, rows: int) -> pa.Table:
     )
 
 
-def _bucket_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """All candidate pairs within one LSH bucket, filtered by
-    signature-estimated Jaccard; canonical (a < b) ordering."""
+def _run_pairs(sorted_key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Within-run (equal adjacent key) pair indices for a SORTED key array;
+    vectorized run detection, Python only over the (rare) multi-item runs."""
+    n = len(sorted_key)
+    if n < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    boundary = np.concatenate(([True], sorted_key[1:] != sorted_key[:-1]))
+    starts = np.nonzero(boundary)[0]
+    lengths = np.diff(np.concatenate([starts, [n]]))
+    ia_parts, ib_parts = [], []
+    for s, L in zip(starts[lengths > 1], lengths[lengths > 1]):
+        a, b = np.triu_indices(int(L), k=1)
+        ia_parts.append(a + s)
+        ib_parts.append(b + s)
+    if not ia_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(ia_parts), np.concatenate(ib_parts)
+
+
+def _band_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Candidate pairs for ALL buckets of one band in one vectorized pass
+    (sort by bucket hash -> run detection -> per-run pairs): one pandas
+    call per band instead of one per bucket (~5000x fewer group calls).
+    Canonical (a < b) ordering."""
     if len(group) < 2:
         return _empty_pairs("est_jaccard")
-    ids = group["doc_id"].to_numpy()
-    order = np.argsort(ids)
-    ids = ids[order]
+    order = np.lexsort((group["doc_id"].to_numpy(), group["band_hash"].to_numpy()))
+    bh = group["band_hash"].to_numpy()[order]
+    ids = group["doc_id"].to_numpy()[order]
+    ia, ib = _run_pairs(bh)
+    if not len(ia):
+        return _empty_pairs("est_jaccard")
     sig = np.stack(group["sig"].to_numpy()[order]).view(np.uint64)
-    ia, ib = np.triu_indices(len(ids), k=1)
     est = (sig[ia] == sig[ib]).mean(axis=1)
     keep = est >= threshold
+    a, b = ids[ia[keep]], ids[ib[keep]]
     return pd.DataFrame(
         {
-            "doc_a": ids[ia[keep]],
-            "doc_b": ids[ib[keep]],
+            "doc_a": np.minimum(a, b),
+            "doc_b": np.maximum(a, b),
             "est_jaccard": est[keep].astype(np.float64),
         }
     )
@@ -223,9 +247,9 @@ def minhash_neardup(
 ) -> rd.Dataset:
     """documents -> near-duplicate candidate pairs via MinHash+LSH.
 
-    shingle/minhash (actor pool) -> band explode -> groupby(band, bucket)
-    -> per-bucket pairs -> global pair dedup (a pair can collide in
-    several bands), keeping the max estimate.
+    shingle/minhash (actor pool) -> band explode -> groupby(band) ->
+    vectorized within-band bucket pairs -> global pair dedup (a pair can
+    collide in several bands), keeping the max estimate.
     """
     rows = num_perm // bands
     sigs = ds.map_batches(
@@ -237,8 +261,8 @@ def minhash_neardup(
     exploded = sigs.map_batches(
         lambda b: _explode_bands(b, bands, rows), batch_format="pyarrow"
     )
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, threshold), batch_format="pandas"
+    pairs = exploded.groupby("band_id").map_groups(
+        lambda g: _band_pairs(g, threshold), batch_format="pandas"
     )
     from ray.data.aggregate import Max
 
@@ -319,22 +343,26 @@ def simhash_neardup(
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All buckets of one band in one vectorized pass (see _band_pairs)."""
         if len(g) < 2:
             return _empty_pairs("hamming")
-        ids = g["doc_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
+        order = np.lexsort((g["doc_id"].to_numpy(), g["bucket"].to_numpy()))
+        bk = g["bucket"].to_numpy()[order]
+        ids = g["doc_id"].to_numpy()[order]
+        ia, ib = _run_pairs(bk)
+        if not len(ia):
+            return _empty_pairs("hamming")
         sh = g["simhash"].to_numpy()[order].view(np.uint64)
-        ia, ib = np.triu_indices(len(ids), k=1)
         ham = popcount64(np.ascontiguousarray(sh[ia] ^ sh[ib]))
         keep = ham <= max_hamming
+        a, b = ids[ia[keep]], ids[ib[keep]]
         return pd.DataFrame(
-            {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "hamming": ham[keep]}
+            {"doc_a": np.minimum(a, b), "doc_b": np.maximum(a, b), "hamming": ham[keep]}
         )
 
     cand = sigs.map_batches(explode, batch_format="pyarrow")
-    out = cand.groupby(["band_id", "bucket"]).map_groups(pairs, batch_format="pandas")
+    out = cand.groupby("band_id").map_groups(band_pairs, batch_format="pandas")
     return out.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 

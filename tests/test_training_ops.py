@@ -91,7 +91,43 @@ def test_simhash_neardup(q, sf_dir):
     df = q["simhash_neardup"](sf_dir).to_pandas()
     if len(df):
         assert (df["doc_a"] < df["doc_b"]).all()
-        assert (df["hamming"] <= 8).all()
+        assert (df["hamming"] <= 4).all()
+
+
+def test_simhash_banding_complete():
+    """Pigeonhole completeness of threshold-derived banding: any pair
+    within max_hamming shares at least one untouched band — including
+    pairs the old fixed 4x16 banding missed (one flipped bit per 16-bit
+    quarter)."""
+    max_hamming = 4
+    bands = max_hamming + 1
+    width, extra = 64 // bands, 64 % bands
+    shifts, widths, s = [], [], 0
+    for i in range(bands):
+        w = width + (1 if i < extra else 0)
+        shifts.append(s)
+        widths.append(w)
+        s += w
+    rng = np.random.default_rng(9)
+    for _ in range(200):
+        x = int(rng.integers(0, 1 << 63))
+        flip_bits = rng.choice(64, size=max_hamming, replace=False)
+        y = x
+        for b in flip_bits:
+            y ^= 1 << int(b)
+        shared = any(
+            (x >> sh) & ((1 << w) - 1) == (y >> sh) & ((1 << w) - 1)
+            for sh, w in zip(shifts, widths)
+        )
+        assert shared
+    # the adversarial case for the old scheme: bits 0, 16, 32, 48
+    x = 0x123456789ABCDEF0
+    y = x ^ (1 | (1 << 16) | (1 << 32) | (1 << 48))
+    shared = any(
+        (x >> sh) & ((1 << w) - 1) == (y >> sh) & ((1 << w) - 1)
+        for sh, w in zip(shifts, widths)
+    )
+    assert shared  # 5 bands of ~13 bits cannot all be hit by 4 flips
 
 
 def test_popcount():
