@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_by_admin1": q.topk_by_admin1,
         "distinct_sources": q.distinct_sources,
         "events_sessionize": q.events_sessionize,
+        "events_asof_obs": q.events_asof_obs,
         "crop_bbox": q.crop_bbox,
         "resample_nearest": q.resample_nearest,
         "resample_bilinear": q.resample_bilinear,
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_by_admin1": o.topk_by_admin1(),
         "distinct_sources": o.distinct_sources(),
         "events_sessionize": o.events_sessionize(),
+        "events_asof_obs": o.events_asof_obs(),
         "crop_bbox": o.crop_bbox(),
         "resample_nearest": o.resample_nearest(),
         "resample_bilinear": o.resample_bilinear(),

@@ -207,6 +207,46 @@ FROM rast WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1
 """
 
 
+def events_asof_obs() -> str:
+    return f"""
+WITH c AS ({fx.sql_corpus_cte()}),
+cen AS ({fx.SQL_CENTROIDS}),
+asg AS (
+  SELECT c.*,
+         CASE WHEN c.is_outside
+              THEN (SELECT cen.a2 FROM cen
+                    ORDER BY (c.lon-cen.gx)*(c.lon-cen.gx) + (c.lat-cen.gy)*(c.lat-cen.gy), cen.a2
+                    LIMIT 1)
+              ELSE {fx.sql_admin2_inside('c.lon', 'c.lat')} END AS a2
+  FROM c),
+obs AS (
+  SELECT a2, event_time, sum(value) AS obs_value FROM asg GROUP BY 1, 2),
+ev AS (
+  SELECT e.event_id,
+         {fx.sql_lon('e.event_id')} AS lon,
+         {fx.sql_lat('e.event_id')} AS lat,
+         e.event_id % {fx.OUT_MOD} = 0 AS is_outside,
+         {fx.T0_SQL} + INTERVAL 1 HOUR * (e.event_id % 1440) AS ts_aligned
+  FROM events e),
+eva AS (
+  SELECT ev.event_id, ev.ts_aligned,
+         CASE WHEN ev.is_outside
+              THEN (SELECT cen.a2 FROM cen
+                    ORDER BY (ev.lon-cen.gx)*(ev.lon-cen.gx) + (ev.lat-cen.gy)*(ev.lat-cen.gy), cen.a2
+                    LIMIT 1)
+              ELSE {fx.sql_admin2_inside('ev.lon', 'ev.lat')} END AS a2
+  FROM ev)
+SELECT eva.event_id,
+       {fx.sql_admin2_name('eva.a2')} AS admin_id,
+       eva.ts_aligned,
+       obs.event_time AS matched_time,
+       obs.obs_value
+FROM eva ASOF JOIN obs
+  ON eva.a2 = obs.a2 AND eva.ts_aligned >= obs.event_time
+ORDER BY eva.event_id
+"""
+
+
 def topk_by_admin1() -> str:
     return f"""{_assigned_cte()}
 SELECT {fx.sql_admin1_name('a2')} AS admin1_id, id AS doc_id, value,

@@ -256,6 +256,66 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     return out.sort(["user_id", "session_start"])
 
 
+def events_asof_obs(sf_dir: str) -> rd.Dataset:
+    """As-of join: each event (admin-assigned, time-aligned into the
+    observation window) picks up the most recent per-admin observation
+    aggregate at or before its timestamp — the bucketed sort-merge as-of
+    pattern, matching DuckDB ASOF JOIN bit-exactly."""
+    import ray
+
+    from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+    from geoglue_ray.stages.join import asof_join
+
+    # right side: per-(admin, hour) observation sums (unique right ts per key)
+    right = corpus_with_admin(sf_dir, with_spans=False, emit_names=False)
+    right = zonal_aggregate(right, ["sum"], keys=["admin_idx", "event_time"])
+
+    def rn(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("sum")
+        return b.set_column(i, "obs_value", b["sum"])
+
+    right = right.map_batches(rn, batch_format="pyarrow")
+
+    # left side: events with derived admin + aligned timestamp
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    ds = ds.map_batches(DeriveEventObservations(), batch_format="pyarrow")
+    ds = ds.map_batches(encode_cells, batch_format="pyarrow")
+    index = AdminIndex.build(build_admin_table())
+    ds = spatial_join(ds, index_ref=ray.put(index), emit_names=False)
+
+    def align(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        ts = fx.T0 + ((ids % 1440) * 3_600_000_000).astype("timedelta64[us]")
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "admin_idx": b["admin_idx"],
+                "ts_aligned": pa.array(ts, type=pa.timestamp("us")),
+            }
+        )
+
+    left = ds.map_batches(align, batch_format="pyarrow")
+    joined = asof_join(
+        left, right, key="admin_idx", left_ts="ts_aligned",
+        right_ts="event_time", right_cols=["obs_value"],
+    )
+    names = pa.array(fx.admin2_name(np.arange(fx.N_ADMIN2)).tolist())
+
+    def project(b: pa.Table) -> pa.Table:
+        idx = pa.compute.cast(b["admin_idx"], "int64")
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "admin_id": names.take(idx),
+                "ts_aligned": b["ts_aligned"],
+                "matched_time": b["event_time"],
+                "obs_value": b["obs_value"],
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow").sort("event_id")
+
+
 # ------------------------------------------------------- relational queries
 def q1_pricing(sf_dir: str) -> rd.Dataset:
     """TPC-H-Q1-shaped pricing summary over lineitem (integer measures via
