@@ -111,4 +111,8 @@ def spatial_join(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        # half-CPU reservation: join actors frequently wait on upstream, and
+        # full-CPU pools can starve shuffle tasks in tiny sessions (a
+        # 2-CPU session with two pipelines deadlocked on 2x min-1 pools)
+        num_cpus=0.5,
     )
