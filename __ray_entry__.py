@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": q.distinct_sources,
         "events_sessionize": q.events_sessionize,
         "events_asof_obs": q.events_asof_obs,
+        "value_bands": q.value_bands,
+        "rolling_daily_admin": q.rolling_daily_admin,
         "crop_bbox": q.crop_bbox,
         "resample_nearest": q.resample_nearest,
         "resample_bilinear": q.resample_bilinear,
@@ -95,6 +97,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sources": o.distinct_sources(),
         "events_sessionize": o.events_sessionize(),
         "events_asof_obs": o.events_asof_obs(),
+        "value_bands": o.value_bands(),
+        "rolling_daily_admin": o.rolling_daily_admin(),
         "crop_bbox": o.crop_bbox(),
         "resample_nearest": o.resample_nearest(),
         "resample_bilinear": o.resample_bilinear(),

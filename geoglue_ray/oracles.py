@@ -247,6 +247,38 @@ ORDER BY eva.event_id
 """
 
 
+def value_bands() -> str:
+    from geoglue_ray.pipelines.queries import N_BANDS
+
+    return f"""
+WITH c AS ({fx.sql_corpus_cte()}),
+bands AS (
+  SELECT k.range AS band_id,
+         printf('band-%02d', k.range) AS band_name,
+         CAST(k.range * k.range * 256 AS DOUBLE) AS lo,
+         CAST((k.range+1) * (k.range+1) * 256 AS DOUBLE) AS hi
+  FROM range({N_BANDS}) k)
+SELECT c.id AS doc_id, c.value, b.band_id, b.band_name
+FROM c JOIN bands b ON c.value >= b.lo AND c.value < b.hi
+ORDER BY doc_id
+"""
+
+
+def rolling_daily_admin() -> str:
+    return f"""{_assigned_cte()}
+, daily AS (
+  SELECT a2, date_trunc('day', event_time)::TIMESTAMP AS day,
+         sum(value) AS day_sum
+  FROM asg GROUP BY 1, 2)
+SELECT {fx.sql_admin2_name('a2')} AS admin_id, day, day_sum,
+       sum(day_sum) OVER (PARTITION BY a2 ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_sum,
+       CAST(count(*) OVER (PARTITION BY a2 ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_n
+FROM daily ORDER BY 1, 2
+"""
+
+
 def topk_by_admin1() -> str:
     return f"""{_assigned_cte()}
 SELECT {fx.sql_admin1_name('a2')} AS admin1_id, id AS doc_id, value,

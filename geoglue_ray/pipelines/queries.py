@@ -316,6 +316,56 @@ def events_asof_obs(sf_dir: str) -> rd.Dataset:
     return joined.map_batches(project, batch_format="pyarrow").sort("event_id")
 
 
+N_BANDS = 16
+
+
+def value_bands(sf_dir: str) -> rd.Dataset:
+    """Range join: each doc's value lands in the quadratic band
+    ``[k*k*256, (k+1)*(k+1)*256)`` — broadcast interval lookup."""
+    from geoglue_ray.stages.join import range_join_broadcast
+
+    ds = read_corpus(sf_dir, with_spans=False)
+    k = np.arange(N_BANDS, dtype=np.int64)
+    out = range_join_broadcast(
+        ds,
+        "value",
+        bounds_lo=(k * k * 256).astype(np.float64),
+        band_cols={
+            "band_id": k,
+            "band_name": np.char.mod("band-%02d", k),
+        },
+    )
+    return out.select_columns(["doc_id", "value", "band_id", "band_name"]).sort("doc_id")
+
+
+def rolling_daily_admin(sf_dir: str) -> rd.Dataset:
+    """Windowed aggregate: 7-row rolling sum of daily per-admin value sums
+    (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW, ordered by day)."""
+    from geoglue_ray.stages.join import rolling_window
+    from geoglue_ray.stages.timeagg import add_time_key, key_to_timestamp
+
+    ds = corpus_with_admin(sf_dir, with_spans=False, emit_names=False)
+    ds = add_time_key(ds, "D")
+    daily = zonal_aggregate(ds, ["sum"], keys=["admin_idx", "time_key"])
+    rolled = rolling_window(daily, "admin_idx", "time_key", "sum", window=7)
+    rolled = key_to_timestamp(rolled)
+    names = pa.array(fx.admin2_name(np.arange(fx.N_ADMIN2)).tolist())
+
+    def project(b: pa.Table) -> pa.Table:
+        idx = pa.compute.cast(b["admin_idx"], "int64")
+        return pa.table(
+            {
+                "admin_id": names.take(idx),
+                "day": b["time_key"],
+                "day_sum": b["sum"],
+                "roll_sum": b["roll_sum"],
+                "roll_n": b["roll_n"],
+            }
+        )
+
+    return rolled.map_batches(project, batch_format="pyarrow").sort(["admin_id", "day"])
+
+
 # ------------------------------------------------------- relational queries
 def q1_pricing(sf_dir: str) -> rd.Dataset:
     """TPC-H-Q1-shaped pricing summary over lineitem (integer measures via

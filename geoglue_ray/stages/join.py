@@ -18,6 +18,73 @@ import pyarrow as pa
 import ray.data as rd
 
 
+def range_join_broadcast(
+    ds: rd.Dataset,
+    value_col: str,
+    bounds_lo: np.ndarray,
+    band_cols: dict[str, np.ndarray],
+) -> rd.Dataset:
+    """Broadcast interval join: attach the band whose half-open range
+    ``[lo[i], lo[i+1])`` contains ``value_col``.
+
+    The band table (small side) ships as sorted boundaries + attribute
+    arrays; the per-batch lookup is one ``searchsorted`` — the broadcast
+    form of a range join (no shuffle; values outside every band are
+    dropped, inner semantics)."""
+    import ray
+
+    order = np.argsort(bounds_lo)
+    ref = ray.put(
+        {
+            "lo": np.asarray(bounds_lo, dtype=np.float64)[order],
+            "cols": {k: np.asarray(v)[order] for k, v in band_cols.items()},
+        }
+    )
+
+    class AttachBand:
+        def __init__(self):
+            d = ray.get(ref)
+            self.lo = d["lo"]
+            self.cols = d["cols"]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = b[value_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.lo, v, side="right") - 1
+            keep = pos >= 0
+            b = b.filter(pa.array(keep))
+            pos = pos[keep]
+            for name, arr in self.cols.items():
+                b = b.append_column(name, pa.array(arr[pos]))
+            return b
+
+    return ds.map_batches(AttachBand, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def rolling_window(
+    ds: rd.Dataset,
+    key: str,
+    order_col: str,
+    value_col: str,
+    window: int,
+    out_prefix: str = "roll",
+) -> rd.Dataset:
+    """Per-key rolling aggregate over the last ``window`` rows (ordered by
+    ``order_col``) — ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW.
+
+    The windowed-aggregate shape: partition by key, sort within the group,
+    pandas rolling inside ``map_groups``.  Sums over integer-valued inputs
+    stay exact, so results match SQL window frames bit-for-bit."""
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        r = g[value_col].rolling(window, min_periods=1)
+        g[f"{out_prefix}_sum"] = r.sum()
+        g[f"{out_prefix}_n"] = r.count().astype("float64")
+        return g
+
+    return ds.groupby(key).map_groups(roll, batch_format="pandas")
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,
