@@ -11,7 +11,7 @@ TOML loading uses the stdlib ``tomllib``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 _STAT_TO_OP = {
     "daily_mean": "mean",

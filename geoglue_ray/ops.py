@@ -9,7 +9,7 @@ default_weight=0)``, ``area_weighted_sum(default_value=0,default_weight=0)``
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 _OP_RE = re.compile(r"^(?P<name>[a-zA-Z_][\w]*)(?:\((?P<params>[^)]*)\))?$")
 
