@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_zonal": lambda sf_dir: r.raster_zonal(),
         "raster_weekly_zonal": lambda sf_dir: r.raster_weekly_zonal(),
         "raster_stats": lambda sf_dir: r.raster_stats(),
+        "weekly_variation": lambda sf_dir: r.weekly_variation(),
         "q1_pricing": q.q1_pricing,
         "segment_revenue": q.segment_revenue,
         "topk_by_admin1": q.topk_by_admin1,
@@ -91,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_zonal": o.raster_zonal(),
         "raster_weekly_zonal": o.raster_weekly_zonal(),
         "raster_stats": o.raster_stats(),
+        "weekly_variation": o.weekly_variation(),
         "q1_pricing": o.q1_pricing(),
         "segment_revenue": o.segment_revenue(),
         "topk_by_admin1": o.topk_by_admin1(),

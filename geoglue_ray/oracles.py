@@ -194,6 +194,28 @@ GROUP BY 1, 2, 3, rast.vartype ORDER BY 1, 2, 3
 """
 
 
+def weekly_variation() -> str:
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+{_raster_cells_cte()},
+weekly AS (
+  SELECT {fx.sql_admin2_name('cass.a2')} AS admin_id, rast.variable,
+         date_trunc('week', rast.valid_time)::TIMESTAMP AS week,
+         CASE WHEN rast.vartype = 'accum'
+              THEN sum(rast.value) / (count(rast.value) / 24.0)
+              ELSE sum(rast.value) / count(rast.value) END AS stat
+  FROM rast JOIN cass ON rast.r = cass.r AND rast.c = cass.c
+  WHERE rast.value IS NOT NULL
+  GROUP BY 1, 2, 3, rast.vartype)
+SELECT variable, week,
+       CAST(count(*) AS DOUBLE) AS n_regions,
+       min(stat) AS stat_min, max(stat) AS stat_max
+FROM weekly GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def raster_stats() -> str:
     from geoglue_ray.sources.raster import sql_raster_cte
 

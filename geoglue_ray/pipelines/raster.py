@@ -152,6 +152,32 @@ def raster_weekly_zonal() -> rd.Dataset:
     )
 
 
+def weekly_variation() -> rd.Dataset:
+    """Per-(variable, week) variation ACROSS regions — the reference's
+    per-slice ``stats`` (``validate.py:46-74``: stats over the region dim
+    for each non-region index).  Ops restricted to count/min/max, which are
+    order-independent and therefore exact under distributed execution
+    (a cross-region mean of non-integer stats would be rounding-order
+    dependent)."""
+    weekly = raster_weekly_zonal()
+    agg = zonal_aggregate(
+        weekly, ["count", "min", "max"], keys=["variable", "week"], value_col="stat"
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "variable": b["variable"],
+                "week": b["week"],
+                "n_regions": b["count"],
+                "stat_min": b["min"],
+                "stat_max": b["max"],
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort(["variable", "week"])
+
+
 def raster_stats() -> rd.Dataset:
     """Global per-variable stats (``validate.py:37-43`` ``minimal_stats``)."""
     ds = read_raster().map_batches(_add_var_code, batch_format="pyarrow")
