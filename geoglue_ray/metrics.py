@@ -114,7 +114,7 @@ def plan_metric(name: str, registry: dict[str, MetricSpec] | None = None) -> dic
 
     Dependencies are resolved transitively; a cycle raises.
     """
-    reg = registry or DEFAULT_METRICS
+    reg = registry if registry is not None else DEFAULT_METRICS
     if name not in reg:
         raise KeyError(f"unknown metric {name!r} (have {sorted(reg)})")
     spec = reg[name]

@@ -117,8 +117,18 @@ class RasterPool:
         """ISO-week stats over [first_monday(year) - 7*window,
         first_monday(year+1)); instant -> mean, accum -> exact
         mean-of-daily-sums (``sum/(count/24)``)."""
-        lo = (first_monday(year) - 7 * window).astype("datetime64[us]").astype(np.int64)
+        lo_day = first_monday(year) - 7 * window
+        lo = lo_day.astype("datetime64[us]").astype(np.int64)
         hi = first_monday(year + 1).astype("datetime64[us]").astype(np.int64)
+        # the lookback window explicitly reaches into year-1 -> that year's
+        # data must exist (silently aggregating a partial boundary week
+        # would be wrong); year+1 only tightens the upper clip, so its
+        # absence just means the final weeks end with the data
+        if lo_day < np.datetime64(f"{year}-01-01") and (year - 1) not in self.partitions:
+            raise FileNotFoundError(
+                f"weekly_reduce({year}, window={window}) needs year {year - 1} "
+                f"(window starts {lo_day}) but the pool has {self.years}"
+            )
         years = [y for y in (year - 1, year, year + 1) if y in self.partitions]
         ds = self._read([(y, m) for y in years for m in self.partitions[y]])
 

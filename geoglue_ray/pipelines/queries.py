@@ -334,6 +334,7 @@ def value_bands(sf_dir: str) -> rd.Dataset:
             "band_id": k,
             "band_name": np.char.mod("band-%02d", k),
         },
+        top=float(N_BANDS * N_BANDS * 256),
     )
     return out.select_columns(["doc_id", "value", "band_id", "band_name"]).sort("doc_id")
 

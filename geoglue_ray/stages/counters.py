@@ -48,11 +48,18 @@ class _Counters:
         self._batches.clear()
 
 
+_HANDLE_CACHE: dict = {}
+
+
 def _get_actor():
-    try:
-        return ray.get_actor(_ACTOR_NAME)
-    except ValueError:
-        return _Counters.options(name=_ACTOR_NAME, lifetime="detached").remote()
+    """Job-scoped named actor (NOT detached: a detached actor in an
+    anonymous namespace outlives the job unreachably — a leak); handle
+    cached per process so the hot path never repeats the GCS lookup."""
+    h = _HANDLE_CACHE.get(_ACTOR_NAME)
+    if h is None:
+        h = _Counters.options(name=_ACTOR_NAME, get_if_exists=True).remote()
+        _HANDLE_CACHE[_ACTOR_NAME] = h
+    return h
 
 
 def instrument(ds: rd.Dataset, label: str) -> rd.Dataset:
@@ -64,16 +71,28 @@ def instrument(ds: rd.Dataset, label: str) -> rd.Dataset:
     _get_actor()  # ensure it exists before workers look it up
 
     def count(b: pa.Table) -> pa.Table:
-        actor = ray.get_actor(_ACTOR_NAME)
-        actor.add.remote(label, len(b), b.nbytes)
+        _get_actor().add.remote(label, len(b), b.nbytes)
         return b
 
     return ds.map_batches(count, batch_format="pyarrow")
 
 
-def read_counters(reset: bool = False) -> dict:
+def read_counters(reset: bool = False, settle_s: float = 0.5) -> dict:
+    """Snapshot the counters.  Increments are fire-and-forget from many
+    workers (no cross-caller ordering guarantee), so the snapshot polls
+    until two consecutive reads agree (or ``settle_s`` elapses) — an
+    eventual-consistency barrier good enough for metrics."""
+    import time
+
     actor = _get_actor()
     snap = ray.get(actor.snapshot.remote())
+    deadline = time.monotonic() + settle_s
+    while time.monotonic() < deadline:
+        time.sleep(0.05)
+        nxt = ray.get(actor.snapshot.remote())
+        if nxt == snap:
+            break
+        snap = nxt
     if reset:
         ray.get(actor.reset.remote())
     return snap

@@ -23,14 +23,16 @@ def range_join_broadcast(
     value_col: str,
     bounds_lo: np.ndarray,
     band_cols: dict[str, np.ndarray],
+    top: float = np.inf,
 ) -> rd.Dataset:
     """Broadcast interval join: attach the band whose half-open range
-    ``[lo[i], lo[i+1])`` contains ``value_col``.
+    ``[lo[i], lo[i+1])`` (last band ``[lo[-1], top)``) contains
+    ``value_col``.
 
     The band table (small side) ships as sorted boundaries + attribute
     arrays; the per-batch lookup is one ``searchsorted`` — the broadcast
-    form of a range join (no shuffle; values outside every band are
-    dropped, inner semantics)."""
+    form of a range join (no shuffle; values below the first band or at or
+    above ``top`` are dropped, inner semantics)."""
     import ray
 
     order = np.argsort(bounds_lo)
@@ -38,6 +40,7 @@ def range_join_broadcast(
         {
             "lo": np.asarray(bounds_lo, dtype=np.float64)[order],
             "cols": {k: np.asarray(v)[order] for k, v in band_cols.items()},
+            "top": float(top),
         }
     )
 
@@ -46,11 +49,12 @@ def range_join_broadcast(
             d = ray.get(ref)
             self.lo = d["lo"]
             self.cols = d["cols"]
+            self.top = d["top"]
 
         def __call__(self, b: pa.Table) -> pa.Table:
             v = b[value_col].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(self.lo, v, side="right") - 1
-            keep = pos >= 0
+            keep = (pos >= 0) & (v < self.top)
             b = b.filter(pa.array(keep))
             pos = pos[keep]
             for name, arr in self.cols.items():
@@ -96,7 +100,12 @@ def asof_join(
 ) -> rd.Dataset:
     """For each left row, attach the most recent right row (same ``key``,
     ``right_ts <= left_ts``); left rows with no match are dropped (inner
-    as-of, DuckDB ``ASOF JOIN`` default)."""
+    as-of, DuckDB ``ASOF JOIN`` default).  ``left_ts`` and ``right_ts``
+    must be distinct column names (the inner filter keys on the matched
+    right timestamp)."""
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must have distinct names")
+    left_cols = [c for c in left.schema().names]
 
     def tag(side: int):
         def _t(b: pa.Table) -> pa.Table:
@@ -109,11 +118,13 @@ def asof_join(
     )
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_side"] == 0].drop(columns=["_side"]).dropna(axis=1, how="all")
-        r = g[g["_side"] == 1].drop(columns=["_side"]).dropna(axis=1, how="all")
+        # split by side using the declared schemas (NEVER dropna-by-column:
+        # a legitimately all-null column per group would vanish and diverge
+        # block schemas)
+        l = g[g["_side"] == 0][left_cols]
+        r = g[g["_side"] == 1][[key, right_ts, *right_cols]]
         if not len(l) or not len(r):
             return l.iloc[0:0]
-        r = r[[key, right_ts, *right_cols]]
         if r[right_ts].duplicated().any():
             raise ValueError(
                 f"as-of right side has duplicate {right_ts!r} per key; "

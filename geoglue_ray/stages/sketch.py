@@ -89,8 +89,8 @@ def approx_quantiles(
     ds: rd.Dataset,
     value_col: str,
     quantiles: list[float],
+    key_col: str,
     k: int = 4096,
-    key_col: str | None = None,
 ) -> dict[float, float]:
     """Approximate quantiles via a mergeable bottom-k-by-hash sample.
 
@@ -98,12 +98,14 @@ def approx_quantiles(
     hashes; merged bottom-k of a union is the bottom-k of the union, so
     the sketch is order-independent and deterministic, and the surviving
     values are a uniform sample of the population (error ~ 1/sqrt(k)).
+    ``key_col`` must be row-unique — hashing the values themselves would
+    collapse duplicate values onto one hash and break sample uniformity.
     Returns a small driver-side dict — the canonical "tiny result" shape.
     """
 
     def partial(b: pa.Table) -> pa.Table:
         v = b[value_col].to_numpy(zero_copy_only=False)
-        basis = b[key_col].to_numpy(zero_copy_only=False) if key_col else v
+        basis = b[key_col].to_numpy(zero_copy_only=False)
         h = pd.util.hash_array(np.ascontiguousarray(basis)).astype(np.uint64)
         hh, vv = _bottomk(v, h, k)
         return pa.table({"_h": hh.view(np.int64), "_v": vv})
@@ -125,10 +127,15 @@ def approx_distinct(
     """
 
     def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {**{k: pa.array([], b.schema.field(k).type) for k in group_keys},
+                 "_sketch": pa.array([], pa.binary())}
+            )
         df = pa.table({k: b[k] for k in group_keys}).to_pandas()
         df["_v"] = b[distinct_col].to_numpy(zero_copy_only=False)
         rows = []
-        for key, g in df.groupby(group_keys, sort=False):
+        for key, g in df.groupby(group_keys, sort=False, dropna=False):
             key = key if isinstance(key, tuple) else (key,)
             rows.append((*key, _registers(g["_v"].to_numpy()).tobytes()))
         out = pd.DataFrame(rows, columns=[*group_keys, "_sketch"])

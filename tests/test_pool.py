@@ -92,6 +92,14 @@ def test_hourly_validation(pool_root):
     assert pool.validate_hourly(2020)
 
 
+def test_weekly_reduce_missing_lookback_year_raises(pool_root):
+    """A lookback window reaching into an absent year must raise, not
+    silently aggregate a partial boundary week."""
+    pool = RasterPool(pool_root)
+    with pytest.raises(FileNotFoundError):
+        pool.weekly_reduce(2019, "instant", window=1)  # needs 2018
+
+
 def test_weekly_reduce_window(pool_root):
     pool = RasterPool(pool_root)
     out = pool.weekly_reduce(2020, "instant", window=1).to_pandas()
