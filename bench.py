@@ -129,7 +129,7 @@ def _scaling() -> None:
     # so the upper level isn't silently machine-bound — see BASELINE.md.
     levels = os.environ.get("GRAFT_SCALE_LEVELS", "4,16")
     n_lo, n_hi = (int(x) for x in levels.split(","))
-    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
     # best-of-N per level: the sandbox host is noisy (±50% run-to-run);
     # the best run is the least-interfered measurement of each level
     lo = min((run(n_lo) for _ in range(repeats)), key=lambda d: d["value"])
