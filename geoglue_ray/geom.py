@@ -93,6 +93,16 @@ def polygon_wkb(rings: list[np.ndarray]) -> bytes:
     return b"".join(out)
 
 
+def multipolygon_wkb(polygons: list[list[np.ndarray]]) -> bytes:
+    """Encode a multipolygon (list of polygons, each a list of closed
+    rings) as WKB (LE) — archipelago-style admin features
+    (``tests/test_zonalstats.py:26`` drops two such rows)."""
+    out = [struct.pack("<BII", 1, _WKB_MULTIPOLYGON, len(polygons))]
+    for rings in polygons:
+        out.append(polygon_wkb(rings))
+    return b"".join(out)
+
+
 def parse_wkb(buf: bytes) -> list[list[np.ndarray]]:
     """Decode WKB Polygon / MultiPolygon -> list of polygons (lists of rings)."""
     pos = 0

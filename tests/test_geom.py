@@ -56,6 +56,29 @@ def test_pip_multi_candidate_pairs():
     np.testing.assert_array_equal(got, [True, False, False, True])
 
 
+def test_multipolygon_pip():
+    """Archipelago-style feature: two disjoint parts, one with a hole —
+    inside either part counts as inside the feature (even-odd across all
+    its rings)."""
+    from geoglue_ray.geom import multipolygon_wkb
+
+    island_a = [square(0, 0, 2)]
+    island_b = [square(10, 10, 4), square(11, 11, 1)]  # with a lagoon hole
+    buf = multipolygon_wkb([island_a, island_b])
+    # roundtrip
+    polys = parse_wkb(buf)
+    assert len(polys) == 2 and len(polys[1]) == 2
+    ps = PolygonSet.from_wkb([buf])
+    assert ps.n_features == 1
+    px = np.array([1.0, 12.5, 11.5, 5.0, 13.9])
+    py = np.array([1.0, 12.5, 11.5, 5.0, 13.9])
+    got = ps.contains_pairs(px, py, np.zeros(5, dtype=np.int64))
+    # island A interior; island B interior; lagoon hole; open sea; island B edge region
+    np.testing.assert_array_equal(got, [True, True, False, False, True])
+    # feature bbox spans both parts
+    np.testing.assert_array_equal(ps.bbox[0], [0, 0, 14, 14])
+
+
 def test_ring_area():
     assert ring_area(square(0, 0, 2)) == 4.0
     # ~111km x ~111km cell at the equator
