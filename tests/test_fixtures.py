@@ -46,6 +46,47 @@ def test_engine_assignment_matches_arithmetic(sf_dir):
     assert np.array_equal(feat[~inside], knn)
 
 
+def test_multipolygon_admin_index():
+    """An archipelago admin feature (two disjoint parts) assigns points in
+    EITHER part to the feature; a point in the gap falls back to kNN."""
+    import pyarrow as pa
+
+    from geoglue_ray.geom import multipolygon_wkb, polygon_wkb
+
+    def square(x0, y0, s):
+        return np.array(
+            [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]],
+            dtype=float,
+        )
+
+    tbl = pa.table(
+        {
+            "admin_id": ["A", "B"],
+            "admin1_id": ["P", "P"],
+            "name": ["solid", "archipelago"],
+            "geometry_wkb": pa.array(
+                [
+                    polygon_wkb([square(0, 0, 2)]),
+                    multipolygon_wkb([[square(10, 10, 2)], [square(20, 20, 2)]]),
+                ],
+                pa.binary(),
+            ),
+            "minx": [0.0, 10.0],
+            "miny": [0.0, 10.0],
+            "maxx": [2.0, 22.0],
+            "maxy": [2.0, 22.0],
+            "centroid_x": [1.0, 16.0],
+            "centroid_y": [1.0, 16.0],
+        }
+    )
+    index = AdminIndex.build(tbl)
+    lon = np.array([1.0, 11.0, 21.0, 15.0])
+    lat = np.array([1.0, 11.0, 21.0, 15.0])
+    feat, via_knn = index.assign(lon, lat)
+    assert feat.tolist() == [0, 1, 1, 1]
+    assert via_knn.tolist() == [False, False, False, True]
+
+
 def test_ring_knn_equals_brute():
     """The ring-expansion kNN scale path returns exactly the brute-force
     nearest centroid — fixture outside points and adversarial far points."""
