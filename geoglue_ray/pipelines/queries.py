@@ -271,8 +271,15 @@ def events_asof_obs(sf_dir: str) -> rd.Dataset:
     right = zonal_aggregate(right, ["sum"], keys=["admin_idx", "event_time"])
 
     def rn(b: pa.Table) -> pa.Table:
-        i = b.schema.get_field_index("sum")
-        return b.set_column(i, "obs_value", b["sum"])
+        # align the union-side schemas (admin_idx int64, event_time us) so
+        # the tagged union's blocks unify without divergence warnings
+        return pa.table(
+            {
+                "admin_idx": pa.compute.cast(b["admin_idx"], "int64"),
+                "event_time": pa.compute.cast(b["event_time"], pa.timestamp("us")),
+                "obs_value": b["sum"],
+            }
+        )
 
     right = right.map_batches(rn, batch_format="pyarrow")
 
@@ -288,8 +295,8 @@ def events_asof_obs(sf_dir: str) -> rd.Dataset:
         ts = fx.T0 + ((ids % 1440) * 3_600_000_000).astype("timedelta64[us]")
         return pa.table(
             {
-                "event_id": b["event_id"],
-                "admin_idx": b["admin_idx"],
+                "event_id": pa.compute.cast(b["event_id"], "int64"),
+                "admin_idx": pa.compute.cast(b["admin_idx"], "int64"),
                 "ts_aligned": pa.array(ts, type=pa.timestamp("us")),
             }
         )
@@ -302,14 +309,18 @@ def events_asof_obs(sf_dir: str) -> rd.Dataset:
     names = pa.array(fx.admin2_name(np.arange(fx.N_ADMIN2)).tolist())
 
     def project(b: pa.Table) -> pa.Table:
+        # explicit casts to the declared output schema: the pandas
+        # map_groups round-trip float64-ifies side-exclusive int columns
+        # (NaN fill) and can shift timestamp units — the driver hashes
+        # values by type, so emit exactly what the oracle emits
         idx = pa.compute.cast(b["admin_idx"], "int64")
         return pa.table(
             {
-                "event_id": b["event_id"],
+                "event_id": pa.compute.cast(b["event_id"], "int64"),
                 "admin_id": names.take(idx),
-                "ts_aligned": b["ts_aligned"],
-                "matched_time": b["event_time"],
-                "obs_value": b["obs_value"],
+                "ts_aligned": pa.compute.cast(b["ts_aligned"], pa.timestamp("us")),
+                "matched_time": pa.compute.cast(b["event_time"], pa.timestamp("us")),
+                "obs_value": pa.compute.cast(b["obs_value"], "float64"),
             }
         )
 

@@ -124,7 +124,13 @@ def asof_join(
         l = g[g["_side"] == 0][left_cols]
         r = g[g["_side"] == 1][[key, right_ts, *right_cols]]
         if not len(l) or not len(r):
-            return l.iloc[0:0]
+            # typed empty with the FULL joined schema (left + right_ts +
+            # right_cols) — a left-only empty would diverge block schemas
+            out = g.iloc[0:0][[*left_cols, right_ts, *right_cols]]
+            for c in (left_ts, right_ts):
+                if str(out[c].dtype).startswith("datetime64"):
+                    out = out.assign(**{c: out[c].astype("datetime64[us]")})
+            return out
         if r[right_ts].duplicated().any():
             raise ValueError(
                 f"as-of right side has duplicate {right_ts!r} per key; "

@@ -38,6 +38,12 @@ def test_query_matches_oracle(name, duck, sf_dir):
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
     for col in a.columns:
         av, bv = a[col].to_numpy(), b[col].to_numpy()
+        # the driver's value hash is KIND-sensitive (float 0.0 != int 0,
+        # per the round-1 events_asof_obs red row) but width-tolerant
+        # (raster_daily passed with int64 vs int32) — enforce kind equality
+        assert av.dtype.kind == bv.dtype.kind, (
+            f"{name}.{col} dtype kind mismatch {av.dtype} vs {bv.dtype}"
+        )
         if av.dtype.kind == "f":
             assert np.array_equal(av, bv, equal_nan=True), f"{name}.{col} float mismatch"
         else:
