@@ -164,7 +164,18 @@ class MinHasher:
         )
 
 
-def _explode_bands(batch: pa.Table, bands: int, rows: int) -> pa.Table:
+def _bucket_of(key: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Shuffle bucket for a collision-key column: equal keys always land in
+    the same bucket (any deterministic function of the key does), so pair
+    output is byte-identical to band-only grouping while group size drops
+    from N to ~N/n_buckets and parallelism rises to bands*n_buckets."""
+    if n_buckets <= 1:
+        return np.zeros(len(key), dtype=np.int64)
+    bits = int(n_buckets - 1).bit_length()
+    return ((key.astype(np.uint64) * _MIX1) >> np.uint64(64 - bits)).astype(np.int64)
+
+
+def _explode_bands(batch: pa.Table, bands: int, rows: int, n_buckets: int = 256) -> pa.Table:
     sig = (
         np.asarray(batch["sig"].combine_chunks().flatten())
         .view(np.uint64)
@@ -181,10 +192,12 @@ def _explode_bands(batch: pa.Table, bands: int, rows: int) -> pa.Table:
     doc = np.repeat(batch["doc_id"].to_numpy(), bands)
     band_id = np.tile(np.arange(bands, dtype=np.int32), n)
     sig_rep = np.repeat(sig, bands, axis=0)
+    flat_hash = band_hash.reshape(-1)
     return pa.table(
         {
             "band_id": pa.array(band_id),
-            "band_hash": pa.array(band_hash.reshape(-1).view(np.int64)),
+            "bucket": pa.array(_bucket_of(flat_hash, n_buckets)),
+            "band_hash": pa.array(flat_hash.view(np.int64)),
             "doc_id": pa.array(doc),
             "sig": pa.FixedSizeListArray.from_arrays(
                 pa.array(sig_rep.reshape(-1).view(np.int64)), sig.shape[1]
@@ -244,12 +257,20 @@ def minhash_neardup(
     bands: int = 16,
     threshold: float = 0.5,
     concurrency=(1, 8),
+    n_buckets: int = 256,
 ) -> rd.Dataset:
     """documents -> near-duplicate candidate pairs via MinHash+LSH.
 
-    shingle/minhash (actor pool) -> band explode -> groupby(band) ->
-    vectorized within-band bucket pairs -> global pair dedup (a pair can
-    collide in several bands), keeping the max estimate.
+    shingle/minhash (actor pool) -> band explode -> groupby(band,
+    bucket-of-band-hash) -> vectorized within-bucket pairs -> global pair
+    dedup (a pair can collide in several bands), keeping the max estimate.
+
+    The shuffle key is ``(band_id, bucket)`` with ``bucket`` a hash split
+    of ``band_hash``: colliding rows stay co-located (pair output is
+    byte-identical to band-only keying) while each map_groups task holds
+    ~N/n_buckets signatures instead of all N, and parallelism is
+    bands*n_buckets instead of bands.  Size ``n_buckets`` ~ corpus_rows /
+    target_group_rows at scale (any value is correct).
     """
     rows = num_perm // bands
     sigs = ds.map_batches(
@@ -259,9 +280,9 @@ def minhash_neardup(
         concurrency=concurrency,
     )
     exploded = sigs.map_batches(
-        lambda b: _explode_bands(b, bands, rows), batch_format="pyarrow"
+        lambda b: _explode_bands(b, bands, rows, n_buckets), batch_format="pyarrow"
     )
-    pairs = exploded.groupby("band_id").map_groups(
+    pairs = exploded.groupby(["band_id", "bucket"]).map_groups(
         lambda g: _band_pairs(g, threshold), batch_format="pandas"
     )
     from ray.data.aggregate import Max
@@ -308,15 +329,21 @@ def _empty_pairs(third: str) -> pd.DataFrame:
 
 
 def simhash_neardup(
-    ds: rd.Dataset, max_hamming: int = 3, concurrency=(1, 8)
+    ds: rd.Dataset, max_hamming: int = 3, concurrency=(1, 8), n_buckets: int = 256
 ) -> rd.Dataset:
     """COMPLETE near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Banding is derived from the threshold: splitting 64 bits into
     ``max_hamming + 1`` bands guarantees (pigeonhole) that any pair within
     the threshold collides untouched in at least one band — so no
-    qualifying pair is missed, at any configured threshold."""
-    bands = min(max_hamming + 1, 16)
+    qualifying pair is missed, at any configured threshold.  The shuffle
+    key is ``(band_id, hash-bucket-of-chunk)`` — see minhash_neardup for
+    why this bounds group size without changing the pair set."""
+    if max_hamming >= 64:
+        # one band per bit is the finest split; beyond that the pigeonhole
+        # completeness guarantee cannot hold — fail loudly, never degrade
+        raise ValueError(f"max_hamming must be < 64, got {max_hamming}")
+    bands = max_hamming + 1
     width = 64 // bands  # first bands get an extra bit if 64 % bands != 0
     extra = 64 % bands
     shifts, widths, s = [], [], 0
@@ -334,10 +361,12 @@ def simhash_neardup(
         for i in range(bands):
             mask = np.uint64((1 << widths[i]) - 1)
             chunks[:, i] = ((sh >> np.uint64(shifts[i])) & mask).astype(np.int64)
+        flat = chunks.reshape(-1)
         return pa.table(
             {
                 "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-                "bucket": pa.array(chunks.reshape(-1)),
+                "sub": pa.array(_bucket_of(flat, n_buckets)),
+                "bucket": pa.array(flat),
                 "doc_id": pa.array(np.repeat(b["doc_id"].to_numpy(), bands)),
                 "simhash": pa.array(np.repeat(sh, bands).view(np.int64)),
             }
@@ -362,81 +391,138 @@ def simhash_neardup(
         )
 
     cand = sigs.map_batches(explode, batch_format="pyarrow")
-    out = cand.groupby("band_id").map_groups(band_pairs, batch_format="pandas")
+    out = cand.groupby(["band_id", "sub"]).map_groups(band_pairs, batch_format="pandas")
     return out.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # ------------------------------------------------ duplicate-cluster resolve
 def duplicate_clusters(
-    pairs: rd.Dataset, max_iters: int = 64
+    pairs: rd.Dataset, max_iters: int = 64, n_buckets: int = 64
 ) -> rd.Dataset:
     """Connected components over candidate-duplicate pairs -> (doc_id,
     cluster_id) with cluster_id = the component's lowest doc_id.
 
-    Distributed min-label propagation (the groupby-iteration scheme for
-    near-dup graphs): each round, every node takes the min label among
-    itself and its neighbors (messages = edges joined with labels), until a
-    fixpoint.  Per-round cost is one narrow groupby over (node, label)
-    pairs; rounds ~ graph diameter (near-dup clusters are shallow).
-    Labels are collected driver-side per round for the broadcast join —
-    fine while the *candidate* node set is small relative to the corpus
-    (it is: only docs appearing in near-dup pairs); at extreme scale the
-    join becomes hash-bucketed instead.
+    Fully distributed min-label propagation: labels live in a Dataset (no
+    driver dict, no ``to_pandas`` of the edge set).  Each round runs a
+    hash-bucketed join — edges and labels are co-partitioned by
+    ``src % n_buckets`` via one tagged-union ``groupby(bucket)``, each
+    bucket doing ONE vectorized pandas merge that emits (dst, src_label)
+    messages plus (src, label) self-messages pre-keyed by the target
+    node's bucket — then a second ``groupby(bucket)`` whose task runs a
+    vectorized per-node min.  Two narrow int64 shuffles per round, group
+    count pinned at ``n_buckets`` (never per-node groups: Ray's sort
+    aggregation pays per-group Python overhead).  Labels are monotone
+    non-increasing, so the fixpoint test is a cheap scalar ``sum(label)``
+    comparison.  Rounds ~ component diameter (near-dup clusters are
+    shallow); per-round working set is O(|E| + |V|) spread across the
+    cluster, never resident on the driver.  Size ``n_buckets`` ~ cluster
+    cores at scale.
     """
     import pyarrow as pa
 
-    edges = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
-    if not len(edges):
-        return rd.from_arrow(
-            pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
-        )
-    both = pd.concat(
-        [
-            edges.rename(columns={"doc_a": "src", "doc_b": "dst"}),
-            edges.rename(columns={"doc_b": "src", "doc_a": "dst"}),
-        ]
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
     )
-    edges_ds = rd.from_pandas(both)
-    nodes = np.unique(both["src"].to_numpy())
-    labels = dict(zip(nodes.tolist(), nodes.tolist()))
+    P = np.int64(n_buckets)
 
-    import ray
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy()
+        c = b["doc_b"].to_numpy()
+        src = np.concatenate([a, c]).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(src % P),
+                "src": pa.array(src),
+                "dst": pa.array(np.concatenate([c, a]).astype(np.int64)),
+                "_t": pa.array(np.zeros(2 * len(b), dtype=np.int8)),
+                # placeholder so both union sides share one schema (no
+                # NaN-fill -> float64 drift); int64.max surfaces misuse
+                "label": pa.array(
+                    np.full(2 * len(b), np.iinfo(np.int64).max, dtype=np.int64)
+                ),
+            }
+        )
 
-    converged = False
+    edges = (
+        pairs.select_columns(["doc_a", "doc_b"])
+        .map_batches(symmetrize, batch_format="pyarrow")
+        .materialize()  # reused every round; keep in the object store
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(empty)
+
+    # initial labels: each node labels itself.  Per-bucket vectorized
+    # np.unique — NEVER a per-node Ray groupby aggregate (Ray's sort
+    # aggregation pays per-group Python overhead, pathological at 10^5+
+    # distinct keys; the whole loop keeps group counts == n_buckets).
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(g["src"].to_numpy())
+        return pd.DataFrame({"src": nodes, "label": nodes})
+
+    labels = (
+        edges.groupby("bucket")
+        .map_groups(init_labels, batch_format="pandas")
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+
+    def merge_emit(g: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized merge per src-bucket: attach each edge's src
+        label, emit neighbor messages + label self-messages, each message
+        pre-keyed by its TARGET node's bucket (so the reduce shuffle needs
+        no extra keying pass)."""
+        e = g[g["_t"] == 0]
+        l = g[g["_t"] == 1]
+        m = e[["src", "dst"]].merge(l[["src", "label"]], on="src", how="left")
+        node = np.concatenate([m["dst"].to_numpy(), l["src"].to_numpy()]).astype(np.int64)
+        lbl = np.concatenate([m["label"].to_numpy(), l["label"].to_numpy()]).astype(np.int64)
+        return pd.DataFrame({"bucket": node % P, "node": node, "label": lbl})
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-bucket vectorized min-by-node (pandas groupby inside the
+        task — one Python call per bucket, not per node)."""
+        s = g.groupby("node", sort=False, dropna=False)["label"].min()
+        return pd.DataFrame(
+            {
+                "src": s.index.to_numpy().astype(np.int64),
+                "label": s.to_numpy().astype(np.int64),
+            }
+        )
+
     for _ in range(max_iters):
-        lab_ref = ray.put(labels)
-
-        def msgs(b: pa.Table) -> pa.Table:
-            lab = ray.get(lab_ref)
-            src = b["src"].to_numpy()
-            dst = b["dst"].to_numpy()
-            lbl = np.array([lab[int(s)] for s in src], dtype=np.int64)
-            return pa.table({"node": dst, "label": lbl})
-
-        prop = edges_ds.map_batches(msgs, batch_format="pyarrow")
-        mins = prop.groupby("node").min("label").to_pandas()
-        new = dict(labels)
-        changed = False
-        for n, l in zip(mins["node"], mins["min(label)"]):
-            if l < new[int(n)]:
-                new[int(n)] = int(l)
-                changed = True
-        labels = new
-        if not changed:
-            converged = True
+        tagged_labels = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "bucket": pa.array(b["src"].to_numpy() % P),
+                    "src": b["src"],
+                    "dst": pa.compute.cast(b["src"], "int64"),  # unused on _t==1
+                    "_t": pa.array(np.ones(len(b), dtype=np.int8)),
+                    "label": b["label"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        msgs = edges.union(tagged_labels).groupby("bucket").map_groups(
+            merge_emit, batch_format="pandas"
+        )
+        labels = (
+            msgs.groupby("bucket")
+            .map_groups(reduce_min, batch_format="pandas")
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # monotone non-increasing => fixpoint
             break
-    if not converged:
+        prev_sum = cur_sum
+    else:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iters} iterations "
             "(component diameter exceeds the cap); raise max_iters"
         )
-    out = pa.table(
-        {
-            "doc_id": pa.array(sorted(labels), pa.int64()),
-            "cluster_id": pa.array([labels[k] for k in sorted(labels)], pa.int64()),
-        }
-    )
-    return rd.from_arrow(out)
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["src"], "cluster_id": b["label"]}),
+        batch_format="pyarrow",
+    ).sort("doc_id")
 
 
 # ----------------------------------------------------- n-gram Jaccard verify

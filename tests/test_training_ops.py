@@ -69,6 +69,52 @@ def test_minhash_detects_true_duplicates():
     assert (1, 3) not in got and (2, 3) not in got  # unrelated
 
 
+def test_lsh_bucket_keying_preserves_pairs():
+    """The (band_id, hash-bucket) shuffle key must yield byte-identical
+    pair sets to band-only keying (n_buckets=1): bucketing is a function
+    of the collision key, so co-location is preserved exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.dedup import minhash_neardup, simhash_neardup
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(200)]
+    docs = []
+    for i in range(60):
+        base = rng.choice(words, size=40).tolist()
+        docs.append(" ".join(base))
+        if i % 3 == 0:  # planted near-dup
+            mut = list(base)
+            mut[rng.integers(0, 40)] = "mutated"
+            docs.append(" ".join(mut))
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+
+    for fn, kw in [
+        (minhash_neardup, {"threshold": 0.3}),
+        (simhash_neardup, {"max_hamming": 8}),
+    ]:
+        a = fn(rd.from_arrow(t), n_buckets=1, **kw).to_pandas()
+        b = fn(rd.from_arrow(t), n_buckets=64, **kw).to_pandas()
+        key = ["doc_a", "doc_b"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert a.equals(b), f"{fn.__name__} pair set changed under bucketing"
+        assert len(a) > 0  # the corpus must actually produce pairs
+
+
+def test_simhash_max_hamming_bound():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.dedup import simhash_neardup
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_neardup(
+            rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]})), max_hamming=64
+        )
+
+
 def test_duplicate_clusters():
     """Min-label propagation: chain 1-2-3 and pair 7-9 resolve to two
     components labeled by their lowest member; transitive closure works."""
@@ -85,6 +131,28 @@ def test_duplicate_clusters():
     # empty graph
     empty = rd.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}))
     assert duplicate_clusters(empty).count() == 0
+
+
+def test_duplicate_clusters_large_edge_set():
+    """10^6 edges (333k star components): the label-propagation loop must
+    run with labels/edges as Datasets — nothing but scalar aggregates on
+    the driver — and resolve every component to its lowest member."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.dedup import duplicate_clusters
+
+    n_comp = 333_334
+    c = np.arange(n_comp, dtype=np.int64) * 4
+    doc_a = np.repeat(c, 3)
+    doc_b = (c[:, None] + np.array([1, 2, 3])).reshape(-1)
+    pairs = rd.from_arrow(pa.table({"doc_a": doc_a, "doc_b": doc_b}))
+    out = duplicate_clusters(pairs)
+    assert out.count() == 4 * n_comp
+    # every node's cluster_id is its component's lowest member (c):
+    # per-component label sum is 4*c -> total 4 * sum(c)
+    assert out.sum("cluster_id") == 4 * int(c.sum())
+    assert out.groupby("cluster_id").count().count() == n_comp
 
 
 def test_simhash_neardup(q, sf_dir):
