@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_check": q.hourly_check,
         "raster_daily": lambda sf_dir: r.raster_daily(),
         "raster_zonal": lambda sf_dir: r.raster_zonal(),
+        "zonal_coverage": lambda sf_dir: r.zonal_coverage(),
         "raster_weekly_zonal": lambda sf_dir: r.raster_weekly_zonal(),
         "raster_stats": lambda sf_dir: r.raster_stats(),
         "weekly_variation": lambda sf_dir: r.weekly_variation(),
@@ -90,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_check": o.hourly_check(),
         "raster_daily": o.raster_daily(),
         "raster_zonal": o.raster_zonal(),
+        "zonal_coverage": o.zonal_coverage(),
         "raster_weekly_zonal": o.raster_weekly_zonal(),
         "raster_stats": o.raster_stats(),
         "weekly_variation": o.weekly_variation(),

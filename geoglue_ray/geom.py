@@ -235,6 +235,78 @@ class PolygonSet:
         return (counts % 2) == 1
 
 
+def _clip_halfplane(ring: np.ndarray, axis: int, bound: float, keep_le: bool) -> np.ndarray:
+    """Sutherland–Hodgman clip of a closed ring against one axis-aligned
+    half-plane (``coord <= bound`` if ``keep_le`` else ``coord >= bound``).
+    Vectorized over the ring's edges; returns a closed ring (possibly
+    empty).  With dyadic inputs and axis-aligned bounds every emitted
+    intersection coordinate is exact (the interpolation divisor is a
+    dyadic difference), which the coverage oracles rely on."""
+    if len(ring) < 4:  # degenerate (closed ring needs >= 3 distinct pts)
+        return np.empty((0, 2))
+    p = ring[:-1]  # open ring
+    q = np.roll(p, -1, axis=0)  # next vertex
+    pc, qc = p[:, axis], q[:, axis]
+    p_in = pc <= bound if keep_le else pc >= bound
+    q_in = qc <= bound if keep_le else qc >= bound
+    cross = p_in != q_in
+    # intersection of each crossing edge with the boundary line
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(cross, (bound - pc) / np.where(qc == pc, 1.0, qc - pc), 0.0)
+    other = 1 - axis
+    io = p[:, other] + t * (q[:, other] - p[:, other])
+    inter = np.empty((len(p), 2))
+    inter[:, axis] = bound
+    inter[:, other] = io
+    # per edge emit: q if q_in; intersection if cross — in SH order
+    # (inside->out: emit inter; out->inside: emit inter then q)
+    parts = []
+    for i in range(len(p)):  # ring vertex counts are tiny (admin polygons)
+        if cross[i]:
+            parts.append(inter[i])
+        if q_in[i]:
+            parts.append(q[i])
+    if len(parts) < 3:
+        return np.empty((0, 2))
+    out = np.asarray(parts)
+    return np.concatenate([out, out[:1]])
+
+
+def clip_ring_rect(ring: np.ndarray, rx0: float, ry0: float, rx1: float, ry1: float) -> np.ndarray:
+    """Clip a closed ring to an axis-aligned rectangle (4 half-plane SH
+    passes); returns a closed ring (possibly empty)."""
+    out = ring
+    for axis, bound, keep_le in (
+        (0, rx0, False),
+        (0, rx1, True),
+        (1, ry0, False),
+        (1, ry1, True),
+    ):
+        out = _clip_halfplane(out, axis, bound, keep_le)
+        if len(out) == 0:
+            return out
+    return out
+
+
+def rect_coverage_area(
+    polys: list[list[np.ndarray]], rx0: float, ry0: float, rx1: float, ry1: float
+) -> float:
+    """Planar area of (multi)polygon ∩ rectangle — exactextract's
+    cell-coverage kernel (``/root/reference/src/geoglue/zonalstats.py:44-62``
+    delegates this to exactextract; here it is an explicit rectangle clip).
+    Ring 0 of each polygon is the exterior; further rings are holes
+    (standard WKB), whose clipped area is subtracted."""
+    total = 0.0
+    for rings in polys:
+        for i, ring in enumerate(rings):
+            clipped = clip_ring_rect(ring, rx0, ry0, rx1, ry1)
+            if len(clipped) == 0:
+                continue
+            a = abs(ring_area(clipped))
+            total += a if i == 0 else -a
+    return total
+
+
 def ring_area(ring: np.ndarray) -> float:
     """Planar shoelace area (signed) of a closed ring."""
     x, y = ring[:, 0], ring[:, 1]

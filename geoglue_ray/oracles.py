@@ -177,6 +177,69 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def zonal_coverage() -> str:
+    """Coverage-fraction zonal stats, closed form: each raster cell's
+    overlap with an admin square splits by the diagonal via the clamped-
+    corner formula A = T(1-u0-v0) - T(1-u1-v0) - T(1-u0-v1) + T(1-u1-v1),
+    T(t) = max(t,0)^2/2 in unit-square coords — exact dyadic arithmetic,
+    bit-identical to the engine's Sutherland–Hodgman rectangle clip."""
+    from geoglue_ray.sources.raster import RINC, RXFIRST, RXSIZE, RYFIRST, RYSIZE, sql_raster_cte
+
+    x_edge0 = RXFIRST - RINC / 2
+    y_edge1 = RYFIRST + RINC / 2
+
+    def g(t: str) -> str:
+        return f"(CASE WHEN ({t}) > 0 THEN ({t})*({t})/2.0 ELSE 0.0 END)"
+
+    u0, u1 = "((ox0-qx0)*2)", "((ox1-qx0)*2)"
+    v0, v1 = "((oy0-qy0)*2)", "((oy1-qy0)*2)"
+    lower_unit = (
+        f"{g(f'1-{u0}-{v0}')} - {g(f'1-{u1}-{v0}')}"
+        f" - {g(f'1-{u0}-{v1}')} + {g(f'1-{u1}-{v1}')}"
+    )
+    w = fx.sql_weight("rast.lon", "rast.lat")
+    v = "COALESCE(rast.value, 0)"  # default_value=0
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+rcells AS (
+  SELECT r.range AS r, c.range AS c,
+         {x_edge0} + c.range*{RINC} AS x0, {x_edge0 + RINC} + c.range*{RINC} AS x1,
+         {y_edge1 - RINC} - r.range*{RINC} AS y0, {y_edge1} - r.range*{RINC} AS y1
+  FROM range({RYSIZE}) r, range({RXSIZE}) c),
+squares AS (
+  SELECT sx.range AS sx, sy.range AS sy,
+         {fx.LON0} + sx.range*{fx.CELL} AS qx0, {fx.LAT0} + sy.range*{fx.CELL} AS qy0
+  FROM range({fx.NX}) sx, range({fx.NY}) sy),
+ov AS (
+  SELECT rc.r, rc.c, sq.sx, sq.sy, sq.qx0, sq.qy0,
+         GREATEST(rc.x0, sq.qx0) AS ox0, LEAST(rc.x1, sq.qx0+{fx.CELL}) AS ox1,
+         GREATEST(rc.y0, sq.qy0) AS oy0, LEAST(rc.y1, sq.qy0+{fx.CELL}) AS oy1
+  FROM rcells rc, squares sq
+  WHERE GREATEST(rc.x0, sq.qx0) < LEAST(rc.x1, sq.qx0+{fx.CELL})
+    AND GREATEST(rc.y0, sq.qy0) < LEAST(rc.y1, sq.qy0+{fx.CELL})),
+parts AS (
+  SELECT r, c, (sy*{fx.NX}+sx)*2 AS a2lo,
+         (ox1-ox0)*(oy1-oy0) AS rect_area,
+         {fx.CELL * fx.CELL} * ({lower_unit}) AS lower_area
+  FROM ov),
+cov AS (
+  SELECT r, c, a2lo AS a2, lower_area/{RINC * RINC} AS cov
+  FROM parts WHERE lower_area > 0
+  UNION ALL
+  SELECT r, c, a2lo+1 AS a2, (rect_area-lower_area)/{RINC * RINC} AS cov
+  FROM parts WHERE rect_area - lower_area > 0)
+SELECT {fx.sql_admin2_name('cov.a2')} AS admin_id, rast.variable,
+       sum(cov.cov) AS "count",
+       sum(cov.cov * {v}) AS "sum",
+       sum(cov.cov * {v}) / sum(cov.cov) AS "mean",
+       sum(cov.cov * {w} * {v}) AS weighted_sum,
+       sum(cov.cov * {w} * {v}) / sum(cov.cov * {w}) AS weighted_mean,
+       sum(cov.cov * {w} * {v}) / sum(cov.cov) AS area_weighted_sum
+FROM rast JOIN cov ON rast.r = cov.r AND rast.c = cov.c
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def raster_weekly_zonal() -> str:
     from geoglue_ray.sources.raster import sql_raster_cte
 

@@ -152,6 +152,71 @@ def raster_weekly_zonal() -> rd.Dataset:
     )
 
 
+COVERAGE_OPS = {
+    # exactextract op strings as the reference's CLI accepts them
+    # (cli.py:269-274; zonalstats goldens tests/test_zonalstats.py:57-72);
+    # aliases keep output column names SQL-friendly
+    "count": "count(default_value=0)",
+    "sum": "sum(default_value=0)",
+    "mean": "mean(default_value=0)",
+    "weighted_sum": "weighted_sum(default_value=0,default_weight=0)",
+    "weighted_mean": "weighted_mean(default_value=0,default_weight=0)",
+    "area_weighted_sum": "area_weighted_sum(default_value=0,default_weight=0)",
+}
+
+
+def zonal_coverage() -> rd.Dataset:
+    """Coverage-fraction zonal statistics — exactextract's defining
+    semantic (``zonalstats.py:44-62``): every raster cell contributes to
+    every overlapping admin polygon by the *fraction* of the cell the
+    polygon covers (boundary cells split pro-rata, not 100%/0%), with
+    NODATA handled by ``default_value=0``/``default_weight=0``.
+
+    The (cell, admin, fraction) table is built once (distributed, rect-
+    clip geometry) and broadcast; the hot path is a vectorized lookup-
+    explode + the shared partial/final aggregation with ``cov_col``.
+    """
+    from geoglue_ray import fixtures as fx
+    from geoglue_ray.runtime import pool_size
+    from geoglue_ray.sources.raster import raster_grid_spec
+    from geoglue_ray.stages.coverage import AttachCoverage, build_coverage_table
+
+    ds = read_raster()
+    ds = ds.map_batches(_add_var_code, batch_format="pyarrow")
+
+    def add_weight(b: pa.Table) -> pa.Table:
+        w = fx.derive_weight(b["longitude"].to_numpy(), b["latitude"].to_numpy())
+        return b.append_column("weight", pa.array(w))
+
+    ds = ds.map_batches(add_weight, batch_format="pyarrow")
+    grid = raster_grid_spec()
+    index = AdminIndex.build(build_admin_table())
+    cov = build_coverage_table(ray.put(index), grid)
+    ds = ds.map_batches(
+        AttachCoverage,
+        fn_constructor_args=(ray.put(cov), grid.xsize),
+        batch_format="pyarrow",
+        concurrency=(1, pool_size(8, reserve=2)),
+    )
+    agg = zonal_aggregate(
+        ds,
+        list(COVERAGE_OPS),
+        keys=["admin_idx", "var_code"],
+        weight_col="weight",
+        aliases=COVERAGE_OPS,
+        cov_col="cov",
+    )
+    names = build_admin_table()["admin_id"].combine_chunks()
+
+    def project(b: pa.Table) -> pa.Table:
+        b = _attach_var(b)
+        idx = pa.compute.cast(b["admin_idx"], "int64")
+        b = b.drop_columns(["admin_idx"])
+        return b.add_column(0, "admin_id", names.take(idx))
+
+    return agg.map_batches(project, batch_format="pyarrow").sort(["admin_id", "variable"])
+
+
 def weekly_variation() -> rd.Dataset:
     """Per-(variable, week) variation ACROSS regions — the reference's
     per-slice ``stats`` (``validate.py:46-74``: stats over the region dim

@@ -164,18 +164,21 @@ class MinHasher:
         )
 
 
-def _bucket_of(key: np.ndarray, n_buckets: int) -> np.ndarray:
-    """Shuffle bucket for a collision-key column: equal keys always land in
-    the same bucket (any deterministic function of the key does), so pair
-    output is byte-identical to band-only grouping while group size drops
-    from N to ~N/n_buckets and parallelism rises to bands*n_buckets."""
-    if n_buckets <= 1:
+def _shard_of(band_id: np.ndarray, key: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shuffle shard for LSH pair generation: a deterministic function of
+    the full collision key ``(band_id, band-key)``, so colliding rows are
+    always co-located (pair output is byte-identical to band-only keying)
+    while each map_groups task holds ~N*bands/n_shards rows instead of all
+    N, and the group count is FIXED at n_shards (Ray pays per-group Python
+    overhead, so thousands of tiny groups are as wrong as 16 huge ones —
+    each shard processes its many buckets in one vectorized pass)."""
+    if n_shards <= 1:
         return np.zeros(len(key), dtype=np.int64)
-    bits = int(n_buckets - 1).bit_length()
-    return ((key.astype(np.uint64) * _MIX1) >> np.uint64(64 - bits)).astype(np.int64)
+    mixed = key.astype(np.uint64) * _MIX1 + band_id.astype(np.uint64) * _MIX2
+    return (mixed % np.uint64(n_shards)).astype(np.int64)
 
 
-def _explode_bands(batch: pa.Table, bands: int, rows: int, n_buckets: int = 256) -> pa.Table:
+def _explode_bands(batch: pa.Table, bands: int, rows: int, n_shards: int = 256) -> pa.Table:
     sig = (
         np.asarray(batch["sig"].combine_chunks().flatten())
         .view(np.uint64)
@@ -196,7 +199,7 @@ def _explode_bands(batch: pa.Table, bands: int, rows: int, n_buckets: int = 256)
     return pa.table(
         {
             "band_id": pa.array(band_id),
-            "bucket": pa.array(_bucket_of(flat_hash, n_buckets)),
+            "shard": pa.array(_shard_of(band_id, flat_hash, n_shards)),
             "band_hash": pa.array(flat_hash.view(np.int64)),
             "doc_id": pa.array(doc),
             "sig": pa.FixedSizeListArray.from_arrays(
@@ -206,13 +209,17 @@ def _explode_bands(batch: pa.Table, bands: int, rows: int, n_buckets: int = 256)
     )
 
 
-def _run_pairs(sorted_key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Within-run (equal adjacent key) pair indices for a SORTED key array;
-    vectorized run detection, Python only over the (rare) multi-item runs."""
-    n = len(sorted_key)
+def _run_pairs(*sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Within-run (equal adjacent composite key) pair indices for key
+    arrays SORTED together; vectorized run detection, Python only over the
+    (rare) multi-item runs."""
+    n = len(sorted_keys[0])
     if n < 2:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    boundary = np.concatenate(([True], sorted_key[1:] != sorted_key[:-1]))
+    diff = np.zeros(n - 1, dtype=bool)
+    for k in sorted_keys:
+        diff |= k[1:] != k[:-1]
+    boundary = np.concatenate(([True], diff))
     starts = np.nonzero(boundary)[0]
     lengths = np.diff(np.concatenate([starts, [n]]))
     ia_parts, ib_parts = [], []
@@ -226,16 +233,20 @@ def _run_pairs(sorted_key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _band_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Candidate pairs for ALL buckets of one band in one vectorized pass
-    (sort by bucket hash -> run detection -> per-run pairs): one pandas
-    call per band instead of one per bucket (~5000x fewer group calls).
+    """Candidate pairs for ALL (band, bucket) runs in one shard in one
+    vectorized pass (lexsort by (band_id, band_hash) -> run detection ->
+    per-run pairs): one pandas call per SHARD, never per bucket or band.
     Canonical (a < b) ordering."""
     if len(group) < 2:
         return _empty_pairs("est_jaccard")
-    order = np.lexsort((group["doc_id"].to_numpy(), group["band_hash"].to_numpy()))
+    order = np.lexsort(
+        (group["doc_id"].to_numpy(), group["band_hash"].to_numpy(),
+         group["band_id"].to_numpy())
+    )
+    bid = group["band_id"].to_numpy()[order]
     bh = group["band_hash"].to_numpy()[order]
     ids = group["doc_id"].to_numpy()[order]
-    ia, ib = _run_pairs(bh)
+    ia, ib = _run_pairs(bid, bh)
     if not len(ia):
         return _empty_pairs("est_jaccard")
     sig = np.stack(group["sig"].to_numpy()[order]).view(np.uint64)
@@ -257,20 +268,22 @@ def minhash_neardup(
     bands: int = 16,
     threshold: float = 0.5,
     concurrency=(1, 8),
-    n_buckets: int = 256,
+    n_shards: int = 256,
 ) -> rd.Dataset:
     """documents -> near-duplicate candidate pairs via MinHash+LSH.
 
-    shingle/minhash (actor pool) -> band explode -> groupby(band,
-    bucket-of-band-hash) -> vectorized within-bucket pairs -> global pair
-    dedup (a pair can collide in several bands), keeping the max estimate.
+    shingle/minhash (actor pool) -> band explode -> groupby(shard) ->
+    vectorized within-bucket pairs -> global pair dedup (a pair can
+    collide in several bands), keeping the max estimate.
 
-    The shuffle key is ``(band_id, bucket)`` with ``bucket`` a hash split
-    of ``band_hash``: colliding rows stay co-located (pair output is
-    byte-identical to band-only keying) while each map_groups task holds
-    ~N/n_buckets signatures instead of all N, and parallelism is
-    bands*n_buckets instead of bands.  Size ``n_buckets`` ~ corpus_rows /
-    target_group_rows at scale (any value is correct).
+    The shuffle key is a fixed-cardinality ``shard`` hashed from the full
+    collision key ``(band_id, band_hash)``: colliding rows stay co-located
+    (pair output is byte-identical to band-only keying) while each
+    map_groups task holds ~N*bands/n_shards rows instead of all N — and,
+    unlike keying on the bucket itself, the group count stays at
+    ``n_shards`` (~cluster cores at scale) so Ray's per-group overhead is
+    constant.  Each shard processes its many buckets in one lexsort +
+    run-detection pass.
     """
     rows = num_perm // bands
     sigs = ds.map_batches(
@@ -280,9 +293,9 @@ def minhash_neardup(
         concurrency=concurrency,
     )
     exploded = sigs.map_batches(
-        lambda b: _explode_bands(b, bands, rows, n_buckets), batch_format="pyarrow"
+        lambda b: _explode_bands(b, bands, rows, n_shards), batch_format="pyarrow"
     )
-    pairs = exploded.groupby(["band_id", "bucket"]).map_groups(
+    pairs = exploded.groupby("shard").map_groups(
         lambda g: _band_pairs(g, threshold), batch_format="pandas"
     )
     from ray.data.aggregate import Max
@@ -329,7 +342,7 @@ def _empty_pairs(third: str) -> pd.DataFrame:
 
 
 def simhash_neardup(
-    ds: rd.Dataset, max_hamming: int = 3, concurrency=(1, 8), n_buckets: int = 256
+    ds: rd.Dataset, max_hamming: int = 3, concurrency=(1, 8), n_shards: int = 256
 ) -> rd.Dataset:
     """COMPLETE near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -337,8 +350,9 @@ def simhash_neardup(
     ``max_hamming + 1`` bands guarantees (pigeonhole) that any pair within
     the threshold collides untouched in at least one band — so no
     qualifying pair is missed, at any configured threshold.  The shuffle
-    key is ``(band_id, hash-bucket-of-chunk)`` — see minhash_neardup for
-    why this bounds group size without changing the pair set."""
+    key is a fixed-cardinality shard hashed from ``(band_id, chunk)`` —
+    see minhash_neardup for why this bounds group size without changing
+    the pair set or the group count."""
     if max_hamming >= 64:
         # one band per bit is the finest split; beyond that the pigeonhole
         # completeness guarantee cannot hold — fail loudly, never degrade
@@ -362,10 +376,11 @@ def simhash_neardup(
             mask = np.uint64((1 << widths[i]) - 1)
             chunks[:, i] = ((sh >> np.uint64(shifts[i])) & mask).astype(np.int64)
         flat = chunks.reshape(-1)
+        bid = np.tile(np.arange(bands, dtype=np.int32), n)
         return pa.table(
             {
-                "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-                "sub": pa.array(_bucket_of(flat, n_buckets)),
+                "band_id": pa.array(bid),
+                "shard": pa.array(_shard_of(bid, flat, n_shards)),
                 "bucket": pa.array(flat),
                 "doc_id": pa.array(np.repeat(b["doc_id"].to_numpy(), bands)),
                 "simhash": pa.array(np.repeat(sh, bands).view(np.int64)),
@@ -373,13 +388,17 @@ def simhash_neardup(
         )
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """All buckets of one band in one vectorized pass (see _band_pairs)."""
+        """All (band, bucket) runs of one shard in one vectorized pass
+        (see _band_pairs)."""
         if len(g) < 2:
             return _empty_pairs("hamming")
-        order = np.lexsort((g["doc_id"].to_numpy(), g["bucket"].to_numpy()))
+        order = np.lexsort(
+            (g["doc_id"].to_numpy(), g["bucket"].to_numpy(), g["band_id"].to_numpy())
+        )
+        bid = g["band_id"].to_numpy()[order]
         bk = g["bucket"].to_numpy()[order]
         ids = g["doc_id"].to_numpy()[order]
-        ia, ib = _run_pairs(bk)
+        ia, ib = _run_pairs(bid, bk)
         if not len(ia):
             return _empty_pairs("hamming")
         sh = g["simhash"].to_numpy()[order].view(np.uint64)
@@ -391,7 +410,7 @@ def simhash_neardup(
         )
 
     cand = sigs.map_batches(explode, batch_format="pyarrow")
-    out = cand.groupby(["band_id", "sub"]).map_groups(band_pairs, batch_format="pandas")
+    out = cand.groupby("shard").map_groups(band_pairs, batch_format="pandas")
     return out.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 

@@ -45,96 +45,135 @@ class AttachWeights:
         return batch.append_column("weight", pa.array(w))
 
 
+def _fill_default(batch: pa.Table, col: str, default: float) -> pa.Table:
+    """Replace null/NaN values with a default (exactextract's
+    ``default_value`` / ``default_weight`` NODATA semantics,
+    ``zonalstats.py:56-62``)."""
+    a = batch[col]
+    mask = pc.or_kleene(pc.invert(pc.is_valid(a)), pc.is_nan(a))
+    filled = pc.if_else(mask, pa.scalar(default, pa.float64()), pc.cast(a, pa.float64()))
+    return batch.set_column(batch.schema.get_field_index(col), col, filled)
+
+
 def partial_zonal(
     batch: pa.Table,
     keys: list[str],
     value_col: str,
     weight_col: str | None,
     skip_nulls: bool = False,
+    cov_col: str | None = None,
+    default_value: float | None = None,
+    default_weight: float | None = None,
 ):
     """Per-batch partial aggregation: one row per key combination.
 
-    Fast path: when every key column is integer, groups are formed with one
-    ``np.unique`` + argsort + ``reduceat`` pass (no pandas, no string
-    hashing in the hot loop).  String keys fall back to pandas groupby.
-    ``skip_nulls`` drops null/NaN values first (SQL ``WHERE v IS NOT NULL``
-    semantics; the raster pipelines' NaN "ocean" holes).
+    One unified vectorized path for every key dtype: each key column is
+    factorized (``pd.factorize`` — null keys kept as their own group, SQL
+    ``GROUP BY`` NULL semantics), the per-column codes are packed into one
+    int64, and groups are formed with a single ``np.unique`` + argsort +
+    ``reduceat`` pass.  No per-group Python, no pandas groupby.
+
+    NaN semantics (both documented and uniform): with ``skip_nulls`` null/
+    NaN values are dropped first; otherwise NaN propagates into sums/min/
+    max and ``cnt`` counts all rows.  ``default_value``/``default_weight``
+    replace NODATA before anything else (exactextract's defaults).
+
+    ``cov_col`` switches to coverage-fraction semantics (exactextract):
+    each row contributes with multiplicity ``cov`` — ``sum_v = Σ cov·v``,
+    ``cnt = Σ cov``, ``sum_w = Σ cov·w``, ``sum_wv = Σ cov·w·v`` — while
+    min/max stay over the (covered) values.
     """
+    import pandas as pd
+
+    if default_value is not None:
+        batch = _fill_default(batch, value_col, default_value)
+    if default_weight is not None and weight_col is not None:
+        batch = _fill_default(batch, weight_col, default_weight)
     if skip_nulls:
         col = batch[value_col]
         mask = pc.and_kleene(pc.is_valid(col), pc.invert(pc.is_nan(col)))
         batch = batch.filter(mask)
     v = batch[value_col].to_numpy(zero_copy_only=False)
     w = batch[weight_col].to_numpy(zero_copy_only=False) if weight_col else None
-    key_arrays = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+    cov = batch[cov_col].to_numpy(zero_copy_only=False) if cov_col else None
 
-    if all(a.dtype.kind in "iu" for a in key_arrays) and len(v):
-        if len(key_arrays) == 1:
-            uniq, inv = np.unique(key_arrays[0], return_inverse=True)
-            key_cols = {keys[0]: uniq}
-            n_groups = len(uniq)
+    if len(v) == 0:  # typed empty: key dtypes straight from the batch schema
+        t = batch.select(keys).slice(0, 0)
+        for c in _PARTIALS:
+            t = t.append_column(c, pa.array([], pa.float64()))
+        return t
+
+    codes, uniqs = [], []
+    for k in keys:
+        arr = batch[k].to_numpy(zero_copy_only=False)
+        if arr.dtype.kind in "Mm":  # factorize datetimes on the int64 view
+            c_k, u_k = pd.factorize(arr.view(np.int64), use_na_sentinel=False)
+            u_k = np.asarray(u_k).view(arr.dtype)
         else:
-            # pack composite int keys into one int64 (np.unique(axis=0) is
-            # ~20x slower than a 1D unique); falls back to axis-unique only
-            # if the combined range would overflow
-            arrs = [a.astype(np.int64) for a in key_arrays]
-            mins = [int(a.min()) for a in arrs]
-            spans = [int(a.max()) - m + 1 for a, m in zip(arrs, mins)]
-            total_span = 1
-            for s in spans:
-                total_span *= s
-            if total_span < (1 << 62):
-                packed = np.zeros(len(v), dtype=np.int64)
-                for a, m, s in zip(arrs, mins, spans):
-                    packed = packed * s + (a - m)
-                uniq_p, inv = np.unique(packed, return_inverse=True)
-                key_cols = {}
-                rem = uniq_p
-                for k, m, s in zip(reversed(keys), reversed(mins), reversed(spans)):
-                    key_cols[k] = (rem % s + m)
-                    rem = rem // s
-                key_cols = {k: key_cols[k] for k in keys}  # original order
-                # restore original dtypes
-                for k, a in zip(keys, key_arrays):
-                    key_cols[k] = key_cols[k].astype(a.dtype)
-                n_groups = len(uniq_p)
-            else:  # pragma: no cover - astronomically wide key ranges
-                stacked = np.stack(key_arrays, axis=1)
-                uniq, inv = np.unique(stacked, axis=0, return_inverse=True)
-                key_cols = {k: uniq[:, i] for i, k in enumerate(keys)}
-                n_groups = uniq.shape[0]
-        order = np.argsort(inv, kind="stable")
-        starts = np.searchsorted(inv[order], np.arange(n_groups))
-        vs = v[order]
-        out = dict(key_cols)
-        out["sum_v"] = np.add.reduceat(vs, starts)
+            c_k, u_k = pd.factorize(arr, use_na_sentinel=False)
+            u_k = np.asarray(u_k)
+        codes.append(c_k.astype(np.int64))
+        uniqs.append(u_k)
+    spans = [len(u) for u in uniqs]
+    total_span = 1
+    for s in spans:
+        total_span *= s
+    if total_span < (1 << 62):
+        packed = codes[0]
+        for c_k, s in zip(codes[1:], spans[1:]):
+            packed = packed * s + c_k
+        uniq_p, inv = np.unique(packed, return_inverse=True)
+        key_codes, rem = [], uniq_p
+        for s in reversed(spans):
+            key_codes.append(rem % s)
+            rem = rem // s
+        key_codes = list(reversed(key_codes))
+        n_groups = len(uniq_p)
+    else:  # pragma: no cover - astronomically many distinct keys per batch
+        stacked = np.stack(codes, axis=1)
+        uniq_rows, inv = np.unique(stacked, axis=0, return_inverse=True)
+        key_codes = [uniq_rows[:, i] for i in range(len(keys))]
+        n_groups = uniq_rows.shape[0]
+    key_cols = {}
+    for i, k in enumerate(keys):
+        col = uniqs[i][key_codes[i]]
+        if col.dtype == object:  # factorize encodes null keys as float NaN;
+            col = col.copy()  # restore None so Arrow infers a string column
+            col[pd.isna(col)] = None
+        key_cols[k] = col
+
+    order = np.argsort(inv, kind="stable")
+    starts = np.searchsorted(inv[order], np.arange(n_groups))
+    vs = v[order]
+    cv = cov[order] if cov is not None else None
+    out = dict(key_cols)
+    out["sum_v"] = np.add.reduceat(vs if cv is None else cv * vs, starts)
+    if cv is None:
         out["cnt"] = np.diff(np.concatenate([starts, [len(vs)]])).astype(np.float64)
-        out["min_v"] = np.minimum.reduceat(vs, starts)
-        out["max_v"] = np.maximum.reduceat(vs, starts)
-        if w is not None:
-            ws = w[order]
-            out["sum_w"] = np.add.reduceat(ws, starts)
-            out["sum_wv"] = np.add.reduceat(ws * vs, starts)
-        else:
-            z = np.zeros(len(starts))
-            out["sum_w"], out["sum_wv"] = z, z
-        return pa.table(out)
-
-    df = pa.table({k: batch[k] for k in keys}).to_pandas()
-    df["_v"] = v
-    if w is not None:
-        df["_w"] = w
-        df["_wv"] = w * v
-    g = df.groupby(keys, sort=False, observed=True)
-    out = g["_v"].agg(sum_v="sum", cnt="count", min_v="min", max_v="max")
-    if w is not None:
-        out["sum_w"] = g["_w"].sum()
-        out["sum_wv"] = g["_wv"].sum()
     else:
-        out["sum_w"] = 0.0
-        out["sum_wv"] = 0.0
-    out["cnt"] = out["cnt"].astype("float64")
-    return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+        out["cnt"] = np.add.reduceat(cv, starts)
+    out["min_v"] = np.minimum.reduceat(vs, starts)
+    out["max_v"] = np.maximum.reduceat(vs, starts)
+    if w is not None:
+        wm = w[order] if cv is None else cv * w[order]
+        out["sum_w"] = np.add.reduceat(wm, starts)
+        out["sum_wv"] = np.add.reduceat(wm * vs, starts)
+    else:
+        z = np.zeros(len(starts))
+        out["sum_w"], out["sum_wv"] = z, z
+    return pa.table(out)
+
+
+_ALLOWED_PARAMS = {"default_value", "default_weight", "coverage_weight"}
+
+
+def _collect_param(specs: list[OpSpec], name: str) -> str | None:
+    """One shared value for an op param across all requested ops (partials
+    are shared, so per-op divergent defaults cannot be honored — error)."""
+    vals = {s.param_dict[name] for s in specs if name in s.param_dict}
+    if len(vals) > 1:
+        raise ValueError(f"conflicting {name!r} across ops: {sorted(vals)}")
+    return vals.pop() if vals else None
 
 
 def zonal_aggregate(
@@ -147,6 +186,7 @@ def zonal_aggregate(
     batch_size: int = 65536,
     skip_nulls: bool = False,
     salt: int | None = None,
+    cov_col: str | None = None,
 ) -> rd.Dataset:
     """Dataset -> one row per key combo with a column per requested op.
 
@@ -164,9 +204,28 @@ def zonal_aggregate(
     keys = keys or ["admin_id"]
     if any(s.needs_weight for s in specs) and weight_col is None:
         raise ValueError("weighted op requested but no weight_col given")
+    for s in specs:
+        unknown = set(s.param_dict) - _ALLOWED_PARAMS
+        if unknown:
+            raise ValueError(f"unknown op params {sorted(unknown)} in {s.name!r}")
+    dv = _collect_param(specs, "default_value")
+    dw = _collect_param(specs, "default_weight")
+    default_value = float(dv) if dv is not None else None
+    default_weight = float(dw) if dw is not None else None
+    if default_value is not None and skip_nulls:
+        raise ValueError("default_value replaces NODATA; skip_nulls would drop it")
+    cw = _collect_param(specs, "coverage_weight")
+    if cw is not None and cov_col is None:
+        raise ValueError(
+            "coverage_weight requires coverage-fraction input: build the cov "
+            "column with stages.coverage (coverage_weight=...) and pass cov_col"
+        )
 
     def _partial(b: pa.Table) -> pa.Table:
-        out = partial_zonal(b, keys, value_col, weight_col, skip_nulls)
+        out = partial_zonal(
+            b, keys, value_col, weight_col, skip_nulls,
+            cov_col=cov_col, default_value=default_value, default_weight=default_weight,
+        )
         if salt:
             # one deterministic salt per source batch: different batches of
             # the same hot key land on different reducers

@@ -70,9 +70,9 @@ def test_minhash_detects_true_duplicates():
 
 
 def test_lsh_bucket_keying_preserves_pairs():
-    """The (band_id, hash-bucket) shuffle key must yield byte-identical
-    pair sets to band-only keying (n_buckets=1): bucketing is a function
-    of the collision key, so co-location is preserved exactly."""
+    """The sharded shuffle key must yield byte-identical pair sets to
+    single-group keying (n_shards=1): the shard is a function of the
+    collision key, so co-location is preserved exactly."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -94,8 +94,8 @@ def test_lsh_bucket_keying_preserves_pairs():
         (minhash_neardup, {"threshold": 0.3}),
         (simhash_neardup, {"max_hamming": 8}),
     ]:
-        a = fn(rd.from_arrow(t), n_buckets=1, **kw).to_pandas()
-        b = fn(rd.from_arrow(t), n_buckets=64, **kw).to_pandas()
+        a = fn(rd.from_arrow(t), n_shards=1, **kw).to_pandas()
+        b = fn(rd.from_arrow(t), n_shards=64, **kw).to_pandas()
         key = ["doc_a", "doc_b"]
         a = a.sort_values(key).reset_index(drop=True)
         b = b.sort_values(key).reset_index(drop=True)
