@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q.dedup_exact,
         "media_explode": q.media_explode,
         "embed_knn": q.embed_knn,
+        "approx_distinct_check": q.approx_distinct_check,
+        "embed_lsh_recall": q.embed_lsh_recall,
         # training-data ops (rows-only: not SQL-expressible)
         "lang_id": q.lang_id,
         "doc_fingerprint": q.doc_fingerprint,
@@ -112,4 +114,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": o.dedup_exact(),
         "media_explode": o.media_explode(),
         "embed_knn": o.embed_knn(),
+        "lang_id": o.lang_id(),
+        "doc_fingerprint": o.doc_fingerprint(),
+        "simhash_neardup": o.simhash_neardup(),
+        "ngram_neardup": o.ngram_neardup(),
+        "approx_distinct_check": o.approx_distinct_check(),
+        "embed_lsh_recall": o.embed_lsh_recall(),
     }

@@ -1,0 +1,69 @@
+"""SQL-replicable 64-bit token hash.
+
+``pd.util.hash_array`` (siphash with pandas-internal keys) cannot be
+reproduced in SQL, which left the fingerprint/simhash operators without
+DuckDB oracles in round 1.  This hash is designed to be computed
+identically by vectorized numpy (uint64 wraparound) and by DuckDB
+(HUGEINT arithmetic mod 2**64):
+
+1. ``u``  = little-endian uint64 of the token's first 8 UTF-8 bytes
+   (zero-padded; tokens longer than 8 bytes are truncated — lossless for
+   the fixture vocabulary, a documented weakening elsewhere).
+2. ``h1`` = ``u * C1 mod 2**64``           (odd multiplier, spreads low bytes)
+3. ``h``  = ``lo32(h1)*C2 + hi32(h1)*C3 mod 2**64``  (cross-mixes halves)
+
+All SQL intermediates stay below 2**127 so HUGEINT arithmetic is exact;
+numpy relies on defined uint64 wraparound.  Equality is pinned by
+tests/test_texthash.py over the full fixture vocabulary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+C1 = 0x2545F4914F6CDD1D  # < 2**62: HUGEINT product of two operands stays < 2**127
+C2 = 0x9E3779B9
+C3 = 0x85EBCA77
+U64 = 1 << 64
+
+
+def token_hash64(tokens) -> np.ndarray:
+    """Vectorized token hash (uint64).  ``tokens``: numpy str/object array
+    or pyarrow string array."""
+    arr = np.asarray(tokens)
+    if arr.dtype.kind == "O" or arr.dtype.kind == "U":
+        b = np.char.encode(arr.astype("U"), "utf-8", "ignore")
+    else:
+        b = arr
+    s8 = np.asarray(b, dtype="S8")  # first 8 bytes, zero padded
+    u = np.frombuffer(s8.tobytes(), dtype="<u8").copy()
+    h1 = u * np.uint64(C1)
+    lo = h1 & np.uint64(0xFFFFFFFF)
+    hi = h1 >> np.uint64(32)
+    return lo * np.uint64(C2) + hi * np.uint64(C3)
+
+
+def sql_token_hash(t: str) -> str:
+    """DuckDB expression: hash of token expression ``t`` as HUGEINT in
+    [0, 2**64).  Byte extraction via ascii(substr(...)) — identical to the
+    numpy path for ASCII tokens."""
+    u = " + ".join(
+        f"(CASE WHEN length({t}) >= {i + 1} "
+        f"THEN ascii(substr({t}, {i + 1}, 1))::HUGEINT * {1 << (8 * i)}::HUGEINT "
+        f"ELSE 0::HUGEINT END)"
+        for i in range(8)
+    )
+    h1 = f"((({u}) * {C1}::HUGEINT) % {U64}::HUGEINT)"
+    return (
+        f"(((({h1}) % 4294967296::HUGEINT) * {C2}::HUGEINT"
+        f" + (({h1}) // 4294967296::HUGEINT) * {C3}::HUGEINT) % {U64}::HUGEINT)"
+    )
+
+
+def sql_u64_to_bigint(e: str) -> str:
+    """HUGEINT in [0, 2**64) -> signed BIGINT (two's-complement view),
+    matching numpy's ``.view(np.int64)``."""
+    return (
+        f"(CASE WHEN ({e}) >= 9223372036854775808::HUGEINT "
+        f"THEN ({e}) - {U64}::HUGEINT ELSE ({e}) END)::BIGINT"
+    )

@@ -23,6 +23,23 @@ _WKB_MULTIPOLYGON = 6
 
 EARTH_RADIUS_KM = 6371.0088  # mean Earth radius (spherical model)
 
+# WGS84 ellipsoid (public constants; the reference delegates to
+# pyproj.Geod(ellps="WGS84") — types.py:76-82)
+WGS84_A_KM = 6378.137
+WGS84_F = 1.0 / 298.257223563
+WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
+WGS84_E = math.sqrt(WGS84_E2)
+
+
+def _authalic_q(sin_phi):
+    """Authalic-latitude integral q(φ) = (1-e²)[sinφ/(1-e²sin²φ) +
+    atanh(e·sinφ)/e] — the exact ellipsoidal analogue of 2·sinφ in the
+    spherical area line integral (q(90°)·a²·π = hemisphere area)."""
+    s = np.asarray(sin_phi, dtype=np.float64)
+    return (1.0 - WGS84_E2) * (
+        s / (1.0 - WGS84_E2 * s * s) + np.arctanh(WGS84_E * s) / WGS84_E
+    )
+
 
 # --------------------------------------------------------------------- bbox
 @dataclass(frozen=True)
@@ -58,20 +75,45 @@ class Bbox:
         return Bbox(self.minx - dx, self.miny - dy, self.maxx + dx, self.maxy + dy)
 
     def overlap_fraction(self, other: "Bbox") -> float:
+        """Geodetic-area overlap ratio, the reference's semantics
+        (``types.py:84-89``): area(self ∩ other) / max(area(self),
+        area(other)) on the WGS84 ellipsoid."""
         inter = self & other
         if inter is None:
             return 0.0
-        a = (inter.maxx - inter.minx) * (inter.maxy - inter.miny)
-        return a / ((self.maxx - self.minx) * (self.maxy - self.miny))
+        return inter.geodetic_area_km2() / max(
+            self.geodetic_area_km2(), other.geodetic_area_km2()
+        )
+
+    def coverage_fraction(self, other: "Bbox") -> float:
+        """1.0 when ``other`` is contained in ``self``, else the overlap
+        ratio (``types.py:91-94``)."""
+        if self >= other:
+            return 1.0
+        return self.overlap_fraction(other)
 
     def contains(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         return (lon >= self.minx) & (lon < self.maxx) & (lat >= self.miny) & (lat < self.maxy)
 
     def spherical_area_km2(self) -> float:
-        """Area on the sphere between two meridians and two parallels."""
+        """Area on the sphere between two meridians and two parallels
+        (exactextract's genuinely-spherical ``area_spherical_km2``
+        coverage weight keeps this model)."""
         lam = math.radians(self.maxx - self.minx)
         band = math.sin(math.radians(self.maxy)) - math.sin(math.radians(self.miny))
         return EARTH_RADIUS_KM**2 * lam * band
+
+    def geodetic_area_km2(self) -> float:
+        """WGS84 ellipsoidal area between two meridians and two parallels
+        — exact closed form via the authalic integral; matches the
+        reference's ``pyproj.Geod`` bbox areas (``types.py:76-82``) where
+        the spherical model is ~0.1-0.5% off."""
+        lam = math.radians(self.maxx - self.minx)
+        dq = float(
+            _authalic_q(math.sin(math.radians(self.maxy)))
+            - _authalic_q(math.sin(math.radians(self.miny)))
+        )
+        return WGS84_A_KM**2 * lam * dq / 2.0
 
     @staticmethod
     def from_string(s: str) -> "Bbox":
@@ -314,10 +356,22 @@ def ring_area(ring: np.ndarray) -> float:
 
 
 def spherical_ring_area_km2(ring: np.ndarray) -> float:
-    """Spherical excess area of a closed lon/lat ring (small-polygon
-    line-integral approximation; mirrors the reference's geodesic area use
-    ``types.py:76-82`` without pyproj)."""
+    """Spherical area of a closed lon/lat ring (trapezoid line integral;
+    kept as the model behind exactextract's ``area_spherical_km2``)."""
     lam = np.radians(ring[:, 0])
     phi = np.radians(ring[:, 1])
     s = np.sum((lam[1:] - lam[:-1]) * (np.sin(phi[1:]) + np.sin(phi[:-1])) / 2.0)
     return abs(float(s)) * EARTH_RADIUS_KM**2
+
+
+def geodesic_ring_area_km2(ring: np.ndarray) -> float:
+    """WGS84 ellipsoidal area of a closed lon/lat ring via the authalic-
+    latitude line integral — the public closed form matching the
+    reference's ``pyproj.Geod.polygon_area_perimeter`` (``types.py:76-82``)
+    for lon/lat polylines (exact for graticule-aligned edges; trapezoid
+    rule along slanted edges, same order as the reference's dense GADM
+    vertices)."""
+    lam = np.radians(ring[:, 0])
+    q = _authalic_q(np.sin(np.radians(ring[:, 1])))
+    s = np.sum((lam[1:] - lam[:-1]) * (q[1:] + q[:-1]) / 2.0)
+    return abs(float(s)) * WGS84_A_KM**2 / 2.0

@@ -561,6 +561,135 @@ FROM documents GROUP BY text ORDER BY doc_id
 """
 
 
+def _sql_tokens(text_expr: str) -> str:
+    """Whitespace tokens of raw text (mirrors utf8_split_whitespace)."""
+    return f"list_filter(string_split({text_expr}, ' '), x -> x <> '')"
+
+
+def lang_id() -> str:
+    from geoglue_ray.stages.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)  # argmax order: first max wins
+
+    def hits(lg: str) -> str:
+        vals = ", ".join(f"'{m}'" for m in LANG_MARKERS[lg])
+        return f"sum(CASE WHEN t IN ({vals}) THEN 1 ELSE 0 END)"
+
+    score_cols = ", ".join(f"{hits(lg)} AS s_{lg}" for lg in langs)
+    m = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lg} = {m} THEN '{lg}'" for lg in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_tokens('lower(text)')}) AS t FROM documents),
+sc AS (
+  SELECT doc_id, {score_cols}, count(*) AS n_tok FROM toks GROUP BY doc_id)
+SELECT d.doc_id, d.lang, {pred} AS pred_lang,
+       CAST({m} AS DOUBLE) / greatest(n_tok, 1) AS lang_score
+FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def doc_fingerprint() -> str:
+    """Rolling FNV over token hashes, reproduced in SQL via list_transform
+    + list_reduce over HUGEINT (mod-2^64 arithmetic; texthash.py)."""
+    from geoglue_ray.functions.texthash import U64, sql_token_hash, sql_u64_to_bigint
+    from geoglue_ray.stages.text import _FP_BASE, _FP_SEED
+
+    th_list = f"list_transform({_sql_tokens('text')}, t -> {sql_token_hash('t')})"
+    fp = (
+        f"list_reduce(list_prepend({int(_FP_SEED)}::HUGEINT, {th_list}), "
+        f"(acc, x) -> xor((acc * {int(_FP_BASE)}::HUGEINT) % {U64}::HUGEINT, x))"
+    )
+    return f"""
+SELECT doc_id,
+       CASE WHEN length({_sql_tokens('text')}) = 0 THEN 0
+            ELSE {sql_u64_to_bigint(fp)} END AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def _sql_simhash_fp() -> str:
+    """CTE text: per-doc 64-bit SimHash fingerprint as HUGEINT in
+    [0, 2^64) — per-bit +/-1 sums over token hashes, bit set when the sum
+    is positive (mirrors stages/dedup.py SimHasher)."""
+    from geoglue_ray.functions.texthash import sql_token_hash
+
+    bit_terms = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (h // {1 << b}::HUGEINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END"
+        for b in range(64)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, unnest({_sql_tokens('text')}) AS t FROM documents),
+th AS (SELECT doc_id, {sql_token_hash('t')} AS h FROM toks),
+fps AS (SELECT doc_id, ({bit_terms}) AS fp FROM th GROUP BY doc_id)
+"""
+
+
+def simhash_neardup() -> str:
+    """All pairs with Hamming(simhash) <= 4 — the engine's banded LSH is
+    COMPLETE (pigeonhole), so its pair set equals this full quadratic."""
+    from geoglue_ray.functions.texthash import sql_u64_to_bigint
+
+    ham = (
+        f"bit_count(xor({sql_u64_to_bigint('a.fp')}, {sql_u64_to_bigint('b.fp')}))"
+    )
+    return f"""
+WITH {_sql_simhash_fp()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST({ham} AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE {ham} <= 4
+ORDER BY 1, 2
+"""
+
+
+def ngram_neardup() -> str:
+    """Blocked quadratic char-3-gram Jaccard (same (lang, n_chars//64)
+    blocking as the engine; jaccard = one exact integer division)."""
+    return """
+WITH grams AS (
+  SELECT DISTINCT doc_id, lang, n_chars // 64 AS block,
+         substr(text, i.range::INTEGER, 3) AS g
+  FROM documents, range(1, 8192) i
+  WHERE i.range <= greatest(length(text) - 2, 1)),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS both
+  FROM grams a JOIN grams b
+    ON a.g = b.g AND a.lang = b.lang AND a.block = b.block
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both) >= 0.5
+ORDER BY 1, 2
+"""
+
+
+def approx_distinct_check() -> str:
+    """Exact distinct + the accuracy claim the engine must uphold: the
+    HLL estimate within 5% (a FALSE on the engine side hash-fails)."""
+    return """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_5pct
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def embed_lsh_recall() -> str:
+    """Recall claim for multi-probe LSH kNN vs brute force (>= 0.6 mean)."""
+    return """
+SELECT i.range AS query_id, TRUE AS recall_ok FROM range(4) i ORDER BY 1
+"""
+
+
 def media_explode() -> str:
     return """
 SELECT d.doc_id,

@@ -189,6 +189,58 @@ def approx_distinct_users(sf_dir: str) -> rd.Dataset:
     return approx_distinct(ds, ["event_type"], "user_id").sort("event_type")
 
 
+def approx_distinct_check(sf_dir: str) -> rd.Dataset:
+    """Driver-visible HLL accuracy gate: per event type, the EXACT
+    distinct-user count (hash-partitioned two-stage distinct, fully
+    distributed) plus a boolean asserting the HLL estimate lands within
+    5% of it.  The DuckDB oracle recomputes the exact count and asserts
+    TRUE — so an HLL accuracy regression fails the driver's hash compare,
+    not just a local pytest."""
+    from geoglue_ray.stages.sketch import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    est = approx_distinct(ds, ["event_type"], "user_id")
+    # exact distinct: collapse (type, user) pairs, then count per type —
+    # both stages are narrow hash-partitioned groupbys
+    pairs = ds.groupby(["event_type", "user_id"]).count()
+    exact = zonal_aggregate(pairs, ["count"], keys=["event_type"], value_col="count()")
+
+    est_df = est.to_pandas()  # <= |event_type| rows: tiny by construction
+    exact_df = exact.to_pandas()
+    m = exact_df.merge(est_df, on="event_type")
+    ok = (m["approx_distinct"] - m["count"]).abs() / m["count"] <= 0.05
+    out = pa.table(
+        {
+            "event_type": pa.array(m["event_type"]),
+            "exact_distinct": pa.array(m["count"].to_numpy().astype(np.int64)),
+            "within_5pct": pa.array(ok.to_numpy()),
+        }
+    )
+    return rd.from_arrow(out).sort("event_type")
+
+
+def embed_lsh_recall(sf_dir: str) -> rd.Dataset:
+    """Driver-visible LSH-recall gate: mean multi-probe LSH recall vs the
+    exact brute-force kNN must clear 0.6 on the near-random sf
+    embeddings.  The oracle asserts the bound holds (TRUE), so a recall
+    regression fails the driver's hash compare."""
+    exact = embed_knn(sf_dir).to_pandas()  # 40 rows (4 queries x k=10)
+    approx = embed_knn_lsh(sf_dir).to_pandas()
+    qids = sorted(exact["query_id"].unique())
+    recalls = []
+    for qid in qids:
+        e = set(exact.loc[exact["query_id"] == qid, "neighbor_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    out = pa.table(
+        {
+            "query_id": pa.array(np.asarray(qids, dtype=np.int64)),
+            "recall_ok": pa.array([bool(np.mean(recalls) >= 0.6)] * len(qids)),
+        }
+    )
+    return rd.from_arrow(out).sort("query_id")
+
+
 def topk_by_admin1(sf_dir: str, k: int = 10) -> rd.Dataset:
     """Top-k documents by value within each admin-1 (deterministic ties:
     value desc, doc_id asc) — groupby + per-group sorted head."""
@@ -442,11 +494,17 @@ def segment_revenue(sf_dir: str) -> rd.Dataset:
             self.seg: pa.Array = d["seg"]
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            pos = np.searchsorted(self.keys, b["o_custkey"].to_numpy())
+            ck = b["o_custkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.keys, ck), 0, len(self.keys) - 1)
+            # inner-join semantics: drop orders whose custkey is absent
+            # (an unchecked lookup would silently attach a neighbor's
+            # segment; safe only under FK integrity, which we don't assume)
+            hit = self.keys[pos] == ck
+            price = np.floor(b["o_totalprice"].to_numpy())[hit]
             return pa.table(
                 {
-                    "c_mktsegment": self.seg.take(pa.array(pos, type=pa.int64())),
-                    "price": pa.array(np.floor(b["o_totalprice"].to_numpy())),
+                    "c_mktsegment": self.seg.take(pa.array(pos[hit], type=pa.int64())),
+                    "price": pa.array(price),
                 }
             )
 

@@ -35,9 +35,36 @@ SPAN_TYPE = pa.list_(
 )
 
 
+def read_table(path_base: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Column-pruned read of a table stored as Lance or parquet.
+
+    The stated input contract (``BASELINE.json`` input_hint) is Lance
+    tables; the sandbox driver supplies parquet.  Dispatch on what exists:
+    ``<path_base>.lance`` (a Lance dataset directory) is read through
+    Ray's native ``read_lance`` (column projection pushed down, one block
+    per fragment — the same streaming shape as the parquet path), else
+    ``<path_base>.parquet``.  The ``lance`` package is import-gated: a
+    Lance directory without the package is a loud, actionable error, never
+    a silent parquet fallback.
+    """
+    import os
+
+    lance_dir = path_base if path_base.endswith(".lance") else f"{path_base}.lance"
+    if os.path.isdir(lance_dir):
+        try:
+            return rd.read_lance(lance_dir, columns=columns)
+        except ImportError as e:
+            raise ImportError(
+                f"Lance dataset found at {lance_dir!r} but the 'lance' package "
+                "is not installed in this environment; install pylance or "
+                "provide the table as parquet"
+            ) from e
+    return rd.read_parquet(f"{path_base}.parquet", columns=columns)
+
+
 def read_documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Column-pruned read of the raw documents table."""
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    """Column-pruned read of the raw documents table (Lance or parquet)."""
+    return read_table(f"{sf_dir}/documents", columns=columns)
 
 
 def build_spans(ids: np.ndarray, texts: pa.Array, n_chars: np.ndarray) -> pa.Array:

@@ -77,6 +77,12 @@ def instrument(ds: rd.Dataset, label: str) -> rd.Dataset:
     return ds.map_batches(count, batch_format="pyarrow")
 
 
+def bump(label: str, rows: int, nbytes: int = 0) -> None:
+    """Fire-and-forget increment from inside any worker task — for stages
+    that need to account for capped/dropped work (no silent truncation)."""
+    _get_actor().add.remote(label, rows, nbytes)
+
+
 def read_counters(reset: bool = False, settle_s: float = 0.5) -> dict:
     """Snapshot the counters.  Increments are fire-and-forget from many
     workers (no cross-caller ordering guarantee), so the snapshot polls

@@ -307,15 +307,19 @@ def minhash_neardup(
 
 # ----------------------------------------------------------------- SimHash
 class SimHasher:
-    """Actor-pool stage: 64-bit SimHash over token hashes."""
+    """Actor-pool stage: 64-bit SimHash over token hashes (the
+    SQL-replicable :mod:`texthash` hash, so the DuckDB oracle can
+    recompute fingerprints bit-for-bit)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        from geoglue_ray.functions.texthash import token_hash64
+
         toks = pc.utf8_split_whitespace(batch["text"])
         n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
         flat = pc.list_flatten(toks)
-        th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False)).astype(np.uint64)
+        th = token_hash64(flat.to_numpy(zero_copy_only=False))
         bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
             np.int64
         ) * 2 - 1

@@ -98,13 +98,23 @@ def knn_bruteforce(
         concurrency=concurrency,
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
+    return local.groupby("query_id").map_groups(
+        lambda g: _topk_merge(g, k), batch_format="pandas"
+    )
 
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+def _topk_merge(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Global top-k from per-batch candidates; explicitly TYPED output so
+    empty groups cannot emit an untyped frame and diverge block schemas
+    (the PandasBlockSchema([],[]) warning class from round 1)."""
+    g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+    return pd.DataFrame(
+        {
+            "query_id": g["query_id"].to_numpy().astype(np.int64),
+            "neighbor_id": g["neighbor_id"].to_numpy().astype(np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        }
+    )
 
 
 class HyperplaneLSH:
@@ -178,27 +188,42 @@ def knn_lsh(
         concurrency=(1, 4),
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
-
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return local.groupby("query_id").map_groups(
+        lambda g: _topk_merge(g, k), batch_format="pandas"
+    )
 
 
 def embedding_neardup(
     ds: rd.Dataset,
     threshold: float = 0.98,
-    nbits: int = 8,
+    nbits: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    target_bucket_rows: int = 256,
+    split_above: int | None = None,
 ) -> rd.Dataset:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed blocking:
     bucket by hyperplane signature, exact pairwise cosine within buckets
-    (near-identical vectors collide w.h.p.), canonical (a < b) pairs."""
+    (near-identical vectors collide w.h.p.), canonical (a < b) pairs.
+
+    Scale behaviour (derived, not fixed — the LSH banding-from-threshold
+    lesson): when ``nbits`` is None it is sized from the corpus count so
+    expected bucket occupancy ~ ``target_bucket_rows``; a bucket that
+    still exceeds ``split_above`` (skew) is subdivided by a second-level
+    hyperplane split — only within-sub-bucket pairs are compared, and the
+    skipped cross-pair count is recorded on the ``counters`` actor
+    (``embed_neardup_pairs_skipped``) so capped work is never silent.
+    """
+    from geoglue_ray.stages.counters import bump
+    from geoglue_ray.stages.dedup import _run_pairs
+
     first = ds.take(1)[0]
     dim = len(first[emb_col])
+    if nbits is None:
+        n = ds.count()  # metadata-cheap on a parquet-backed source
+        nbits = int(np.clip(np.ceil(np.log2(max(n, 2) / target_bucket_rows)), 4, 24))
+    if split_above is None:
+        split_above = 32 * target_bucket_rows
     lsh_ref = ray.put(HyperplaneLSH(dim, nbits, seed=23))
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -219,11 +244,27 @@ def embedding_neardup(
         order = np.argsort(ids)
         ids = ids[order]
         mat = _normalize(np.stack(g[emb_col].to_numpy()[order]).astype(np.float64))
-        sim = mat @ mat.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sim[ia, ib] >= threshold
+        n = len(ids)
+        if n <= split_above:
+            sim = mat @ mat.T
+            ia, ib = np.triu_indices(n, k=1)
+            s = sim[ia, ib]
+        else:
+            # second-level split: extra sign bits sized to target occupancy,
+            # deterministic per bucket; within-run pairs only (logged)
+            extra = max(1, int(np.ceil(np.log2(n / target_bucket_rows))))
+            rng = np.random.default_rng((23, int(g["bucket"].iloc[0]) & 0x7FFFFFFF))
+            planes = rng.standard_normal((mat.shape[1], extra))
+            sub = ((mat @ planes) > 0) @ (1 << np.arange(extra, dtype=np.int64))
+            o2 = np.argsort(sub, kind="stable")  # id order preserved per sub
+            sub_s, ids, mat = sub[o2], ids[o2], mat[o2]
+            ia, ib = _run_pairs(sub_s)
+            s = np.einsum("ij,ij->i", mat[ia], mat[ib])
+            bump("embed_neardup_split_buckets", 1)
+            bump("embed_neardup_pairs_skipped", n * (n - 1) // 2 - len(ia))
+        keep = s >= threshold
         return pd.DataFrame(
-            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cosine": sim[ia, ib][keep]}
+            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cosine": s[keep]}
         )
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")

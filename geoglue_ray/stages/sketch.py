@@ -101,18 +101,46 @@ def approx_quantiles(
     ``key_col`` must be row-unique — hashing the values themselves would
     collapse duplicate values onto one hash and break sample uniformity.
     Returns a small driver-side dict — the canonical "tiny result" shape.
+
+    Merge topology: per-batch bottom-k partials reduce through a
+    ``groupby(shard)`` stage (shard = hash % n_shards, so each shard's
+    bottom-k is a superset of its contribution to the global bottom-k)
+    before the driver sees anything — the driver holds at most
+    ``n_shards * k`` rows regardless of block count, instead of
+    O(blocks * k).
     """
+
+    n_shards = 16
 
     def partial(b: pa.Table) -> pa.Table:
         v = b[value_col].to_numpy(zero_copy_only=False)
         basis = b[key_col].to_numpy(zero_copy_only=False)
         h = pd.util.hash_array(np.ascontiguousarray(basis)).astype(np.uint64)
         hh, vv = _bottomk(v, h, k)
-        return pa.table({"_h": hh.view(np.int64), "_v": vv})
+        return pa.table(
+            {
+                "_shard": (hh % np.uint64(n_shards)).astype(np.int64),
+                "_h": hh.view(np.int64),
+                "_v": vv,
+            }
+        )
 
-    sk = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    h = np.array([r["_h"] for r in sk], dtype=np.int64).view(np.uint64)
-    v = np.array([r["_v"] for r in sk])
+    def shard_merge(g: pd.DataFrame) -> pd.DataFrame:
+        hh, vv = _bottomk(
+            g["_v"].to_numpy(), g["_h"].to_numpy().view(np.uint64), k
+        )
+        return pd.DataFrame(
+            {"_h": hh.view(np.int64).astype(np.int64), "_v": vv.astype(np.float64)}
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_merge, batch_format="pandas")
+        .take_all()
+    )
+    h = np.array([r["_h"] for r in merged], dtype=np.int64).view(np.uint64)
+    v = np.array([r["_v"] for r in merged])
     _, v = _bottomk(v, h, k)
     return {q: float(np.quantile(v, q)) for q in quantiles}
 

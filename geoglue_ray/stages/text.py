@@ -103,11 +103,15 @@ _FP_SEED = np.uint64(14695981039346656037)
 
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Order-sensitive rolling document fingerprint (FNV-style over token
-    hashes): permutation-sensitive, whitespace-normalization-insensitive."""
+    hashes): permutation-sensitive, whitespace-normalization-insensitive.
+    Token hashes come from the SQL-replicable :mod:`texthash` hash so the
+    DuckDB oracle reproduces fingerprints exactly."""
+    from geoglue_ray.functions.texthash import token_hash64
+
     toks = pc.utf8_split_whitespace(batch[text_col])
     n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
     flat = pc.list_flatten(toks)
-    th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    th = token_hash64(flat.to_numpy(zero_copy_only=False))
     offsets = np.concatenate(([0], np.cumsum(n_tok)))
     fps = np.empty(len(batch), dtype=np.uint64)
     # rolling combine per doc; docs are short — loop over max token count,

@@ -130,3 +130,27 @@ def test_admin_table_shape():
     assert len(set(ids)) == len(ids)  # pk uniqueness (config.py:88-91 analogue)
     a1 = set(t["admin1_id"].to_pylist())
     assert len(a1) == fx.NX1 * fx.NY1
+
+
+def test_read_table_lance_dispatch(tmp_path):
+    """Lance-or-parquet source dispatch: a Lance directory without the
+    lance package is a loud ImportError (never a silent parquet fallback);
+    no Lance directory -> parquet read."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from geoglue_ray.sources.corpus import read_table
+
+    try:
+        import lance  # noqa: F401
+
+        pytest.skip("lance installed; error path not reachable")
+    except ImportError:
+        pass
+    import pyarrow as pa
+
+    pq.write_table(pa.table({"a": [1, 2]}), tmp_path / "t.parquet")
+    assert read_table(str(tmp_path / "t")).count() == 2
+    (tmp_path / "t.lance").mkdir()
+    with pytest.raises(ImportError, match="lance"):
+        read_table(str(tmp_path / "t"))

@@ -98,3 +98,33 @@ def test_bbox_algebra():
     assert Bbox.from_string("1,2,3,4").to_list() == [1, 2, 3, 4]
     # one-degree square at equator ~ 12364 km^2
     assert 12300 < Bbox(0, 0, 1, 1).spherical_area_km2() < 12400
+
+
+def test_geodetic_area_wgs84():
+    """WGS84 authalic-integral area: hemisphere matches 2*pi*Rq^2 (authalic
+    radius 6371.0071810 km), bbox and ring forms agree, and the ellipsoid
+    diverges from the sphere by the expected sub-percent latitude bias."""
+    import numpy as np
+
+    from geoglue_ray.geom import Bbox, geodesic_ring_area_km2
+
+    hemi = Bbox(-180, 0, 180, 90).geodetic_area_km2()
+    rq = 6371.0071810
+    assert abs(hemi - 2 * np.pi * rq**2) / hemi < 1e-9
+    b = Bbox(102, 8, 110, 24)
+    ring = np.array(
+        [[102.0, 8.0], [110.0, 8.0], [110.0, 24.0], [102.0, 24.0], [102.0, 8.0]]
+    )
+    assert abs(b.geodetic_area_km2() - geodesic_ring_area_km2(ring)) < 1e-6
+    # ellipsoid vs sphere: small but nonzero, latitude-dependent
+    rel = abs(b.geodetic_area_km2() - b.spherical_area_km2()) / b.geodetic_area_km2()
+    assert 0 < rel < 0.01
+
+
+def test_coverage_fraction_semantics():
+    from geoglue_ray.geom import Bbox
+
+    a = Bbox(0, 0, 10, 10)
+    assert a.coverage_fraction(Bbox(2, 2, 5, 5)) == 1.0  # contained
+    assert 0 < a.coverage_fraction(Bbox(5, 0, 15, 10)) < 1.0
+    assert a.coverage_fraction(Bbox(20, 20, 30, 30)) == 0.0

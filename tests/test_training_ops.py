@@ -257,6 +257,45 @@ def test_embed_neardup(q, sf_dir):
         assert (df["cosine"] >= 0.3).all()
 
 
+def test_embed_neardup_split_bounds_bucket_work():
+    """Oversized LSH buckets are subdivided (second-level hyperplane
+    split): planted exact duplicates are still found (identical vectors
+    share every sub-bucket), and the skipped cross-pair work is recorded
+    on the counters actor — capped work is never silent."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.counters import read_counters
+    from geoglue_ray.stages.similarity import embedding_neardup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((1000, 8))
+    mat = np.concatenate([base, base[:20]])  # 20 planted exact dups
+    ids = np.arange(len(mat), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), type=pa.float32()), 8
+            ),
+        }
+    )
+    read_counters(reset=True)
+    out = embedding_neardup(
+        rd.from_arrow(t),
+        threshold=0.999,
+        nbits=1,  # one giant bucket per sign -> forces the split path
+        target_bucket_rows=32,
+        split_above=64,
+    ).to_pandas()
+    got = set(zip(out["vec_a"], out["vec_b"]))
+    for i in range(20):
+        assert (i, 1000 + i) in got  # dups survive the split
+    snap = read_counters()
+    assert snap.get("embed_neardup_split_buckets", {}).get("rows", 0) >= 1
+    assert snap.get("embed_neardup_pairs_skipped", {}).get("rows", 0) > 0
+
+
 def test_media_features(q, sf_dir):
     df = q["media_features"](sf_dir).to_pandas()
     # one row per media span: sum over docs of doc_id % 3
