@@ -106,7 +106,11 @@ def partial_zonal(
     codes, uniqs = [], []
     for k in keys:
         arr = batch[k].to_numpy(zero_copy_only=False)
-        if arr.dtype.kind in "Mm":  # factorize datetimes on the int64 view
+        if arr.dtype.kind in "iu":  # pure-numpy hot path (no pandas): the
+            # flagship shuffle keys are ints; a null-bearing int column
+            # arrives as float64 and takes the factorize path below
+            u_k, c_k = np.unique(arr, return_inverse=True)
+        elif arr.dtype.kind in "Mm":  # factorize datetimes on the int64 view
             c_k, u_k = pd.factorize(arr.view(np.int64), use_na_sentinel=False)
             u_k = np.asarray(u_k).view(arr.dtype)
         else:
@@ -118,7 +122,11 @@ def partial_zonal(
     total_span = 1
     for s in spans:
         total_span *= s
-    if total_span < (1 << 62):
+    if len(keys) == 1:  # codes are already dense group ids — no repack
+        inv = codes[0]
+        key_codes = [np.arange(spans[0])]
+        n_groups = spans[0]
+    elif total_span < (1 << 62):
         packed = codes[0]
         for c_k, s in zip(codes[1:], spans[1:]):
             packed = packed * s + c_k
