@@ -120,4 +120,6 @@ def oracle_sql() -> dict[str, str]:
         "ngram_neardup": o.ngram_neardup(),
         "approx_distinct_check": o.approx_distinct_check(),
         "embed_lsh_recall": o.embed_lsh_recall(),
+        "minhash_neardup": o.minhash_neardup(),
+        "dedup_clusters": o.dedup_clusters(),
     }

@@ -673,6 +673,96 @@ ORDER BY 1, 2
 """
 
 
+def _sql_minhash_cte(threshold: float) -> str:
+    """CTE chain reproducing the full MinHash+LSH pipeline in DuckDB:
+    position-ordered token hashes -> 3-shingle combines -> 64 multiply-add
+    permutation minima -> 16 banded FNV bucket hashes -> colliding pairs
+    -> signature-estimated Jaccard.  All arithmetic HUGEINT mod 2**64,
+    bit-identical to the numpy uint64 pipeline (stages/dedup.py)."""
+    from geoglue_ray.functions.texthash import U64, sql_token_hash
+    from geoglue_ray.stages.dedup import _SH_MUL1, _SH_MUL2, MinHasher
+
+    mh = MinHasher(num_perm=64)
+    perms = ", ".join(
+        f"({p}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for p, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    m1, m2 = int(_SH_MUL1), int(_SH_MUL2)
+    # 3-shingle combine: ((h0*M1 ^ h1) * M2 ^ h2) * M2, each step mod 2^64
+    step1 = f"((a.h * {m1}::HUGEINT) % {U64}::HUGEINT)"
+    step2 = f"((xor({step1}, b.h) * {m2}::HUGEINT) % {U64}::HUGEINT)"
+    step3 = f"((xor({step2}, c.h) * {m2}::HUGEINT) % {U64}::HUGEINT)"
+    fnv = (
+        "list_reduce(list_prepend(1469598103::HUGEINT, list(s ORDER BY p)), "
+        f"(acc, x) -> xor((acc * 1099511628211::HUGEINT) % {U64}::HUGEINT, x))"
+    )
+    return f"""
+tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, i.range AS i, {sql_token_hash('list_extract(toks, i.range::INTEGER)')} AS h
+  FROM tl, range(1, 128) i WHERE i.range <= len(toks)),
+sh AS (
+  SELECT a.doc_id, {step3} AS x
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+perms(p, pa, pb) AS (VALUES {perms}),
+sigs AS (
+  SELECT doc_id, p, min((pa * x + pb) % {U64}::HUGEINT) AS s
+  FROM sh, perms GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, p // 4 AS band_id, {fnv} AS band_hash
+  FROM sigs GROUP BY doc_id, p // 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.da, c.db,
+         sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 64.0 AS est
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.da
+  JOIN sigs sb ON sb.doc_id = c.db AND sb.p = sa.p
+  GROUP BY 1, 2),
+mh_pairs AS (
+  SELECT da AS doc_a, db AS doc_b, est AS est_jaccard
+  FROM est WHERE est >= {threshold})
+"""
+
+
+def minhash_neardup() -> str:
+    """Full MinHash+LSH candidate pairs, bit-exact (the engine's shard
+    keying is a pure shuffle choice — the pair set is defined by the band
+    collisions this SQL reproduces).  Valid while every doc has >= 3
+    tokens (all sf fixtures; the engine additionally handles shorter docs
+    with a whole-doc shingle the CTE omits)."""
+    return f"""
+WITH {_sql_minhash_cte(0.4)}
+SELECT doc_a, doc_b, est_jaccard FROM mh_pairs ORDER BY 1, 2
+"""
+
+
+def dedup_clusters() -> str:
+    """Connected components over the SQL-recomputed minhash pair set via
+    a recursive reachability closure; cluster_id = lowest member."""
+    return f"""
+WITH RECURSIVE {_sql_minhash_cte(0.4)},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
 def approx_distinct_check() -> str:
     """Exact distinct + the accuracy claim the engine must uphold: the
     HLL estimate within 5% (a FALSE on the engine side hash-fails)."""

@@ -61,24 +61,34 @@ def exact_dedup(
 
 
 # ----------------------------------------------------------------- MinHash
-_MIX1 = np.uint64(0x9E3779B185EBCA87)
+_MIX1 = np.uint64(0x9E3779B185EBCA87)  # shard mixing only (shuffle-internal)
 _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+# shingle-combine multipliers: SEMANTIC (they define the signatures) and
+# deliberately < 2**62 so the DuckDB oracle's HUGEINT products of a
+# multiplier with a full uint64 stay below 2**127 (texthash.py contract)
+_SH_MUL1 = np.uint64(0x27D4EB2F165667C5)
+_SH_MUL2 = np.uint64(0x165667B19E3779F9)
+_SH_SHORT_SEED = np.uint64(1469598103)
 
 
 def shingle_hash_batch(texts, k: int = 3):
     """Fully vectorized word-shingle hashing for a batch of documents.
 
-    Tokens are split/hashed with Arrow + siphash kernels; a k-shingle's
-    hash is an arithmetic combine of k consecutive token hashes (no string
-    joins, no per-row Python).  Returns (shingle_hashes, doc_offsets) in
-    CSR layout; docs with < k tokens contribute one whole-doc shingle.
+    Tokens are hashed with the SQL-replicable :mod:`texthash` hash; a
+    k-shingle's hash is an arithmetic combine of k consecutive token
+    hashes (no string joins, no per-row Python) — every step mod-2**64,
+    reproducible in DuckDB HUGEINT for the minhash oracle.  Returns
+    (shingle_hashes, doc_offsets) in CSR layout; docs with < k tokens
+    contribute one whole-doc shingle.
     """
     import pyarrow.compute as pc
+
+    from geoglue_ray.functions.texthash import token_hash64
 
     toks = pc.utf8_split_whitespace(texts)
     n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
     flat = toks.flatten() if hasattr(toks, "flatten") else pc.list_flatten(toks)
-    th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    th = token_hash64(flat.to_numpy(zero_copy_only=False))
 
     tok_off = np.concatenate(([0], np.cumsum(n_tok)))
     n_sh = np.where(n_tok >= k, n_tok - k + 1, (n_tok > 0).astype(np.int64))
@@ -95,20 +105,20 @@ def shingle_hash_batch(texts, k: int = 3):
             np.cumsum(n_sh[longd]) - n_sh[longd], n_sh[longd]
         )
         pos = starts + within
-        h = th[pos] * _MIX1
+        h = th[pos] * _SH_MUL1
         for j in range(1, k):
-            h = (h ^ th[pos + j]) * _MIX2
+            h = (h ^ th[pos + j]) * _SH_MUL2
         dest = np.repeat(sh_off[:-1][longd], n_sh[longd]) + within
         out[dest] = h
     # short docs (0 < n_tok < k): one combined hash of all their tokens
     shortd = (n_tok > 0) & (n_tok < k)
     if shortd.any():
-        hs = np.full(int(shortd.sum()), np.uint64(1469598103), dtype=np.uint64)
+        hs = np.full(int(shortd.sum()), _SH_SHORT_SEED, dtype=np.uint64)
         idxs = tok_off[:-1][shortd]
         nts = n_tok[shortd]
         for j in range(int(nts.max())):
             sel = nts > j
-            hs[sel] = (hs[sel] ^ th[idxs[sel] + j]) * _MIX2
+            hs[sel] = (hs[sel] ^ th[idxs[sel] + j]) * _SH_MUL2
         out[sh_off[:-1][shortd]] = hs
     return out, sh_off
 
