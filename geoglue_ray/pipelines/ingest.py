@@ -1,0 +1,127 @@
+"""Ingest-side converters: archive extraction and vartype splitting.
+
+The reference's download post-processing pair (SURVEY §2 S10/S11):
+
+- ``era5_extract_hourly_data`` (``cds.py:359-386``): unzip a cdsapi
+  archive, rename the instant/accum member files to
+  ``{stem}.instant/.accum`` — implemented here for real (zipfile is
+  stdlib), same error contract (non-zip rejected, neither-member raises).
+- ``grib_to_netcdf`` (``cds.py:389-414``): split one mixed file into one
+  output per vartype.  The GRIB decode needs cfgrib (absent in this
+  environment) and is honestly stubbed behind a format dispatch; the
+  parquet path is real — filter per vartype, write
+  ``{stem}.instant/.accum.parquet``.
+
+At scale conversion is a per-file fan-out: ``convert_files`` maps each
+archive through one Ray task (``flat_map``-style item batches), the
+ingest shape the reference runs serially per download (``cds.py:595-664``).
+"""
+
+from __future__ import annotations
+
+import zipfile
+from dataclasses import dataclass
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+# the cdsapi archive member names (cds.py: ERA5_HOURLY_{INSTANT,ACCUM}_FILE)
+INSTANT_MEMBER = "data_stream-oper_stepType-instant.parquet"
+ACCUM_MEMBER = "data_stream-oper_stepType-accum.parquet"
+VARTYPES = ("instant", "accum")
+
+
+@dataclass(frozen=True)
+class VartypePaths:
+    """The engine's ``CdsPath`` (``cds.py:330-356``): one file per vartype,
+    None when that vartype is absent from the source."""
+
+    instant: str | None = None
+    accum: str | None = None
+
+    def exists(self) -> bool:
+        return self.instant is not None or self.accum is not None
+
+
+def extract_hourly(archive: str | Path, extract_path: str | Path) -> VartypePaths:
+    """Unzip a downloaded archive and rename the per-vartype members to
+    ``{stem}.instant/.accum.parquet`` (``cds.py:359-386`` semantics)."""
+    archive = Path(archive)
+    extract_path = Path(extract_path)
+    if archive.suffix != ".zip":
+        raise ValueError(f"Not a valid zip file={archive}")
+    with zipfile.ZipFile(archive, "r") as zf:
+        zf.extractall(extract_path / archive.stem)
+    out: dict[str, str | None] = {}
+    for vt, member in (("instant", INSTANT_MEMBER), ("accum", ACCUM_MEMBER)):
+        src = extract_path / archive.stem / member
+        if src.exists():
+            dst = extract_path / f"{archive.stem}.{vt}.parquet"
+            src.rename(dst)
+            out[vt] = str(dst)
+    if not out:
+        raise ValueError(f"Error extracting hourly data from file={archive}")
+    return VartypePaths(**out)
+
+
+def split_vartypes(src: str | Path, out_dir: str | Path | None = None) -> VartypePaths:
+    """Split one mixed-vartype long-form file into one output per vartype
+    (``grib_to_netcdf`` semantics, ``cds.py:389-414``): parquet in/out is
+    real; ``.grib`` input requires a cfgrib-style decoder this environment
+    lacks and raises NotImplementedError (honest stub, like the media
+    codecs)."""
+    src = Path(src)
+    out = Path(out_dir) if out_dir else src.parent
+    if src.suffix == ".grib":
+        raise NotImplementedError(
+            "GRIB decode requires cfgrib (not in this environment); "
+            "provide the download as long-form parquet"
+        )
+    if src.suffix != ".parquet":
+        raise ValueError(f"unsupported source format {src.suffix!r}")
+    t = pq.read_table(src)
+    vt = t["vartype"]
+    paths: dict[str, str | None] = {}
+    for v in VARTYPES:
+        part = t.filter(pa.compute.equal(vt, v))
+        if len(part) == 0:
+            continue
+        dst = out / f"{src.stem}.{v}.parquet"
+        if dst.exists():
+            dst.unlink()  # cds.py:411 overwrites stale conversions
+        pq.write_table(part, dst)
+        paths[v] = str(dst)
+    return VartypePaths(**paths)
+
+
+def convert_files(files: list[str], out_dir: str | Path) -> list[VartypePaths]:
+    """Per-file conversion fan-out: one Ray task per source file (the
+    distributed form of the reference's serial per-download loop,
+    ``cds.py:595-664``).  Zips route through :func:`extract_hourly`,
+    everything else through :func:`split_vartypes`."""
+    out_dir = str(out_dir)
+
+    def convert(batch: pa.Table) -> pa.Table:
+        res = []
+        for f in batch["item"].to_pylist():
+            p = (
+                extract_hourly(f, out_dir)
+                if f.endswith(".zip")
+                else split_vartypes(f, out_dir)
+            )
+            res.append({"instant": p.instant, "accum": p.accum})
+        return pa.table(
+            {
+                "instant": pa.array([r["instant"] for r in res], pa.string()),
+                "accum": pa.array([r["accum"] for r in res], pa.string()),
+            }
+        )
+
+    rows = (
+        rd.from_items(files)
+        .map_batches(convert, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+    return [VartypePaths(instant=r["instant"], accum=r["accum"]) for r in rows]
