@@ -172,9 +172,15 @@ def zonal_coverage() -> rd.Dataset:
     polygon covers (boundary cells split pro-rata, not 100%/0%), with
     NODATA handled by ``default_value=0``/``default_weight=0``.
 
-    The (cell, admin, fraction) table is built once (distributed, rect-
-    clip geometry) and broadcast; the hot path is a vectorized lookup-
-    explode + the shared partial/final aggregation with ``cov_col``.
+    Scale shape: coverage and the weight raster are TIME-INVARIANT, so
+    the per-cell time series collapses FIRST (partial/final groupby on
+    (cell, variable): exact integer sums) and only then fans out through
+    the broadcast (cell, admin, fraction) lookup — the explode touches
+    cells, not cell-hours, shrinking the exploded volume by the number of
+    time slices (720 here).  The factorization is exact:
+    Σ_{cell,t} cov·w·v  =  Σ_cell cov·w·(Σ_t v), every term a dyadic
+    rational, so the result stays bit-identical to the per-cell-hour
+    DuckDB oracle.
     """
     from geoglue_ray import fixtures as fx
     from geoglue_ray.runtime import pool_size
@@ -183,38 +189,97 @@ def zonal_coverage() -> rd.Dataset:
 
     ds = read_raster()
     ds = ds.map_batches(_add_var_code, batch_format="pyarrow")
+    # per-(cell, variable) collapse over time; default_value=0 fills the
+    # NODATA holes BEFORE the sum (exactextract default semantics)
+    cell = zonal_aggregate(
+        ds,
+        ["sum(default_value=0)", "count(default_value=0)"],
+        keys=["cell_row", "cell_col", "var_code"],
+    )
 
-    def add_weight(b: pa.Table) -> pa.Table:
-        w = fx.derive_weight(b["longitude"].to_numpy(), b["latitude"].to_numpy())
-        return b.append_column("weight", pa.array(w))
+    def add_cell_attrs(b: pa.Table) -> pa.Table:
+        grid = raster_grid_spec()
+        lon = grid.xfirst + b["cell_col"].to_numpy().astype(np.float64) * grid.xinc
+        lat = grid.yfirst + b["cell_row"].to_numpy().astype(np.float64) * grid.yinc
+        return pa.table(
+            {
+                "cell_row": b["cell_row"],
+                "cell_col": b["cell_col"],
+                "var_code": b["var_code"],
+                "v_sum": b["sum(default_value=0)"],
+                "v_cnt": b["count(default_value=0)"],
+                "weight": pa.array(fx.derive_weight(lon, lat)),
+            }
+        )
 
-    ds = ds.map_batches(add_weight, batch_format="pyarrow")
+    cell = cell.map_batches(add_cell_attrs, batch_format="pyarrow")
     grid = raster_grid_spec()
     index = AdminIndex.build(build_admin_table())
     cov = build_coverage_table(ray.put(index), grid)
-    ds = ds.map_batches(
+    exploded = cell.map_batches(
         AttachCoverage,
         fn_constructor_args=(ray.put(cov), grid.xsize),
         batch_format="pyarrow",
-        concurrency=(1, pool_size(8, reserve=2)),
+        concurrency=(1, pool_size(4, reserve=2)),
     )
-    agg = zonal_aggregate(
-        ds,
-        list(COVERAGE_OPS),
-        keys=["admin_idx", "var_code"],
-        weight_col="weight",
-        aliases=COVERAGE_OPS,
-        cov_col="cov",
+
+    def partial(b: pa.Table) -> pa.Table:
+        """Per-batch partial of the four sufficient sums (all exact):
+        cnt = Σcov·n_t, sum = Σcov·Σv, wsum = Σcov·w·Σv, wcnt = Σcov·w·n_t."""
+        cov_a = b["cov"].to_numpy()
+        w = b["weight"].to_numpy()
+        vs = b["v_sum"].to_numpy()
+        vc = b["v_cnt"].to_numpy()
+        key = (
+            b["admin_idx"].to_numpy().astype(np.int64) * 8
+            + b["var_code"].to_numpy().astype(np.int64)
+        )
+        uniq, inv = np.unique(key, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(len(uniq)))
+        red = lambda x: np.add.reduceat(x[order], starts)  # noqa: E731
+        return pa.table(
+            {
+                "k": pa.array(uniq),
+                "cnt": pa.array(red(cov_a * vc)),
+                "sum": pa.array(red(cov_a * vs)),
+                "wsum": pa.array(red(cov_a * w * vs)),
+                "wcnt": pa.array(red(cov_a * w * vc)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        exploded.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(*[Sum(c, alias_name=c) for c in ["cnt", "sum", "wsum", "wcnt"]])
     )
     names = build_admin_table()["admin_id"].combine_chunks()
 
-    def project(b: pa.Table) -> pa.Table:
-        b = _attach_var(b)
-        idx = pa.compute.cast(b["admin_idx"], "int64")
-        b = b.drop_columns(["admin_idx"])
-        return b.add_column(0, "admin_id", names.take(idx))
+    def finalize(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy()
+        cnt = b["cnt"].to_numpy()
+        s = b["sum"].to_numpy()
+        wsum = b["wsum"].to_numpy()
+        wcnt = b["wcnt"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pa.table(
+                {
+                    "admin_id": names.take(pa.array(k // 8)),
+                    "variable": _VAR_NAMES.take(pa.array(k % 8)),
+                    "count": pa.array(cnt),
+                    "sum": pa.array(s),
+                    "mean": pa.array(s / cnt),
+                    "weighted_sum": pa.array(wsum),
+                    "weighted_mean": pa.array(wsum / wcnt),
+                    "area_weighted_sum": pa.array(wsum / cnt),
+                }
+            )
 
-    return agg.map_batches(project, batch_format="pyarrow").sort(["admin_id", "variable"])
+    return merged.map_batches(finalize, batch_format="pyarrow").sort(
+        ["admin_id", "variable"]
+    )
 
 
 def weekly_variation() -> rd.Dataset:
