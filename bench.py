@@ -21,7 +21,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "800"))
+# 4000 replicas = 20M docs: the ~5s per-run constant (session + pool
+# ramp) stays below 10% of the headline, so the recorded docs/s measures
+# streaming throughput, not startup (BASELINE.md methodology)
+REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "4000"))
 
 
 def _run_queries() -> dict:

@@ -188,7 +188,9 @@ def _shard_of(band_id: np.ndarray, key: np.ndarray, n_shards: int) -> np.ndarray
     return (mixed % np.uint64(n_shards)).astype(np.int64)
 
 
-def _explode_bands(batch: pa.Table, bands: int, rows: int, n_shards: int = 256) -> pa.Table:
+def _explode_bands(
+    batch: pa.Table, bands: int, rows: int, n_shards: int = 256, with_sig: bool = True
+) -> pa.Table:
     sig = (
         np.asarray(batch["sig"].combine_chunks().flatten())
         .view(np.uint64)
@@ -204,19 +206,35 @@ def _explode_bands(batch: pa.Table, bands: int, rows: int, n_shards: int = 256) 
         band_hash[:, b] = h
     doc = np.repeat(batch["doc_id"].to_numpy(), bands)
     band_id = np.tile(np.arange(bands, dtype=np.int32), n)
-    sig_rep = np.repeat(sig, bands, axis=0)
     flat_hash = band_hash.reshape(-1)
-    return pa.table(
-        {
-            "band_id": pa.array(band_id),
-            "shard": pa.array(_shard_of(band_id, flat_hash, n_shards)),
-            "band_hash": pa.array(flat_hash.view(np.int64)),
-            "doc_id": pa.array(doc),
-            "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(sig_rep.reshape(-1).view(np.int64)), sig.shape[1]
-            ),
-        }
-    )
+    out = {
+        "band_id": pa.array(band_id),
+        "shard": pa.array(_shard_of(band_id, flat_hash, n_shards)),
+        "band_hash": pa.array(flat_hash.view(np.int64)),
+        "doc_id": pa.array(doc),
+    }
+    if with_sig:  # broadcast mode ships sigs once, not once per band
+        sig_rep = np.repeat(sig, bands, axis=0)
+        out["sig"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig_rep.reshape(-1).view(np.int64)), sig.shape[1]
+        )
+    return pa.table(out)
+
+
+_SIG_CACHE: dict = {}
+
+
+def _sig_lookup(ref):
+    """Per-worker cached fetch of the broadcast (sorted ids, sig matrix)."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    hit = _SIG_CACHE.get(key)
+    if hit is None:
+        import ray
+
+        d = ray.get(ref)
+        hit = (d["ids"], d["mat"])
+        _SIG_CACHE[key] = hit
+    return hit
 
 
 def _run_pairs(*sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -242,11 +260,14 @@ def _run_pairs(*sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(ia_parts), np.concatenate(ib_parts)
 
 
-def _band_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+def _band_pairs(
+    group: pd.DataFrame, threshold: float, sig_ref=None
+) -> pd.DataFrame:
     """Candidate pairs for ALL (band, bucket) runs in one shard in one
     vectorized pass (lexsort by (band_id, band_hash) -> run detection ->
     per-run pairs): one pandas call per SHARD, never per bucket or band.
-    Canonical (a < b) ordering."""
+    Signatures come from the group's own ``sig`` column (shipped mode) or
+    from the broadcast matrix (``sig_ref``).  Canonical (a < b) ordering."""
     if len(group) < 2:
         return _empty_pairs("est_jaccard")
     order = np.lexsort(
@@ -259,8 +280,14 @@ def _band_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
     ia, ib = _run_pairs(bid, bh)
     if not len(ia):
         return _empty_pairs("est_jaccard")
-    sig = np.stack(group["sig"].to_numpy()[order]).view(np.uint64)
-    est = (sig[ia] == sig[ib]).mean(axis=1)
+    if sig_ref is not None:
+        ids_sorted, mat = _sig_lookup(sig_ref)
+        pa_ = np.searchsorted(ids_sorted, ids[ia])
+        pb_ = np.searchsorted(ids_sorted, ids[ib])
+        est = (mat[pa_] == mat[pb_]).mean(axis=1)
+    else:
+        sig = np.stack(group["sig"].to_numpy()[order]).view(np.uint64)
+        est = (sig[ia] == sig[ib]).mean(axis=1)
     keep = est >= threshold
     a, b = ids[ia[keep]], ids[ib[keep]]
     return pd.DataFrame(
@@ -279,6 +306,7 @@ def minhash_neardup(
     threshold: float = 0.5,
     concurrency=(1, 8),
     n_shards: int = 256,
+    broadcast_sigs_below: int = 2_000_000,
 ) -> rd.Dataset:
     """documents -> near-duplicate candidate pairs via MinHash+LSH.
 
@@ -294,6 +322,15 @@ def minhash_neardup(
     ``n_shards`` (~cluster cores at scale) so Ray's per-group overhead is
     constant.  Each shard processes its many buckets in one lexsort +
     run-detection pass.
+
+    Shuffle payload: when the corpus is small enough to broadcast its
+    signature matrix (``count <= broadcast_sigs_below``; num_perm*8 bytes
+    per doc — ~1 GB at the default cap), the explode ships only 28-byte
+    (band, shard, hash, doc) rows and pair tasks read sigs from the one
+    ``ray.put`` — a ~20x shuffle-volume cut vs shipping the signature
+    with every band row, which remains the path (and the correct one)
+    beyond the broadcast cap.  Pair sets and estimates are identical
+    either way.
     """
     rows = num_perm // bands
     sigs = ds.map_batches(
@@ -302,11 +339,30 @@ def minhash_neardup(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+    try:  # metadata-cheap on parquet-backed inputs; None disables broadcast
+        n_docs = ds.count()
+    except Exception:  # pragma: no cover - exotic sources
+        n_docs = None
+    sig_ref = None
+    if n_docs is not None and n_docs <= broadcast_sigs_below:
+        import ray
+
+        sigs = sigs.materialize()  # one computation for broadcast + explode
+        tab = pa.concat_tables(ray.get(sigs.to_arrow_refs()))
+        ids = tab["doc_id"].to_numpy()
+        mat = (
+            np.asarray(tab["sig"].combine_chunks().flatten())
+            .view(np.uint64)
+            .reshape(len(tab), -1)
+        )
+        order = np.argsort(ids)
+        sig_ref = ray.put({"ids": ids[order], "mat": mat[order]})
     exploded = sigs.map_batches(
-        lambda b: _explode_bands(b, bands, rows, n_shards), batch_format="pyarrow"
+        lambda b: _explode_bands(b, bands, rows, n_shards, with_sig=sig_ref is None),
+        batch_format="pyarrow",
     )
     pairs = exploded.groupby("shard").map_groups(
-        lambda g: _band_pairs(g, threshold), batch_format="pandas"
+        lambda g: _band_pairs(g, threshold, sig_ref), batch_format="pandas"
     )
     from ray.data.aggregate import Max
 

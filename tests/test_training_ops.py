@@ -102,6 +102,15 @@ def test_lsh_bucket_keying_preserves_pairs():
         assert a.equals(b), f"{fn.__name__} pair set changed under bucketing"
         assert len(a) > 0  # the corpus must actually produce pairs
 
+    # broadcast-sig vs shipped-sig modes are byte-identical too
+    c = minhash_neardup(
+        rd.from_arrow(t), threshold=0.3, broadcast_sigs_below=0
+    ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    d = minhash_neardup(rd.from_arrow(t), threshold=0.3).to_pandas().sort_values(
+        ["doc_a", "doc_b"]
+    ).reset_index(drop=True)
+    assert c.equals(d)
+
 
 def test_simhash_max_hamming_bound():
     import pyarrow as pa
