@@ -42,6 +42,26 @@ def _run_queries() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # Ray's Sort operator emits SCHEMA-LESS bundles for empty partitions
+    # (reproducible with any groupby over a dataset holding zero-row
+    # blocks, even with fully-typed Arrow UDF empties end to end), which
+    # trips its own schema-divergence warning inside the executor.  Our
+    # UDF empties are all explicitly typed (tested) and every result is
+    # oracle-verified bit-exact, so this specific Ray-internal warning is
+    # noise — drop exactly it, nothing else.
+    import logging
+
+    class _DropEmptySchemaWarn(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return (
+                "Operator produced a RefBundle with a different schema"
+                not in record.getMessage()
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropEmptySchemaWarn())
+
     import pyarrow.parquet as pq
 
     from geoglue_ray.pipelines import queries as q

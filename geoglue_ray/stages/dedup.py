@@ -616,6 +616,7 @@ def duplicate_clusters(
 
 # ----------------------------------------------------- n-gram Jaccard verify
 def char_ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Scalar reference (tests + documentation of the semantics)."""
     sa = {a[i : i + n] for i in range(max(1, len(a) - n + 1))}
     sb = {b[i : i + n] for i in range(max(1, len(b) - n + 1))}
     if not sa and not sb:
@@ -623,24 +624,143 @@ def char_ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def char_gram_codes(texts, n: int = 3):
+    """Per-doc DISTINCT char-n-gram codes in CSR layout (codes, offsets).
+
+    For ``n <= 3`` each gram is packed EXACTLY (21 bits per code point —
+    injective, collision-free, so the Jaccard counts match the scalar
+    set semantics and the DuckDB substr oracle bit-for-bit); a short doc
+    (length < n) contributes its whole text zero-padded, matching both
+    ``a[0:n]`` slicing and SQL ``substr``.  For ``n > 3`` grams are
+    combined with a 64-bit multiply-xor hash (collisions ~2^-64,
+    documented weakening).  One vectorized pass per batch: code-point
+    view of the concatenated batch text + shifted gathers, then a per-doc
+    lexsort dedup — no per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    tl = texts.to_pylist()
+    joined = "".join(tl)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    L = pc.utf8_length(texts).to_numpy().astype(np.int64)
+    doc_off = np.concatenate(([0], np.cumsum(L)))
+    n_g = np.maximum(L - n + 1, 1)
+    g_off = np.concatenate(([0], np.cumsum(n_g)))
+    total = int(g_off[-1])
+    starts = np.repeat(doc_off[:-1], n_g)
+    L_rep = np.repeat(L, n_g)
+    within = np.arange(total, dtype=np.int64) - np.repeat(g_off[:-1], n_g)
+    code = np.zeros(total, dtype=np.uint64)
+    top = max(len(cp) - 1, 0)
+    for j in range(n):
+        ok = within + j < L_rep
+        idx = np.minimum(starts + within + j, top)
+        v = (cp[idx] if len(cp) else np.zeros(total, dtype=np.uint64)) * ok
+        if n <= 3:  # exact 21-bit packing (code points < 2**21)
+            code = (code << np.uint64(21)) | v
+        else:  # hashed combine for wide grams
+            code = (code ^ v) * _SH_MUL2
+    # distinct per doc: sort within segments, drop adjacent duplicates
+    doc_idx = np.repeat(np.arange(len(L), dtype=np.int64), n_g)
+    o = np.lexsort((code, doc_idx))
+    code_s, doc_s = code[o], doc_idx[o]
+    keep = np.concatenate(
+        ([True], (code_s[1:] != code_s[:-1]) | (doc_s[1:] != doc_s[:-1]))
+    ) if total else np.zeros(0, dtype=bool)
+    code_u, doc_u = code_s[keep], doc_s[keep]
+    n_u = np.bincount(doc_u, minlength=len(L)).astype(np.int64)
+    off_u = np.concatenate(([0], np.cumsum(n_u)))
+    return code_u.view(np.int64), off_u
+
+
 def ngram_jaccard_block(
-    ds: rd.Dataset, block_cols: list[str], threshold: float = 0.3, n: int = 3
+    ds: rd.Dataset,
+    block_cols: list[str],
+    threshold: float = 0.3,
+    n: int = 3,
+    n_shards: int = 64,
 ) -> rd.Dataset:
-    """Exact char-n-gram Jaccard pairs within blocking groups (blocked
-    quadratic verify — the final exact stage after LSH narrows candidates)."""
+    """Exact char-n-gram Jaccard pairs within blocking groups — the final
+    exact-verify stage after LSH narrows candidates.
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return _empty_pairs("jaccard")
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        texts = g["text"].to_numpy()
-        rows = []
-        for i in range(len(ids)):
-            for k in range(i + 1, len(ids)):
-                j = char_ngram_jaccard(texts[i], texts[k], n)
-                if j >= threshold:
-                    rows.append((ids[i], ids[k], j))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    Scale shape (round-3 rework): gram sets are computed ONCE per doc in a
+    vectorized ``map_batches`` pass (:func:`char_gram_codes`) and shipped
+    as a ``list<int64>`` column; the shuffle key is ``hash(block_cols) %
+    n_shards`` — a FIXED group count independent of block cardinality
+    (Ray pays ~1 ms of per-group Python; thousands of tiny blocks would
+    dominate).  Each shard task resolves ALL of its blocks in one
+    vectorized pass: explode (block, gram, doc) rows, lexsort, within-run
+    pair indices (docs sharing a gram in the same block), run-length
+    count per (doc_a, doc_b) = |intersection|, then one exact integer
+    division.  Exact block equality is enforced INSIDE the task via
+    factorized codes (shard-hash collisions only co-locate blocks, never
+    merge them).  Results are bit-identical to the scalar set semantics
+    (and the DuckDB oracle) because gram codes are injective for n<=3.
+    """
+    from geoglue_ray.stages.zonal import _factorize_keys
 
-    return ds.groupby(block_cols).map_groups(pairs, batch_format="pandas")
+    def gramify(b: pa.Table) -> pa.Table:
+        codes, offs = char_gram_codes(b["text"].combine_chunks(), n)
+        h = np.zeros(len(b), dtype=np.uint64)
+        for c in block_cols:
+            arr = b[c].to_numpy(zero_copy_only=False)
+            if arr.dtype.kind in "iu":
+                v = arr.astype(np.uint64)
+            else:
+                v = pd.util.hash_array(arr).astype(np.uint64)
+            h = h * _MIX1 + v
+        out = {c: b[c] for c in block_cols}
+        out["doc_id"] = b["doc_id"]
+        out["shard"] = pa.array((h % np.uint64(n_shards)).astype(np.int64))
+        out["grams"] = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), pa.array(codes)
+        )
+        return pa.table(out)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) < 2:
+            return empty
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        lc = t["grams"].combine_chunks()
+        flat = np.asarray(lc.flatten())
+        counts = pa.compute.list_value_length(lc).to_numpy().astype(np.int64)
+        _, blk, _ = _factorize_keys(
+            [t[c].to_numpy(zero_copy_only=False) for c in block_cols]
+        )
+        doc_rep = np.repeat(ids, counts)
+        blk_rep = np.repeat(blk, counts)
+        o = np.lexsort((doc_rep, flat, blk_rep))
+        ia, ib = _run_pairs(blk_rep[o], flat[o])
+        if not len(ia):
+            return empty
+        a, b_ = doc_rep[o][ia], doc_rep[o][ib]  # a < b: doc-sorted runs,
+        # and a doc appears at most once per (block, gram) run (distinct grams)
+        o2 = np.lexsort((b_, a))
+        a2, b2 = a[o2], b_[o2]
+        bnd = np.concatenate(([True], (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])))
+        starts = np.nonzero(bnd)[0]
+        inter = np.diff(np.concatenate([starts, [len(a2)]]))
+        doc_a, doc_b = a2[starts], b2[starts]
+        os_ = np.argsort(ids)
+        ids_s, cnt_s = ids[os_], counts[os_]
+        na = cnt_s[np.searchsorted(ids_s, doc_a)]
+        nb = cnt_s[np.searchsorted(ids_s, doc_b)]
+        j = inter / (na + nb - inter)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(doc_a[keep]),
+                "doc_b": pa.array(doc_b[keep]),
+                "jaccard": pa.array(j[keep]),
+            }
+        )
+
+    grams = ds.map_batches(gramify, batch_format="pyarrow")
+    return grams.groupby("shard").map_groups(pairs, batch_format="pyarrow")

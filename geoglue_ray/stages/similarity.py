@@ -39,6 +39,13 @@ class BatchTopK:
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self.qids: np.ndarray = q["ids"]
         self.qmat: np.ndarray = _normalize(q["mat"].astype(np.float64))
+        # self-exclusion lookup built once per actor: sorted qids + the row
+        # each sorted position maps to, so __call__ masks self-matches with
+        # ONE searchsorted + masked assignment (O(B log Q)) — a per-query
+        # Python loop would scan the batch Q times and dominate the matmul
+        # at realistic query counts (10^4+)
+        self._q_order = np.argsort(self.qids)
+        self._q_sorted = self.qids[self._q_order]
         self.k = k
         self.id_col = id_col
         self.emb_col = emb_col
@@ -55,10 +62,12 @@ class BatchTopK:
         ids = batch[self.id_col].to_numpy()
         mat = _normalize(_emb_matrix(batch, self.emb_col))
         scores = self.qmat @ mat.T  # (Q, B)
-        # self-match exclusion
-        for qi, qid in enumerate(self.qids):
-            sel = ids == qid
-            scores[qi, sel] = -np.inf
+        # self-match exclusion, vectorized (see __init__)
+        pos = np.searchsorted(self._q_sorted, ids)
+        pos = np.clip(pos, 0, len(self._q_sorted) - 1)
+        hit = self._q_sorted[pos] == ids
+        if hit.any():
+            scores[self._q_order[pos[hit]], np.nonzero(hit)[0]] = -np.inf
         k = min(self.k, scores.shape[1])
         part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
         rows = {
@@ -99,20 +108,25 @@ def knn_bruteforce(
     )
 
     return local.groupby("query_id").map_groups(
-        lambda g: _topk_merge(g, k), batch_format="pandas"
+        lambda g: _topk_merge(g, k), batch_format="pyarrow"
     )
 
 
-def _topk_merge(g: pd.DataFrame, k: int) -> pd.DataFrame:
-    """Global top-k from per-batch candidates; explicitly TYPED output so
-    empty groups cannot emit an untyped frame and diverge block schemas
-    (the PandasBlockSchema([],[]) warning class from round 1)."""
-    g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
-    return pd.DataFrame(
+def _topk_merge(g: pa.Table, k: int) -> pa.Table:
+    """Global top-k from per-batch candidates.  Arrow in / Arrow out with
+    an explicitly TYPED (possibly empty) result: the groupby's sort
+    machinery can hand the UDF empty partitions, and an untyped empty
+    block diverges downstream schemas (the PandasBlockSchema([],[])
+    warning class from rounds 1-2) — typed Arrow empties unify cleanly."""
+    qid = g["query_id"].to_numpy().astype(np.int64)
+    nid = g["neighbor_id"].to_numpy().astype(np.int64)
+    sc = g["score"].to_numpy()
+    order = np.lexsort((nid, -sc))[:k]  # score desc, ties neighbor asc
+    return pa.table(
         {
-            "query_id": g["query_id"].to_numpy().astype(np.int64),
-            "neighbor_id": g["neighbor_id"].to_numpy().astype(np.int64),
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "query_id": pa.array(qid[order], type=pa.int64()),
+            "neighbor_id": pa.array(nid[order], type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
         }
     )
 
@@ -189,7 +203,7 @@ def knn_lsh(
     )
 
     return local.groupby("query_id").map_groups(
-        lambda g: _topk_merge(g, k), batch_format="pandas"
+        lambda g: _topk_merge(g, k), batch_format="pyarrow"
     )
 
 
@@ -201,6 +215,7 @@ def embedding_neardup(
     emb_col: str = "embedding",
     target_bucket_rows: int = 256,
     split_above: int | None = None,
+    n_shards: int = 256,
 ) -> rd.Dataset:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed blocking:
     bucket by hyperplane signature, exact pairwise cosine within buckets
@@ -213,9 +228,18 @@ def embedding_neardup(
     hyperplane split — only within-sub-bucket pairs are compared, and the
     skipped cross-pair count is recorded on the ``counters`` actor
     (``embed_neardup_pairs_skipped``) so capped work is never silent.
+
+    Shuffle topology: the pair stage groups on ``hash(bucket) % n_shards``
+    — NOT the raw bucket id — so the group count is FIXED at ``n_shards``
+    (~cluster cores) while bucket count grows as N/occupancy.  Ray's
+    sort-based ``map_groups`` pays ~1 ms of per-group Python (measured,
+    CLAUDE.md), which at 10^9 vectors and raw-bucket keying would be
+    hours of pure dispatch.  Each shard task processes ALL of its buckets
+    in one lexsort + run-detection pass; the pair set is byte-identical
+    to bucket-keyed grouping (colliding rows stay co-located — tested).
     """
     from geoglue_ray.stages.counters import bump
-    from geoglue_ray.stages.dedup import _run_pairs
+    from geoglue_ray.stages.dedup import _run_pairs, _shard_of
 
     first = ds.take(1)[0]
     dim = len(first[emb_col])
@@ -229,43 +253,80 @@ def embedding_neardup(
     def bucketize(batch: pa.Table) -> pa.Table:
         l = ray.get(lsh_ref)
         mat = _normalize(_emb_matrix(batch, emb_col))
-        return batch.append_column("bucket", pa.array(l.bucket(mat)))
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {
-                    "vec_a": np.array([], dtype=np.int64),
-                    "vec_b": np.array([], dtype=np.int64),
-                    "cosine": np.array([], dtype=np.float64),
-                }
-            )
-        ids = g[id_col].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        mat = _normalize(np.stack(g[emb_col].to_numpy()[order]).astype(np.float64))
-        n = len(ids)
-        if n <= split_above:
-            sim = mat @ mat.T
-            ia, ib = np.triu_indices(n, k=1)
-            s = sim[ia, ib]
-        else:
-            # second-level split: extra sign bits sized to target occupancy,
-            # deterministic per bucket; within-run pairs only (logged)
-            extra = max(1, int(np.ceil(np.log2(n / target_bucket_rows))))
-            rng = np.random.default_rng((23, int(g["bucket"].iloc[0]) & 0x7FFFFFFF))
-            planes = rng.standard_normal((mat.shape[1], extra))
-            sub = ((mat @ planes) > 0) @ (1 << np.arange(extra, dtype=np.int64))
-            o2 = np.argsort(sub, kind="stable")  # id order preserved per sub
-            sub_s, ids, mat = sub[o2], ids[o2], mat[o2]
-            ia, ib = _run_pairs(sub_s)
-            s = np.einsum("ij,ij->i", mat[ia], mat[ib])
-            bump("embed_neardup_split_buckets", 1)
-            bump("embed_neardup_pairs_skipped", n * (n - 1) // 2 - len(ia))
-        keep = s >= threshold
-        return pd.DataFrame(
-            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cosine": s[keep]}
+        bk = l.bucket(mat)
+        batch = batch.append_column("bucket", pa.array(bk))
+        return batch.append_column(
+            "shard", pa.array(_shard_of(np.zeros(len(bk), dtype=np.int64), bk, n_shards))
         )
 
+    def _split_run(ids, mat, bucket_val):
+        """Second-level split of one oversized bucket: extra sign bits
+        sized to target occupancy, deterministic per bucket; within-run
+        pairs only (skipped cross-pairs logged on the counters actor)."""
+        n = len(ids)
+        extra = max(1, int(np.ceil(np.log2(n / target_bucket_rows))))
+        rng = np.random.default_rng((23, int(bucket_val) & 0x7FFFFFFF))
+        planes = rng.standard_normal((mat.shape[1], extra))
+        sub = ((mat @ planes) > 0) @ (1 << np.arange(extra, dtype=np.int64))
+        o2 = np.argsort(sub, kind="stable")  # id order preserved per sub
+        sub_s, ids, mat = sub[o2], ids[o2], mat[o2]
+        ia, ib = _run_pairs(sub_s)
+        s = np.einsum("ij,ij->i", mat[ia], mat[ib])
+        bump("embed_neardup_split_buckets", 1)
+        bump("embed_neardup_pairs_skipped", n * (n - 1) // 2 - len(ia))
+        return ids[ia], ids[ib], s
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_a": np.array([], dtype=np.int64),
+                "vec_b": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """ALL buckets of one shard in one vectorized pass: lexsort by
+        (bucket, id) -> within-run pair indices -> one gathered einsum.
+        Oversized runs (skew) are excluded from the joint pass and take
+        the per-bucket split path (rare by construction)."""
+        if len(g) < 2:
+            return _empty()
+        ids = g[id_col].to_numpy()
+        buckets = g["bucket"].to_numpy()
+        order = np.lexsort((ids, buckets))  # ids ascending within bucket
+        ids, buckets = ids[order], buckets[order]
+        mat = _normalize(np.stack(g[emb_col].to_numpy()[order]).astype(np.float64))
+        boundary = np.concatenate(([True], buckets[1:] != buckets[:-1]))
+        starts = np.nonzero(boundary)[0]
+        lengths = np.diff(np.concatenate([starts, [len(ids)]]))
+        out_a, out_b, out_s = [], [], []
+        big = np.nonzero(lengths > split_above)[0]
+        key = buckets
+        if len(big):
+            # singletonize oversized runs so the joint pass skips them
+            key = buckets.copy()
+            for r in big:
+                s0, L = starts[r], lengths[r]
+                key[s0 : s0 + L] = -(np.arange(L) + s0 + 1)
+                a, b, s = _split_run(
+                    ids[s0 : s0 + L], mat[s0 : s0 + L], buckets[s0]
+                )
+                out_a.append(a)
+                out_b.append(b)
+                out_s.append(s)
+        ia, ib = _run_pairs(key)
+        if len(ia):
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+            out_s.append(np.einsum("ij,ij->i", mat[ia], mat[ib]))
+        if not out_a:
+            return _empty()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        s = np.concatenate(out_s)
+        keep = s >= threshold
+        return pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep], "cosine": s[keep]})
+
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return bucketed.groupby("shard").map_groups(pairs, batch_format="pandas")

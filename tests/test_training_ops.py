@@ -217,6 +217,36 @@ def test_ngram_jaccard_scalar():
     assert char_ngram_jaccard("abcdef", "uvwxyz") == 0.0
 
 
+def test_ngram_vectorized_matches_scalar_reference():
+    """The sharded vectorized ngram stage must reproduce the scalar
+    set-based Jaccard bit-for-bit, including short (<n), empty and
+    non-ASCII docs, across multiple blocks sharing a shard."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.dedup import ngram_jaccard_block
+
+    texts = [
+        "the quick brown fox", "the quick brown fax", "ab", "ab", "",
+        "", "héllo wörld", "héllo wörld!", "xyzxyzxyz", "zyxzyxzyx",
+    ]
+    blocks = [0, 0, 0, 0, 1, 1, 1, 1, 2, 2]
+    ids = np.arange(len(texts), dtype=np.int64)
+    t = pa.table({"doc_id": ids, "text": texts, "block": np.asarray(blocks, np.int64)})
+    out = ngram_jaccard_block(
+        rd.from_arrow(t), ["block"], threshold=0.0, n=3, n_shards=2
+    ).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.itertuples()}
+    expect = {}
+    for i in range(len(texts)):
+        for k in range(i + 1, len(texts)):
+            if blocks[i] == blocks[k]:
+                j = char_ngram_jaccard(texts[i], texts[k], 3)
+                if j > 0:  # the contract (like the SQL oracle's gram join):
+                    expect[(i, k)] = j  # only pairs sharing >= 1 gram appear
+    assert got == expect  # exact float equality
+
+
 def test_embed_knn_lsh_recall(q, sf_dir):
     """Multi-probe LSH recall vs exact brute force: >= 60% at k=10 even on
     the near-random sf embeddings (nbits=4, Hamming<=2 probes)."""
@@ -303,6 +333,60 @@ def test_embed_neardup_split_bounds_bucket_work():
     snap = read_counters()
     assert snap.get("embed_neardup_split_buckets", {}).get("rows", 0) >= 1
     assert snap.get("embed_neardup_pairs_skipped", {}).get("rows", 0) > 0
+
+
+def test_embed_neardup_shard_keying_preserves_pairs():
+    """The fixed-shard keying (hash(bucket) % n_shards) must emit exactly
+    the pair set that raw-bucket grouping would: a per-bucket numpy
+    reference (same einsum cosine, same split-path exclusion rule) is the
+    ground truth, and the bucketize stage's shard cardinality stays at
+    <= n_shards regardless of bucket count (the scale claim)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.similarity import HyperplaneLSH, _normalize, embedding_neardup
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((600, 16))
+    mat = np.concatenate([base, base[:40] + rng.standard_normal((40, 16)) * 1e-4])
+    ids = np.arange(len(mat), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), type=pa.float32()), 16
+            ),
+        }
+    )
+    n_shards = 8
+    nbits = 6  # 64 buckets >> 8 shards: many buckets share a shard
+    out = embedding_neardup(
+        rd.from_arrow(t), threshold=0.98, nbits=nbits, n_shards=n_shards
+    ).to_pandas()
+    got = sorted(zip(out["vec_a"], out["vec_b"]))
+
+    # reference: per-bucket exact pairs, same arithmetic
+    m32 = mat.astype(np.float32)  # engine reads float32 from the table
+    nm = _normalize(np.asarray(m32, dtype=np.float64))
+    bk = HyperplaneLSH(16, nbits, seed=23).bucket(nm)
+    expect = []
+    for b in np.unique(bk):
+        sel = np.nonzero(bk == b)[0]
+        sel = sel[np.argsort(ids[sel])]
+        for i in range(len(sel)):
+            for j in range(i + 1, len(sel)):
+                c = float(np.einsum("i,i->", nm[sel[i]], nm[sel[j]]))
+                if c >= 0.98:
+                    expect.append((int(ids[sel[i]]), int(ids[sel[j]])))
+    assert got == sorted(expect)
+    assert len(got) >= 40  # the planted near-dups collide w.h.p.
+
+    # group-count claim: many buckets compress to <= n_shards shuffle groups
+    from geoglue_ray.stages.dedup import _shard_of
+
+    shards = _shard_of(np.zeros(len(bk), dtype=np.int64), bk, n_shards)
+    assert len(np.unique(bk)) > n_shards  # the old keying's group count
+    assert len(np.unique(shards)) <= n_shards  # the new one
 
 
 def test_media_features(q, sf_dir):
