@@ -191,19 +191,20 @@ def approx_distinct_users(sf_dir: str) -> rd.Dataset:
 
 def approx_distinct_check(sf_dir: str) -> rd.Dataset:
     """Driver-visible HLL accuracy gate: per event type, the EXACT
-    distinct-user count (hash-partitioned two-stage distinct, fully
-    distributed) plus a boolean asserting the HLL estimate lands within
-    5% of it.  The DuckDB oracle recomputes the exact count and asserts
-    TRUE — so an HLL accuracy regression fails the driver's hash compare,
-    not just a local pytest."""
+    distinct-user count plus a boolean asserting the HLL estimate lands
+    within 5% of it.  The DuckDB oracle recomputes the exact count and
+    asserts TRUE — so an HLL accuracy regression fails the driver's hash
+    compare, not just a local pytest.  The exact side is
+    :func:`count_distinct` — per-batch dedup then a FIXED-shard shuffle,
+    never a native groupby on the raw (type, user) tuple (whose
+    cardinality scales with users; Ray's sort aggregate pays per-group
+    Python, ~28 s at 200k keys, CLAUDE.md)."""
     from geoglue_ray.stages.sketch import approx_distinct
+    from geoglue_ray.stages.validate import count_distinct
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     est = approx_distinct(ds, ["event_type"], "user_id")
-    # exact distinct: collapse (type, user) pairs, then count per type —
-    # both stages are narrow hash-partitioned groupbys
-    pairs = ds.groupby(["event_type", "user_id"]).count()
-    exact = zonal_aggregate(pairs, ["count"], keys=["event_type"], value_col="count()")
+    exact = count_distinct(ds, ["event_type"], ["user_id"], "count")
 
     est_df = est.to_pandas()  # <= |event_type| rows: tiny by construction
     exact_df = exact.to_pandas()
@@ -433,34 +434,61 @@ def rolling_daily_admin(sf_dir: str) -> rd.Dataset:
 # ------------------------------------------------------- relational queries
 def q1_pricing(sf_dir: str) -> rd.Dataset:
     """TPC-H-Q1-shaped pricing summary over lineitem (integer measures via
-    floor so distributed sums match serial SQL exactly)."""
+    floor so distributed sums match serial SQL exactly).
+
+    One streaming pass: each batch partially aggregates BOTH measures per
+    (flag, status) — one output row per key per batch — and a tiny final
+    ``map_groups`` (group count = key cardinality, 6) merges the partials.
+    No driver-side merge, no double read, no materialize."""
+    import pandas as pd
+
+    from geoglue_ray.stages.zonal import _factorize_keys
+
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
 
-    def prep(b: pa.Table) -> pa.Table:
+    def partial(b: pa.Table) -> pa.Table:
+        qty = np.floor(b["l_quantity"].to_numpy())
+        price = np.floor(b["l_extendedprice"].to_numpy())
+        key_vals, inv, n_groups = _factorize_keys(
+            [
+                b["l_returnflag"].to_numpy(zero_copy_only=False),
+                b["l_linestatus"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(n_groups))
         return pa.table(
             {
-                "l_returnflag": b["l_returnflag"],
-                "l_linestatus": b["l_linestatus"],
-                "qty": pa.array(np.floor(b["l_quantity"].to_numpy())),
-                "price": pa.array(np.floor(b["l_extendedprice"].to_numpy())),
+                "l_returnflag": pa.array(key_vals[0]),
+                "l_linestatus": pa.array(key_vals[1]),
+                "sum_qty": pa.array(np.add.reduceat(qty[order], starts)),
+                "n_rows": pa.array(
+                    np.diff(np.concatenate([starts, [len(inv)]])).astype(np.float64)
+                ),
+                "sum_price": pa.array(np.add.reduceat(price[order], starts)),
             }
         )
 
-    # materialize the prepped (narrow) table once: both aggregates reuse the
-    # in-store blocks instead of re-reading + re-prepping lineitem
-    ds = ds.map_batches(prep, batch_format="pyarrow").materialize()
-    qty = zonal_aggregate(ds, ["sum", "count"], keys=["l_returnflag", "l_linestatus"], value_col="qty")
-    price = zonal_aggregate(ds, ["sum"], keys=["l_returnflag", "l_linestatus"], value_col="price")
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "l_linestatus": [g["l_linestatus"].iloc[0]],
+                "sum_qty": [g["sum_qty"].sum()],
+                "n_rows": [g["n_rows"].sum()],
+                "sum_price": [g["sum_price"].sum()],
+            }
+        )
 
-    qdf = qty.to_pandas().rename(columns={"sum": "sum_qty", "count": "n_rows"})
-    pdf = price.to_pandas().rename(columns={"sum": "sum_price"})
-    out = qdf.merge(pdf, on=["l_returnflag", "l_linestatus"])
-    return rd.from_pandas(
-        out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(merge, batch_format="pandas")
     )
+    return out.sort(["l_returnflag", "l_linestatus"])
 
 
 def segment_revenue(sf_dir: str) -> rd.Dataset:

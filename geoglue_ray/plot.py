@@ -92,9 +92,11 @@ def choropleth_svg(
                 parts.append(f"M{pts} Z")
         return " ".join(parts)
 
+    from xml.sax.saxutils import escape
+
     rows = [
         f'<path d="{path_d(buf)}" fill="{fill}" stroke="#333" stroke-width="0.3">'
-        f"<title>{aid}: {val}</title></path>"
+        f"<title>{escape(str(aid))}: {val}</title></path>"
         for buf, fill, aid, val in zip(
             wkbs, fills, t["admin_id"].to_pylist(), vals.tolist()
         )
@@ -105,7 +107,7 @@ def choropleth_svg(
     )
     legend = (
         f'<text x="4" y="{height + 16}" font-size="12">'
-        f"{title or value_col}: {lo:g} – {hi:g}</text>"
+        f"{escape(str(title or value_col))}: {lo:g} – {hi:g}</text>"
     )
     return head + "".join(rows) + legend + "</svg>"
 

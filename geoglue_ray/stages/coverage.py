@@ -198,13 +198,19 @@ class AttachCoverage:
         self.xsize = np.int64(xsize)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self.uniq) == 0:  # no polygon overlaps any cell: inner
+            # semantics -> zero rows (np.where below would evaluate
+            # off[pos + 1] on the empty CSR and raise)
+            out = batch.slice(0, 0)
+            out = out.append_column("admin_idx", pa.array([], pa.int64()))
+            return out.append_column("cov", pa.array([], pa.float64()))
         k = (
             batch["cell_row"].to_numpy().astype(np.int64) * self.xsize
             + batch["cell_col"].to_numpy().astype(np.int64)
         )
         pos = np.searchsorted(self.uniq, k)
-        pos = np.clip(pos, 0, max(len(self.uniq) - 1, 0))
-        hit = (self.uniq[pos] == k) if len(self.uniq) else np.zeros(len(k), bool)
+        pos = np.clip(pos, 0, len(self.uniq) - 1)
+        hit = self.uniq[pos] == k
         n = np.where(hit, self.off[pos + 1] - self.off[pos], 0)
         rep = np.repeat(np.arange(len(k)), n)
         tot = int(n.sum())

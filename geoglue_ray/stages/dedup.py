@@ -225,7 +225,11 @@ _SIG_CACHE: dict = {}
 
 
 def _sig_lookup(ref):
-    """Per-worker cached fetch of the broadcast (sorted ids, sig matrix)."""
+    """Per-worker cached fetch of the broadcast (sorted ids, sig matrix).
+    At most ONE entry is kept (replace on key miss): only one broadcast
+    is live per pipeline run, and long-lived Ray workers across repeated
+    runs would otherwise accumulate full signature-matrix copies (~1 GB
+    each at the broadcast cap) until OOM."""
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     hit = _SIG_CACHE.get(key)
     if hit is None:
@@ -233,6 +237,7 @@ def _sig_lookup(ref):
 
         d = ray.get(ref)
         hit = (d["ids"], d["mat"])
+        _SIG_CACHE.clear()
         _SIG_CACHE[key] = hit
     return hit
 

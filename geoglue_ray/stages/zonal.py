@@ -104,10 +104,13 @@ def _factorize_keys(arrays: list[np.ndarray]):
 def _fill_default(batch: pa.Table, col: str, default: float) -> pa.Table:
     """Replace null/NaN values with a default (exactextract's
     ``default_value`` / ``default_weight`` NODATA semantics,
-    ``zonalstats.py:56-62``)."""
-    a = batch[col]
+    ``zonalstats.py:56-62``).  The cast to float64 happens BEFORE
+    ``is_nan``: Arrow has no is_nan kernel for integer types, so an
+    integer value/weight column would otherwise raise instead of
+    null-filling (the cast is exact for the int range we aggregate)."""
+    a = pc.cast(batch[col], pa.float64())
     mask = pc.or_kleene(pc.invert(pc.is_valid(a)), pc.is_nan(a))
-    filled = pc.if_else(mask, pa.scalar(default, pa.float64()), pc.cast(a, pa.float64()))
+    filled = pc.if_else(mask, pa.scalar(default, pa.float64()), a)
     return batch.set_column(batch.schema.get_field_index(col), col, filled)
 
 

@@ -131,3 +131,40 @@ def test_null_group_keys_kept():
     assert len(out) == 3
     nullrow = out[out["k"].isna()]
     assert len(nullrow) == 1 and nullrow["sum"].iloc[0] == 5.0
+
+
+def test_attach_coverage_empty_table_emits_zero_rows():
+    """No polygon overlapping any cell -> AttachCoverage drops every row
+    (inner semantics) instead of raising on the empty CSR."""
+    from geoglue_ray.stages.coverage import AttachCoverage
+
+    empty_cov = pa.table(
+        {
+            "cell_row": pa.array([], pa.int64()),
+            "cell_col": pa.array([], pa.int64()),
+            "admin_idx": pa.array([], pa.int64()),
+            "cov": pa.array([], pa.float64()),
+        }
+    )
+    st = AttachCoverage(empty_cov, xsize=8)
+    batch = pa.table(
+        {
+            "cell_row": pa.array([0, 1], pa.int64()),
+            "cell_col": pa.array([2, 3], pa.int64()),
+            "value": pa.array([1.0, 2.0]),
+        }
+    )
+    out = st(batch)
+    assert len(out) == 0
+    assert out.schema.names == ["cell_row", "cell_col", "value", "admin_idx", "cov"]
+
+
+def test_fill_default_integer_columns():
+    """default_value / default_weight on INTEGER value columns must fill
+    nulls (cast before is_nan) instead of raising ArrowNotImplementedError."""
+    from geoglue_ray.stages.zonal import _fill_default
+
+    b = pa.table({"v": pa.array([1, None, 3], type=pa.int64())})
+    out = _fill_default(b, "v", 7.0)
+    assert out["v"].to_pylist() == [1.0, 7.0, 3.0]
+    assert out["v"].type == pa.float64()

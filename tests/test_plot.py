@@ -55,3 +55,24 @@ def test_choropleth_subset_and_write(tmp_path):
     titles = [p.find("{http://www.w3.org/2000/svg}title").text for p in paths]
     assert titles[0].startswith("ADM2-0040: 1")
     assert titles[2].startswith("ADM2-0900: 3")
+
+
+def test_choropleth_escapes_xml_metacharacters():
+    """Admin ids / titles containing &, <, > must yield well-formed SVG
+    (escaped text, never markup injection)."""
+    from geoglue_ray.sources.admin import build_admin_table
+
+    admin = build_admin_table().slice(0, 2)
+    evil = '<script>&"x"</script>'
+    admin = admin.set_column(
+        admin.schema.get_field_index("admin_id"),
+        "admin_id",
+        pa.array([evil, "ok"]),
+    )
+    t = pa.table({"admin_id": pa.array([evil, "ok"]), "v": pa.array([1.0, 2.0])})
+    svg = choropleth_svg(t, "v", admin=admin, title="a & b < c")
+    root = ET.fromstring(svg)  # raises on malformed XML
+    title = root.find(
+        "{http://www.w3.org/2000/svg}path/{http://www.w3.org/2000/svg}title"
+    )
+    assert title.text.startswith(evil)  # round-trips as TEXT, not markup
