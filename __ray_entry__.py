@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q.text_quality,
         "dedup_exact": q.dedup_exact,
         "media_explode": q.media_explode,
+        "media_features": q.media_features,
         "embed_knn": q.embed_knn,
         "approx_distinct_check": q.approx_distinct_check,
         "embed_lsh_recall": q.embed_lsh_recall,
@@ -72,7 +73,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_neardup": q.ngram_neardup,
         "embed_knn_lsh": q.embed_knn_lsh,
         "embed_neardup": q.embed_neardup,
-        "media_features": q.media_features,
         "approx_distinct_users": q.approx_distinct_users,
     }
 
@@ -113,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": o.text_quality(),
         "dedup_exact": o.dedup_exact(),
         "media_explode": o.media_explode(),
+        "media_features": o.media_features(),
         "embed_knn": o.embed_knn(),
         "lang_id": o.lang_id(),
         "doc_fingerprint": o.doc_fingerprint(),

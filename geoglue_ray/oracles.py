@@ -793,6 +793,44 @@ ORDER BY doc_id, span_index
 """
 
 
+def media_features() -> str:
+    """Recomputes the media pipeline's deterministic stub decode
+    (``stages/media.py``: seed = ASCII-code sum of media_ref; byte[i] =
+    (((seed+1)*C1 + (i+1)*C2) mod 2**64) >> 56) and the featurizer's
+    histogram moment in pure SQL — HUGEINT arithmetic is exact below
+    2**127 (texthash contract), so every byte matches numpy uint64
+    wraparound bit-for-bit."""
+    from geoglue_ray.functions.texthash import C1, C2, U64
+    from geoglue_ray.stages.media import PAYLOAD_LEN
+
+    return f"""
+WITH spans AS (
+  SELECT d.doc_id,
+         CAST(1 + j.range AS INTEGER) AS span_index,
+         CASE WHEN (d.doc_id + 1 + j.range) % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         'media/' || d.doc_id || '/' || (1 + j.range) AS media_ref
+  FROM documents d, range(2) j
+  WHERE 1 + j.range <= d.doc_id % 3),
+seeds AS (
+  SELECT s.doc_id, s.span_index, s.kind,
+         sum(ascii(substr(s.media_ref, c.range::INTEGER + 1, 1))) AS seed
+  FROM spans s, range(40) c
+  WHERE c.range < length(s.media_ref)
+  GROUP BY 1, 2, 3),
+bytes AS (
+  SELECT doc_id, span_index, kind,
+         ((((seed + 1)::HUGEINT * {C1}::HUGEINT
+            + (i.range + 1)::HUGEINT * {C2}::HUGEINT) % {U64}::HUGEINT)
+          // {1 << 56}::HUGEINT) AS byte
+  FROM seeds, range({PAYLOAD_LEN}) i)
+SELECT doc_id, span_index, kind,
+       CAST({PAYLOAD_LEN} AS BIGINT) AS payload_len,
+       CAST(sum(byte) AS BIGINT) AS byte_sum,
+       CAST(count(DISTINCT byte) AS BIGINT) AS n_distinct_bytes
+FROM bytes GROUP BY 1, 2, 3 ORDER BY 1, 2
+"""
+
+
 def embed_knn() -> str:
     return """
 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -726,19 +726,37 @@ def media_explode(sf_dir: str) -> rd.Dataset:
 
 
 def media_features(sf_dir: str) -> rd.Dataset:
+    """Full media pipeline (explode -> decode -> featurize) projected to
+    its SQL-replicable moments: the stub decode's payload bytes are
+    defined by HUGEINT-reproducible arithmetic (stages/media.py
+    ``_payload_bytes``), so payload length / byte sum / distinct-byte
+    count are recomputed exactly by the DuckDB oracle — the decode AND
+    featurizer (histogram) stages are both driver-gated.  The float
+    feature vector itself stays engine-side (Gaussian projection, not
+    SQL-expressible; determinism pinned in tests)."""
     from geoglue_ray.stages.media import media_pipeline
 
     ds = read_corpus(sf_dir, with_spans=True)
     out = media_pipeline(ds)
 
     def summarize(b: pa.Table) -> pa.Table:
-        feat = np.asarray(b["feature"].combine_chunks().flatten()).reshape(len(b), -1)
+        raw = (
+            np.frombuffer(b"".join(b["payload"].to_pylist()), dtype=np.uint8).reshape(
+                len(b), -1
+            )
+            if len(b)
+            else np.zeros((0, 1), dtype=np.uint8)
+        )
         return pa.table(
             {
                 "doc_id": b["doc_id"],
                 "span_index": b["span_index"],
                 "kind": b["kind"],
-                "feat_norm": pa.array(np.linalg.norm(feat, axis=1).astype(np.float64)),
+                "payload_len": pa.array(
+                    np.full(len(b), raw.shape[1] if len(b) else 0, dtype=np.int64)
+                ),
+                "byte_sum": pa.array(raw.sum(axis=1, dtype=np.int64)),
+                "n_distinct_bytes": b["n_distinct_bytes"],
             }
         )
 

@@ -165,12 +165,17 @@ COVERAGE_OPS = {
 }
 
 
-def zonal_coverage() -> rd.Dataset:
+def zonal_coverage(broadcast_pairs_below: int = 10_000_000) -> rd.Dataset:
     """Coverage-fraction zonal statistics — exactextract's defining
     semantic (``zonalstats.py:44-62``): every raster cell contributes to
     every overlapping admin polygon by the *fraction* of the cell the
     polygon covers (boundary cells split pro-rata, not 100%/0%), with
     NODATA handled by ``default_value=0``/``default_weight=0``.
+
+    ``broadcast_pairs_below`` selects the coverage-attach topology
+    (broadcast CSR lookup vs distributed cell-key hash join — see
+    :func:`geoglue_ray.stages.coverage.attach_coverage`); results are
+    bit-identical through both paths (tested).
 
     Scale shape: coverage and the weight raster are TIME-INVARIANT, so
     the per-cell time series collapses FIRST (partial/final groupby on
@@ -185,7 +190,7 @@ def zonal_coverage() -> rd.Dataset:
     from geoglue_ray import fixtures as fx
     from geoglue_ray.runtime import pool_size
     from geoglue_ray.sources.raster import raster_grid_spec
-    from geoglue_ray.stages.coverage import AttachCoverage, build_coverage_table
+    from geoglue_ray.stages.coverage import attach_coverage
 
     ds = read_raster()
     ds = ds.map_batches(_add_var_code, batch_format="pyarrow")
@@ -215,12 +220,12 @@ def zonal_coverage() -> rd.Dataset:
     cell = cell.map_batches(add_cell_attrs, batch_format="pyarrow")
     grid = raster_grid_spec()
     index = AdminIndex.build(build_admin_table())
-    cov = build_coverage_table(ray.put(index), grid)
-    exploded = cell.map_batches(
-        AttachCoverage,
-        fn_constructor_args=(ray.put(cov), grid.xsize),
-        batch_format="pyarrow",
-        concurrency=(1, pool_size(4, reserve=2)),
+    exploded = attach_coverage(
+        cell,
+        ray.put(index),
+        grid,
+        broadcast_pairs_below=broadcast_pairs_below,
+        attach_concurrency=(1, pool_size(4, reserve=2)),
     )
 
     def partial(b: pa.Table) -> pa.Table:

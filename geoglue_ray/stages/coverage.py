@@ -24,9 +24,11 @@ Ray-Data-first shape:
   distributed result matches the closed-form SQL oracle bit-for-bit.
 
 At 10^12-document scale the coverage table for a global fine grid can reach
-~10^7 rows; it still broadcasts (hundreds of MB, one ``ray.put``), and past
-that the same pairs Dataset joins against the raster keyed on (row, col)
-instead — the build path is already distributed either way.
+~10^8-10^9 rows — past any sane broadcast budget.  :func:`attach_coverage`
+selects the topology by measured pair count: broadcast CSR lookup below
+``broadcast_pairs_below``, a distributed hash join on the packed cell key
+(``Dataset.join``) above it.  Both paths are bit-identical (tested); the
+build path is distributed either way.
 """
 
 from __future__ import annotations
@@ -166,18 +168,95 @@ class CoverageBuilder:
         return coverage_pairs(self.index, self.grid, rows, cols, self.coverage_weight)
 
 
-def build_coverage_table(
+def build_coverage_dataset(
     index_ref, grid: GridSpec, coverage_weight: str = "none", concurrency=(1, 4)
-) -> pa.Table:
-    """Distributed one-shot coverage build: one task band per grid row."""
-    ds = rd.range(grid.ysize).map_batches(
+) -> rd.Dataset:
+    """Distributed one-shot coverage build as a Dataset: one task band per
+    grid row; nothing lands on the driver."""
+    return rd.range(grid.ysize).map_batches(
         CoverageBuilder,
         fn_constructor_args=(index_ref, grid, coverage_weight),
         batch_format="pyarrow",
         batch_size=8,
         concurrency=concurrency,
     )
+
+
+def build_coverage_table(
+    index_ref, grid: GridSpec, coverage_weight: str = "none", concurrency=(1, 4)
+) -> pa.Table:
+    """Materializing wrapper over :func:`build_coverage_dataset` for the
+    broadcast path (small grids only — see :func:`attach_coverage`)."""
+    ds = build_coverage_dataset(index_ref, grid, coverage_weight, concurrency)
     return pa.concat_tables(ray.get(ds.to_arrow_refs())).combine_chunks()
+
+
+def attach_coverage(
+    cell: rd.Dataset,
+    index_ref,
+    grid: GridSpec,
+    coverage_weight: str = "none",
+    broadcast_pairs_below: int = 10_000_000,
+    build_concurrency=(1, 4),
+    attach_concurrency=(1, 4),
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Explode raster rows into their overlapping (admin_idx, cov) pairs,
+    selecting the topology by coverage-table size:
+
+    - **pair count <= broadcast_pairs_below** (regional grids, ~10^7
+      pairs / hundreds of MB): the pairs table is broadcast once
+      (``ray.put``) and every task runs the CSR searchsorted explode
+      (:class:`AttachCoverage`) — the raster never shuffles.
+    - **beyond the ceiling** (a global 1 km grid reaches 10^8-10^9
+      pairs — over any sane broadcast budget): the pairs stay a Dataset
+      and an inner HASH JOIN on the packed cell key co-partitions raster
+      rows with their coverage pairs (``Dataset.join``); both sides
+      shuffle once, nothing materializes on the driver.
+
+    Both paths emit identical rows — same columns, same values (tested
+    bit-exact; row order differs, downstream aggregation is order-free).
+    """
+    cov_ds = build_coverage_dataset(
+        index_ref, grid, coverage_weight, build_concurrency
+    ).materialize()
+    n_pairs = cov_ds.count()
+    if n_pairs <= broadcast_pairs_below:
+        tab = pa.concat_tables(ray.get(cov_ds.to_arrow_refs())).combine_chunks()
+        return cell.map_batches(
+            AttachCoverage,
+            fn_constructor_args=(ray.put(tab), grid.xsize),
+            batch_format="pyarrow",
+            concurrency=attach_concurrency,
+        )
+    xs = np.int64(grid.xsize)
+
+    def key_pairs(b: pa.Table) -> pa.Table:
+        k = b["cell_row"].to_numpy() * xs + b["cell_col"].to_numpy()
+        return pa.table(
+            {"cell_key": pa.array(k), "admin_idx": b["admin_idx"], "cov": b["cov"]}
+        )
+
+    def key_cells(b: pa.Table) -> pa.Table:
+        k = b["cell_row"].to_numpy().astype(np.int64) * xs + b[
+            "cell_col"
+        ].to_numpy().astype(np.int64)
+        return b.append_column("cell_key", pa.array(k))
+
+    if num_partitions is None:
+        # each join partition is a long-lived aggregator ACTOR holding a
+        # CPU slot: more partitions than the session's CPUs (minus
+        # headroom for the map tasks feeding them) never finishes
+        # scheduling — the fixed-pool deadlock lesson (CLAUDE.md)
+        from geoglue_ray.runtime import pool_size
+
+        num_partitions = pool_size(32, reserve=2)
+    pairs = cov_ds.map_batches(key_pairs, batch_format="pyarrow")
+    keyed = cell.map_batches(key_cells, batch_format="pyarrow")
+    joined = keyed.join(
+        pairs, join_type="inner", num_partitions=num_partitions, on=("cell_key",)
+    )
+    return joined.drop_columns(["cell_key"])
 
 
 class AttachCoverage:

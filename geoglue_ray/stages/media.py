@@ -50,15 +50,35 @@ def explode_media_spans(batch: pa.Table) -> pa.Table:
     return tbl.filter(is_media)
 
 
+PAYLOAD_LEN = 64
+_KNOWN_KINDS = ("image", "audio")
+
+
+def _payload_bytes(seeds: np.ndarray) -> np.ndarray:
+    """Deterministic stub payload matrix (n, PAYLOAD_LEN) uint8.
+
+    SQL-replicable by design (the texthash HUGEINT mod-2**64 contract):
+    ``byte[i] = (((seed+1)*C1 + (i+1)*C2) mod 2**64) >> 56`` with the
+    seed = sum of the media_ref's ASCII codes — so the media_features
+    oracle can recompute every byte exactly in DuckDB.  All SQL
+    intermediates stay below 2**127 (seed < 2**32, C1 < 2**62)."""
+    from geoglue_ray.functions.texthash import C1, C2
+
+    i = np.arange(PAYLOAD_LEN, dtype=np.uint64) + np.uint64(1)
+    h = (seeds.astype(np.uint64) + np.uint64(1))[:, None] * np.uint64(C1) + i[
+        None, :
+    ] * np.uint64(C2)
+    return (h >> np.uint64(56)).astype(np.uint8)
+
+
 def _decode_impl(media_ref: str, kind: str) -> bytes:
     """STUB: deterministic fake payload.  A real deployment replaces this
     with PIL/libav decode of the bytes behind ``media_ref``.  Raises for
     unknown kinds exactly as a real codec dispatch would."""
-    if kind not in ("image", "audio"):
+    if kind not in _KNOWN_KINDS:
         raise NotImplementedError(f"no decoder for kind={kind!r}")
     seed = np.frombuffer(media_ref.encode(), dtype=np.uint8).sum()
-    rng = np.random.default_rng(int(seed))
-    return rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+    return _payload_bytes(np.asarray([seed]))[0].tobytes()
 
 
 class DecodeMedia:
@@ -72,24 +92,45 @@ class DecodeMedia:
         self.codec_name = "stub-codec-v1"  # real: load PIL/libav here
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        refs = batch["media_ref"].to_pylist()
-        kinds = batch["kind"].to_pylist()
-        payload = [_decode_impl(r, k) for r, k in zip(refs, kinds)]
+        kinds = batch["kind"]
+        bad = pc.invert(pc.is_in(kinds, value_set=pa.array(_KNOWN_KINDS)))
+        if pc.any(bad).as_py():
+            k = kinds.filter(bad)[0].as_py()
+            raise NotImplementedError(f"no decoder for kind={k!r}")
+        # vectorized seed: ASCII-code sum per ref via one reduceat over
+        # the batch's concatenated ref bytes (refs are ASCII by contract)
+        refs = batch["media_ref"].combine_chunks()
+        joined = "".join(refs.to_pylist()).encode()
+        lens = pc.binary_length(refs).to_numpy().astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        seeds = (
+            np.add.reduceat(np.frombuffer(joined, dtype=np.uint8).astype(np.int64), offs)
+            if len(joined)
+            else np.zeros(len(batch), dtype=np.int64)
+        )
+        mat = _payload_bytes(seeds)
+        payload = pa.Array.from_buffers(
+            pa.binary(PAYLOAD_LEN), len(batch), [None, pa.py_buffer(mat.tobytes())]
+        )
         # opaque binary column with typed metadata (codec/content type) —
         # the multimodal-column convention
         field = pa.field(
             "payload",
-            pa.binary(),
+            pa.binary(PAYLOAD_LEN),
             metadata={"codec": self.codec_name, "content": "media-bytes"},
         )
-        return batch.append_column(field, pa.array(payload, type=pa.binary()))
+        return batch.append_column(field, payload)
 
 
 class MediaFeaturizer:
-    """Actor-pool stage: payload bytes -> FEATURE_DIM float32 vector.
+    """Actor-pool stage: payload bytes -> FEATURE_DIM float32 vector plus
+    the SQL-checkable ``n_distinct_bytes`` histogram moment.
 
     STUB model: byte-histogram projection with a fixed random matrix
-    (loaded once per actor — the shape a real embedding model load takes).
+    (loaded once per actor — the shape a real embedding model load
+    takes).  The float features are not SQL-replicable (Gaussian matrix)
+    — the integer moment IS, and gates the histogram arithmetic in the
+    driver's media_features oracle.
     """
 
     def __init__(self, dim: int = FEATURE_DIM, seed: int = 5):
@@ -97,17 +138,35 @@ class MediaFeaturizer:
         self.proj = rng.standard_normal((256, dim)).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        pays = batch["payload"].to_pylist()
-        hist = np.zeros((len(pays), 256), dtype=np.float32)
-        for i, p in enumerate(pays):
-            b = np.frombuffer(p, dtype=np.uint8)
-            np.add.at(hist[i], b, 1.0)
+        n = len(batch)
+        if n == 0:
+            batch = batch.append_column(
+                "feature",
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.float32()), self.proj.shape[1]
+                ),
+            )
+            return batch.append_column("n_distinct_bytes", pa.array([], pa.int64()))
+        raw = np.frombuffer(
+            b"".join(batch["payload"].to_pylist()), dtype=np.uint8
+        ).reshape(n, -1)
+        # one bincount for the whole batch: per-row histograms via
+        # row-offset byte indices (no per-row Python)
+        idx = raw.astype(np.int64) + np.arange(n)[:, None] * 256
+        hist = (
+            np.bincount(idx.reshape(-1), minlength=n * 256)
+            .reshape(n, 256)
+            .astype(np.float32)
+        )
         feat = hist @ self.proj
-        return batch.append_column(
+        batch = batch.append_column(
             "feature",
             pa.FixedSizeListArray.from_arrays(
                 pa.array(feat.reshape(-1)), self.proj.shape[1]
             ),
+        )
+        return batch.append_column(
+            "n_distinct_bytes", pa.array((hist > 0).sum(axis=1).astype(np.int64))
         )
 
 

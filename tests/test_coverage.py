@@ -168,3 +168,19 @@ def test_fill_default_integer_columns():
     out = _fill_default(b, "v", 7.0)
     assert out["v"].to_pylist() == [1.0, 7.0, 3.0]
     assert out["v"].type == pa.float64()
+
+
+def test_coverage_join_path_matches_broadcast_exactly():
+    """Forcing the beyond-broadcast hash-join topology (tiny pair budget)
+    must reproduce the broadcast path's zonal_coverage output bit-for-bit
+    — same rows, same float values, same dtypes."""
+    from geoglue_ray.pipelines.raster import zonal_coverage
+
+    a = zonal_coverage().to_pandas()  # broadcast CSR path (default budget)
+    b = zonal_coverage(broadcast_pairs_below=0).to_pandas()  # join path
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) > 0
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert av.dtype == bv.dtype, c
+        assert np.array_equal(av, bv, equal_nan=av.dtype.kind == "f"), c

@@ -395,10 +395,27 @@ def test_media_features(q, sf_dir):
     ids = np.arange(500)
     assert len(df) == int((ids % 3).sum())
     assert set(df["kind"]) <= {"image", "audio"}
-    assert (df["feat_norm"] >= 0).all()
-    # deterministic stub features
+    assert (df["payload_len"] == 64).all()
+    assert ((df["n_distinct_bytes"] >= 1) & (df["n_distinct_bytes"] <= 64)).all()
+    # deterministic stub decode across runs
     df2 = q["media_features"](sf_dir).to_pandas()
-    assert np.array_equal(df["feat_norm"].to_numpy(), df2["feat_norm"].to_numpy())
+    assert df.equals(df2)
+
+
+def test_media_feature_vectors_deterministic(sf_dir):
+    """The (non-SQL-expressible) float feature vectors stay deterministic
+    and match the per-row scalar decode stub."""
+    from geoglue_ray.stages.media import _decode_impl, media_pipeline
+    from geoglue_ray.sources.corpus import read_corpus
+
+    out = media_pipeline(read_corpus(sf_dir, with_spans=True).limit(30)).to_pandas()
+    assert len(out) > 0
+    f1 = np.stack(out["feature"].to_numpy())
+    out2 = media_pipeline(read_corpus(sf_dir, with_spans=True).limit(30)).to_pandas()
+    assert np.array_equal(f1, np.stack(out2["feature"].to_numpy()))
+    # batch decode == scalar decode
+    r = out.iloc[0]
+    assert bytes(r["payload"]) == _decode_impl(r["media_ref"], r["kind"])
 
 
 def test_media_decode_rejects_unknown_kind():
