@@ -268,17 +268,32 @@ def distinct_sources(sf_dir: str) -> rd.Dataset:
     return count_distinct(ds, ["lang"], ["source"], "n_sources").sort("lang")
 
 
-def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+def events_sessionize(
+    sf_dir: str, gap_minutes: int = 30, n_shards: int = 64
+) -> rd.Dataset:
     """Session windows per user (gap > 30 min starts a new session) — the
-    streaming-shaped pattern: partition by key, sort by time within the
-    group, window with pandas (Ray Data has no event-time windows)."""
+    streaming-shaped pattern: co-partition by key, sort by time within the
+    partition, window vectorized (Ray Data has no event-time windows).
+
+    Scale shape (round-3 rework): the shuffle key is ``hash(user) %
+    n_shards`` — FIXED group count; grouping on raw user_id pays Ray's
+    per-group Python overhead once per user (CLAUDE.md), and user
+    cardinality scales with the corpus.  Each shard task sessionizes ALL
+    of its users in one lexsort + vectorized break-detection +
+    ``reduceat`` pass: a session break is a user change OR a gap over
+    the threshold.  Sums are over integer-valued measures -> exact."""
     import pandas as pd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
         return pa.table(
             {
+                "_us": pa.array(shard),
                 "user_id": b["user_id"],
                 "ts": b["ts"],
                 "v": pa.array(np.floor(b["value"].to_numpy())),
@@ -288,22 +303,26 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
+        uid = g["user_id"].to_numpy()
         ts = g["ts"].to_numpy()
-        brk = np.ones(len(g), dtype=np.int64)
+        v = g["v"].to_numpy()
+        o = np.lexsort((ts, uid))
+        uid, ts, v = uid[o], ts[o], v[o]
+        brk = np.ones(len(g), dtype=bool)
         if len(g) > 1:
-            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
-        g = g.assign(_sid=np.cumsum(brk))
-        out = g.groupby("_sid", sort=True).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            n_events=("ts", "size"),
-            sum_val=("v", "sum"),
+            brk[1:] = (uid[1:] != uid[:-1]) | (np.diff(ts) > gap)
+        starts = np.nonzero(brk)[0]
+        ends = np.concatenate([starts[1:], [len(uid)]])
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "session_start": ts[starts],
+                "n_events": (ends - starts).astype(np.float64),
+                "sum_val": np.add.reduceat(v, starts),
+            }
         )
-        out["n_events"] = out["n_events"].astype("float64")
-        return out.reset_index(drop=True)
 
-    out = ds.map_batches(prep, batch_format="pyarrow").groupby("user_id").map_groups(
+    out = ds.map_batches(prep, batch_format="pyarrow").groupby("_us").map_groups(
         sessions, batch_format="pandas"
     )
     return out.sort(["user_id", "session_start"])

@@ -25,7 +25,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Min
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -43,21 +42,59 @@ def content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup(
-    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
+    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text", n_shards: int = 64
 ) -> rd.Dataset:
     """One row per distinct text: (doc_id = lowest id, n_dups).
 
     Hash-partitioned first-wins, the classic exact-dedup shape; 64-bit
     hashes make collisions negligible and the shuffle narrow.
+
+    Scale shape (round-3 rework): content_hash cardinality ~ corpus size,
+    so a native ``groupby(content_hash)`` would pay Ray's per-group
+    Python overhead N times (measured ~28 s at 200k keys, CLAUDE.md).
+    Instead each batch partially reduces (hash -> min id, count) with one
+    ``np.unique`` + ``reduceat`` pass, the shuffle key is ``hash %
+    n_shards`` (FIXED group count, equal hashes co-located), and each
+    shard merges its many hashes in one more vectorized pass.  Shuffle
+    payload: one 24-byte partial row per distinct hash per batch.
     """
-    hashed = ds.map_batches(
-        lambda b: content_hash(b, text_col).select(["content_hash", id_col]),
-        batch_format="pyarrow",
-    )
-    agg = hashed.groupby("content_hash").aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
-    )
-    return agg.select_columns([id_col, "n_dups"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = content_hash(b, text_col)
+        h = t["content_hash"].to_numpy()
+        ids = t[id_col].to_numpy().astype(np.int64)
+        uniq, inv = np.unique(h, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(len(uniq)))
+        return pa.table(
+            {
+                "shard": pa.array(
+                    (uniq.view(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "content_hash": pa.array(uniq),
+                id_col: pa.array(np.minimum.reduceat(ids[order], starts)),
+                "n_dups": pa.array(
+                    np.diff(np.concatenate([starts, [len(ids)]])).astype(np.int64)
+                ),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["content_hash"].to_numpy()
+        ids = g[id_col].to_numpy()
+        cnt = g["n_dups"].to_numpy()
+        uniq, inv = np.unique(h, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(len(uniq)))
+        return pd.DataFrame(
+            {
+                id_col: np.minimum.reduceat(ids[order], starts),
+                "n_dups": np.add.reduceat(cnt[order], starts),
+            }
+        )
+
+    parted = ds.map_batches(partial, batch_format="pyarrow")
+    return parted.groupby("shard").map_groups(merge, batch_format="pandas")
 
 
 # ----------------------------------------------------------------- MinHash
@@ -265,6 +302,58 @@ def _run_pairs(*sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(ia_parts), np.concatenate(ib_parts)
 
 
+def _pair_reduce(
+    pairs: rd.Dataset, val_col: str, reduce: str, n_buckets: int = 64
+) -> rd.Dataset:
+    """Global (doc_a, doc_b) dedup keeping the max/min of ``val_col`` (a
+    pair can collide in several bands).  Pair cardinality scales with the
+    corpus, so a native ``groupby([doc_a, doc_b])`` would pay Ray's
+    per-group Python overhead once per pair (CLAUDE.md lesson); instead
+    each batch pre-reduces its pairs vectorized and adds a FIXED
+    ``hash(pair) % n_buckets`` shuffle key, and each bucket task reduces
+    its many pairs in one lexsort + ``reduceat`` pass."""
+    ufunc = np.maximum if reduce == "max" else np.minimum
+
+    def _reduce_arrays(a, c, v):
+        o = np.lexsort((c, a))
+        a, c, v = a[o], c[o], v[o]
+        bnd = np.concatenate(([True], (a[1:] != a[:-1]) | (c[1:] != c[:-1])))
+        starts = np.nonzero(bnd)[0]
+        return a[starts], c[starts], ufunc.reduceat(v, starts)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        a, c, v = (
+            b["doc_a"].to_numpy(),
+            b["doc_b"].to_numpy(),
+            b[val_col].to_numpy(),
+        )
+        if len(a):
+            a, c, v = _reduce_arrays(a, c, v)  # per-batch partial reduce
+        h = (a.astype(np.uint64) * _MIX1 + c.astype(np.uint64) * _MIX2) % np.uint64(
+            n_buckets
+        )
+        return pa.table(
+            {
+                "_pb": pa.array(h.astype(np.int64)),
+                "doc_a": pa.array(a),
+                "doc_b": pa.array(c),
+                val_col: pa.array(v),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        a, c, v = _reduce_arrays(
+            g["doc_a"].to_numpy(), g["doc_b"].to_numpy(), g[val_col].to_numpy()
+        )
+        return pd.DataFrame({"doc_a": a, "doc_b": c, val_col: v})
+
+    return (
+        pairs.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def _band_pairs(
     group: pd.DataFrame, threshold: float, sig_ref=None
 ) -> pd.DataFrame:
@@ -369,11 +458,7 @@ def minhash_neardup(
     pairs = exploded.groupby("shard").map_groups(
         lambda g: _band_pairs(g, threshold, sig_ref), batch_format="pandas"
     )
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
-    )
+    return _pair_reduce(pairs, "est_jaccard", "max")
 
 
 # ----------------------------------------------------------------- SimHash
@@ -486,7 +571,7 @@ def simhash_neardup(
 
     cand = sigs.map_batches(explode, batch_format="pyarrow")
     out = cand.groupby("shard").map_groups(band_pairs, batch_format="pandas")
-    return out.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return _pair_reduce(out, "hamming", "min")
 
 
 # ------------------------------------------------ duplicate-cluster resolve
