@@ -107,27 +107,50 @@ def knn_bruteforce(
         concurrency=concurrency,
     )
 
-    return local.groupby("query_id").map_groups(
-        lambda g: _topk_merge(g, k), batch_format="pyarrow"
-    )
+    return _global_topk(local, k)
 
 
-def _topk_merge(g: pa.Table, k: int) -> pa.Table:
-    """Global top-k from per-batch candidates.  Arrow in / Arrow out with
-    an explicitly TYPED (possibly empty) result: the groupby's sort
-    machinery can hand the UDF empty partitions, and an untyped empty
-    block diverges downstream schemas (the PandasBlockSchema([],[])
-    warning class from rounds 1-2) — typed Arrow empties unify cleanly."""
-    qid = g["query_id"].to_numpy().astype(np.int64)
-    nid = g["neighbor_id"].to_numpy().astype(np.int64)
-    sc = g["score"].to_numpy()
-    order = np.lexsort((nid, -sc))[:k]  # score desc, ties neighbor asc
-    return pa.table(
-        {
-            "query_id": pa.array(qid[order], type=pa.int64()),
-            "neighbor_id": pa.array(nid[order], type=pa.int64()),
-            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-        }
+def _global_topk(local: rd.Dataset, k: int, n_shards: int = 64) -> rd.Dataset:
+    """Global top-k per query from per-batch candidates.
+
+    The shuffle key is ``hash(query_id) % n_shards`` — FIXED group count
+    (grouping on raw query_id pays Ray's per-group Python once per
+    query, which at a realistic 10^4+ queries dominates the tiny merge);
+    each shard resolves ALL of its queries in one lexsort + run-rank
+    pass.  Arrow in / Arrow out with explicitly TYPED (possibly empty)
+    results: the sort machinery can hand the UDF empty partitions, and
+    an untyped empty block diverges downstream schemas (the
+    PandasBlockSchema([],[]) warning class from rounds 1-2)."""
+
+    def shard(b: pa.Table) -> pa.Table:
+        q = b["query_id"].to_numpy().astype(np.uint64)
+        s = ((q * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(np.int64)
+        return b.append_column("_qs", pa.array(s))
+
+    def merge(g: pa.Table) -> pa.Table:
+        qid = g["query_id"].to_numpy().astype(np.int64)
+        nid = g["neighbor_id"].to_numpy().astype(np.int64)
+        sc = g["score"].to_numpy()
+        o = np.lexsort((nid, -sc, qid))  # per query: score desc, ties nid asc
+        qid, nid = qid[o], nid[o]
+        n = len(qid)
+        brk = np.concatenate(([True], qid[1:] != qid[:-1])) if n else np.zeros(0, bool)
+        starts = np.nonzero(brk)[0]
+        lengths = np.diff(np.concatenate([starts, [n]]))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lengths)
+        keep = pos < k
+        return pa.table(
+            {
+                "query_id": pa.array(qid[keep], type=pa.int64()),
+                "neighbor_id": pa.array(nid[keep], type=pa.int64()),
+                "rank": pa.array(pos[keep] + 1),
+            }
+        )
+
+    return (
+        local.map_batches(shard, batch_format="pyarrow")
+        .groupby("_qs")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -202,9 +225,7 @@ def knn_lsh(
         concurrency=(1, 4),
     )
 
-    return local.groupby("query_id").map_groups(
-        lambda g: _topk_merge(g, k), batch_format="pyarrow"
-    )
+    return _global_topk(local, k)
 
 
 def embedding_neardup(
