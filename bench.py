@@ -129,10 +129,12 @@ def _scaling() -> None:
     # larger corpus for the scaling pair so fixed startup costs amortize
     # (the criterion models a fixed-size cluster streaming 100 TB, where
     # per-job constants vanish); same input at both parallelism levels.
-    # 4000 replicas (20M docs): per-run constants (session + pool ramp,
-    # ~5 s) drop below 10% of the 16-slot runtime; at 800 they dominate
-    # and the ratio measures startup, not streaming throughput
-    scale_reps = os.environ.get("GRAFT_REPLICAS_SCALING", str(max(REPLICAS, 4000)))
+    # 32000 replicas (160M docs): after the round-3 engine speedups
+    # (per-task partial collapse, uniform-edge PIP, single-task final
+    # merge) the 16-slot run is ~25 s at this size, keeping per-run
+    # constants (session + pool ramp, ~2 s) under 10%; at 4000 the hi
+    # level finishes in ~5 s and the ratio measures startup
+    scale_reps = os.environ.get("GRAFT_REPLICAS_SCALING", str(max(REPLICAS, 32000)))
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -156,10 +158,16 @@ def _scaling() -> None:
     levels = os.environ.get("GRAFT_SCALE_LEVELS", "4,16")
     n_lo, n_hi = (int(x) for x in levels.split(","))
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
-    # best-of-N per level: the sandbox host is noisy (±50% run-to-run);
-    # the best run is the least-interfered measurement of each level
-    lo = min((run(n_lo) for _ in range(repeats)), key=lambda d: d["value"])
-    hi = min((run(n_hi) for _ in range(repeats)), key=lambda d: d["value"])
+    # INTERLEAVED best-of-N: the sandbox host is noisy (±50% run-to-run
+    # hypervisor windows); alternating lo/hi runs makes both levels
+    # sample the same window distribution before taking each level's
+    # least-interfered (best) run
+    los, his = [], []
+    for _ in range(repeats):
+        los.append(run(n_lo))
+        his.append(run(n_hi))
+    lo = min(los, key=lambda d: d["value"])
+    hi = min(his, key=lambda d: d["value"])
     ratio = n_hi / n_lo
     eff = (lo["docs_per_s"] and (hi["docs_per_s"] / lo["docs_per_s"]) / ratio) or 0.0
     print(

@@ -114,7 +114,7 @@ class FusedZonalWorker:
 
         from geoglue_ray.sources.corpus import DeriveObservations
         from geoglue_ray.sources.weights import lookup_weight
-        from geoglue_ray.stages.zonal import partial_zonal
+        from geoglue_ray.stages.zonal import partial_zonal, reduce_partials
 
         if self._derive is None:
             self._derive = DeriveObservations(with_spans=False)
@@ -128,7 +128,12 @@ class FusedZonalWorker:
             t = t.append_column("weight", pa.array(lookup_weight(lon, lat, self.weights)))
             parts.append(partial_zonal(t, ["admin_idx"], "value", "weight"))
         if parts:
-            yield pa.concat_tables(parts)
+            # collapse the per-replica partials to ONE row per key before
+            # shipping — without this the batch emits replicas x n_keys
+            # rows and the downstream merge pays ~2x the worker's own CPU
+            # re-sorting them (measured: 4M partial rows / 212 MB shuffled
+            # at 4000 replicas vs ~100k rows / 5 MB combined)
+            yield reduce_partials(pa.concat_tables(parts), ["admin_idx"])
 
 
 def fused_zonal_pipeline(
@@ -136,32 +141,46 @@ def fused_zonal_pipeline(
     ops: list[str] | None = None,
     replicas: int = 1,
     concurrency: int | tuple[int, int] = (1, 8),
+    merge_bound: int = 5_000_000,
 ) -> rd.Dataset:
     """Bench/throughput variant of :func:`zonal_pipeline`: identical result,
     single fused actor pool, partials-only shuffle."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from ray.data.aggregate import Max, Min, Sum
     from geoglue_ray.ops import parse_ops
-    from geoglue_ray.stages.zonal import zonal_aggregate  # noqa: F401 (semantics ref)
+    from geoglue_ray.stages.zonal import _merge_partials
 
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    partial = rd.range(replicas).map_batches(
+    # size tasks from derived-row volume (~1.6us/row measured): ~1.25M
+    # rows ~= 2s per task.  Ray's default block count for a range this
+    # small is ~2x CPUs, which at a 3-actor pool quantizes the stage into
+    # 3 waves with a 2/3-full tail (measured ~25% of 4-slot wall)
+    pool_max = concurrency if isinstance(concurrency, int) else concurrency[1]
+    nblocks = max(pool_max, -(-replicas * len(tbl) // 1_250_000))
+    # round up to a multiple of the pool so the last wave runs full
+    # (64 tasks over 12 actors leaves 8 actors idle for a whole task)
+    nblocks = -(-nblocks // pool_max) * pool_max
+    partial = rd.range(replicas, override_num_blocks=min(nblocks, replicas)).map_batches(
         FusedZonalWorker,
         fn_constructor_args=(ray.put(tbl), _admin_index_ref(), _weights_ref(), len(tbl)),
         batch_format="pyarrow",
-        batch_size=40,  # ~2s tasks: finer granularity loses ~3x to per-task
-        # dispatch overhead, coarser starves the pool tail (measured)
+        batch_size=None,  # whole block per __call__: ONE collapsed partial
+        # table (<= key cardinality rows) ships per task; task size is set
+        # by nblocks above (~1-2s), not by batch_size
         concurrency=concurrency,
     )
-    merged = partial.groupby(["admin_idx"]).aggregate(
-        *[Sum(c, alias_name=c) for c in ["sum_v", "cnt", "sum_w", "sum_wv"]],
-        Min("min_v", alias_name="min_v"),
-        Max("max_v", alias_name="max_v"),
-    )
+    # Final merge, selected by partial volume (tasks x key cardinality):
+    # below ~5M rows a single-task vectorized reduce replaces the
+    # bucketed-shuffle machinery — the groupby path costs ~4.7s of
+    # barrier + tiny-task dispatch constants on key-cardinality data
+    # (measured 30% of the 16-slot wall).  Past the bound (wide clusters,
+    # high-cardinality keys) _merge_partials shuffles on fixed buckets,
+    # NEVER Ray's native sort-based aggregate (per-row sort cost over
+    # every partial row — measured 65s CPU vs the workers' own 36s).
     specs = [(o, parse_ops([o])[0]) for o in (ops or DEFAULT_OPS)]
     names = build_admin_table()["admin_id"].combine_chunks()
+    single_task_merge = nblocks * len(names) <= merge_bound
 
     def finalize(batch: "pa.Table") -> "pa.Table":
         import numpy as np
@@ -187,7 +206,28 @@ def fused_zonal_pipeline(
                 cols[raw] = pa.array(v)
         return pa.table(cols)
 
-    return merged.map_batches(finalize, batch_format="pyarrow").sort("admin_id")
+    # final order: the result is key-cardinality sized (~1k rows), so a
+    # single-partition Arrow sort replaces Ray's distributed sort (sample
+    # + 2 task waves of barrier machinery — ~1s of constants on tiny data)
+    def reduce_finalize_sort(t: "pa.Table") -> "pa.Table":
+        from geoglue_ray.stages.zonal import reduce_partials
+
+        return finalize(reduce_partials(t, ["admin_idx"])).sort_by(
+            [("admin_id", "ascending")]
+        )
+
+    if single_task_merge:
+        return partial.repartition(1).map_batches(
+            reduce_finalize_sort, batch_format="pyarrow"
+        )
+    merged = _merge_partials(partial, ["admin_idx"])
+    return (
+        merged.map_batches(finalize, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: t.sort_by([("admin_id", "ascending")]), batch_format="pyarrow"
+        )
+    )
 
 
 def zonal_pipeline(

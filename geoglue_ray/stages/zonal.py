@@ -189,6 +189,28 @@ def partial_zonal(
     return pa.table(out)
 
 
+def reduce_partials(t: pa.Table, keys: list[str]) -> pa.Table:
+    """Re-reduce a table of partial rows to ONE row per key, vectorized
+    (factorize + ``reduceat``, no per-group Python).  Used to collapse
+    many per-slice partials inside a single task before they ship —
+    the shuffle payload then stays key-cardinality sized no matter how
+    many slices a task processed.  Exact: partial sums/counts are
+    integer-valued doubles (order-independent), min/max order-free."""
+    if len(t) == 0:
+        return t
+    key_vals, inv, n_groups = _factorize_keys(
+        [t[k].to_numpy(zero_copy_only=False) for k in keys]
+    )
+    order = np.argsort(inv, kind="stable")
+    starts = np.searchsorted(inv[order], np.arange(n_groups))
+    out = dict(zip(keys, key_vals))
+    for c in ("sum_v", "cnt", "sum_w", "sum_wv"):
+        out[c] = np.add.reduceat(t[c].to_numpy()[order], starts)
+    out["min_v"] = np.minimum.reduceat(t["min_v"].to_numpy()[order], starts)
+    out["max_v"] = np.maximum.reduceat(t["max_v"].to_numpy()[order], starts)
+    return pa.table(out)
+
+
 _MERGE_MUL = np.uint64(0x9E3779B185EBCA87)
 
 

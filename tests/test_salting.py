@@ -31,3 +31,32 @@ def test_salted_equals_unsalted(sf_dir):
     for c in plain.columns:
         a, b = plain[c].to_numpy(), salted[c].to_numpy()
         assert np.array_equal(a, b, equal_nan=(a.dtype.kind == "f")), c
+
+
+def test_fused_equals_zonal_pipeline(sf_dir):
+    """The fused single-pool bench variant must equal the composed
+    pipeline bit-exactly, including through the per-batch
+    reduce_partials collapse and the _merge_partials final merge
+    (integer-valued partial sums -> order-independent)."""
+    from geoglue_ray.pipelines.zonal import fused_zonal_pipeline, zonal_pipeline
+
+    fused = fused_zonal_pipeline(sf_dir, replicas=3).to_pandas()
+    composed = zonal_pipeline(sf_dir, replicas=3).to_pandas()
+    assert list(fused.columns) == list(composed.columns)
+    assert len(fused) == len(composed)
+    for c in fused.columns:
+        a, b = fused[c].to_numpy(), composed[c].to_numpy()
+        assert np.array_equal(a, b, equal_nan=(a.dtype.kind == "f")), c
+
+
+def test_fused_merge_paths_identical(sf_dir):
+    """Both final-merge selections (single-task reduce vs bucketed
+    _merge_partials shuffle) must produce the identical table."""
+    from geoglue_ray.pipelines.zonal import fused_zonal_pipeline
+
+    single = fused_zonal_pipeline(sf_dir, replicas=2).to_pandas()
+    bucketed = fused_zonal_pipeline(sf_dir, replicas=2, merge_bound=0).to_pandas()
+    assert list(single.columns) == list(bucketed.columns)
+    for c in single.columns:
+        a, b = single[c].to_numpy(), bucketed[c].to_numpy()
+        assert np.array_equal(a, b, equal_nan=(a.dtype.kind == "f")), c
