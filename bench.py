@@ -21,10 +21,11 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# 4000 replicas = 20M docs: the ~5s per-run constant (session + pool
-# ramp) stays below 10% of the headline, so the recorded docs/s measures
-# streaming throughput, not startup (BASELINE.md methodology)
-REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "4000"))
+# 16000 replicas = 80M docs: after the round-3 speedups the ~2s per-run
+# constant (session + pool ramp) stays below 10% of the headline, so the
+# recorded docs/s measures streaming throughput, not startup
+# (BASELINE.md methodology; was 4000 in round 2 at ~1/4 the throughput)
+REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "16000"))
 
 
 def _run_queries() -> dict:
@@ -41,6 +42,14 @@ def _run_queries() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Ray Data's per-operator resource reservation (ReservationOpResource-
+    # Allocator) reserves CPU budget for every operator in the plan; at
+    # small sessions the multi-operator flagship plan leaves the map stage
+    # ~1 effective slot (measured: 4-CPU flagship 45.5s -> 15.1s with the
+    # allocator off, 16-CPU 27.7s -> 17.6s).  Safe here: every bench
+    # pipeline ships key-cardinality-sized shuffle payloads, so the
+    # allocator's OOM-protection role is moot.
+    ctx.op_resource_reservation_enabled = False
 
     # Ray's Sort operator emits SCHEMA-LESS bundles for empty partitions
     # (reproducible with any groupby over a dataset holding zero-row

