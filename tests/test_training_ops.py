@@ -423,3 +423,79 @@ def test_media_decode_rejects_unknown_kind():
 
     with pytest.raises(NotImplementedError):
         _decode_impl("media/1/1", "video")
+
+
+def test_embed_knn_ivf_recall(q, sf_dir):
+    """IVF recall gate vs exact brute force on the near-random sf
+    embeddings (generous nprobe/nlist — unstructured recall tends to
+    nprobe/nlist)."""
+    df = q["embed_ivf_recall"](sf_dir).to_pandas()
+    assert df["recall_ok"].all(), df
+
+
+def test_embed_knn_ivf_clustered_prunes_and_recalls():
+    """On clustered embeddings the IVF coarse quantizer discovers the
+    clusters: probing 2 of 8 lists (1/4 of brute-force work) still
+    recalls >= 0.9 of the true top-10 — the scale story for IVF."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.similarity import knn_bruteforce, knn_ivf
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 32)) * 4
+    pts = np.repeat(centers, 50, axis=0) + rng.standard_normal((400, 32))
+    t = pa.table(
+        {
+            "vec_id": np.arange(400, dtype=np.int64),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(pts.reshape(-1).astype(np.float32)), 32
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    exact = knn_bruteforce(ds, [0, 50, 100], k=10).to_pandas()
+    approx = knn_ivf(ds, [0, 50, 100], k=10, nlist=8, nprobe=2).to_pandas()
+    recalls = []
+    for qid in [0, 50, 100]:
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        a = set(approx[approx.query_id == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_ivf_restricts_to_probed_lists():
+    """True inverted-file semantics: a neighbor outside every probed
+    list of a query must not appear in that query's result, even if it
+    is the globally nearest vector."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.similarity import (
+        _normalize,
+        _spherical_kmeans,
+        knn_ivf,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((4, 16)) * 6
+    pts = np.repeat(centers, 25, axis=0) + 0.1 * rng.standard_normal((100, 16))
+    t = pa.table(
+        {
+            "vec_id": np.arange(100, dtype=np.int64),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(pts.reshape(-1).astype(np.float32)), 16
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = knn_ivf(ds, [0], k=10, nlist=4, nprobe=1).to_pandas()
+    # with nprobe=1 on tight clusters, every neighbor is from query 0's
+    # own cluster (rows 0..24)
+    assert len(out) > 0
+    assert (out["neighbor_id"] < 25).all(), out
+    # and the centroids the quantizer trains are deterministic
+    smat = _normalize(pts.astype(np.float64))
+    c1 = _spherical_kmeans(smat, 4)
+    c2 = _spherical_kmeans(smat, 4)
+    assert np.array_equal(c1, c2)
