@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_variation": lambda sf_dir: r.weekly_variation(),
         "q1_pricing": q.q1_pricing,
         "segment_revenue": q.segment_revenue,
+        "region_revenue": q.region_revenue,
+        "brand_stats": q.brand_stats,
         "topk_by_admin1": q.topk_by_admin1,
         "distinct_sources": q.distinct_sources,
         "events_sessionize": q.events_sessionize,
@@ -101,6 +103,8 @@ def oracle_sql() -> dict[str, str]:
         "weekly_variation": o.weekly_variation(),
         "q1_pricing": o.q1_pricing(),
         "segment_revenue": o.segment_revenue(),
+        "region_revenue": o.region_revenue(),
+        "brand_stats": o.brand_stats(),
         "topk_by_admin1": o.topk_by_admin1(),
         "distinct_sources": o.distinct_sources(),
         "events_sessionize": o.events_sessionize(),

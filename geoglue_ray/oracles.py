@@ -877,3 +877,31 @@ def embed_ivf_recall() -> str:
     return """
 SELECT i.range AS query_id, TRUE AS recall_ok FROM range(4) i ORDER BY 1
 """
+
+
+def region_revenue() -> str:
+    """lineitem -> supplier -> nation -> region revenue (Q5 shape); the
+    floor of the single-multiply revenue makes sums order-independent."""
+    return """
+SELECT r.r_name,
+       CAST(count(*) AS DOUBLE) AS n_items,
+       sum(floor(l.l_extendedprice * (1.0 - l.l_discount))) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def brand_stats() -> str:
+    return """
+SELECT p.p_brand,
+       CAST(count(*) AS DOUBLE) AS n_items,
+       sum(floor(l.l_quantity)) AS sum_qty,
+       sum(floor(l.l_extendedprice * (1.0 - l.l_discount))) AS revenue,
+       min(floor(l.l_extendedprice)) AS min_price,
+       max(floor(l.l_extendedprice)) AS max_price
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1 ORDER BY 1
+"""

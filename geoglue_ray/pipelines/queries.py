@@ -242,6 +242,139 @@ def embed_lsh_recall(sf_dir: str) -> rd.Dataset:
     return rd.from_arrow(out).sort("query_id")
 
 
+def region_revenue(sf_dir: str) -> rd.Dataset:
+    """lineitem -> supplier -> nation -> region revenue (TPC-H Q5 shape).
+
+    The three-table dimension chain (region 5 x nation 25 x supplier
+    ~SF*1k rows — broadcast-small at every scale) is composed
+    driver-side into ONE dense suppkey -> region-code array, broadcast
+    via ``ray.put``; each lineitem batch maps suppkey -> region with an
+    array gather and partial-aggregates revenue per region (card 5), so
+    the shuffle is key-cardinality rows — never a 4-way join exchange.
+    Revenue = ``floor(l_extendedprice * (1.0 - l_discount))``: the
+    product is one IEEE double op (bit-identical between numpy and SQL)
+    and the floor makes distributed sum order-independent."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    n_to_r = np.empty(nat.num_rows, dtype=np.int64)
+    n_to_r[nat["n_nationkey"].to_numpy()] = nat["n_regionkey"].to_numpy()
+    s_to_r = np.empty(int(sup["s_suppkey"].to_numpy().max()) + 1, dtype=np.int64)
+    s_to_r[sup["s_suppkey"].to_numpy()] = n_to_r[sup["s_nationkey"].to_numpy()]
+    r_names = np.empty(reg.num_rows, dtype=object)
+    r_names[reg["r_regionkey"].to_numpy()] = np.asarray(
+        reg["r_name"].to_pylist(), dtype=object
+    )
+    n_regions = len(r_names)
+    lut_ref = ray.put(s_to_r)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        code = lut[b["l_suppkey"].to_numpy()]
+        rev = np.floor(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        )
+        return pa.table(
+            {
+                "_r": pa.array(np.arange(n_regions, dtype=np.int64)),
+                "n_items": pa.array(
+                    np.bincount(code, minlength=n_regions).astype(np.float64)
+                ),
+                "revenue": pa.array(np.bincount(code, weights=rev, minlength=n_regions)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": [r_names[int(g["_r"].iloc[0])]],
+                "n_items": [g["n_items"].sum()],
+                "revenue": [g["revenue"].sum()],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_r")
+        .map_groups(merge, batch_format="pandas")
+    )
+    return out.sort("r_name")
+
+
+def brand_stats(sf_dir: str) -> rd.Dataset:
+    """lineitem joined to part by broadcast dense-key gather, grouped by
+    brand (card 25): sum/min/max of floored measures so every aggregate
+    is order-independent (min/max of partials = global min/max)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from geoglue_ray.stages.zonal import _factorize_keys
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brands = np.empty(int(part["p_partkey"].to_numpy().max()) + 1, dtype=object)
+    brands[part["p_partkey"].to_numpy()] = np.asarray(
+        part["p_brand"].to_pylist(), dtype=object
+    )
+    lut_ref = ray.put(brands)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        brand = lut[b["l_partkey"].to_numpy()]
+        qty = np.floor(b["l_quantity"].to_numpy())
+        price = np.floor(b["l_extendedprice"].to_numpy())
+        rev = np.floor(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        )
+        key_vals, inv, n_groups = _factorize_keys([brand])
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(n_groups))
+        ends = np.concatenate([starts[1:], [len(inv)]])
+        return pa.table(
+            {
+                "p_brand": pa.array(key_vals[0]),
+                "n_items": pa.array((ends - starts).astype(np.float64)),
+                "sum_qty": pa.array(np.add.reduceat(qty[order], starts)),
+                "revenue": pa.array(np.add.reduceat(rev[order], starts)),
+                "min_price": pa.array(np.minimum.reduceat(price[order], starts)),
+                "max_price": pa.array(np.maximum.reduceat(price[order], starts)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": [g["p_brand"].iloc[0]],
+                "n_items": [g["n_items"].sum()],
+                "sum_qty": [g["sum_qty"].sum()],
+                "revenue": [g["revenue"].sum()],
+                "min_price": [g["min_price"].min()],
+                "max_price": [g["max_price"].max()],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .map_groups(merge, batch_format="pandas")
+    )
+    return out.sort("p_brand")
+
+
 def topk_by_admin1(sf_dir: str, k: int = 10) -> rd.Dataset:
     """Top-k documents by value within each admin-1 (deterministic ties:
     value desc, doc_id asc) — groupby + per-group sorted head."""
