@@ -83,3 +83,63 @@ def test_sort_empty_partition_warning_is_ray_internal():
     # every captured instance is the empty-new-schema variant the bench
     # filter targets, emitted despite fully-typed UDF outputs end to end
     assert all("new schema: ." in m or "PandasBlockSchema" in m for m in cap.hits)
+
+
+def test_schema_hash_warning_is_pyarrow_internal(tmp_path):
+    """Pin the second filtered bench warning: ``Failed to hash the
+    schemas (for deduplication): unhashable type: 'dict'``.
+
+    pyarrow 16's ``Schema.__hash__`` raises TypeError whenever the
+    schema carries key/value metadata (it hashes the raw metadata
+    dict), so Ray's ``unify_schemas`` dedup short-circuit
+    (transform_pyarrow.py) warns on EVERY read of a pandas-written
+    parquet file — including the driver's own testdata, whose files all
+    carry the ``pandas`` metadata key.  Nothing geoglue_ray emits is
+    involved.  If a pyarrow upgrade makes metadata-bearing schemas
+    hashable, this test fails and bench.py's _DropSchemaHashWarn filter
+    must be deleted.
+    """
+    import pandas as pd
+
+    meta_schema = pa.schema(
+        [pa.field("a", pa.int64())], metadata={b"k": b"v"}
+    )
+    with pytest.raises(TypeError):
+        hash(meta_schema)
+    assert isinstance(hash(pa.schema([pa.field("a", pa.int64())])), int)
+
+    # end-to-end: a pandas-written parquet read through Ray Data emits
+    # the warning with zero geoglue_ray code in the plan
+    path = str(tmp_path / "pandas_meta.parquet")
+    pd.DataFrame({"a": [1, 2, 3]}).to_parquet(path)
+    assert pa.parquet.read_schema(path).metadata is not None
+
+    class _Capture(logging.Filter):
+        def __init__(self) -> None:
+            super().__init__()
+            self.hits: list[str] = []
+
+        def filter(self, record: logging.LogRecord) -> bool:
+            if "Failed to hash the schemas" in record.getMessage():
+                self.hits.append(record.getMessage())
+            return True
+
+    cap = _Capture()
+    logger = logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    )
+    prev_level = logger.level
+    logger.setLevel(logging.WARNING)
+    logger.addFilter(cap)
+    try:
+        assert rd.read_parquet(path, override_num_blocks=2).count() == 3
+    finally:
+        logger.removeFilter(cap)
+        logger.setLevel(prev_level)
+    if not cap.hits:
+        pytest.fail(
+            "Ray no longer warns on unhashable parquet schemas — delete "
+            "the _DropSchemaHashWarn filter in bench.py, it is masking "
+            "nothing now."
+        )
+    assert all("unhashable type: 'dict'" in m for m in cap.hits)
