@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q.doc_fingerprint,
         "minhash_neardup": q.minhash_neardup,
         "dedup_clusters": q.dedup_clusters,
+        "dedup_corpus": q.dedup_corpus,
         "simhash_neardup": q.simhash_neardup,
         "ngram_neardup": q.ngram_neardup,
         "embed_knn_lsh": q.embed_knn_lsh,
@@ -130,4 +131,5 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_recall": o.embed_ivf_recall(),
         "minhash_neardup": o.minhash_neardup(),
         "dedup_clusters": o.dedup_clusters(),
+        "dedup_corpus": o.dedup_corpus(),
     }

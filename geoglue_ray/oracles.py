@@ -763,6 +763,29 @@ SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1 ORDER BY 1
 """
 
 
+def dedup_corpus() -> str:
+    """Composed survivor corpus: the recursive component closure over the
+    SQL-recomputed pair set, then an anti-join keeping each cluster's
+    lowest doc_id (and every unclustered doc) with its payload columns."""
+    return f"""
+WITH RECURSIVE {_sql_minhash_cte(0.4)},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+clus AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM clus WHERE cluster_id <> doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def approx_distinct_check() -> str:
     """Exact distinct + the accuracy claim the engine must uphold: the
     HLL estimate within 5% (a FALSE on the engine side hash-fails)."""

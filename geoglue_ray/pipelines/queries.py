@@ -846,6 +846,16 @@ def dedup_clusters(sf_dir: str) -> rd.Dataset:
     return duplicate_clusters(mh(ds, threshold=0.4)).sort("doc_id")
 
 
+def dedup_corpus(sf_dir: str) -> rd.Dataset:
+    """Composed fuzzy dedup end to end: LSH pairs -> components -> the
+    surviving (canonical) corpus rows with their payload columns."""
+    from geoglue_ray.stages.dedup import dedup_corpus as dc
+
+    text = read_documents_cols(sf_dir, ["doc_id", "text"])
+    keep = read_documents_cols(sf_dir, ["doc_id", "lang", "n_chars"])
+    return dc(text, keep, threshold=0.4).sort("doc_id")
+
+
 def embed_knn(sf_dir: str) -> rd.Dataset:
     from geoglue_ray.stages.similarity import knn_bruteforce
 

@@ -854,3 +854,121 @@ def ngram_jaccard_block(
 
     grams = ds.map_batches(gramify, batch_format="pyarrow")
     return grams.groupby("shard").map_groups(pairs, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ survivor anti-join
+def survivor_corpus(
+    docs: rd.Dataset,
+    eliminated: rd.Dataset,
+    id_col: str = "doc_id",
+    broadcast_below: int = 5_000_000,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Anti-join: the rows of ``docs`` whose id is NOT in ``eliminated``
+    (a single-column id Dataset) — the "keep the canonical copy" step of
+    a composed dedup pipeline.
+
+    Two paths, selected by eliminated-id count:
+
+    * **broadcast** (``count <= broadcast_below``, ~40 MB of int64 at the
+      default cap): the ids are collected once, sorted, ``ray.put`` once,
+      and every map task drops members with one vectorized
+      ``searchsorted`` probe.  ``docs`` streams — no shuffle at all.
+    * **co-shuffle** (beyond the cap): tagged union of ``docs`` (full
+      payload, ``_t=1``) and ``eliminated`` (null payload, ``_t=0``),
+      hash-partitioned on ``id % n_shards`` — FIXED group count (Ray's
+      per-group Python overhead stays constant; CLAUDE.md lesson), both
+      sides of each id co-located, one vectorized ``np.isin`` per shard.
+      Schema-tagged union stays Arrow end to end (typed nulls, never a
+      pandas NaN-fill) so payload dtypes survive the shuffle bit-exact.
+
+    Both paths return byte-identical row sets (tested)."""
+    import ray
+
+    schema = docs.schema()
+    try:
+        n_elim = eliminated.count()
+    except Exception:  # pragma: no cover - exotic sources
+        n_elim = None
+
+    if n_elim is not None and n_elim <= broadcast_below:
+        if n_elim == 0:
+            return docs
+        elim_ids = np.sort(
+            np.concatenate(
+                [
+                    b[id_col].to_numpy()
+                    for b in eliminated.iter_batches(batch_format="pyarrow")
+                ]
+            ).astype(np.int64)
+        )
+        ref = ray.put(elim_ids)
+
+        def drop_members(b: pa.Table) -> pa.Table:
+            elim = ray.get(ref)  # zero-copy read from the object store
+            ids = b[id_col].to_numpy().astype(np.int64)
+            pos = np.searchsorted(elim, ids)
+            pos[pos == len(elim)] = 0
+            return b.filter(pa.array(elim[pos] != ids))
+
+        return docs.map_batches(drop_members, batch_format="pyarrow")
+
+    P = np.int64(n_shards)
+    names = list(schema.names)
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        cols = {"_bucket": pa.array(ids % P), "_t": pa.array(np.ones(len(b), np.int8))}
+        for n in names:
+            cols[n] = b[n]
+        return pa.table(cols)
+
+    def tag_elim(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        cols = {"_bucket": pa.array(ids % P), "_t": pa.array(np.zeros(len(b), np.int8))}
+        for n, t in zip(schema.names, schema.types):
+            cols[n] = pa.array(ids) if n == id_col else pa.nulls(len(b), t)
+        return pa.table(cols)
+
+    def shard_filter(t: pa.Table) -> pa.Table:
+        tt = t["_t"].to_numpy()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keep = (tt == 1) & ~np.isin(ids, ids[tt == 0])
+        return t.filter(pa.array(keep)).drop_columns(["_bucket", "_t"])
+
+    tagged = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        eliminated.map_batches(tag_elim, batch_format="pyarrow")
+    )
+    return tagged.groupby("_bucket").map_groups(shard_filter, batch_format="pyarrow")
+
+
+def dedup_corpus(
+    docs_text: rd.Dataset,
+    docs_keep: rd.Dataset,
+    threshold: float = 0.4,
+    broadcast_below: int = 5_000_000,
+) -> rd.Dataset:
+    """Composed end-to-end fuzzy dedup — the pipeline an LLM-corpus user
+    actually runs: MinHash+LSH candidate pairs over ``docs_text`` ->
+    connected components -> drop every cluster member except the lowest
+    doc_id -> ``docs_keep`` rows that survive.
+
+    Exact duplicates need no separate pre-pass for the survivor SET:
+    identical texts produce identical signatures, collide in every band
+    with est_jaccard 1.0 >= threshold, and land in one component whose
+    minimum is exactly the exact-dedup representative.  (Running
+    :func:`exact_dedup` first is a throughput optimization at high dup
+    rates, not a semantic stage.)
+
+    Scale shape: pairs and labels stream through the fixed-shard
+    machinery of :func:`minhash_neardup` / :func:`duplicate_clusters`;
+    the eliminated-id set (cluster members minus canonicals) is the only
+    small side and feeds :func:`survivor_corpus`'s two-path anti-join."""
+    labels = duplicate_clusters(minhash_neardup(docs_text, threshold=threshold))
+    eliminated = labels.map_batches(
+        lambda b: b.filter(
+            pa.compute.not_equal(b["cluster_id"], b["doc_id"])
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    return survivor_corpus(docs_keep, eliminated, broadcast_below=broadcast_below)

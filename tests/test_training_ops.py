@@ -499,3 +499,60 @@ def test_ivf_restricts_to_probed_lists():
     c1 = _spherical_kmeans(smat, 4)
     c2 = _spherical_kmeans(smat, 4)
     assert np.array_equal(c1, c2)
+
+
+# ------------------------------------------------------ dedup_corpus
+def test_survivor_corpus_paths_identical():
+    """Broadcast and co-shuffle anti-join paths return the same row set,
+    payload dtypes intact (the tagged union must not NaN-drift)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.dedup import survivor_corpus
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(20)), pa.int64()),
+                "lang": pa.array([f"l{i % 3}" for i in range(20)]),
+                "n_chars": pa.array([i * 7 for i in range(20)], pa.int64()),
+            }
+        )
+    )
+    elim = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 3, 5, 19], pa.int64())})
+    )
+    bc = survivor_corpus(docs, elim, broadcast_below=10**6).to_pandas()
+    sh = survivor_corpus(docs, elim, broadcast_below=0).to_pandas()
+    bc = bc.sort_values("doc_id").reset_index(drop=True)
+    sh = sh.sort_values("doc_id").reset_index(drop=True)
+    assert list(bc["doc_id"]) == [i for i in range(20) if i not in (1, 3, 5, 19)]
+    assert bc.equals(sh[bc.columns])
+    assert str(sh["n_chars"].dtype) == "int64" and str(sh["lang"].dtype) == "object"
+
+
+def test_survivor_corpus_empty_eliminated():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.dedup import survivor_corpus
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([4, 2], pa.int64())}))
+    elim = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    assert sorted(survivor_corpus(docs, elim).to_pandas()["doc_id"]) == [2, 4]
+
+
+def test_dedup_corpus_composition(q, sf_dir):
+    """Survivors = documents minus non-canonical cluster members; every
+    cluster keeps exactly its minimum doc_id."""
+    surv = q["dedup_corpus"](sf_dir).to_pandas()
+    clus = q["dedup_clusters"](sf_dir).to_pandas()
+    import pandas as pd
+
+    all_ids = set(
+        pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"]
+    )
+    eliminated = set(clus.loc[clus["cluster_id"] != clus["doc_id"], "doc_id"])
+    assert set(surv["doc_id"]) == all_ids - eliminated
+    keep_min = clus.groupby("cluster_id")["doc_id"].min()
+    assert set(keep_min) <= set(surv["doc_id"])
