@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_obs": q.events_asof_obs,
         "value_bands": q.value_bands,
         "rolling_daily_admin": q.rolling_daily_admin,
+        "tile_pyramid": q.tile_pyramid,
+        "split_assign": q.split_assign,
+        "stratified_sample": q.stratified_sample,
         "crop_bbox": q.crop_bbox,
         "resample_nearest": q.resample_nearest,
         "resample_bilinear": q.resample_bilinear,
@@ -67,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_check": q.approx_distinct_check,
         "embed_lsh_recall": q.embed_lsh_recall,
         "embed_ivf_recall": q.embed_ivf_recall,
+        "embed_neardup_recall": q.embed_neardup_recall,
         # training-data ops (rows-only: not SQL-expressible)
         "lang_id": q.lang_id,
         "doc_fingerprint": q.doc_fingerprint,
@@ -112,6 +116,10 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_obs": o.events_asof_obs(),
         "value_bands": o.value_bands(),
         "rolling_daily_admin": o.rolling_daily_admin(),
+        "tile_pyramid": o.tile_pyramid(),
+        "split_assign": o.split_assign(),
+        "stratified_sample": o.stratified_sample(),
+        "embed_neardup_recall": o.embed_neardup_recall(),
         "crop_bbox": o.crop_bbox(),
         "resample_nearest": o.resample_nearest(),
         "resample_bilinear": o.resample_bilinear(),

@@ -60,6 +60,30 @@ def sql_token_hash(t: str) -> str:
     )
 
 
+def int_hash64(ids) -> np.ndarray:
+    """Vectorized 64-bit hash of non-negative int64 ids — the same
+    C1/C2/C3 mixing as :func:`token_hash64` applied to the id value
+    directly (uint64 wraparound), so :func:`sql_int_hash` reproduces it
+    exactly in DuckDB.  Used for deterministic train/val/test splits and
+    hash-ordered sampling, where the split decision must be recomputable
+    by the SQL oracle."""
+    u = np.asarray(ids, dtype=np.int64).astype(np.uint64)
+    h1 = u * np.uint64(C1)
+    lo = h1 & np.uint64(0xFFFFFFFF)
+    hi = h1 >> np.uint64(32)
+    return lo * np.uint64(C2) + hi * np.uint64(C3)
+
+
+def sql_int_hash(e: str) -> str:
+    """DuckDB expression: :func:`int_hash64` of non-negative BIGINT
+    expression ``e`` as HUGEINT in [0, 2**64)."""
+    h1 = f"((({e})::HUGEINT * {C1}::HUGEINT) % {U64}::HUGEINT)"
+    return (
+        f"(((({h1}) % 4294967296::HUGEINT) * {C2}::HUGEINT"
+        f" + (({h1}) // 4294967296::HUGEINT) * {C3}::HUGEINT) % {U64}::HUGEINT)"
+    )
+
+
 def sql_u64_to_bigint(e: str) -> str:
     """HUGEINT in [0, 2**64) -> signed BIGINT (two's-complement view),
     matching numpy's ``.view(np.int64)``."""

@@ -928,3 +928,71 @@ SELECT p.p_brand,
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+def tile_pyramid() -> str:
+    """Tile pyramid over events: re-encodes EVERY point at EVERY level
+    (the engine rolls up aggregates via bit-shift parent() instead —
+    two independent implementations of the pyramid invariant).  The
+    cell arithmetic mirrors cells.encode exactly: f = (coord+off)/extent
+    rounds once, * 2^level is an exact power-of-two scale, floor ==
+    int64 truncation for non-negative values, clip after."""
+    return f"""
+WITH obs AS (
+  SELECT {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat,
+         floor(value) AS v
+  FROM events),
+lv AS (SELECT 10 - i.range AS level FROM range(4) i)
+SELECT lv.level,
+       LEAST(GREATEST(CAST(floor((o.lon + 180.0) / 360.0 * (1::BIGINT << lv.level)) AS BIGINT), 0),
+             (1::BIGINT << lv.level) - 1) AS cell_x,
+       LEAST(GREATEST(CAST(floor((o.lat + 90.0) / 180.0 * (1::BIGINT << (lv.level - 1))) AS BIGINT), 0),
+             (1::BIGINT << (lv.level - 1)) - 1) AS cell_y,
+       CAST(count(*) AS DOUBLE) AS n_obs,
+       sum(o.v) AS sum_val
+FROM obs o, lv
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def split_assign() -> str:
+    """Per-split doc count + char sum with the split assignment recomputed
+    through the HUGEINT replica of int_hash64 (texthash contract)."""
+    from geoglue_ray.functions.texthash import sql_int_hash
+
+    return f"""
+WITH h AS (
+  SELECT n_chars, ({sql_int_hash('doc_id')}) % 10 AS b FROM documents)
+SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS DOUBLE) AS n_docs,
+       sum(floor(CAST(n_chars AS DOUBLE))) AS sum_measure
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
+def stratified_sample(k: int = 20) -> str:
+    """k-per-language hash-ordered sample; ordering on the unsigned
+    HUGEINT hash matches the engine's uint64 sort, the emitted
+    sample_key is the signed two's-complement view on both sides."""
+    from geoglue_ray.functions.texthash import sql_int_hash, sql_u64_to_bigint
+
+    return f"""
+WITH h AS (
+  SELECT lang, doc_id, ({sql_int_hash('doc_id')}) AS hh FROM documents)
+SELECT lang, doc_id, {sql_u64_to_bigint('hh')} AS sample_key,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS BIGINT) AS rank
+FROM h
+QUALIFY rank <= {k}
+ORDER BY lang, rank
+"""
+
+
+def embed_neardup_recall() -> str:
+    """Planted-pair recall claim for embedding near-dup: the engine must
+    find >= 0.8 of the planted near-identical twins (and report the
+    planted count = the corpus count)."""
+    return """
+SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS recall_ok FROM embeddings
+"""

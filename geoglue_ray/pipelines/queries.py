@@ -1003,3 +1003,98 @@ def events_zonal(sf_dir: str) -> rd.Dataset:
         )
 
     return out.map_batches(rename, batch_format="pyarrow").sort("admin_id")
+
+
+def tile_pyramid(sf_dir: str, res: int = 10, n_levels: int = 4) -> rd.Dataset:
+    """Multi-resolution tile pyramid over the events table (the north_star
+    tiling surface): aggregate to GGrid cells at ``res`` and roll up
+    through coarser levels via the bit-shift ``parent()`` move.  The
+    oracle re-encodes every point independently at every level, so the
+    pyramid invariant (parent of finer == coarser encode) is proven by
+    two implementations that share no code path."""
+    from geoglue_ray.stages.tiles import tile_pyramid as pyramid
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    ds = ds.map_batches(DeriveEventObservations(), batch_format="pyarrow")
+    return pyramid(ds, res=res, n_levels=n_levels).sort(["level", "cell_x", "cell_y"])
+
+
+def split_assign(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test assignment (hash(doc_id) % 10 ->
+    8/1/1) summarized per split — shuffle-free; the SQL oracle recomputes
+    every assignment through the HUGEINT replica of int_hash64."""
+    from geoglue_ray.stages.sample import split_summary
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "n_chars"])
+    return split_summary(ds, "doc_id", "n_chars").sort("split")
+
+
+def stratified_sample(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """Deterministic k-per-language sample: the k docs with the smallest
+    id hash per stratum (hash-ordered reservoir) — reproducible across
+    reruns, batch splits, and the SQL oracle."""
+    from geoglue_ray.stages.sample import stratified_sample as strat
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "lang"])
+    return strat(ds, "lang", "doc_id", k).sort(["lang", "rank"])
+
+
+PLANT_OFFSET = 10_000_000
+PLANT_EPS = 0.05
+PLANT_THRESHOLD = 0.99
+
+
+def _planted_twins(b: pa.Table) -> pa.Table:
+    """Each embedding row + a deterministically perturbed twin
+    (vec_id + PLANT_OFFSET, cosine vs original ~0.9988): twin = unit(v) +
+    eps * unit(noise), noise derived per (id, coord) from the
+    SQL-replicable int hash — vectorized, batch-split-independent."""
+    from geoglue_ray.functions.texthash import int_hash64
+    from geoglue_ray.stages.similarity import _emb_matrix, _normalize
+
+    ids = b["vec_id"].to_numpy()
+    mat = _normalize(_emb_matrix(b, "embedding"))
+    n, dim = mat.shape
+    h = int_hash64((ids[:, None] * np.int64(dim) + np.arange(dim)).ravel())
+    noise = (h.reshape(n, dim).astype(np.float64) / 2.0**64) - 0.5
+    twins = mat + PLANT_EPS * _normalize(noise)
+
+    def lists(m: np.ndarray) -> pa.Array:
+        off = np.arange(0, (len(m) + 1) * dim, dim, dtype=np.int32)
+        return pa.ListArray.from_arrays(pa.array(off), pa.array(m.ravel()))
+
+    return pa.table(
+        {
+            "vec_id": pa.array(np.concatenate([ids, ids + PLANT_OFFSET])),
+            "embedding": pa.concat_arrays([lists(mat), lists(twins)]),
+        }
+    )
+
+
+def embed_neardup_recall(sf_dir: str) -> rd.Dataset:
+    """Driver-visible recall gate for embedding near-dup (the planted-pair
+    design): every embedding gets a near-identical twin (cosine ~0.9988
+    >> any organic pair, max ~0.37 on the sf corpus), so the exact pair
+    set at threshold 0.99 IS the planted set; embedding_neardup must
+    recover >= 0.8 of it.  n_planted (= corpus count) is oracle-checked
+    alongside the boolean."""
+    from geoglue_ray.stages.similarity import embedding_neardup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    planted = ds.map_batches(_planted_twins, batch_format="pyarrow")
+    pairs = embedding_neardup(planted, threshold=PLANT_THRESHOLD)
+
+    def is_planted(b: pa.Table) -> pa.Table:
+        a = b["vec_a"].to_numpy()
+        bb = b["vec_b"].to_numpy()
+        return pa.table({"hit": pa.array((bb - a == PLANT_OFFSET).astype(np.int64))})
+
+    n_planted = ds.count()
+    found = int(pairs.map_batches(is_planted, batch_format="pyarrow").sum("hit") or 0)
+    out = pa.table(
+        {
+            "n_planted": pa.array([np.int64(n_planted)]),
+            "recall_ok": pa.array([bool(found / n_planted >= 0.8)]),
+        }
+    )
+    return rd.from_arrow(out)

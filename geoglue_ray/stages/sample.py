@@ -1,0 +1,148 @@
+"""Deterministic splits and samples for training-data pipelines.
+
+A 100-TB training pipeline needs reproducible, shuffle-free train/val/test
+assignment and stratified subsampling: both are expressed here as pure
+functions of the document id through the SQL-replicable
+:func:`geoglue_ray.functions.texthash.int_hash64`, so the DuckDB oracle
+recomputes every assignment bit-for-bit (reference analogue: geoglue keys
+all partitioning on deterministic ids/dates, e.g. ``cds.py`` date
+partitions — never on RNG state).
+
+Scale shape:
+
+- ``hash_split`` is a stateless per-batch map — no shuffle at any corpus
+  size; the split decision rides with the row.
+- ``split_summary`` ships 3-row per-batch partials and merges them in one
+  final task (payload = n_splits rows per batch, never row-scale).
+- ``stratified_sample`` is the two-level top-k pattern: each batch prunes
+  to <= k rows per stratum (ordered by the id hash), the union of partials
+  (<= k x strata x blocks rows) collapses in a single final task.  No
+  sort/groupby shuffle of the full corpus; the only all-to-all is the
+  bounded partial set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from geoglue_ray.functions.texthash import int_hash64
+
+# split ids: hash mod N_BUCKETS, contiguous ranges -> names
+N_BUCKETS = 10
+SPLIT_EDGES = (8, 9)  # [0,8) train, [8,9) val, [9,10) test
+SPLIT_NAMES = ("train", "val", "test")
+
+
+def split_of(ids: np.ndarray) -> np.ndarray:
+    """Deterministic split name per id: ``int_hash64(id) % 10`` ->
+    0-7 train / 8 val / 9 test."""
+    b = (int_hash64(ids) % np.uint64(N_BUCKETS)).astype(np.int64)
+    out = np.full(len(b), "train", dtype=object)
+    out[b >= SPLIT_EDGES[0]] = "val"
+    out[b >= SPLIT_EDGES[1]] = "test"
+    return out
+
+
+def hash_split(ds: rd.Dataset, id_col: str) -> rd.Dataset:
+    """Append a ``split`` column (train/val/test) — stateless map, no
+    shuffle, reproducible at any scale and across reruns."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        return b.append_column("split", pa.array(split_of(ids), type=pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def split_summary(ds: rd.Dataset, id_col: str, measure_col: str) -> rd.Dataset:
+    """Per-split doc count + integer measure sum.  Per-batch partials are
+    <= 3 rows; the final reduce is one task over the tiny partial set."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        bucket = (int_hash64(ids) % np.uint64(N_BUCKETS)).astype(np.int64)
+        sid = np.digitize(bucket, SPLIT_EDGES)  # 0/1/2
+        m = np.floor(b[measure_col].to_numpy(zero_copy_only=False).astype(np.float64))
+        n = np.bincount(sid, minlength=3).astype(np.float64)
+        s = np.bincount(sid, weights=m, minlength=3)
+        return pa.table(
+            {
+                "sid": pa.array(np.arange(3, dtype=np.int64)),
+                "n_docs": pa.array(n),
+                "sum_measure": pa.array(s),
+            }
+        )
+
+    def final(b: pa.Table) -> pa.Table:
+        sid = b["sid"].to_numpy()
+        n = np.bincount(sid, weights=b["n_docs"].to_numpy(), minlength=3)
+        s = np.bincount(sid, weights=b["sum_measure"].to_numpy(), minlength=3)
+        keep = n > 0
+        return pa.table(
+            {
+                "split": pa.array(np.array(SPLIT_NAMES, dtype=object)[keep]),
+                "n_docs": pa.array(n[keep]),
+                "sum_measure": pa.array(s[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _prune_topk(df: pd.DataFrame, strata_col: str, k: int) -> pd.DataFrame:
+    """Keep the k smallest (sample_key, id) rows per stratum — vectorized
+    lexsort + run-relative rank, no per-group Python."""
+    if len(df) == 0:
+        return df
+    codes, _ = pd.factorize(df[strata_col], use_na_sentinel=False)
+    order = np.lexsort(
+        (df["_id"].to_numpy(), df["sample_key"].to_numpy().view(np.uint64), codes)
+    )
+    codes_s = codes[order]
+    starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+    rank = np.arange(len(codes_s)) - np.repeat(starts, np.diff(np.r_[starts, len(codes_s)]))
+    keep = order[rank < k]
+    out = df.iloc[keep].copy()
+    out["rank"] = (rank[rank < k] + 1).astype(np.int64)
+    return out
+
+
+def stratified_sample(
+    ds: rd.Dataset, strata_col: str, id_col: str, k: int
+) -> rd.Dataset:
+    """Deterministic k-per-stratum sample: the k ids with the smallest
+    ``int_hash64(id)`` per stratum (ties broken by id — a hash-ordered
+    reservoir that every rerun and the SQL oracle reproduce exactly).
+
+    Two-level top-k: per-batch prune to <= k rows per stratum, single
+    final task over the bounded partial union — union-of-partial-top-k
+    contains the global top-k, so the final prune is exact."""
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        df = pd.DataFrame(
+            {
+                strata_col: b[strata_col].to_numpy(zero_copy_only=False),
+                "_id": ids,
+                "sample_key": int_hash64(ids).view(np.int64),
+            }
+        )
+        return _prune_topk(df, strata_col, k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = _prune_topk(df.drop(columns=["rank"]), strata_col, k)
+        out = out.rename(columns={"_id": id_col})
+        return out[[strata_col, id_col, "sample_key", "rank"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

@@ -1,0 +1,89 @@
+"""Deterministic splits + stratified sampling (stages/sample.py): pure
+functions of the id hash — batch-split independent, rerun-stable, and
+equal to a serial numpy reference (the SQL replica is covered by the
+oracle gate)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from geoglue_ray.functions.texthash import int_hash64
+from geoglue_ray.stages.sample import (
+    hash_split,
+    split_of,
+    split_summary,
+    stratified_sample,
+)
+
+
+def test_split_of_matches_hash_buckets():
+    ids = np.arange(10_000, dtype=np.int64)
+    b = (int_hash64(ids) % np.uint64(10)).astype(np.int64)
+    want = np.where(b >= 9, "test", np.where(b >= 8, "val", "train"))
+    np.testing.assert_array_equal(split_of(ids).astype(str), want)
+    # roughly 8/1/1
+    frac = np.mean(b < 8)
+    assert 0.75 < frac < 0.85
+
+
+def test_hash_split_consistent_with_summary():
+    ids = np.arange(3_000, dtype=np.int64)
+    m = (ids % 17).astype(np.float64)
+    t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(m)})
+    ds = rd.from_arrow(t).repartition(5)
+    tagged = hash_split(ds, "doc_id").to_pandas()
+    want = (
+        tagged.groupby("split", as_index=False)
+        .agg(n_docs=("doc_id", "size"), sum_measure=("n_chars", "sum"))
+        .astype({"n_docs": np.float64})
+        .sort_values("split")
+        .reset_index(drop=True)
+    )
+    got = (
+        split_summary(ds, "doc_id", "n_chars")
+        .to_pandas()
+        .sort_values("split")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def _ref_sample(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.copy()
+    df["sample_key"] = int_hash64(df["doc_id"].to_numpy()).view(np.int64)
+    df["_u"] = df["sample_key"].to_numpy().view(np.uint64)
+    df = df.sort_values(["lang", "_u", "doc_id"], kind="mergesort")
+    df["rank"] = df.groupby("lang").cumcount() + 1
+    out = df[df["rank"] <= k][["lang", "doc_id", "sample_key", "rank"]]
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
+def test_stratified_sample_matches_reference_and_batch_splits():
+    rng = np.random.default_rng(3)
+    n = 5_000
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(n).astype(np.int64),
+            "lang": rng.choice(["en", "fr", "de", "sw"], n),
+        }
+    )
+    want = _ref_sample(df, k=13)
+    for blocks in (1, 9):
+        ds = rd.from_pandas(df).repartition(blocks)
+        got = (
+            stratified_sample(ds, "lang", "doc_id", 13)
+            .to_pandas()
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_stratified_sample_small_stratum_keeps_all():
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64), "lang": ["xx"] * 5})
+    got = stratified_sample(rd.from_pandas(df), "lang", "doc_id", 100).to_pandas()
+    assert len(got) == 5
+    assert set(got["rank"]) == {1, 2, 3, 4, 5}
