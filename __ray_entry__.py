@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_bands": q.value_bands,
         "rolling_daily_admin": q.rolling_daily_admin,
         "tile_pyramid": q.tile_pyramid,
+        "quantiles_admin1": q.quantiles_admin1,
         "split_assign": q.split_assign,
         "stratified_sample": q.stratified_sample,
         "crop_bbox": q.crop_bbox,
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "value_bands": o.value_bands(),
         "rolling_daily_admin": o.rolling_daily_admin(),
         "tile_pyramid": o.tile_pyramid(),
+        "quantiles_admin1": o.quantiles_admin1(),
         "split_assign": o.split_assign(),
         "stratified_sample": o.stratified_sample(),
         "embed_neardup_recall": o.embed_neardup_recall(),

@@ -996,3 +996,17 @@ def embed_neardup_recall() -> str:
     return """
 SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS recall_ok FROM embeddings
 """
+
+
+def quantiles_admin1() -> str:
+    """Exact per-admin-1 quantiles: quantile_disc selects elements (no
+    interpolation arithmetic — bit-safe), median averages the two middle
+    integer-valued doubles (exact: sum < 2**17, /2 dyadic)."""
+    return f"""{_assigned_cte()}
+SELECT {fx.sql_admin1_name('a2')} AS admin1_id,
+       CAST(count(*) AS DOUBLE) AS n_rows,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.75) AS p75,
+       median(value) AS median_val
+FROM asg GROUP BY 1 ORDER BY 1
+"""

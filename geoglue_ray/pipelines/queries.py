@@ -1098,3 +1098,17 @@ def embed_neardup_recall(sf_dir: str) -> rd.Dataset:
         }
     )
     return rd.from_arrow(out)
+
+
+def quantiles_admin1(sf_dir: str) -> rd.Dataset:
+    """EXACT per-admin-1 quantiles + median via the value-histogram
+    aggregate (stages/sketch.exact_quantiles): shuffle payload is
+    (admin, distinct-value) histogram rows — the corpus measure is
+    integer-valued in [0, 65536), so the histogram is bounded no matter
+    the corpus size.  Mirrors DuckDB quantile_disc / median exactly."""
+    from geoglue_ray.stages.sketch import exact_quantiles
+
+    ds = corpus_with_admin(sf_dir)
+    ds = ds.select_columns(["admin1_id", "value"])
+    out = exact_quantiles(ds, "admin1_id", "value", quantiles=(0.25, 0.75))
+    return out.sort("admin1_id")

@@ -178,3 +178,111 @@ def approx_distinct(
         return out
 
     return sketches.groupby(group_keys).map_groups(merge_group, batch_format="pandas")
+
+
+_HQ_MUL = np.uint64(0x9E3779B185EBCA87)
+
+
+def _hist_reduce(df: pd.DataFrame, key_col: str) -> tuple:
+    """Collapse (key, value, cnt) rows to one row per (key, value) —
+    factorize + lexsort + run-detect + reduceat, no per-group Python.
+    Returns (keys, values, counts) with values sorted within key."""
+    codes, uniq = pd.factorize(df[key_col].to_numpy(), use_na_sentinel=False)
+    v = df["_v"].to_numpy()
+    cnt = df["_n"].to_numpy()
+    order = np.lexsort((v, codes))
+    cs, vs, cn = codes[order], v[order], cnt[order]
+    brk = np.r_[True, (cs[1:] != cs[:-1]) | (vs[1:] != vs[:-1])]
+    starts = np.flatnonzero(brk)
+    return uniq[cs[starts]], vs[starts], np.add.reduceat(cn, starts)
+
+
+def exact_quantiles(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.75),
+    n_buckets: int = 64,
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """EXACT per-key quantiles + median via a value histogram — the
+    scale path for quantiles over a DISCRETE measure (integer-valued /
+    binned doubles; for unbounded continuous values use
+    :func:`approx_quantiles`).  Partitioning assumption: the shuffle
+    payload is (key x distinct-value) histogram rows, never raw rows, so
+    the distinct-value count per key must be bounded (here: fixture
+    measures live in [0, 65536)).
+
+    Quantile rule mirrors DuckDB ``quantile_disc`` exactly (probed:
+    0-based index ``ceil(q*n) - 1`` == first position whose cumulative
+    count reaches ``ceil(q*n)``); ``median_val`` averages the two middle
+    elements for even n (exact: integer-valued doubles).  Both reduce
+    stages are fixed-cardinality shuffles (hash % n_buckets / n_shards)
+    with all of a task's keys processed in one lexsort + reduceat pass.
+    The per-key search is one ``searchsorted`` on the GLOBAL cumulative
+    count array with per-key offset targets — no per-key Python."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:  # typed empty — untyped empties corrupt block schemas
+            return pa.table(
+                {
+                    "_b": pa.array([], pa.int64()),
+                    key_col: pa.array([], b.schema.field(key_col).type),
+                    "_v": pa.array([], pa.float64()),
+                    "_n": pa.array([], pa.float64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                key_col: b[key_col].to_numpy(zero_copy_only=False),
+                "_v": b[value_col].to_numpy(zero_copy_only=False).astype(np.float64),
+                "_n": np.ones(len(b), dtype=np.float64),
+            }
+        )
+        k, v, n = _hist_reduce(df, key_col)
+        kh = pd.util.hash_array(np.ascontiguousarray(k)).astype(np.uint64)
+        bucket = ((kh ^ v.view(np.uint64)) * _HQ_MUL) % np.uint64(n_buckets)
+        return pa.table(
+            {
+                "_b": pa.array(bucket.astype(np.int64)),
+                key_col: pa.array(k),
+                "_v": pa.array(v),
+                "_n": pa.array(n),
+            }
+        )
+
+    def merge_hist(g: pd.DataFrame) -> pd.DataFrame:
+        k, v, n = _hist_reduce(g, key_col)
+        kh = pd.util.hash_array(np.ascontiguousarray(k)).astype(np.uint64)
+        shard = ((kh * _HQ_MUL) % np.uint64(n_shards)).astype(np.int64)
+        return pd.DataFrame({"_s": shard, key_col: k, "_v": v, "_n": n})
+
+    def shard_quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        k, v, n = _hist_reduce(g, key_col)
+        codes, uniq = pd.factorize(k, use_na_sentinel=False)
+        # _hist_reduce output is already (key, value)-sorted with stable
+        # factorize codes in first-appearance == sorted-run order
+        cum = np.cumsum(n)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)] - 1
+        base = np.r_[0.0, cum[ends[:-1]]][: len(starts)]
+        nk = cum[ends] - base
+        out = {key_col: uniq[codes[starts]], "n_rows": nk}
+        for q in quantiles:
+            t = np.ceil(q * nk)
+            idx = np.searchsorted(cum, base + t, side="left")
+            out[f"p{int(round(q * 100))}"] = v[idx]
+        t1 = np.floor((nk + 1) / 2)
+        t2 = np.floor(nk / 2) + 1
+        lo = v[np.searchsorted(cum, base + t1, side="left")]
+        hi = v[np.searchsorted(cum, base + t2, side="left")]
+        out["median_val"] = (lo + hi) / 2.0
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(merge_hist, batch_format="pandas")
+        .groupby("_s")
+        .map_groups(shard_quantiles, batch_format="pandas")
+    )

@@ -78,3 +78,46 @@ def test_approx_distinct_dataset():
     exact_b = len(np.unique(t["v"].to_numpy()[n // 2 :]))
     assert abs(out["a"] - exact_a) / exact_a < 0.05
     assert abs(out["b"] - exact_b) / exact_b < 0.05
+
+
+def test_exact_quantiles_matches_duckdb_and_batch_splits():
+    """exact_quantiles must reproduce DuckDB quantile_disc/median on an
+    adversarial histogram (skewed keys, heavy ties, odd/even counts,
+    single-row key) independent of block structure."""
+    import duckdb
+    import pandas as pd
+
+    from geoglue_ray.stages.sketch import exact_quantiles
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "k": np.r_[
+                np.repeat("heavy", 10_001),  # odd count, few distinct values
+                rng.choice(["a", "b", "c"], 4_000),
+                ["solo"],
+            ],
+            "v": np.r_[
+                rng.integers(0, 7, 10_001),
+                rng.integers(0, 1_000, 4_000),
+                [42],
+            ].astype(np.float64),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """SELECT k AS admin, CAST(count(*) AS DOUBLE) n_rows,
+                  quantile_disc(v, 0.25) p25, quantile_disc(v, 0.75) p75,
+                  median(v) median_val
+           FROM t GROUP BY 1 ORDER BY 1"""
+    ).fetchdf()
+    for blocks in (1, 13):
+        ds = rd.from_pandas(df.rename(columns={"k": "admin"})).repartition(blocks)
+        got = (
+            exact_quantiles(ds, "admin", "v", quantiles=(0.25, 0.75))
+            .to_pandas()
+            .sort_values("admin")
+            .reset_index(drop=True)[["admin", "n_rows", "p25", "p75", "median_val"]]
+        )
+        pd.testing.assert_frame_equal(got, want.rename(columns={"k": "admin"}))
