@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q.token_count_query,
         "text_quality": q.text_quality,
         "dedup_exact": q.dedup_exact,
+        "curation_pipeline": q.curation_pipeline,
         "media_explode": q.media_explode,
         "media_features": q.media_features,
         "embed_knn": q.embed_knn,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": o.token_count(),
         "text_quality": o.text_quality(),
         "dedup_exact": o.dedup_exact(),
+        "curation_pipeline": o.curation_pipeline(),
         "media_explode": o.media_explode(),
         "media_features": o.media_features(),
         "embed_knn": o.embed_knn(),

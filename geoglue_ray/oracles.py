@@ -673,7 +673,7 @@ ORDER BY 1, 2
 """
 
 
-def _sql_minhash_cte(threshold: float) -> str:
+def _sql_minhash_cte(threshold: float, source: str = "documents") -> str:
     """CTE chain reproducing the full MinHash+LSH pipeline in DuckDB:
     position-ordered token hashes -> 3-shingle combines -> 64 multiply-add
     permutation minima -> 16 banded FNV bucket hashes -> colliding pairs
@@ -699,7 +699,7 @@ def _sql_minhash_cte(threshold: float) -> str:
     return f"""
 tl AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-  FROM documents),
+  FROM {source}),
 tok AS (
   SELECT doc_id, i.range AS i, {sql_token_hash('list_extract(toks, i.range::INTEGER)')} AS h
   FROM tl, range(1, 128) i WHERE i.range <= len(toks)),
@@ -1009,4 +1009,44 @@ SELECT {fx.sql_admin1_name('a2')} AS admin1_id,
        quantile_disc(value, 0.75) AS p75,
        median(value) AS median_val
 FROM asg GROUP BY 1 ORDER BY 1
+"""
+
+
+def curation_pipeline() -> str:
+    """Replays the full curation chain serially: quality predicates ->
+    minhash CTE over the filtered docs -> recursive component closure ->
+    anti-join survivors -> int_hash64 split buckets."""
+    from geoglue_ray.functions.texthash import sql_int_hash
+
+    stop = ", ".join(f"'{s}'" for s in ("the", "a", "of", "and", "to"))
+    return rf"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, text, n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x IN ({stop}))) AS n_stopwords
+  FROM documents),
+filtered AS (
+  SELECT doc_id, text, n_chars FROM q
+  WHERE n_tokens >= 8 AND n_stopwords >= 1),
+{_sql_minhash_cte(0.4, source="filtered")},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+clus AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1),
+surv AS (
+  SELECT f.doc_id, f.n_chars FROM filtered f
+  WHERE f.doc_id NOT IN (SELECT doc_id FROM clus WHERE cluster_id <> doc_id)),
+h AS (
+  SELECT n_chars, ({sql_int_hash('doc_id')}) % 10 AS b FROM surv)
+SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS DOUBLE) AS n_docs,
+       sum(floor(CAST(n_chars AS DOUBLE))) AS sum_measure
+FROM h GROUP BY 1 ORDER BY 1
 """

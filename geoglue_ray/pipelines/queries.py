@@ -1112,3 +1112,34 @@ def quantiles_admin1(sf_dir: str) -> rd.Dataset:
     ds = ds.select_columns(["admin1_id", "value"])
     out = exact_quantiles(ds, "admin1_id", "value", quantiles=(0.25, 0.75))
     return out.sort("admin1_id")
+
+
+def curation_pipeline(sf_dir: str) -> rd.Dataset:
+    """The end-to-end LLM-corpus curation flow a 100-TB user runs:
+    quality filter (integer predicates: n_tokens >= 8 and at least one
+    stopword) -> MinHash+LSH near-dup survivor corpus over the FILTERED
+    docs -> deterministic train/val/test assignment summarized per
+    split.  Every stage streams; the only small side is the eliminated-id
+    set inside survivor_corpus's anti-join.  One recursive-CTE oracle
+    replays the whole chain (filter -> shingle/permute/band -> component
+    closure -> anti-join -> hash split) bit-exactly."""
+    from geoglue_ray.stages.dedup import dedup_corpus as dc
+    from geoglue_ray.stages.sample import split_summary
+    from geoglue_ray.stages.text import QualityScorer
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text", "n_chars"])
+    scored = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
+
+    def keep_quality(b: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.greater_equal(b["n_tokens"], 8), pc.greater_equal(b["n_stopwords"], 1)
+        )
+        return b.filter(ok)
+
+    kept = scored.map_batches(keep_quality, batch_format="pyarrow")
+    survivors = dc(
+        kept.select_columns(["doc_id", "text"]),
+        kept.select_columns(["doc_id", "n_chars"]),
+        threshold=0.4,
+    )
+    return split_summary(survivors, "doc_id", "n_chars").sort("split")
