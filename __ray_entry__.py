@@ -66,6 +66,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q.text_quality,
         "dedup_exact": q.dedup_exact,
         "curation_pipeline": q.curation_pipeline,
+        "vocab_top": q.vocab_top,
+        "doc_repetition": q.doc_repetition,
+        "hopping_window": q.hopping_window,
+        "winsorized_admin1": q.winsorized_admin1,
         "media_explode": q.media_explode,
         "media_features": q.media_features,
         "embed_knn": q.embed_knn,
@@ -131,6 +135,10 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": o.text_quality(),
         "dedup_exact": o.dedup_exact(),
         "curation_pipeline": o.curation_pipeline(),
+        "vocab_top": o.vocab_top(),
+        "doc_repetition": o.doc_repetition(),
+        "hopping_window": o.hopping_window(),
+        "winsorized_admin1": o.winsorized_admin1(),
         "media_explode": o.media_explode(),
         "media_features": o.media_features(),
         "embed_knn": o.embed_knn(),

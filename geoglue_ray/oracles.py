@@ -1050,3 +1050,82 @@ SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS spl
        sum(floor(CAST(n_chars AS DOUBLE))) AS sum_measure
 FROM h GROUP BY 1 ORDER BY 1
 """
+
+
+def vocab_top() -> str:
+    """Global top-20 (token, count): the oracle replays the explode +
+    count serially; the strict total order (n DESC, token) makes the
+    LIMIT deterministic on both sides."""
+    return """
+SELECT tok AS token, count(*) AS n
+FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents)
+GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def doc_repetition() -> str:
+    """Per-doc repetition signals: distinct token hashes, top adjacent
+    2-shingle multiplicity (same HUGEINT combine as the minhash CTE),
+    repeated-token ratio as one exact-int division."""
+    from geoglue_ray.functions.texthash import U64, sql_token_hash
+    from geoglue_ray.stages.dedup import _SH_MUL1, _SH_MUL2
+
+    m1, m2 = int(_SH_MUL1), int(_SH_MUL2)
+    step1 = f"((a.h * {m1}::HUGEINT) % {U64}::HUGEINT)"
+    step2 = f"((xor({step1}, b.h) * {m2}::HUGEINT) % {U64}::HUGEINT)"
+    return f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, i.range AS i, {sql_token_hash('list_extract(toks, i.range::INTEGER)')} AS h
+  FROM tl, range(1, 128) i WHERE i.range <= len(toks)),
+dist AS (SELECT doc_id, count(DISTINCT h) AS nd FROM tok GROUP BY 1),
+bgc AS (
+  SELECT a.doc_id, {step2} AS g, count(*) AS c
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS tb FROM bgc GROUP BY 1)
+SELECT t.doc_id,
+       len(t.toks)::BIGINT AS n_tokens,
+       coalesce(d.nd, 0)::BIGINT AS n_distinct,
+       coalesce(p.tb, 0)::BIGINT AS top_bigram_n,
+       CAST(len(t.toks) - coalesce(d.nd, 0) AS DOUBLE) / len(t.toks) AS rep_ratio
+FROM tl t LEFT JOIN dist d USING (doc_id) LEFT JOIN top p USING (doc_id)
+ORDER BY 1
+"""
+
+
+def hopping_window() -> str:
+    """2h-long / 1h-hop sliding windows: every event contributes to the
+    two hour-aligned windows covering it; count + order-independent
+    floored sum."""
+    return """
+SELECT w AS window_start, event_type,
+       CAST(count(*) AS DOUBLE) AS "count",
+       sum(floor(value)) AS "sum"
+FROM (SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS w,
+             event_type, value
+      FROM events)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def winsorized_admin1() -> str:
+    """Two-pass winsorized aggregate: per-admin-1 p25/p75 (quantile_disc
+    — element selection, no interpolation) then the clipped sum/count.
+    Clipped values stay integer-valued doubles, so the distributed sum is
+    order-independent."""
+    return f"""{_assigned_cte()},
+base AS (SELECT {fx.sql_admin1_name('a2')} AS admin1_id, value FROM asg),
+qt AS (SELECT admin1_id, quantile_disc(value, 0.25) AS lo,
+              quantile_disc(value, 0.75) AS hi
+       FROM base GROUP BY 1)
+SELECT b.admin1_id,
+       CAST(count(*) AS DOUBLE) AS "count",
+       sum(least(greatest(b.value, q.lo), q.hi)) AS "sum"
+FROM base b JOIN qt q USING (admin1_id)
+GROUP BY 1 ORDER BY 1
+"""

@@ -1143,3 +1143,88 @@ def curation_pipeline(sf_dir: str) -> rd.Dataset:
         threshold=0.4,
     )
     return split_summary(survivors, "doc_id", "n_chars").sort("split")
+
+
+def vocab_top(sf_dir: str) -> rd.Dataset:
+    """EXACT global top-20 vocabulary over the documents corpus — the
+    canonical high-cardinality explode-aggregate: per-batch partial
+    counts, fixed-shard exact merge, per-shard top-k, tiny global
+    sort/limit (see stages/text.vocab_topk for the scale contract)."""
+    from geoglue_ray.stages.text import vocab_topk
+
+    ds = read_documents_cols(sf_dir, ["text"])
+    return vocab_topk(ds, "text", k=20)
+
+
+def doc_repetition(sf_dir: str) -> rd.Dataset:
+    """Per-doc repetition/quality signals (Gopher-style): distinct-token
+    count, top-bigram multiplicity, repeated-token ratio.  One vectorized
+    map_batches pass; the SQL twin replays token hashes and the 2-shingle
+    combine in HUGEINT arithmetic."""
+    from geoglue_ray.stages.text import repetition_features
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(repetition_features, batch_format="pyarrow")
+    return out.drop_columns(["text"]).sort("doc_id")
+
+
+def hopping_window(sf_dir: str) -> rd.Dataset:
+    """Hopping (sliding) window aggregate over the event stream: window
+    length 2h, hop 1h — every event lands in exactly two windows.  The
+    explode is a per-batch concat (2x row fan-out, narrow columns), the
+    aggregate is the fixed-bucket partial-merge path — no raw-row
+    shuffle, payload bounded by (windows x event types)."""
+    HOUR = 3_600_000_000  # microseconds
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        w1 = (t // HOUR) * HOUR
+        w = np.concatenate([w1 - HOUR, w1]).astype("datetime64[us]")
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        v = np.floor(b["value"].to_numpy())
+        return pa.table(
+            {
+                "window_start": pa.array(w),
+                "event_type": pa.array(np.concatenate([et, et])),
+                "value": pa.array(np.concatenate([v, v])),
+            }
+        )
+
+    ex = ds.map_batches(explode, batch_format="pyarrow")
+    out = zonal_aggregate(ex, ["count", "sum"], keys=["window_start", "event_type"])
+    return out.sort(["window_start", "event_type"])
+
+
+def winsorized_admin1(sf_dir: str) -> rd.Dataset:
+    """Two-pass winsorized aggregate: pass 1 computes exact per-key
+    p25/p75 via the value-histogram quantile sketch (shuffle payload =
+    key x distinct-value histogram rows); pass 2 broadcasts the tiny
+    (key, lo, hi) threshold table and streams a clipped sum/count through
+    the fixed-bucket partial merge.  The corpus measure is integer-valued
+    so the clipped sum is order-independent (bit-exact vs SQL)."""
+    from geoglue_ray.stages.sketch import exact_quantiles
+
+    src = corpus_with_admin(sf_dir).select_columns(["admin1_id", "value"])
+    qt = (
+        exact_quantiles(src, "admin1_id", "value", quantiles=(0.25, 0.75))
+        .select_columns(["admin1_id", "p25", "p75"])
+        .to_pandas()  # bounded: one row per admin-1 key
+    )
+    keys = np.sort(qt["admin1_id"].to_numpy())
+    order = np.argsort(qt["admin1_id"].to_numpy())
+    lo = qt["p25"].to_numpy()[order]
+    hi = qt["p75"].to_numpy()[order]
+
+    def clip(b: pa.Table) -> pa.Table:
+        a1 = b["admin1_id"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, a1)
+        v = np.clip(b["value"].to_numpy(), lo[idx], hi[idx])
+        return pa.table({"admin1_id": b["admin1_id"], "value": pa.array(v)})
+
+    clipped = src.map_batches(clip, batch_format="pyarrow")
+    out = zonal_aggregate(clipped, ["count", "sum"], keys=["admin1_id"])
+    return out.sort("admin1_id")

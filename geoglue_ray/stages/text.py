@@ -132,3 +132,107 @@ def text_features(ds: rd.Dataset, concurrency=(1, 8)) -> rd.Dataset:
     return ds.map_batches(
         QualityScorer, batch_format="pyarrow", concurrency=concurrency
     )
+
+
+def vocab_topk(
+    ds: rd.Dataset, text_col: str = "text", k: int = 20, n_shards: int = 64
+) -> rd.Dataset:
+    """EXACT global top-k vocabulary (token, occurrence count) — the
+    classic corpus word-count shape at scale.
+
+    Scale design: per-batch partial counts (``pc.value_counts`` collapses
+    every block to its distinct tokens before anything is shipped) ->
+    shuffle keyed on ``token_hash64(token) % n_shards`` — a FIXED group
+    count; a token's partials all land in one shard, so per-shard top-k
+    candidates are a guaranteed superset of the global top-k -> per-shard
+    sum + local top-k (<= k rows per shard leave the reducer) -> one
+    small distributed sort/limit over <= n_shards*k rows.  Ties break on
+    the strict total order (count desc, token asc), identical to the SQL
+    oracle's ORDER BY ... LIMIT.
+    """
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import token_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(b[text_col], pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
+        tokens = vc.field("values")
+        counts = pc.cast(vc.field("counts"), pa.int64())
+        shard = (
+            token_hash64(tokens.to_numpy(zero_copy_only=False))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table({"token": tokens, "n": counts, "_shard": pa.array(shard)})
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)["n"].sum().reset_index()
+        s = s.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        return s.head(k)[["token", "n"]]
+
+    parted = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_topk, batch_format="pandas")
+    )
+    return parted.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def repetition_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style per-doc repetition signals, fully vectorized:
+
+    - ``n_distinct``: distinct token hashes (SQL-replicable texthash)
+    - ``top_bigram_n``: multiplicity of the doc's most repeated adjacent
+      token bigram (2-shingle combine — same ``_SH_MUL1/_SH_MUL2``
+      arithmetic the minhash oracle replays in HUGEINT)
+    - ``rep_ratio``: ``(n_tokens - n_distinct) / n_tokens`` — one division
+      over exact integers, bit-identical to the SQL twin.
+
+    All per-doc reductions are one lexsort + run detection across the
+    whole batch; no per-row Python.
+    """
+    from geoglue_ray.functions.texthash import token_hash64
+    from geoglue_ray.stages.dedup import shingle_hash_batch
+
+    n = len(batch)
+    toks = pc.utf8_split_whitespace(batch[text_col])
+    n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks)
+    th = token_hash64(flat.to_numpy(zero_copy_only=False))
+    doc_idx = np.repeat(np.arange(n), n_tok)
+
+    n_distinct = np.zeros(n, dtype=np.int64)
+    if len(th):
+        order = np.lexsort((th, doc_idx))
+        d, hh = doc_idx[order], th[order]
+        new = np.concatenate(([True], (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])))
+        n_distinct = np.bincount(d[new], minlength=n).astype(np.int64)
+
+    # shingle_hash_batch expects a plain Array (ChunkedArray.flatten()
+    # means struct-flatten, not list-flatten)
+    bg, off = shingle_hash_batch(batch[text_col].combine_chunks(), k=2)
+    n_bg = np.diff(off)
+    bdoc = np.repeat(np.arange(n), n_bg)
+    top = np.zeros(n, dtype=np.int64)
+    if len(bg):
+        order2 = np.lexsort((bg, bdoc))
+        d2, g2 = bdoc[order2], bg[order2]
+        starts = np.concatenate(
+            ([True], (d2[1:] != d2[:-1]) | (g2[1:] != g2[:-1]))
+        )
+        sidx = np.flatnonzero(starts)
+        run_len = np.diff(np.concatenate((sidx, [len(g2)])))
+        run_doc = d2[sidx]
+        first = np.concatenate(([True], run_doc[1:] != run_doc[:-1]))
+        top[run_doc[first]] = np.maximum.reduceat(run_len, np.flatnonzero(first))
+    # docs with < 2 tokens get a whole-doc shingle from shingle_hash_batch,
+    # which is not a bigram — mask them out (SQL twin has no row for them)
+    top[n_tok < 2] = 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rep = (n_tok - n_distinct) / n_tok
+    out = batch.append_column("n_tokens", pa.array(n_tok))
+    out = out.append_column("n_distinct", pa.array(n_distinct))
+    out = out.append_column("top_bigram_n", pa.array(top))
+    out = out.append_column("rep_ratio", pa.array(rep.astype(np.float64)))
+    return out

@@ -556,3 +556,65 @@ def test_dedup_corpus_composition(q, sf_dir):
     assert set(surv["doc_id"]) == all_ids - eliminated
     keep_min = clus.groupby("cluster_id")["doc_id"].min()
     assert set(keep_min) <= set(surv["doc_id"])
+
+
+# ------------------------------------------------------- round-3 text ops
+def test_repetition_features_hand_case():
+    import pyarrow as pa
+
+    from geoglue_ray.stages.text import repetition_features
+
+    t = pa.table({"doc_id": [0, 1, 2], "text": ["a a a b", "x y z", "solo"]})
+    out = repetition_features(t)
+    assert out["n_tokens"].to_pylist() == [4, 3, 1]
+    assert out["n_distinct"].to_pylist() == [2, 3, 1]
+    # "a a" occurs twice in doc 0; doc 2 has no bigram
+    assert out["top_bigram_n"].to_pylist() == [2, 1, 0]
+    assert out["rep_ratio"].to_pylist() == [0.5, 0.0, 0.0]
+
+
+def test_repetition_features_batch_split_independent(sf_dir):
+    import pyarrow.parquet as pq
+
+    from geoglue_ray.stages.text import repetition_features
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    whole = repetition_features(t).to_pandas()
+    parts = [
+        repetition_features(t.slice(0, 123)).to_pandas(),
+        repetition_features(t.slice(123)).to_pandas(),
+    ]
+    import pandas as pd
+
+    split = pd.concat(parts, ignore_index=True)
+    pd.testing.assert_frame_equal(whole, split)
+
+
+def test_vocab_topk_matches_reference_and_shard_invariant(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from geoglue_ray.stages.text import vocab_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    got = vocab_topk(ds, k=10, n_shards=64).to_pandas().reset_index(drop=True)
+    got1 = vocab_topk(ds, k=10, n_shards=1).to_pandas().reset_index(drop=True)
+    ref = duckdb.connect().execute(f"""
+        SELECT tok AS token, count(*) AS n
+        FROM (SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+              FROM read_parquet('{sf_dir}/documents.parquet'))
+        GROUP BY 1 ORDER BY n DESC, token LIMIT 10""").fetchdf()
+    for df in (got, got1):
+        s = df.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
+        assert s["token"].tolist() == ref["token"].tolist()
+        assert s["n"].tolist() == ref["n"].tolist()
+
+
+def test_hopping_window_fanout_is_exactly_two(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+
+    from geoglue_ray.pipelines.queries import hopping_window
+
+    out = hopping_window(sf_dir).to_pandas()
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    assert out["count"].sum() == 2 * n_events
