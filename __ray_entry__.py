@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q.segment_revenue,
         "region_revenue": q.region_revenue,
         "brand_stats": q.brand_stats,
+        "order_priority_revenue": q.order_priority_revenue,
         "topk_by_admin1": q.topk_by_admin1,
         "distinct_sources": q.distinct_sources,
         "events_sessionize": q.events_sessionize,
@@ -116,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_revenue": o.segment_revenue(),
         "region_revenue": o.region_revenue(),
         "brand_stats": o.brand_stats(),
+        "order_priority_revenue": o.order_priority_revenue(),
         "topk_by_admin1": o.topk_by_admin1(),
         "distinct_sources": o.distinct_sources(),
         "events_sessionize": o.events_sessionize(),

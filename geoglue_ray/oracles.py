@@ -1129,3 +1129,15 @@ SELECT b.admin1_id,
 FROM base b JOIN qt q USING (admin1_id)
 GROUP BY 1 ORDER BY 1
 """
+
+
+def order_priority_revenue() -> str:
+    """orders JOIN lineitem (big-big shuffle join in the engine, plain
+    join here): per-priority line count + floored revenue sum."""
+    return """
+SELECT o_orderpriority,
+       CAST(count(*) AS DOUBLE) AS "count",
+       sum(floor(l_extendedprice * (1.0 - l_discount))) AS "sum"
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""

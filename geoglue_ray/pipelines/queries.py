@@ -1228,3 +1228,37 @@ def winsorized_admin1(sf_dir: str) -> rd.Dataset:
     clipped = src.map_batches(clip, batch_format="pyarrow")
     out = zonal_aggregate(clipped, ["count", "sum"], keys=["admin1_id"])
     return out.sort("admin1_id")
+
+
+def order_priority_revenue(sf_dir: str) -> rd.Dataset:
+    """Big-big distributed hash join: orders (dim-ish but unbounded)
+    JOIN lineitem (fact) on orderkey — neither side is broadcast; both
+    co-shuffle to a fixed shard count and each shard runs one vectorized
+    hash join (stages/join.hash_equijoin).  Revenue is floored at the
+    row level so the post-join aggregate is order-independent."""
+    from geoglue_ray.stages.join import hash_equijoin
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = np.floor(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        )
+        return pa.table({"l_orderkey": b["l_orderkey"], "revenue": pa.array(r)})
+
+    joined = hash_equijoin(
+        orders,
+        li.map_batches(rev, batch_format="pyarrow"),
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+    )
+    out = zonal_aggregate(
+        joined, ["count", "sum"], keys=["o_orderpriority"], value_col="revenue"
+    )
+    return out.sort("o_orderpriority")

@@ -154,3 +154,83 @@ def asof_join(
         return out[out[right_ts].notna()]
 
     return tagged.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def hash_equijoin(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Distributed big-big INNER equi-join on int64 keys — the general
+    shuffle join Ray Data's Dataset API lacks.
+
+    Shape: each side is tagged (``_t``) and sharded on
+    ``int_hash64(key) % n_shards`` — a FIXED group count, so Ray's
+    per-group Python overhead is constant regardless of key cardinality
+    (CLAUDE.md lesson); the tagged union stays Arrow end to end with
+    typed nulls for side-exclusive columns (pandas NaN-fill corrupts
+    distributed block schemas).  Each shard task runs one vectorized
+    ``pd.merge`` (C hash join) over ALL the shard's keys at once and
+    emits rows cast back to the declared output schema.
+
+    Partitioning assumptions (document per the build brief): shuffle
+    payload = both projected sides; per-shard skew follows key-hash
+    skew — a single mega-key still lands in one task (salting a join
+    requires replicating the other side; out of scope here).  Project
+    columns *before* joining.  Output key column is ``left_on``.
+    """
+    from geoglue_ray.functions.texthash import int_hash64
+
+    lschema, rschema = left.schema(), right.schema()
+    lnames = list(lschema.names)
+    rnames = [n for n in rschema.names if n != right_on]
+    clash = set(lnames) & set(rnames)
+    if clash:
+        raise ValueError(f"column name clash (rename first): {sorted(clash)}")
+    out_fields = [
+        (n, lschema.types[lschema.names.index(n)]) for n in lnames
+    ] + [(n, rschema.types[rschema.names.index(n)]) for n in rnames]
+    out_schema = pa.schema(out_fields)
+    P = np.uint64(n_shards)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        ids = b[left_on].to_numpy().astype(np.int64)
+        cols = {
+            "_shard": pa.array((int_hash64(ids) % P).astype(np.int64)),
+            "_t": pa.array(np.zeros(len(b), np.int8)),
+        }
+        for n in lnames:
+            cols[n] = b[n]
+        for n in rnames:
+            cols[n] = pa.nulls(len(b), rschema.types[rschema.names.index(n)])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        ids = b[right_on].to_numpy().astype(np.int64)
+        cols = {
+            "_shard": pa.array((int_hash64(ids) % P).astype(np.int64)),
+            "_t": pa.array(np.ones(len(b), np.int8)),
+        }
+        for n in lnames:
+            cols[n] = (
+                pa.array(ids)
+                if n == left_on
+                else pa.nulls(len(b), lschema.types[lschema.names.index(n)])
+            )
+        for n in rnames:
+            cols[n] = b[n]
+        return pa.table(cols)
+
+    def shard_join(t: pa.Table) -> pa.Table:
+        tt = t["_t"].to_numpy()
+        lt = t.filter(pa.array(tt == 0)).select(lnames).to_pandas()
+        rt = t.filter(pa.array(tt == 1)).select([left_on] + rnames).to_pandas()
+        merged = lt.merge(rt, on=left_on, how="inner")
+        return pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return tagged.groupby("_shard").map_groups(shard_join, batch_format="pyarrow")

@@ -52,3 +52,47 @@ def test_asof_join_rejects_right_ties():
         asof_join(
             left, right, key="k", left_ts="lt", right_ts="rt", right_cols=["obs"]
         ).to_pandas()
+
+
+def test_hash_equijoin_semantics(ray_session):
+    """Inner semantics with duplicate keys on both sides, unmatched rows
+    dropped, result invariant to shard count, dtypes preserved."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.join import hash_equijoin
+
+    left = pd.DataFrame(
+        {"k": [1, 1, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]}
+    )
+    right = pd.DataFrame({"rk": [1, 2, 2, 4], "rv": [10.5, 20.5, 21.5, 40.5]})
+    expect = (
+        left.merge(right.rename(columns={"rk": "k"}), on="k", how="inner")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    for n_shards in (1, 7):
+        lds = rd.from_arrow(pa.Table.from_pandas(left)).repartition(3)
+        rds = rd.from_arrow(pa.Table.from_pandas(right)).repartition(2)
+        got = (
+            hash_equijoin(lds, rds, "k", "rk", n_shards=n_shards)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expect)
+
+
+def test_hash_equijoin_rejects_column_clash(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from geoglue_ray.stages.join import hash_equijoin
+
+    a = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame({"k": [1], "v": [1]})))
+    b = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame({"k2": [1], "v": [2]})))
+    with pytest.raises(ValueError, match="clash"):
+        hash_equijoin(a, b, "k", "k2")
