@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_daily_admin": q.rolling_daily_admin,
         "tile_pyramid": q.tile_pyramid,
         "quantiles_admin1": q.quantiles_admin1,
+        "value_rank_admin1": q.value_rank_admin1,
+        "tfidf_top_token": q.tfidf_top_token,
         "split_assign": q.split_assign,
         "stratified_sample": q.stratified_sample,
         "crop_bbox": q.crop_bbox,
@@ -126,6 +128,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_daily_admin": o.rolling_daily_admin(),
         "tile_pyramid": o.tile_pyramid(),
         "quantiles_admin1": o.quantiles_admin1(),
+        "value_rank_admin1": o.value_rank_admin1(),
+        "tfidf_top_token": o.tfidf_top_token(),
         "split_assign": o.split_assign(),
         "stratified_sample": o.stratified_sample(),
         "embed_neardup_recall": o.embed_neardup_recall(),

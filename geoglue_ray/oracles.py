@@ -1141,3 +1141,39 @@ SELECT o_orderpriority,
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+def value_rank_admin1() -> str:
+    """Window-function RANK over the assigned corpus (engine computes it
+    from a broadcast histogram, no row shuffle)."""
+    a1 = fx.sql_admin1_name("a2")
+    return f"""{_assigned_cte()}
+SELECT id AS doc_id, {a1} AS admin1_id, value,
+       rank() OVER (PARTITION BY {a1} ORDER BY value) AS rank
+FROM asg ORDER BY doc_id
+"""
+
+
+def tfidf_top_token() -> str:
+    """Per-doc argmax TF-IDF token: tf * (N/df) — division before
+    multiply, mirroring the engine's IEEE op order; QUALIFY replays the
+    strict (score DESC, token ASC) tie-break."""
+    return """
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, list_extract(toks, i.range::INTEGER) AS tok
+  FROM tl, range(1, 128) i WHERE i.range <= len(toks)),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(tf.tf AS DOUBLE) * (nn.nd / CAST(df.df AS DOUBLE)) AS score
+  FROM tf JOIN df USING (tok), nn)
+SELECT doc_id, tok AS top_token, score AS top_tfidf
+FROM s
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) = 1
+ORDER BY doc_id
+"""

@@ -1262,3 +1262,23 @@ def order_priority_revenue(sf_dir: str) -> rd.Dataset:
         joined, ["count", "sum"], keys=["o_orderpriority"], value_col="revenue"
     )
     return out.sort("o_orderpriority")
+
+
+def value_rank_admin1(sf_dir: str) -> rd.Dataset:
+    """Per-row window-function RANK() over (PARTITION BY admin1 ORDER BY
+    value) computed WITHOUT shuffling rows: bounded value-histogram pass
+    + broadcast exclusive-cumulative lookup (stages/sketch.value_rank)."""
+    from geoglue_ray.stages.sketch import value_rank
+
+    src = corpus_with_admin(sf_dir).select_columns(["doc_id", "admin1_id", "value"])
+    return value_rank(src, "admin1_id", "value").sort("doc_id")
+
+
+def tfidf_top_token(sf_dir: str) -> rd.Dataset:
+    """Per-doc top TF-IDF token (idf = N/df — exact arithmetic, no
+    transcendental log): two-pass DF build + broadcast, streaming argmax
+    with the (score desc, token asc) tie-break."""
+    from geoglue_ray.stages.text import tfidf_top_token as tt
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    return tt(ds).sort("doc_id")

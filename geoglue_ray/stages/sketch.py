@@ -286,3 +286,96 @@ def exact_quantiles(
         .groupby("_s")
         .map_groups(shard_quantiles, batch_format="pandas")
     )
+
+
+def value_rank(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    rank_col: str = "rank",
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key SQL ``RANK()`` for EVERY row without shuffling the rows —
+    the window-function shape at scale.
+
+    Pass 1 reduces the stream to the same bounded (key x distinct-value)
+    histogram :func:`exact_quantiles` uses (per-batch ``_hist_reduce``
+    partials, fixed-bucket merge); the merged histogram — bounded by
+    key-cardinality x distinct values, never row count — is collected
+    once, converted to per-key exclusive cumulative counts, and
+    broadcast via ``ray.put``.  Pass 2 streams the rows and ranks each
+    batch with one vectorized ``searchsorted`` per key PRESENT in the
+    batch (key count bounded, not row count).
+    ``rank = 1 + #(strictly smaller values in the partition)`` — exactly
+    DuckDB ``rank() OVER (PARTITION BY key ORDER BY value)``.
+    Partitioning assumption: the measure is discrete/binned, like
+    :func:`exact_quantiles` (documented broadcast ceiling otherwise).
+    """
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "_b": pa.array([], pa.int64()),
+                    key_col: pa.array([], b.schema.field(key_col).type),
+                    "_v": pa.array([], pa.float64()),
+                    "_n": pa.array([], pa.float64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                key_col: b[key_col].to_numpy(zero_copy_only=False),
+                "_v": b[value_col].to_numpy(zero_copy_only=False).astype(np.float64),
+                "_n": np.ones(len(b), dtype=np.float64),
+            }
+        )
+        k, v, n = _hist_reduce(df, key_col)
+        kh = pd.util.hash_array(np.ascontiguousarray(k)).astype(np.uint64)
+        bucket = ((kh ^ v.view(np.uint64)) * _HQ_MUL) % np.uint64(n_buckets)
+        return pa.table(
+            {
+                "_b": pa.array(bucket.astype(np.int64)),
+                key_col: pa.array(k),
+                "_v": pa.array(v),
+                "_n": pa.array(n),
+            }
+        )
+
+    def merge_hist(g: pd.DataFrame) -> pd.DataFrame:
+        k, v, n = _hist_reduce(g, key_col)
+        return pd.DataFrame({key_col: k, "_v": v, "_n": n})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(merge_hist, batch_format="pandas")
+        .to_pandas()  # bounded: (key x distinct-value) histogram rows
+    )
+    k = hist[key_col].to_numpy()
+    v = hist["_v"].to_numpy()
+    n = hist["_n"].to_numpy()
+    order = np.lexsort((v, k))
+    k, v, n = k[order], v[order], n[order]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    uniq = k[starts]
+    off = np.r_[starts, len(k)]
+    cum = np.cumsum(n)
+    excl = np.r_[0.0, cum[:-1]]
+    excl_within = (excl - np.repeat(excl[starts], np.diff(off))).astype(np.int64)
+    ref = ray.put((uniq, off, v, excl_within))
+
+    def rank_rows(b: pa.Table) -> pa.Table:
+        uk, o, vals, ex = ray.get(ref)
+        kr = b[key_col].to_numpy(zero_copy_only=False)
+        vr = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ki = np.searchsorted(uk, kr)
+        out = np.empty(len(b), np.int64)
+        for kidx in np.unique(ki):  # bounded by key cardinality
+            m = ki == kidx
+            seg = vals[o[kidx] : o[kidx + 1]]
+            pos = o[kidx] + np.searchsorted(seg, vr[m], side="left")
+            out[m] = ex[pos] + 1
+        return b.append_column(rank_col, pa.array(out))
+
+    return ds.map_batches(rank_rows, batch_format="pyarrow")

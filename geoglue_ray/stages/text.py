@@ -236,3 +236,99 @@ def repetition_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = out.append_column("top_bigram_n", pa.array(top))
     out = out.append_column("rep_ratio", pa.array(rep.astype(np.float64)))
     return out
+
+
+def tfidf_top_token(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Two-pass TF-IDF with a per-doc argmax projection.
+
+    ``idf = N / df`` — one exact integer division, NOT ``log(N/df)``:
+    transcendental functions are not bit-reproducible between numpy and
+    DuckDB (CLAUDE.md measured lesson), and the monotone ``N/df``
+    preserves the per-doc argmax ordering a log idf would give.
+
+    Pass 1 (document frequency): per-batch distinct (doc, token) pairs
+    collapse to (token, partial df) rows -> fixed-shard exact merge ->
+    the (token, df) table — bounded by vocabulary size, the documented
+    broadcast ceiling — is collected once and shipped via ``ray.put``.
+    Pass 2 streams docs: per-batch tf runs (one lexsort), idf gather via
+    ``searchsorted`` on the sorted vocab, argmax per doc with the strict
+    tie-break (score desc, token asc) the SQL twin's QUALIFY replays.
+    """
+    import pandas as pd
+    import ray
+
+    from geoglue_ray.functions.texthash import token_hash64
+
+    n_docs = float(ds.count())
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(b)), lens)
+        keep = flat != ""
+        flat, doc = flat[keep], doc[keep]
+        order = np.lexsort((flat, doc))
+        f, d = flat[order], doc[order]
+        new = np.r_[True, (d[1:] != d[:-1]) | (f[1:] != f[:-1])]
+        uniq_tok = f[new]
+        vc = pd.Series(uniq_tok).value_counts()
+        tokens = vc.index.to_numpy()
+        shard = (token_hash64(tokens) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "token": pa.array(tokens.tolist(), pa.string()),
+                "df": pa.array(vc.to_numpy().astype(np.int64)),
+                "_shard": pa.array(shard),
+            }
+        )
+
+    def df_merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)["df"].sum().reset_index()
+        return s[["token", "df"]]
+
+    df_tab = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(df_merge, batch_format="pandas")
+        .to_pandas()  # bounded: one row per vocabulary token
+    )
+    vocab = df_tab["token"].to_numpy()
+    vorder = np.argsort(vocab)
+    vocab = vocab[vorder]
+    idf = n_docs / df_tab["df"].to_numpy().astype(np.float64)[vorder]
+    ref = ray.put((vocab, idf))
+
+    def top_token(b: pa.Table) -> pa.Table:
+        voc, iv = ray.get(ref)
+        toks = pc.split_pattern(b[text_col], pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(b)), lens)
+        keep = flat != ""
+        flat, doc = flat[keep], doc[keep]
+        order = np.lexsort((flat, doc))
+        f, d = flat[order], doc[order]
+        new = np.r_[True, (d[1:] != d[:-1]) | (f[1:] != f[:-1])]
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.r_[starts, len(f)]).astype(np.float64)
+        rt, rd_ = f[starts], d[starts]
+        score = tf * iv[np.searchsorted(voc, rt)]
+        best = np.lexsort((rt, -score, rd_))
+        first = np.r_[True, rd_[best][1:] != rd_[best][:-1]]
+        sel = best[first]
+        ids = b[id_col].to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(ids[rd_[sel]]),
+                "top_token": pa.array(rt[sel].tolist(), pa.string()),
+                "top_tfidf": pa.array(score[sel]),
+            }
+        )
+
+    return ds.map_batches(top_token, batch_format="pyarrow")

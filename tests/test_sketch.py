@@ -121,3 +121,29 @@ def test_exact_quantiles_matches_duckdb_and_batch_splits():
             .reset_index(drop=True)[["admin", "n_rows", "p25", "p75", "median_val"]]
         )
         pd.testing.assert_frame_equal(got, want.rename(columns={"k": "admin"}))
+
+
+def test_value_rank_ties_and_partitions(ray_session):
+    """RANK semantics with ties (equal values share the rank; next rank
+    skips), singleton partitions, and block-split independence."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.sketch import value_rank
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 6 + ["b"] * 3 + ["c"],
+            "v": [5.0, 1.0, 5.0, 2.0, 1.0, 9.0, 3.0, 3.0, 3.0, 7.0],
+            "rid": range(10),
+        }
+    )
+    ref = duckdb.connect().execute(
+        "SELECT rid, rank() OVER (PARTITION BY k ORDER BY v) AS rank "
+        "FROM df ORDER BY rid"
+    ).fetchdf()
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    got = value_rank(ds, "k", "v").to_pandas().sort_values("rid").reset_index(drop=True)
+    assert got["rank"].tolist() == ref["rank"].tolist()

@@ -618,3 +618,31 @@ def test_hopping_window_fanout_is_exactly_two(ray_session, sf_dir):
     out = hopping_window(sf_dir).to_pandas()
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
     assert out["count"].sum() == 2 * n_events
+
+
+def test_tfidf_top_token_hand_case(ray_session):
+    """3 docs: 'rare' appears in one doc (df=1, idf=3); argmax and the
+    (score desc, token asc) tie-break verified by hand."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.text import tfidf_top_token
+
+    docs = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "y x",        # x,y both df=3 -> idf=1, tf=1 -> tie at 1.0; 'x' < 'y'
+                "x y z",      # z: df=1, idf=3 -> 3 beats x/y at 1.0
+                "y y x rare", # y: tf=2*idf 1 = 2; rare: 1*3 = 3 -> 'rare'
+            ],
+        }
+    )
+    out = (
+        tfidf_top_token(rd.from_arrow(docs).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["top_token"].tolist() == ["x", "z", "rare"]
+    assert out["top_tfidf"].tolist() == [1.0, 3.0, 3.0]
