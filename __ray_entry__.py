@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": q.region_revenue,
         "brand_stats": q.brand_stats,
         "order_priority_revenue": q.order_priority_revenue,
+        "dormant_customers": q.dormant_customers,
         "topk_by_admin1": q.topk_by_admin1,
         "distinct_sources": q.distinct_sources,
         "events_sessionize": q.events_sessionize,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "region_revenue": o.region_revenue(),
         "brand_stats": o.brand_stats(),
         "order_priority_revenue": o.order_priority_revenue(),
+        "dormant_customers": o.dormant_customers(),
         "topk_by_admin1": o.topk_by_admin1(),
         "distinct_sources": o.distinct_sources(),
         "events_sessionize": o.events_sessionize(),

@@ -1177,3 +1177,14 @@ FROM s
 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) = 1
 ORDER BY doc_id
 """
+
+
+def dormant_customers() -> str:
+    """Anti-join twin: customers with no order before the cutoff."""
+    return """
+SELECT c_mktsegment, CAST(count(*) AS DOUBLE) AS "count"
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate < TIMESTAMP '1995-03-01')
+GROUP BY 1 ORDER BY 1
+"""

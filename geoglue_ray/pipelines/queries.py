@@ -1282,3 +1282,30 @@ def tfidf_top_token(sf_dir: str) -> rd.Dataset:
 
     ds = read_documents_cols(sf_dir, ["doc_id", "text"])
     return tt(ds).sort("doc_id")
+
+
+def dormant_customers(sf_dir: str) -> rd.Dataset:
+    """Distributed ANTI join: customers with no order before the cutoff
+    (both sides stream through the fixed-shard tagged-union co-shuffle of
+    stages/join.hash_equijoin; the probe side is pre-filtered at the
+    parquet read).  Counts per market segment."""
+    from geoglue_ray.stages.join import hash_equijoin
+
+    cut = np.datetime64("1995-03-01T00:00:00", "us")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def early(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["o_orderdate"], pa.scalar(cut, pa.timestamp("us")))
+        return b.filter(keep).select(["o_custkey"])
+
+    probe = orders.map_batches(early, batch_format="pyarrow")
+    dormant = hash_equijoin(cust, probe, "c_custkey", "o_custkey", how="anti")
+    out = zonal_aggregate(
+        dormant, ["count"], keys=["c_mktsegment"], value_col="c_custkey"
+    )
+    return out.sort("c_mktsegment")

@@ -162,9 +162,13 @@ def hash_equijoin(
     left_on: str,
     right_on: str,
     n_shards: int = 64,
+    how: str = "inner",
 ) -> rd.Dataset:
-    """Distributed big-big INNER equi-join on int64 keys — the general
-    shuffle join Ray Data's Dataset API lacks.
+    """Distributed big-big equi-join on int64 keys — the general
+    shuffle join Ray Data's Dataset API lacks.  ``how``: ``inner`` /
+    ``left`` (right columns null-filled for unmatched left rows) /
+    ``semi`` / ``anti`` (left rows with / without a right match; left
+    columns only, never duplicated by multi-matches).
 
     Shape: each side is tagged (``_t``) and sharded on
     ``int_hash64(key) % n_shards`` — a FIXED group count, so Ray's
@@ -223,12 +227,31 @@ def hash_equijoin(
             cols[n] = b[n]
         return pa.table(cols)
 
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    if how in ("semi", "anti"):
+        out_schema = pa.schema(out_fields[: len(lnames)])
+
     def shard_join(t: pa.Table) -> pa.Table:
         tt = t["_t"].to_numpy()
-        lt = t.filter(pa.array(tt == 0)).select(lnames).to_pandas()
+        lt_tab = t.filter(pa.array(tt == 0))
+        if how in ("semi", "anti"):
+            lkeys = lt_tab[left_on].to_numpy(zero_copy_only=False)
+            rkeys = t.filter(pa.array(tt == 1))[left_on].to_numpy(zero_copy_only=False)
+            hit = np.isin(lkeys, rkeys)
+            keep = hit if how == "semi" else ~hit
+            return lt_tab.select(lnames).filter(pa.array(keep))
+        lt = lt_tab.select(lnames).to_pandas()
         rt = t.filter(pa.array(tt == 1)).select([left_on] + rnames).to_pandas()
-        merged = lt.merge(rt, on=left_on, how="inner")
-        return pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
+        merged = lt.merge(rt, on=left_on, how=how)
+        # per-column from_pandas conversion: a left join NaN-fills
+        # unmatched right columns, which pandas widens to float —
+        # pa.array(..., from_pandas=True) restores typed nulls
+        cols = [
+            pa.array(merged[f.name], type=f.type, from_pandas=True)
+            for f in out_schema
+        ]
+        return pa.Table.from_arrays(cols, schema=out_schema)
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")

@@ -96,3 +96,38 @@ def test_hash_equijoin_rejects_column_clash(ray_session):
     b = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame({"k2": [1], "v": [2]})))
     with pytest.raises(ValueError, match="clash"):
         hash_equijoin(a, b, "k", "k2")
+
+
+def test_hash_equijoin_variants(ray_session):
+    """left / semi / anti against the pandas reference, with duplicate
+    probe keys (semi/anti must not duplicate left rows) and typed nulls
+    surviving the left join."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.join import hash_equijoin
+
+    left = pd.DataFrame({"k": [1, 2, 3, 3], "lv": [10, 20, 30, 31]})
+    right = pd.DataFrame({"rk": [1, 1, 3], "rv": [1.5, 1.25, 3.5]})
+
+    def run(how):
+        lds = rd.from_arrow(pa.Table.from_pandas(left)).repartition(2)
+        rds = rd.from_arrow(pa.Table.from_pandas(right)).repartition(2)
+        return hash_equijoin(lds, rds, "k", "rk", n_shards=5, how=how).to_pandas()
+
+    lj = run("left").sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    ref = (
+        left.merge(right.rename(columns={"rk": "k"}), on="k", how="left")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert lj["k"].tolist() == ref["k"].tolist()
+    assert lj["lv"].dtype.kind == "i"  # typed nulls, no float widening
+    assert lj["rv"].isna().tolist() == ref["rv"].isna().tolist()
+    assert lj["rv"].dropna().tolist() == ref["rv"].dropna().tolist()
+
+    semi = run("semi").sort_values(["k", "lv"]).reset_index(drop=True)
+    assert semi["k"].tolist() == [1, 3, 3]  # no duplication from rk=1 twice
+    anti = run("anti")
+    assert anti["k"].tolist() == [2]
