@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_admin1": q.winsorized_admin1,
         "media_explode": q.media_explode,
         "media_features": q.media_features,
+        "media_resize": q.media_resize,
+        "media_frames": q.media_frames,
         "embed_knn": q.embed_knn,
         "approx_distinct_check": q.approx_distinct_check,
         "embed_lsh_recall": q.embed_lsh_recall,
@@ -149,6 +151,8 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_admin1": o.winsorized_admin1(),
         "media_explode": o.media_explode(),
         "media_features": o.media_features(),
+        "media_resize": o.media_resize(),
+        "media_frames": o.media_frames(),
         "embed_knn": o.embed_knn(),
         "lang_id": o.lang_id(),
         "doc_fingerprint": o.doc_fingerprint(),

@@ -1188,3 +1188,66 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                         WHERE o_orderdate < TIMESTAMP '1995-03-01')
 GROUP BY 1 ORDER BY 1
 """
+
+
+def _sql_media_bytes_cte(kind: str) -> str:
+    """Shared CTE: stub-decoded payload bytes WITH their position ``i``
+    for the given span kind (same HUGEINT arithmetic as media_features)."""
+    from geoglue_ray.functions.texthash import C1, C2, U64
+    from geoglue_ray.stages.media import PAYLOAD_LEN
+
+    return f"""
+spans AS (
+  SELECT d.doc_id,
+         CAST(1 + j.range AS INTEGER) AS span_index,
+         CASE WHEN (d.doc_id + 1 + j.range) % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         'media/' || d.doc_id || '/' || (1 + j.range) AS media_ref
+  FROM documents d, range(2) j
+  WHERE 1 + j.range <= d.doc_id % 3),
+seeds AS (
+  SELECT s.doc_id, s.span_index,
+         sum(ascii(substr(s.media_ref, c.range::INTEGER + 1, 1))) AS seed
+  FROM spans s, range(40) c
+  WHERE c.range < length(s.media_ref) AND s.kind = '{kind}'
+  GROUP BY 1, 2),
+bytes AS (
+  SELECT doc_id, span_index, i.range AS i,
+         ((((seed + 1)::HUGEINT * {C1}::HUGEINT
+            + (i.range + 1)::HUGEINT * {C2}::HUGEINT) % {U64}::HUGEINT)
+          // {1 << 56}::HUGEINT) AS byte
+  FROM seeds, range({PAYLOAD_LEN}) i)
+"""
+
+
+def media_resize() -> str:
+    """Block-mean resize replica: floor-of-integer-mean per 4-byte block
+    over the recomputed stub payload."""
+    from geoglue_ray.stages.media import PAYLOAD_LEN, RESIZE_FACTOR
+
+    out_len = PAYLOAD_LEN // RESIZE_FACTOR
+    return f"""
+WITH {_sql_media_bytes_cte('image')},
+pooled AS (
+  SELECT doc_id, span_index, i // {RESIZE_FACTOR} AS j,
+         sum(byte) // {RESIZE_FACTOR} AS pb
+  FROM bytes GROUP BY 1, 2, 3)
+SELECT doc_id, span_index,
+       CAST({out_len} AS BIGINT) AS resized_len,
+       CAST(sum(pb) AS BIGINT) AS resized_sum
+FROM pooled GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def media_frames() -> str:
+    """Frame-sampling replica: per 8-byte frame sums, every 2nd frame."""
+    from geoglue_ray.stages.media import FRAME_LEN, FRAME_STRIDE
+
+    return f"""
+WITH {_sql_media_bytes_cte('audio')},
+fr AS (
+  SELECT doc_id, span_index, CAST(i // {FRAME_LEN} AS INTEGER) AS frame_index,
+         CAST(sum(byte) AS BIGINT) AS frame_sum
+  FROM bytes GROUP BY 1, 2, 3)
+SELECT doc_id, span_index, frame_index, frame_sum
+FROM fr WHERE frame_index % {FRAME_STRIDE} = 0 ORDER BY 1, 2, 3
+"""

@@ -1309,3 +1309,57 @@ def dormant_customers(sf_dir: str) -> rd.Dataset:
         dormant, ["count"], keys=["c_mktsegment"], value_col="c_custkey"
     )
     return out.sort("c_mktsegment")
+
+
+def media_resize(sf_dir: str) -> rd.Dataset:
+    """Image-span resize path: explode -> decode (stub, SQL-replicable
+    bytes) -> block-mean resize in a bounded-batch actor pool; projected
+    to the integer checksum the oracle recomputes byte-for-byte."""
+    from geoglue_ray.stages.media import DecodeMedia, ResizeMedia, explode_media_spans
+
+    ds = read_corpus(sf_dir, with_spans=True)
+    media = ds.map_batches(explode_media_spans, batch_format="pyarrow")
+    images = media.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], "image")), batch_format="pyarrow"
+    )
+    resized = images.map_batches(
+        DecodeMedia, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    ).map_batches(
+        ResizeMedia, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_index": b["span_index"],
+                "resized_len": pa.array(
+                    np.full(len(b), len(b["resized"][0].as_py()) if len(b) else 0, np.int64)
+                ),
+                "resized_sum": b["resized_sum"],
+            }
+        )
+
+    return resized.map_batches(project, batch_format="pyarrow").sort(
+        ["doc_id", "span_index"]
+    )
+
+
+def media_frames(sf_dir: str) -> rd.Dataset:
+    """Audio/video frame sampling: explode -> decode -> every-2nd-frame
+    explode (one row per sampled frame) with the SQL-replicable per-frame
+    byte sum."""
+    from geoglue_ray.stages.media import DecodeMedia, FrameSampler, explode_media_spans
+
+    ds = read_corpus(sf_dir, with_spans=True)
+    media = ds.map_batches(explode_media_spans, batch_format="pyarrow")
+    audio = media.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], "audio")), batch_format="pyarrow"
+    )
+    frames = audio.map_batches(
+        DecodeMedia, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    ).map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    )
+    out = frames.select_columns(["doc_id", "span_index", "frame_index", "frame_sum"])
+    return out.sort(["doc_id", "span_index", "frame_index"])

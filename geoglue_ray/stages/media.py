@@ -190,3 +190,100 @@ def media_pipeline(
         batch_size=decode_batch_size,
         concurrency=concurrency,
     )
+
+
+RESIZE_FACTOR = 4  # 64-byte payload -> 16 bytes, 4:1 block-mean pooling
+FRAME_LEN = 8  # payload = 8 frames x 8 bytes for the frame sampler
+FRAME_STRIDE = 2  # keep every 2nd frame
+
+
+class ResizeMedia:
+    """Actor-pool stage: block-mean downsample of the decoded payload —
+    the stub stand-in for an image resize (a real deployment swaps the
+    pooling for PIL ``Image.resize`` loaded once per actor in
+    ``__init__``).  The pooling is floor-of-integer-mean per
+    ``RESIZE_FACTOR`` block, so the resized bytes are SQL-replicable and
+    the ``media_resize`` oracle recomputes them exactly.  Emits the
+    resized payload as a typed fixed-width binary column plus its
+    ``resized_sum`` checksum."""
+
+    def __init__(self, factor: int = RESIZE_FACTOR):
+        if PAYLOAD_LEN % factor:
+            raise ValueError(f"factor {factor} must divide {PAYLOAD_LEN}")
+        self.factor = factor  # real: codec/interp config loads here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out_len = PAYLOAD_LEN // self.factor
+        field = pa.field(
+            "resized",
+            pa.binary(out_len),
+            metadata={"codec": "stub-resize-v1", "content": "media-bytes"},
+        )
+        if n == 0:
+            empty = pa.Array.from_buffers(pa.binary(out_len), 0, [None, pa.py_buffer(b"")])
+            batch = batch.append_column(field, empty)
+            return batch.append_column("resized_sum", pa.array([], pa.int64()))
+        raw = np.frombuffer(b"".join(batch["payload"].to_pylist()), dtype=np.uint8)
+        pooled = (
+            raw.reshape(n, out_len, self.factor).astype(np.int64).sum(axis=2)
+            // self.factor
+        )
+        arr = pa.Array.from_buffers(
+            pa.binary(out_len),
+            n,
+            [None, pa.py_buffer(pooled.astype(np.uint8).tobytes())],
+        )
+        batch = batch.append_column(field, arr)
+        return batch.append_column("resized_sum", pa.array(pooled.sum(axis=1)))
+
+
+class FrameSampler:
+    """Actor-pool stage: payload -> every ``stride``-th fixed-length
+    frame, ONE OUTPUT ROW PER SAMPLED FRAME (the video frame-sampling
+    explode shape; a real deployment replaces the byte slicing with
+    libav keyframe extraction in ``__call__`` and the demuxer open in
+    ``__init__``).  Emits (parent columns, frame_index, frame bytes,
+    frame_sum); the integer ``frame_sum`` is SQL-replicable."""
+
+    def __init__(self, frame_len: int = FRAME_LEN, stride: int = FRAME_STRIDE):
+        if PAYLOAD_LEN % frame_len:
+            raise ValueError(f"frame_len {frame_len} must divide {PAYLOAD_LEN}")
+        self.frame_len = frame_len
+        self.stride = stride  # real: demuxer/codec handle loads here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        nf = PAYLOAD_LEN // self.frame_len
+        sampled = np.arange(0, nf, self.stride)
+        k = len(sampled)
+        field = pa.field(
+            "frame",
+            pa.binary(self.frame_len),
+            metadata={"codec": "stub-frames-v1", "content": "media-bytes"},
+        )
+        keep = [c for c in batch.column_names if c != "payload"]
+        if n == 0:
+            out = batch.select(keep)
+            out = out.append_column("frame_index", pa.array([], pa.int32()))
+            empty = pa.Array.from_buffers(
+                pa.binary(self.frame_len), 0, [None, pa.py_buffer(b"")]
+            )
+            out = out.append_column(field, empty)
+            return out.append_column("frame_sum", pa.array([], pa.int64()))
+        raw = np.frombuffer(b"".join(batch["payload"].to_pylist()), dtype=np.uint8)
+        frames = raw.reshape(n, nf, self.frame_len)[:, sampled, :]
+        parent = np.repeat(np.arange(n), k)
+        out = batch.select(keep).take(pa.array(parent))
+        out = out.append_column(
+            "frame_index", pa.array(np.tile(sampled, n).astype(np.int32))
+        )
+        arr = pa.Array.from_buffers(
+            pa.binary(self.frame_len),
+            n * k,
+            [None, pa.py_buffer(frames.reshape(n * k, self.frame_len).tobytes())],
+        )
+        out = out.append_column(field, arr)
+        return out.append_column(
+            "frame_sum", pa.array(frames.astype(np.int64).sum(axis=2).reshape(-1))
+        )

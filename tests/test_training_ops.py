@@ -646,3 +646,50 @@ def test_tfidf_top_token_hand_case(ray_session):
     )
     assert out["top_token"].tolist() == ["x", "z", "rare"]
     assert out["top_tfidf"].tolist() == [1.0, 3.0, 3.0]
+
+
+def test_resize_and_frame_sampler_stages():
+    """Resize = floor block mean per 4-byte block; frame sampler explodes
+    every 2nd 8-byte frame; both batch-split independent."""
+    import pyarrow as pa
+
+    from geoglue_ray.stages.media import (
+        FRAME_LEN,
+        FRAME_STRIDE,
+        PAYLOAD_LEN,
+        RESIZE_FACTOR,
+        DecodeMedia,
+        FrameSampler,
+        ResizeMedia,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "span_index": pa.array([1, 1, 2], pa.int32()),
+            "kind": ["image", "audio", "image"],
+            "media_ref": ["media/1/1", "media/2/1", "media/3/2"],
+            "offset": pa.array([5, 6, 7], pa.int32()),
+        }
+    )
+    dec = DecodeMedia()(t)
+    raw = np.frombuffer(b"".join(dec["payload"].to_pylist()), np.uint8).reshape(3, -1)
+
+    rz = ResizeMedia()(dec)
+    out_len = PAYLOAD_LEN // RESIZE_FACTOR
+    expect = raw.reshape(3, out_len, RESIZE_FACTOR).astype(np.int64).sum(2) // RESIZE_FACTOR
+    got = np.frombuffer(b"".join(rz["resized"].to_pylist()), np.uint8).reshape(3, out_len)
+    assert np.array_equal(got, expect.astype(np.uint8))
+    assert rz["resized_sum"].to_pylist() == expect.sum(1).tolist()
+    # split independence
+    rz2 = pa.concat_tables([ResizeMedia()(dec.slice(0, 1)), ResizeMedia()(dec.slice(1))])
+    assert rz2.equals(rz)
+
+    fs = FrameSampler()(dec)
+    nf = PAYLOAD_LEN // FRAME_LEN
+    k = len(range(0, nf, FRAME_STRIDE))
+    assert len(fs) == 3 * k
+    assert fs["frame_index"].to_pylist()[:k] == list(range(0, nf, FRAME_STRIDE))
+    f0 = raw[0].reshape(nf, FRAME_LEN).astype(np.int64).sum(1)
+    assert fs["frame_sum"].to_pylist()[:k] == f0[::FRAME_STRIDE].tolist()
+    assert "payload" not in fs.column_names
