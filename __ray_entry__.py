@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_by_admin1": q.topk_by_admin1,
         "distinct_sources": q.distinct_sources,
         "events_sessionize": q.events_sessionize,
+        "running_user_total": q.running_user_total,
         "events_asof_obs": q.events_asof_obs,
         "value_bands": q.value_bands,
         "rolling_daily_admin": q.rolling_daily_admin,
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_by_admin1": o.topk_by_admin1(),
         "distinct_sources": o.distinct_sources(),
         "events_sessionize": o.events_sessionize(),
+        "running_user_total": o.running_user_total(),
         "events_asof_obs": o.events_asof_obs(),
         "value_bands": o.value_bands(),
         "rolling_daily_admin": o.rolling_daily_admin(),

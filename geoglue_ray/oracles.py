@@ -1251,3 +1251,15 @@ fr AS (
 SELECT doc_id, span_index, frame_index, frame_sum
 FROM fr WHERE frame_index % {FRAME_STRIDE} = 0 ORDER BY 1, 2, 3
 """
+
+
+def running_user_total() -> str:
+    """Ordered-window running total per user (ties broken by event_id;
+    floored values make the cumulative sums order-independent exact)."""
+    return """
+SELECT event_id, user_id, ts,
+       sum(floor(value)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS running_sum
+FROM events ORDER BY event_id
+"""

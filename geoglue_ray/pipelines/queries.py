@@ -1363,3 +1363,53 @@ def media_frames(sf_dir: str) -> rd.Dataset:
     )
     out = frames.select_columns(["doc_id", "span_index", "frame_index", "frame_sum"])
     return out.sort(["doc_id", "span_index", "frame_index"])
+
+
+def running_user_total(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Per-row running total — ``SUM(floor(value)) OVER (PARTITION BY
+    user ORDER BY ts, event_id)`` — the ordered-window shape: co-partition
+    by ``hash(user) % n_shards`` (FIXED group count), one lexsort +
+    segment-reset cumsum per shard for ALL of its users; ties broken by
+    event_id so the frame order is deterministic on both sides."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "_us": pa.array(shard),
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "v": pa.array(np.floor(b["value"].to_numpy())),
+            }
+        )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        v = g["v"].to_numpy()
+        o = np.lexsort((eid, ts, uid))
+        eid, uid, ts, v = eid[o], uid[o], ts[o], v[o]
+        cum = np.cumsum(v)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        base = np.r_[0.0, cum[starts[1:] - 1]] if len(starts) else np.array([])
+        run = cum - np.repeat(base, np.diff(np.r_[starts, len(uid)]))
+        return pd.DataFrame(
+            {"event_id": eid, "user_id": uid, "ts": ts, "running_sum": run}
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_us")
+        .map_groups(running, batch_format="pandas")
+    )
+    return out.sort("event_id")
