@@ -576,7 +576,7 @@ def simhash_neardup(
 
 # ------------------------------------------------ duplicate-cluster resolve
 def duplicate_clusters(
-    pairs: rd.Dataset, max_iters: int = 64, n_buckets: int = 64
+    pairs: rd.Dataset, max_iters: int = 64, n_buckets: int = 64, sort: bool = True
 ) -> rd.Dataset:
     """Connected components over candidate-duplicate pairs -> (doc_id,
     cluster_id) with cluster_id = the component's lowest doc_id.
@@ -698,10 +698,13 @@ def duplicate_clusters(
             f"duplicate_clusters did not converge in {max_iters} iterations "
             "(component diameter exceeds the cap); raise max_iters"
         )
-    return labels.map_batches(
+    out = labels.map_batches(
         lambda b: pa.table({"doc_id": b["src"], "cluster_id": b["label"]}),
         batch_format="pyarrow",
-    ).sort("doc_id")
+    )
+    # the sort is presentation-only (driver-facing query); composed
+    # pipelines (dedup_corpus) skip the all-to-all
+    return out.sort("doc_id") if sort else out
 
 
 # ----------------------------------------------------- n-gram Jaccard verify
@@ -886,6 +889,10 @@ def survivor_corpus(
     import ray
 
     schema = docs.schema()
+    # one execution of the (potentially expensive) eliminated-id lineage:
+    # both paths below consume it twice (count + batch iteration / tag);
+    # without this the whole upstream dedup DAG runs twice
+    eliminated = eliminated.materialize()
     try:
         n_elim = eliminated.count()
     except Exception:  # pragma: no cover - exotic sources
@@ -964,7 +971,9 @@ def dedup_corpus(
     machinery of :func:`minhash_neardup` / :func:`duplicate_clusters`;
     the eliminated-id set (cluster members minus canonicals) is the only
     small side and feeds :func:`survivor_corpus`'s two-path anti-join."""
-    labels = duplicate_clusters(minhash_neardup(docs_text, threshold=threshold))
+    labels = duplicate_clusters(
+        minhash_neardup(docs_text, threshold=threshold), sort=False
+    )
     eliminated = labels.map_batches(
         lambda b: b.filter(
             pa.compute.not_equal(b["cluster_id"], b["doc_id"])
