@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": q.distinct_sources,
         "events_sessionize": q.events_sessionize,
         "running_user_total": q.running_user_total,
+        "pivot_daily_events": q.pivot_daily_events,
         "events_asof_obs": q.events_asof_obs,
         "value_bands": q.value_bands,
         "rolling_daily_admin": q.rolling_daily_admin,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sources": o.distinct_sources(),
         "events_sessionize": o.events_sessionize(),
         "running_user_total": o.running_user_total(),
+        "pivot_daily_events": o.pivot_daily_events(),
         "events_asof_obs": o.events_asof_obs(),
         "value_bands": o.value_bands(),
         "rolling_daily_admin": o.rolling_daily_admin(),

@@ -1263,3 +1263,16 @@ SELECT event_id, user_id, ts,
          ROWS UNBOUNDED PRECEDING) AS running_sum
 FROM events ORDER BY event_id
 """
+
+
+def pivot_daily_events() -> str:
+    """Wide pivot twin: conditional count per fixed category."""
+    cases = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS DOUBLE) AS n_{c}"
+        for c in ("click", "error", "purchase", "signup", "view")
+    )
+    return f"""
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       {cases}
+FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -1413,3 +1413,20 @@ def running_user_total(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
         .map_groups(running, batch_format="pandas")
     )
     return out.sort("event_id")
+
+
+def pivot_daily_events(sf_dir: str) -> rd.Dataset:
+    """Long -> wide pivot over the fixed event-type vocabulary: one row
+    per day, one count column per type (stages/reshape.pivot_counts:
+    per-batch wide partials, fixed-bucket vectorized merge)."""
+    from geoglue_ray.stages.reshape import pivot_counts
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = b["ts"].to_numpy().astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table({"day": pa.array(day), "event_type": b["event_type"]})
+
+    out = pivot_counts(ds.map_batches(prep, batch_format="pyarrow"), "day", "event_type", cats)
+    return out.sort("day")

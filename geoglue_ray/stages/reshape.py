@@ -77,3 +77,61 @@ def collapse_dataset(ds: rd.Dataset, n_months: int | None = None) -> rd.Dataset:
     return ds.map_batches(
         lambda b: collapse_step_to_month(b, n_months), batch_format="pyarrow"
     )
+
+
+def pivot_counts(
+    ds: rd.Dataset,
+    key_col: str,
+    pivot_col: str,
+    categories: list[str],
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Long -> wide pivot: one row per key, one ``n_<category>`` count
+    column per category (the categories must be a KNOWN fixed vocabulary
+    — run a distinct pass first for open vocabularies; unknown values
+    raise rather than silently drop).
+
+    Scale shape: each batch collapses to one wide partial row per key
+    present in it (``np.add.at`` scatter — never a row-level shuffle),
+    partials co-shuffle on ``hash(key) % n_buckets`` (FIXED group
+    count), each bucket task sums ALL its keys in one vectorized pandas
+    groupby.  Shuffle payload = keys-per-block x (1 + n_categories)
+    floats.
+    """
+    cats = list(categories)
+    cols = [f"n_{c}" for c in cats]
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            out = {"_pb": pa.array([], pa.int64()),
+                   key_col: pa.array([], b.schema.field(key_col).type)}
+            for c in cols:
+                out[c] = pa.array([], pa.float64())
+            return pa.table(out)
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        p = b[pivot_col].to_numpy(zero_copy_only=False)
+        cat_idx = pd.Categorical(p, categories=cats).codes
+        if (cat_idx < 0).any():
+            bad = p[cat_idx < 0][0]
+            raise ValueError(f"unknown {pivot_col} value {bad!r}")
+        codes, uniq = pd.factorize(k)
+        counts = np.zeros((len(uniq), len(cats)), dtype=np.float64)
+        np.add.at(counts, (codes, cat_idx.astype(np.int64)), 1.0)
+        bucket = (
+            pd.util.hash_array(np.ascontiguousarray(uniq)).astype(np.uint64)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        out = {"_pb": pa.array(bucket), key_col: pa.array(uniq)}
+        for j, c in enumerate(cols):
+            out[c] = pa.array(counts[:, j])
+        return pa.table(out)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(key_col, sort=False, dropna=False)[cols].sum()
+        return s.reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(merge, batch_format="pandas")
+    )

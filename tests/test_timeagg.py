@@ -74,3 +74,36 @@ def test_assert_hourly():
     holey = full[:-1]  # last day missing hour 23
     ds2 = rd.from_arrow(pa.table({"valid_time": pa.array(holey, type=pa.timestamp("us"))}))
     assert not assert_hourly(ds2)
+
+
+def test_pivot_counts_split_independent_and_strict(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from geoglue_ray.stages.reshape import pivot_counts
+
+    rng = np.random.default_rng(4)
+    cats = ["a", "b", "c"]
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, size=200),
+            "p": np.asarray(cats, dtype=object)[rng.integers(0, 3, size=200)],
+        }
+    )
+    ref = df.groupby(["k", "p"]).size().unstack(fill_value=0)
+    for nparts in (1, 5):
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(nparts)
+        got = (
+            pivot_counts(ds, "k", "p", cats)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        for c in cats:
+            assert got[f"n_{c}"].tolist() == ref[c].reindex(got["k"]).tolist()
+    bad = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame({"k": [1], "p": ["zz"]})))
+    with pytest.raises(Exception, match="unknown"):
+        pivot_counts(bad, "k", "p", cats).materialize()
