@@ -128,6 +128,8 @@ def _run_queries() -> dict:
         ("raster_weekly_zonal", lambda _sf: r.raster_weekly_zonal()),
         ("minhash_neardup", q.minhash_neardup),
         ("embed_knn", q.embed_knn),
+        ("order_priority_revenue", q.order_priority_revenue),
+        ("vocab_top", q.vocab_top),
     ]
     for name, fn in extra:
         t0 = time.perf_counter()
