@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": q.media_frames,
         "embed_knn": q.embed_knn,
         "approx_distinct_check": q.approx_distinct_check,
+        "heavy_hitters_check": q.heavy_hitters_check,
         "embed_lsh_recall": q.embed_lsh_recall,
         "embed_ivf_recall": q.embed_ivf_recall,
         "embed_neardup_recall": q.embed_neardup_recall,
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": o.simhash_neardup(),
         "ngram_neardup": o.ngram_neardup(),
         "approx_distinct_check": o.approx_distinct_check(),
+        "heavy_hitters_check": o.heavy_hitters_check(),
         "embed_lsh_recall": o.embed_lsh_recall(),
         "embed_ivf_recall": o.embed_ivf_recall(),
         "minhash_neardup": o.minhash_neardup(),

@@ -1276,3 +1276,14 @@ SELECT date_trunc('day', ts)::TIMESTAMP AS day,
        {cases}
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def heavy_hitters_check() -> str:
+    """Exact top-10 user counts (strict (n desc, user) tie order) with
+    the CMS bound asserted TRUE."""
+    return """
+SELECT user_id, CAST(n AS DOUBLE) AS n_events, TRUE AS within_bounds
+FROM (SELECT user_id, count(*) AS n FROM events
+      GROUP BY 1 ORDER BY n DESC, user_id LIMIT 10)
+ORDER BY user_id
+"""

@@ -1430,3 +1430,35 @@ def pivot_daily_events(sf_dir: str) -> rd.Dataset:
 
     out = pivot_counts(ds.map_batches(prep, batch_format="pyarrow"), "day", "event_type", cats)
     return out.sort("day")
+
+
+def heavy_hitters_check(sf_dir: str) -> rd.Dataset:
+    """Driver-visible count-min accuracy gate (the approx_distinct_check
+    pattern): exact top-10 users by event count (fixed-shard top-k) plus
+    a boolean asserting the CMS point estimate respects both sides of
+    the standard bound — est >= exact (one-sided CMS guarantee) and
+    est - exact <= ceil(e/width * N).  The oracle recomputes the exact
+    counts and asserts TRUE, so a sketch regression fails the driver's
+    hash compare."""
+    import math
+
+    from geoglue_ray.stages.sketch import count_min_counts, topk_counts
+
+    WIDTH = 4096
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    top = topk_counts(ds, "user_id", 10).to_pandas()  # bounded: 10 rows
+    n_total = ds.count()
+    est = count_min_counts(
+        ds, "user_id", top["user_id"].to_numpy(), width=WIDTH
+    )
+    exact = top["n"].to_numpy()
+    slack = math.ceil(math.e / WIDTH * n_total)
+    ok = (est >= exact) & (est - exact <= slack)
+    out = pa.table(
+        {
+            "user_id": pa.array(top["user_id"].to_numpy()),
+            "n_events": pa.array(exact.astype(np.float64)),
+            "within_bounds": pa.array(ok),
+        }
+    )
+    return rd.from_arrow(out).sort("user_id")

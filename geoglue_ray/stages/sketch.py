@@ -379,3 +379,103 @@ def value_rank(
         return b.append_column(rank_col, pa.array(out))
 
     return ds.map_batches(rank_rows, batch_format="pyarrow")
+
+
+_CMS_MULT = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+_CMS_INC = np.array(
+    [0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5, 0x94D049BB133111EB, 0xBF58476D1CE4E5B9],
+    dtype=np.uint64,
+)
+
+
+def _cms_indices(vals: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(depth, n) cell indices: one multiply-add hash per row, top bits
+    (width must be a power of two)."""
+    from geoglue_ray.functions.texthash import int_hash64
+
+    shift = np.uint64(64 - int(np.log2(width)))
+    h = int_hash64(vals)
+    return np.stack(
+        [((h * _CMS_MULT[j] + _CMS_INC[j]) >> shift) for j in range(depth)]
+    ).astype(np.int64)
+
+
+def count_min_counts(
+    ds: rd.Dataset,
+    key_col: str,
+    query_keys: np.ndarray,
+    width: int = 4096,
+    depth: int = 4,
+    n_merge: int = 8,
+) -> np.ndarray:
+    """Distributed count-min sketch: per-batch partial sketches
+    (depth x width int64, ~128 KiB blobs — the shuffle moves SKETCHES,
+    never keys), two-level sum-merge (sketches are sum-mergeable), then
+    point estimates ``min_j sk[j, idx_j(k)]`` for ``query_keys`` on the
+    driver (bounded by the query-key count).  One-sided guarantee:
+    estimate >= true count; overestimate <= e/width * N w.h.p. per the
+    standard CMS bound."""
+    if width & (width - 1):
+        raise ValueError("width must be a power of two")
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = np.zeros((depth, width), dtype=np.int64)
+        if len(b):
+            v = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = _cms_indices(v, width, depth)
+            for j in range(depth):
+                np.add.at(sk[j], idx[j], 1)
+        blob = pa.array([sk.tobytes()], pa.binary())
+        shard = pa.array([int(sk.sum()) % n_merge], pa.int64())
+        return pa.table({"_cm": shard, "_sk": blob})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        tot = np.zeros(depth * width, dtype=np.int64)
+        for s in g["_sk"]:
+            tot += np.frombuffer(s, dtype=np.int64)
+        return pd.DataFrame({"_sk": [tot.tobytes()]})
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_cm")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # bounded: n_merge sketch blobs
+    )
+    sk = np.zeros(depth * width, dtype=np.int64)
+    for s in parts["_sk"]:
+        sk += np.frombuffer(s, dtype=np.int64)
+    sk = sk.reshape(depth, width)
+    qk = np.asarray(query_keys, dtype=np.int64)
+    idx = _cms_indices(qk, width, depth)
+    return np.min(np.stack([sk[j, idx[j]] for j in range(depth)]), axis=0)
+
+
+def topk_counts(ds: rd.Dataset, key_col: str, k: int, n_shards: int = 64) -> rd.Dataset:
+    """EXACT top-k (key, row count) for int64 keys — the vocab_topk shape
+    (per-batch partial counts, fixed-shard exact merge, per-shard top-k
+    superset, tiny global sort/limit) with the strict (n desc, key asc)
+    tie order."""
+    from geoglue_ray.functions.texthash import int_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        shard = (int_hash64(u) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table(
+            {key_col: pa.array(u), "n": pa.array(c.astype(np.int64)), "_shard": pa.array(shard)}
+        )
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(key_col, sort=False)["n"].sum().reset_index()
+        s = s.sort_values(["n", key_col], ascending=[False, True], kind="mergesort")
+        return s.head(k)[[key_col, "n"]]
+
+    parted = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_topk, batch_format="pandas")
+    )
+    return parted.sort(["n", key_col], descending=[True, False]).limit(k)

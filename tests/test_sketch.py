@@ -147,3 +147,31 @@ def test_value_rank_ties_and_partitions(ray_session):
     ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
     got = value_rank(ds, "k", "v").to_pandas().sort_values("rid").reset_index(drop=True)
     assert got["rank"].tolist() == ref["rank"].tolist()
+
+
+def test_count_min_one_sided_and_split_independent(ray_session):
+    """CMS estimates never undercount, respect the e/width*N bound on a
+    skewed stream, and are block-split independent (sum-mergeable)."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.sketch import count_min_counts
+
+    rng = np.random.default_rng(11)
+    # zipf-ish skew: key 0 is hot
+    keys = np.concatenate([np.zeros(5000, np.int64), rng.integers(1, 2000, 15000)])
+    rng.shuffle(keys)
+    df = pd.DataFrame({"k": keys})
+    q = np.array([0, 1, 7, 1999], dtype=np.int64)
+    exact = np.array([(keys == x).sum() for x in q])
+    ests = []
+    for nparts in (1, 9):
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(nparts)
+        est = count_min_counts(ds, "k", q, width=4096)
+        assert (est >= exact).all()
+        assert (est - exact <= math.ceil(math.e / 4096 * len(keys))).all()
+        ests.append(est)
+    assert np.array_equal(ests[0], ests[1])
