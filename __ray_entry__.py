@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q.events_sessionize,
         "running_user_total": q.running_user_total,
         "pivot_daily_events": q.pivot_daily_events,
+        "melt_daily_events": q.melt_daily_events,
         "events_asof_obs": q.events_asof_obs,
         "value_bands": q.value_bands,
         "rolling_daily_admin": q.rolling_daily_admin,
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": o.events_sessionize(),
         "running_user_total": o.running_user_total(),
         "pivot_daily_events": o.pivot_daily_events(),
+        "melt_daily_events": o.melt_daily_events(),
         "events_asof_obs": o.events_asof_obs(),
         "value_bands": o.value_bands(),
         "rolling_daily_admin": o.rolling_daily_admin(),

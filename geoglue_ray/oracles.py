@@ -1287,3 +1287,14 @@ FROM (SELECT user_id, count(*) AS n FROM events
       GROUP BY 1 ORDER BY n DESC, user_id LIMIT 10)
 ORDER BY user_id
 """
+
+
+def melt_daily_events() -> str:
+    """Unpivot twin: one conditional-count SELECT per category, unioned."""
+    selects = "\nUNION ALL\n".join(
+        f"SELECT date_trunc('day', ts)::TIMESTAMP AS day, 'n_{c}' AS metric,\n"
+        f"       CAST(sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS DOUBLE) AS n\n"
+        f"FROM events GROUP BY 1"
+        for c in ("click", "error", "purchase", "signup", "view")
+    )
+    return f"SELECT * FROM ({selects}) ORDER BY day, metric"

@@ -1462,3 +1462,21 @@ def heavy_hitters_check(sf_dir: str) -> rd.Dataset:
         }
     )
     return rd.from_arrow(out).sort("user_id")
+
+
+def melt_daily_events(sf_dir: str) -> rd.Dataset:
+    """Pivot -> melt roundtrip: the wide per-day count matrix unpivoted
+    back to long (day, metric, n) — both reshape directions driven in
+    one oracle-checked pipeline."""
+    from geoglue_ray.stages.reshape import melt, pivot_counts
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = b["ts"].to_numpy().astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table({"day": pa.array(day), "event_type": b["event_type"]})
+
+    wide = pivot_counts(ds.map_batches(prep, batch_format="pyarrow"), "day", "event_type", cats)
+    long = melt(wide, ["day"], [f"n_{c}" for c in cats], var_name="metric", value_name="n")
+    return long.sort(["day", "metric"])

@@ -135,3 +135,28 @@ def pivot_counts(
         .groupby("_pb")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def melt(
+    ds: rd.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> rd.Dataset:
+    """Wide -> long unpivot: each input row emits one output row per
+    value column.  Pure per-batch Arrow concat (column fan-out is the
+    known ``value_cols`` list — no shuffle, no per-row Python); the
+    value columns must share one Arrow type."""
+    types = None
+
+    def unpivot(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: b[k] for k in id_cols}
+            cols[var_name] = pa.array([c] * len(b), pa.string())
+            cols[value_name] = b[c]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(unpivot, batch_format="pyarrow")
