@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_bands": q.value_bands,
         "rolling_daily_admin": q.rolling_daily_admin,
         "tile_pyramid": q.tile_pyramid,
+        "zorder_events": q.zorder_events,
         "quantiles_admin1": q.quantiles_admin1,
         "value_rank_admin1": q.value_rank_admin1,
         "tfidf_top_token": q.tfidf_top_token,
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "value_bands": o.value_bands(),
         "rolling_daily_admin": o.rolling_daily_admin(),
         "tile_pyramid": o.tile_pyramid(),
+        "zorder_events": o.zorder_events(),
         "quantiles_admin1": o.quantiles_admin1(),
         "value_rank_admin1": o.value_rank_admin1(),
         "tfidf_top_token": o.tfidf_top_token(),

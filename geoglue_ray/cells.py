@@ -89,3 +89,32 @@ def cover_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int) -> 
     y1 = int(np.clip(np.floor((maxy - eps + 90.0) / 180.0 * (n >> 1)), 0, (n >> 1) - 1))
     gx, gy = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
     return xy_to_cell(gx.ravel(), gy.ravel(), res)
+
+
+_ZM = (
+    np.uint64(0x00FF00FF00FF00FF),
+    np.uint64(0x0F0F0F0F0F0F0F0F),
+    np.uint64(0x3333333333333333),
+    np.uint64(0x5555555555555555),
+)
+
+
+def _spread16(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each value to the even bit positions
+    (classic Morton magic-number expansion)."""
+    x = np.asarray(x).astype(np.uint64) & np.uint64(0xFFFF)
+    x = (x | (x << np.uint64(8))) & _ZM[0]
+    x = (x | (x << np.uint64(4))) & _ZM[1]
+    x = (x | (x << np.uint64(2))) & _ZM[2]
+    x = (x | (x << np.uint64(1))) & _ZM[3]
+    return x
+
+
+def zorder_key(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Morton / Z-order interleave of two <=16-bit grid coordinates —
+    the locality-preserving sort/partition key for spatial layouts:
+    sorting (or range-partitioning output files) by this key keeps
+    spatially-near cells in the same blocks, which is what makes
+    spatial range reads prune at 100 TB.  x occupies the even bits, y
+    the odd bits; int64 result (fits: 32 bits used)."""
+    return (_spread16(x) | (_spread16(y) << np.uint64(1))).astype(np.int64)

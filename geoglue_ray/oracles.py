@@ -1298,3 +1298,27 @@ def melt_daily_events() -> str:
         for c in ("click", "error", "purchase", "signup", "view")
     )
     return f"SELECT * FROM ({selects}) ORDER BY day, metric"
+
+
+def zorder_events() -> str:
+    """Morton interleave twin: the same magic-number spreading in BIGINT
+    bit arithmetic (all intermediates < 2**63), over the tile-level-10
+    cell encode the tile_pyramid oracle already replays."""
+    def spread(e: str) -> str:
+        s = f"({e} & 65535)"
+        for sh, m in ((8, 0x00FF00FF00FF00FF), (4, 0x0F0F0F0F0F0F0F0F),
+                      (2, 0x3333333333333333), (1, 0x5555555555555555)):
+            s = f"((({s}) | (({s}) << {sh})) & {m})"
+        return s
+
+    lvl = 10
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         LEAST(GREATEST(CAST(floor(({fx.sql_lon('event_id')} + 180.0) / 360.0 * {1 << lvl}) AS BIGINT), 0), {(1 << lvl) - 1}) AS cell_x,
+         LEAST(GREATEST(CAST(floor(({fx.sql_lat('event_id')} + 90.0) / 180.0 * {1 << (lvl - 1)}) AS BIGINT), 0), {(1 << (lvl - 1)) - 1}) AS cell_y
+  FROM events)
+SELECT event_id, cell_x, cell_y,
+       ({spread('cell_x')}) | (({spread('cell_y')}) << 1) AS zkey
+FROM pts ORDER BY event_id
+"""

@@ -1480,3 +1480,31 @@ def melt_daily_events(sf_dir: str) -> rd.Dataset:
     wide = pivot_counts(ds.map_batches(prep, batch_format="pyarrow"), "day", "event_type", cats)
     long = melt(wide, ["day"], [f"n_{c}" for c in cats], var_name="metric", value_name="n")
     return long.sort(["day", "metric"])
+
+
+def zorder_events(sf_dir: str) -> rd.Dataset:
+    """Morton / Z-order locality key per event at tile level 10 — the
+    key a spatial layout sorts or range-partitions output by so near
+    cells co-locate in blocks (100-TB range-read pruning).  The SQL twin
+    replays the magic-number bit spreading with BIGINT bit ops."""
+    from geoglue_ray.cells import zorder_key
+
+    LEVEL = 10
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        lon, lat = fx.derive_lonlat(ids)
+        n = 1 << LEVEL
+        x = np.clip(((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+        y = np.clip(((lat + 90.0) / 180.0 * (n >> 1)).astype(np.int64), 0, (n >> 1) - 1)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "cell_x": pa.array(x),
+                "cell_y": pa.array(y),
+                "zkey": pa.array(zorder_key(x, y)),
+            }
+        )
+
+    return ds.map_batches(keyed, batch_format="pyarrow").sort("event_id")

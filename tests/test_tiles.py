@@ -79,3 +79,23 @@ def test_pyramid_rejects_bad_levels():
 
     with pytest.raises(ValueError):
         tile_pyramid(ds, res=3, n_levels=5)
+
+
+def test_zorder_prefix_locality():
+    """Morton invariant: shifting the key right by 2 gives the key of the
+    parent 2x2 square — the property that makes z-sorted layouts prune
+    spatial range reads."""
+    import numpy as np
+
+    from geoglue_ray.cells import zorder_key
+
+    rng = np.random.default_rng(6)
+    x = rng.integers(0, 1 << 16, 1000)
+    y = rng.integers(0, 1 << 16, 1000)
+    z = zorder_key(x, y)
+    assert np.array_equal(z >> 2, zorder_key(x >> 1, y >> 1))
+    # exact interleave on hand values
+    assert zorder_key(np.array([3]), np.array([1]))[0] == 0b111
+    assert zorder_key(np.array([0]), np.array([0xFFFF]))[0] == int(
+        "10" * 16, 2
+    )
