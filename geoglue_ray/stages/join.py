@@ -163,6 +163,8 @@ def hash_equijoin(
     right_on: str,
     n_shards: int = 64,
     how: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Distributed big-big equi-join on int64 keys — the general
     shuffle join Ray Data's Dataset API lacks.  ``how``: ``inner`` /
@@ -187,7 +189,16 @@ def hash_equijoin(
     """
     from geoglue_ray.functions.texthash import int_hash64
 
-    lschema, rschema = left.schema(), right.schema()
+    # Ray drops the schema of zero-row datasets (repartitioned empties
+    # report None) — accept an explicit pa.Schema fallback per side so
+    # legitimately-empty inputs still declare the join output schema
+    lschema = left.schema() or left_schema
+    rschema = right.schema() or right_schema
+    if lschema is None or rschema is None:
+        raise ValueError(
+            "hash_equijoin needs typed inputs on both sides — pass "
+            "left_schema/right_schema when a side can be a zero-block Dataset"
+        )
     lnames = list(lschema.names)
     rnames = [n for n in rschema.names if n != right_on]
     clash = set(lnames) & set(rnames)

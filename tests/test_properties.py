@@ -119,3 +119,58 @@ def test_op_grammar_roundtrip(name, params):
     spec = parse_op(s)
     assert spec.name == name
     assert spec.param_dict == params
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(0, 12), min_size=0, max_size=30),
+    st.lists(st.integers(0, 12), min_size=0, max_size=30),
+    st.sampled_from(["inner", "left", "semi", "anti"]),
+)
+def test_hash_equijoin_matches_pandas(lkeys, rkeys, how):
+    """Randomized join keys (duplicates, empties, disjoint sets) against
+    the pandas reference for every join variant."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.join import hash_equijoin
+
+    left = pd.DataFrame(
+        {"k": pd.array(lkeys, dtype="int64"), "lv": pd.array(range(len(lkeys)), dtype="int64")}
+    )
+    right = pd.DataFrame(
+        {"rk": pd.array(rkeys, dtype="int64"),
+         "rv": pd.array([x * 0.5 for x in range(len(rkeys))], dtype="float64")}
+    )
+    lt, rt = pa.Table.from_pandas(left), pa.Table.from_pandas(right)
+    lds = rd.from_arrow(lt).repartition(3)
+    rds = rd.from_arrow(rt).repartition(2)
+    got = hash_equijoin(
+        lds, rds, "k", "rk", n_shards=4, how=how,
+        left_schema=lt.schema, right_schema=rt.schema,
+    ).to_pandas()
+    if got.empty:
+        # a fully-empty join result may surface as a column-less frame
+        # (Ray groupby over zero groups); assert the reference agrees
+        if how in ("inner", "left"):
+            assert left.merge(right.rename(columns={"rk": "k"}), on="k", how=how).empty
+        else:
+            hit = left["k"].isin(right["rk"])
+            assert left[hit if how == "semi" else ~hit].empty
+        return
+    got = got.sort_values(
+        ["k", "lv"] + (["rv"] if how in ("inner", "left") else [])
+    ).reset_index(drop=True)
+    if how in ("inner", "left"):
+        ref = left.merge(right.rename(columns={"rk": "k"}), on="k", how=how)
+        ref = ref.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        assert got["k"].tolist() == ref["k"].tolist()
+        assert got["lv"].tolist() == ref["lv"].tolist()
+        assert got["rv"].isna().tolist() == ref["rv"].isna().tolist()
+        assert got["rv"].dropna().tolist() == ref["rv"].dropna().tolist()
+    else:
+        hit = left["k"].isin(right["rk"])
+        ref = left[hit if how == "semi" else ~hit]
+        ref = ref.sort_values(["k", "lv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref)
