@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.media_features,
         "media_resize": q.media_resize,
         "media_frames": q.media_frames,
+        "media_ref_parse": q.media_ref_parse,
         "embed_knn": q.embed_knn,
         "approx_distinct_check": q.approx_distinct_check,
         "heavy_hitters_check": q.heavy_hitters_check,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": o.media_features(),
         "media_resize": o.media_resize(),
         "media_frames": o.media_frames(),
+        "media_ref_parse": o.media_ref_parse(),
         "embed_knn": o.embed_knn(),
         "lang_id": o.lang_id(),
         "doc_fingerprint": o.doc_fingerprint(),

@@ -1322,3 +1322,18 @@ SELECT event_id, cell_x, cell_y,
        ({spread('cell_x')}) | (({spread('cell_y')}) << 1) AS zkey
 FROM pts ORDER BY event_id
 """
+
+
+def media_ref_parse() -> str:
+    """regexp_extract twin over the exploded media spans."""
+    return r"""
+SELECT d.doc_id,
+       CAST(1 + j.range AS INTEGER) AS span_index,
+       CAST(regexp_extract('media/' || d.doc_id || '/' || (1 + j.range),
+                           'media/(\d+)/(\d+)', 1) AS BIGINT) AS ref_doc,
+       CAST(regexp_extract('media/' || d.doc_id || '/' || (1 + j.range),
+                           'media/(\d+)/(\d+)', 2) AS INTEGER) AS ref_span
+FROM documents d, range(2) j
+WHERE 1 + j.range <= d.doc_id % 3
+ORDER BY doc_id, span_index
+"""

@@ -1508,3 +1508,25 @@ def zorder_events(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(keyed, batch_format="pyarrow").sort("event_id")
+
+
+def media_ref_parse(sf_dir: str) -> rd.Dataset:
+    """Compiled-regex actor-pool extraction: parse the media_ref URI into
+    typed id columns (pattern compiles once per actor in __init__, the
+    per-batch work is Arrow's vectorized extract_regex kernel)."""
+    from geoglue_ray.stages.media import explode_media_spans
+    from geoglue_ray.stages.text import RegexExtractor
+
+    ds = read_corpus(sf_dir, with_spans=True)
+    media = ds.map_batches(explode_media_spans, batch_format="pyarrow")
+    parsed = media.map_batches(
+        RegexExtractor,
+        fn_constructor_kwargs={
+            "pattern": r"media/(?P<ref_doc>\d+)/(?P<ref_span>\d+)",
+            "group_types": {"ref_doc": pa.int64(), "ref_span": pa.int32()},
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    out = parsed.select_columns(["doc_id", "span_index", "ref_doc", "ref_span"])
+    return out.sort(["doc_id", "span_index"])

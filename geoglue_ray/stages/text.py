@@ -332,3 +332,36 @@ def tfidf_top_token(
         )
 
     return ds.map_batches(top_token, batch_format="pyarrow")
+
+
+class RegexExtractor:
+    """Actor-pool stage demonstrating the compiled-pattern contract:
+    regexes compile ONCE per actor in ``__init__`` (never per batch) and
+    ``__call__`` applies them with the vectorized Arrow kernel.
+
+    Extracts named groups from a string column into typed columns; rows
+    that do not match are dropped (inner semantics, like
+    ``regexp_extract`` + filter)."""
+
+    def __init__(self, pattern: str, group_types: dict[str, pa.DataType]):
+        import re
+
+        self.rx = re.compile(pattern)  # once per actor
+        self.pattern = pattern
+        self.groups = list(group_types)
+        self.types = group_types
+        if self.rx.groups != len(self.groups):
+            raise ValueError(
+                f"pattern has {self.rx.groups} groups, {len(self.groups)} names given"
+            )
+
+    def __call__(self, batch: pa.Table, col: str = "media_ref") -> pa.Table:
+        ext = pc.extract_regex(batch[col], pattern=self.pattern)
+        ok = ext.is_valid()
+        batch = batch.filter(ok)
+        ext = ext.filter(ok)
+        for i, g in enumerate(self.groups):
+            batch = batch.append_column(
+                g, pc.cast(pc.struct_field(ext, i), self.types[g])
+            )
+        return batch

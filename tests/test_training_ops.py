@@ -693,3 +693,18 @@ def test_resize_and_frame_sampler_stages():
     f0 = raw[0].reshape(nf, FRAME_LEN).astype(np.int64).sum(1)
     assert fs["frame_sum"].to_pylist()[:k] == f0[::FRAME_STRIDE].tolist()
     assert "payload" not in fs.column_names
+
+
+def test_regex_extractor_drops_nonmatches_and_validates():
+    import pyarrow as pa
+    import pytest
+
+    from geoglue_ray.stages.text import RegexExtractor
+
+    ex = RegexExtractor(r"m/(?P<a>\d+)", {"a": pa.int64()})
+    t = pa.table({"media_ref": ["m/12", "nope", "m/7x"], "k": [1, 2, 3]})
+    out = ex(t)
+    assert out["a"].to_pylist() == [12, 7]
+    assert out["k"].to_pylist() == [1, 3]
+    with pytest.raises(ValueError, match="groups"):
+        RegexExtractor(r"(\d+)(\w+)", {"only_one": pa.int64()})
