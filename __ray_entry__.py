@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": q.distinct_sources,
         "events_sessionize": q.events_sessionize,
         "running_user_total": q.running_user_total,
+        "session_overlaps": q.session_overlaps,
         "pivot_daily_events": q.pivot_daily_events,
         "melt_daily_events": q.melt_daily_events,
         "events_asof_obs": q.events_asof_obs,
@@ -134,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sources": o.distinct_sources(),
         "events_sessionize": o.events_sessionize(),
         "running_user_total": o.running_user_total(),
+        "session_overlaps": o.session_overlaps(),
         "pivot_daily_events": o.pivot_daily_events(),
         "melt_daily_events": o.melt_daily_events(),
         "events_asof_obs": o.events_asof_obs(),

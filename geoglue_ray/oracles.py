@@ -1337,3 +1337,30 @@ FROM documents d, range(2) j
 WHERE 1 + j.range <= d.doc_id % 3
 ORDER BY doc_id, span_index
 """
+
+
+def session_overlaps() -> str:
+    """Interval self-join twin: the sessionize CTE extended with session
+    ends, then the overlap predicate join restricted to distinct users,
+    counted per day of the overlap start."""
+    return """
+WITH e AS (SELECT user_id, ts FROM events),
+s AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s),
+sess AS (
+  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM g GROUP BY user_id, sid)
+SELECT date_trunc('day', greatest(a.s_start, b.s_start))::TIMESTAMP AS day,
+       CAST(count(*) AS DOUBLE) AS n_overlaps
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id
+ AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+GROUP BY 1 ORDER BY 1
+"""

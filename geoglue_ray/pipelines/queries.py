@@ -1530,3 +1530,117 @@ def media_ref_parse(sf_dir: str) -> rd.Dataset:
     )
     out = parsed.select_columns(["doc_id", "span_index", "ref_doc", "ref_span"])
     return out.sort(["doc_id", "span_index"])
+
+
+def session_overlaps(sf_dir: str, gap_minutes: int = 30, n_shards: int = 64) -> rd.Dataset:
+    """Interval self-overlap join: pairs of OVERLAPPING sessions from
+    different users, counted per day of the overlap start — the general
+    big-big interval-join shape: explode each interval to its covering
+    hour buckets (fan-out bounded by interval length), co-shuffle on
+    ``hash(bucket) % n_shards``, generate candidate pairs per bucket run
+    (one lexsort + triu per task), and count each pair EXACTLY ONCE by
+    keeping it only in the bucket containing ``max(start_a, start_b)``
+    (the overlap start lies inside both intervals, so exactly one bucket
+    qualifies).  Same-user sessions never overlap by construction (gap
+    rule), so distinct-user filtering loses nothing."""
+    import pandas as pd
+
+    from geoglue_ray.stages.dedup import _run_pairs
+
+    HOUR = 3_600_000_000  # microseconds
+    DAY = 24 * HOUR
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return pa.table({"_us": pa.array(shard), "user_id": b["user_id"], "ts": b["ts"]})
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        o = np.lexsort((ts, uid))
+        uid, ts = uid[o], ts[o]
+        brk = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            brk[1:] = (uid[1:] != uid[:-1]) | (np.diff(ts) > gap)
+        starts = np.nonzero(brk)[0]
+        ends = np.concatenate([starts[1:], [len(uid)]]) - 1
+        t64 = ts.astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {"user_id": uid[starts], "s_start": t64[starts], "s_end": t64[ends]}
+        )
+
+    sess = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_us")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        s = b["s_start"].to_numpy()
+        e = b["s_end"].to_numpy()
+        b0 = s // HOUR
+        k = (e // HOUR - b0 + 1).astype(np.int64)
+        row = np.repeat(np.arange(len(b)), k)
+        within = np.arange(int(k.sum())) - np.repeat(np.cumsum(k) - k, k)
+        bucket = b0[row] + within
+        shard = (
+            (bucket.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_bs": pa.array(shard),
+                "bucket": pa.array(bucket),
+                "user_id": pa.array(b["user_id"].to_numpy()[row]),
+                "s_start": pa.array(s[row]),
+                "s_end": pa.array(e[row]),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        bk = g["bucket"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        s = g["s_start"].to_numpy()
+        e = g["s_end"].to_numpy()
+        o = np.lexsort((s, uid, bk))
+        bk, uid, s, e = bk[o], uid[o], s[o], e[o]
+        ia, ib = _run_pairs(bk)
+        if len(ia) == 0:
+            return pd.DataFrame({"day": pd.array([], dtype="datetime64[us]")})
+        o_start = np.maximum(s[ia], s[ib])
+        keep = (
+            (uid[ia] != uid[ib])
+            & (s[ia] <= e[ib])
+            & (s[ib] <= e[ia])
+            & (o_start // HOUR == bk[ia])
+        )
+        day = ((o_start[keep] // DAY) * DAY).astype("datetime64[us]")
+        return pd.DataFrame({"day": day})
+
+    pair_days = (
+        sess.map_batches(explode, batch_format="pyarrow")
+        .groupby("_bs")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("one", pa.array(np.ones(len(b))))
+
+    out = zonal_aggregate(
+        pair_days.map_batches(tag, batch_format="pyarrow"),
+        ["count"],
+        keys=["day"],
+        value_col="one",
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("count")
+        return b.set_column(i, "n_overlaps", b["count"])
+
+    return out.map_batches(rename, batch_format="pyarrow").sort("day")

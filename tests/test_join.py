@@ -131,3 +131,15 @@ def test_hash_equijoin_variants(ray_session):
     assert semi["k"].tolist() == [1, 3, 3]  # no duplication from rk=1 twice
     anti = run("anti")
     assert anti["k"].tolist() == [2]
+
+
+def test_session_overlaps_shard_invariant(ray_session, sf_dir):
+    """The bucket-explode pair dedup (count a pair only in its
+    overlap-start bucket) must make the result independent of shard
+    count."""
+    from geoglue_ray.pipelines.queries import session_overlaps
+
+    a = session_overlaps(sf_dir, n_shards=1).to_pandas()
+    b = session_overlaps(sf_dir, n_shards=64).to_pandas()
+    assert a.equals(b)
+    assert a["n_overlaps"].sum() > 0
