@@ -174,3 +174,32 @@ def test_hash_equijoin_matches_pandas(lkeys, rkeys, how):
         ref = left[hit if how == "semi" else ~hit]
         ref = ref.sort_values(["k", "lv"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, ref)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 9)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_value_rank_matches_duckdb(rows):
+    """Randomized keys/values (heavy ties) against DuckDB rank()."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.sketch import value_rank
+
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    df["v"] = df["v"].astype("float64")
+    df["rid"] = range(len(df))
+    ref = duckdb.connect().execute(
+        "SELECT rid, rank() OVER (PARTITION BY k ORDER BY v) AS rank "
+        "FROM df ORDER BY rid"
+    ).fetchdf()
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    got = value_rank(ds, "k", "v").to_pandas().sort_values("rid").reset_index(drop=True)
+    assert got["rank"].tolist() == ref["rank"].tolist()
