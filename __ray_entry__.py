@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q.events_sessionize,
         "running_user_total": q.running_user_total,
         "session_overlaps": q.session_overlaps,
+        "value_share_by_type": q.value_share_by_type,
         "pivot_daily_events": q.pivot_daily_events,
         "melt_daily_events": q.melt_daily_events,
         "events_asof_obs": q.events_asof_obs,
@@ -136,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": o.events_sessionize(),
         "running_user_total": o.running_user_total(),
         "session_overlaps": o.session_overlaps(),
+        "value_share_by_type": o.value_share_by_type(),
         "pivot_daily_events": o.pivot_daily_events(),
         "melt_daily_events": o.melt_daily_events(),
         "events_asof_obs": o.events_asof_obs(),

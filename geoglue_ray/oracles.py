@@ -1364,3 +1364,13 @@ FROM sess a JOIN sess b
  AND a.s_start <= b.s_end AND b.s_start <= a.s_end
 GROUP BY 1 ORDER BY 1
 """
+
+
+def value_share_by_type() -> str:
+    """Ratio-to-report twin: one exact division of the floored value by
+    its partition total."""
+    return """
+SELECT event_id, event_type, floor(value) AS v,
+       floor(value) / sum(floor(value)) OVER (PARTITION BY event_type) AS share
+FROM events ORDER BY event_id
+"""

@@ -1644,3 +1644,45 @@ def session_overlaps(sf_dir: str, gap_minutes: int = 30, n_shards: int = 64) -> 
         return b.set_column(i, "n_overlaps", b["count"])
 
     return out.map_batches(rename, batch_format="pyarrow").sort("day")
+
+
+def value_share_by_type(sf_dir: str) -> rd.Dataset:
+    """Ratio-to-report window — ``v / SUM(v) OVER (PARTITION BY type)``
+    — without a row shuffle: the per-type totals (key-cardinality rows)
+    aggregate first, broadcast, and the share is one exact division per
+    row in a second streaming pass."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "v": pa.array(np.floor(b["value"].to_numpy())),
+            }
+        )
+
+    pv = ds.map_batches(prep, batch_format="pyarrow")
+    totals = (
+        zonal_aggregate(pv, ["sum"], keys=["event_type"], value_col="v")
+        .to_pandas()  # bounded: one row per event type
+    )
+    keys = np.sort(totals["event_type"].to_numpy())
+    tot = totals.set_index("event_type").loc[keys, "sum"].to_numpy()
+
+    def share(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy()
+        t = tot[np.searchsorted(keys, et)]
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "v": b["v"],
+                "share": pa.array(v / t),
+            }
+        )
+
+    return pv.map_batches(share, batch_format="pyarrow").sort("event_id")
