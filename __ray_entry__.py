@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_total": q.running_user_total,
         "session_overlaps": q.session_overlaps,
         "value_share_by_type": q.value_share_by_type,
+        "user_growth": q.user_growth,
         "pivot_daily_events": q.pivot_daily_events,
         "melt_daily_events": q.melt_daily_events,
         "events_asof_obs": q.events_asof_obs,
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "running_user_total": o.running_user_total(),
         "session_overlaps": o.session_overlaps(),
         "value_share_by_type": o.value_share_by_type(),
+        "user_growth": o.user_growth(),
         "pivot_daily_events": o.pivot_daily_events(),
         "melt_daily_events": o.melt_daily_events(),
         "events_asof_obs": o.events_asof_obs(),

@@ -1374,3 +1374,16 @@ SELECT event_id, event_type, floor(value) AS v,
        floor(value) / sum(floor(value)) OVER (PARTITION BY event_type) AS share
 FROM events ORDER BY event_id
 """
+
+
+def user_growth() -> str:
+    """Growth-curve twin: per-user first day, daily counts, window
+    running sum."""
+    return """
+WITH f AS (SELECT user_id, date_trunc('day', min(ts))::TIMESTAMP AS day
+           FROM events GROUP BY 1),
+d AS (SELECT day, CAST(count(*) AS DOUBLE) AS new_users FROM f GROUP BY 1)
+SELECT day, new_users,
+       sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_users
+FROM d ORDER BY day
+"""

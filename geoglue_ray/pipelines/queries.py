@@ -1686,3 +1686,57 @@ def value_share_by_type(sf_dir: str) -> rd.Dataset:
         )
 
     return pv.map_batches(share, batch_format="pyarrow").sort("event_id")
+
+
+def user_growth(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Cumulative-distinct growth curve — new users per day + running
+    total — the scale-right way: COUNT(DISTINCT) over time collapses to
+    a per-user MIN (each user's first event), computed per shard over
+    ``hash(user) % n_shards`` (all of a user's rows co-locate; one
+    lexsort+reduceat per shard), then a tiny day-cardinality aggregate
+    and one in-task cumulative sum over the bounded day rows."""
+    import pandas as pd
+
+    DAY = 24 * 3_600_000_000
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return pa.table({"_us": pa.array(shard), "user_id": b["user_id"], "ts": b["ts"]})
+
+    def first_seen(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        o = np.lexsort((t, uid))
+        uid, t = uid[o], t[o]
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        day = (t[first] // DAY) * DAY
+        return pd.DataFrame({"day": day.astype("datetime64[us]"), "one": 1.0})
+
+    firsts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_us")
+        .map_groups(first_seen, batch_format="pandas")
+    )
+    daily = zonal_aggregate(firsts, ["count"], keys=["day"], value_col="one")
+
+    def cumulate(g: pd.DataFrame) -> pd.DataFrame:
+        # one task over the bounded day-cardinality rows
+        g = g.sort_values("day", kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "day": g["day"],
+                "new_users": g["count"],
+                "cum_users": g["count"].cumsum(),
+            }
+        )
+
+    out = daily.map_batches(
+        lambda b: b.append_column("_all", pa.array(np.zeros(len(b), np.int64))),
+        batch_format="pyarrow",
+    ).groupby("_all").map_groups(cumulate, batch_format="pandas")
+    return out.sort("day")
