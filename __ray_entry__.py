@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crop_bbox": q.crop_bbox,
         "resample_nearest": q.resample_nearest,
         "resample_bilinear": q.resample_bilinear,
+        "resample_idw": q.resample_idw,
         "resample_sparse": q.resample_sparse,
         # training-data ops (oracle-backed)
         "token_count": q.token_count_query,
@@ -103,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_lsh": q.embed_knn_lsh,
         "embed_knn_ivf": q.embed_knn_ivf,
         "embed_neardup": q.embed_neardup,
+        # oracle-backed again since round 4 (KMV bottom-k replaces HLL here;
+        # HLL stays driver-gated via approx_distinct_check)
         "approx_distinct_users": q.approx_distinct_users,
     }
 
@@ -156,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "crop_bbox": o.crop_bbox(),
         "resample_nearest": o.resample_nearest(),
         "resample_bilinear": o.resample_bilinear(),
+        "resample_idw": o.resample_idw(),
         "resample_sparse": o.resample_sparse(),
         "token_count": o.token_count(),
         "text_quality": o.text_quality(),
@@ -182,4 +186,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": o.minhash_neardup(),
         "dedup_clusters": o.dedup_clusters(),
         "dedup_corpus": o.dedup_corpus(),
+        "approx_distinct_users": o.approx_distinct_users(),
     }

@@ -114,25 +114,29 @@ def cmd_merge(args) -> int:
 
 
 def cmd_stats(args) -> int:
-    """Global per-column stats of a parquet output (``validate.py:37-43``)."""
+    """Global per-column stats of a parquet output (``validate.py:37-43``).
+
+    Streams through :func:`geoglue_ray.stages.validate.column_stats` —
+    partial/final per-column aggregates, never a whole-input
+    ``to_pandas()`` — so it is safe pointed at a corpus, not just at
+    key-cardinality zonal outputs."""
     _ensure_ray()
-    import numpy as np
     import ray.data as rd
 
-    ds = rd.read_parquet(args.input)
-    df = ds.to_pandas()
-    for col in df.columns:
-        s = df[col]
-        if s.dtype.kind in "fiu":
+    from geoglue_ray.stages.validate import column_stats
+
+    stats = column_stats(rd.read_parquet(args.input))
+    for row in stats.to_pylist():
+        if row["kind"] == "numeric":
             _logfmt(
-                column=col,
-                nna=int(s.isna().sum()),
-                mean=float(np.nanmean(s.to_numpy(dtype=float))),
-                min=float(np.nanmin(s.to_numpy(dtype=float))),
-                max=float(np.nanmax(s.to_numpy(dtype=float))),
+                column=row["column"],
+                nna=row["nna"],
+                mean=float("nan") if row["mean"] is None else row["mean"],
+                min=float("nan") if row["min"] is None else row["min"],
+                max=float("nan") if row["max"] is None else row["max"],
             )
         else:
-            _logfmt(column=col, nna=int(s.isna().sum()), distinct=int(s.nunique()))
+            _logfmt(column=row["column"], nna=row["nna"], distinct=row["distinct"])
     print(args.input)
     return 0
 

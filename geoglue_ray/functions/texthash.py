@@ -84,6 +84,37 @@ def sql_int_hash(e: str) -> str:
     )
 
 
+C4 = 0x14650FB0739D0383  # odd, < 2**61: every HUGEINT product stays < 2**126
+
+
+def kmv_hash64(ids) -> np.ndarray:
+    """Strong 64-bit mixer (multiply–xorshift x3, splitmix64-shaped) for
+    ORDER-STATISTIC uses — KMV distinct sketches need the k smallest
+    hashes to be uniform, which the light :func:`int_hash64` mixer is not
+    (measured: 55% KMV error on 8k sequential ints vs <2% here).  All
+    multipliers < 2**62 so the DuckDB twin's HUGEINT products never
+    overflow; xor and ``// 2**32`` / ``// 2**29`` reproduce the numpy
+    uint64 ops exactly (CLAUDE.md round-2)."""
+    z = np.asarray(ids, dtype=np.int64).astype(np.uint64) * np.uint64(C1)
+    z ^= z >> np.uint64(32)
+    z = z * np.uint64(C4)
+    z ^= z >> np.uint64(29)
+    z = z * np.uint64(C1)
+    z ^= z >> np.uint64(32)
+    return z
+
+
+def sql_kmv_hash(e: str) -> str:
+    """DuckDB expression: :func:`kmv_hash64` of non-negative BIGINT
+    expression ``e`` as HUGEINT in [0, 2**64)."""
+    z1 = f"((({e})::HUGEINT * {C1}::HUGEINT) % {U64}::HUGEINT)"
+    z2 = f"xor({z1}, ({z1}) // 4294967296::HUGEINT)"
+    z3 = f"((({z2}) * {C4}::HUGEINT) % {U64}::HUGEINT)"
+    z4 = f"xor({z3}, ({z3}) // 536870912::HUGEINT)"
+    z5 = f"((({z4}) * {C1}::HUGEINT) % {U64}::HUGEINT)"
+    return f"xor({z5}, ({z5}) // 4294967296::HUGEINT)"
+
+
 def sql_u64_to_bigint(e: str) -> str:
     """HUGEINT in [0, 2**64) -> signed BIGINT (two's-complement view),
     matching numpy's ``.view(np.int64)``."""

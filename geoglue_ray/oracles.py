@@ -489,6 +489,54 @@ FROM h ORDER BY 1, 2
 """
 
 
+def resample_idw() -> str:
+    """remapdis twin: 4-corner inverse-distance mean.  Mirrors
+    stages/resample.inverse_distance op-for-op — d = sqrt(dx*dx + dy*dy)
+    (the engine avoids np.hypot for exactly this reason), w = 1/d, the
+    accumulation order (0,0),(0,1),(1,0),(1,1), and the exact-hit
+    (d == 0 -> source value) branch.  The weights grid has no NaN so the
+    skip-NaN-corner weight-zeroing is vacuous on this fixture."""
+    dist = {
+        "d00": ("(gx - i0)", "(gy - j0)"),
+        "d01": ("(gx - (i0+1))", "(gy - j0)"),
+        "d10": ("(gx - i0)", "(gy - (j0+1))"),
+        "d11": ("(gx - (i0+1))", "(gy - (j0+1))"),
+    }
+    dsel = ",\n         ".join(
+        f"sqrt(({dx}*0.125)*({dx}*0.125) + ({dy}*0.125)*({dy}*0.125)) AS {k}"
+        for k, (dx, dy) in dist.items()
+    )
+    wsel = ",\n         ".join(
+        f"CASE WHEN d{k} > 0 THEN 1.0/d{k} ELSE 0.0 END AS w{k}"
+        for k in ("00", "01", "10", "11")
+    )
+    return f"""
+WITH {_era5_targets()},
+g AS (
+  SELECT tr, tc, (x - 96.0625)/0.125 AS gx, (31.9375 - y)/0.125 AS gy FROM targets),
+h AS (
+  SELECT tr, tc, gx, gy,
+         CAST(floor(gx) AS BIGINT) AS i0, CAST(floor(gy) AS BIGINT) AS j0
+  FROM g),
+d AS (
+  SELECT tr, tc,
+         {_wval('i0', 'j0')} AS v00, {_wval('i0+1', 'j0')} AS v01,
+         {_wval('i0', 'j0+1')} AS v10, {_wval('i0+1', 'j0+1')} AS v11,
+         {dsel}
+  FROM h),
+w AS (
+  SELECT tr, tc, v00, v01, v10, v11, d00, d01, d10, d11,
+         {wsel}
+  FROM d)
+SELECT CAST(tr AS INTEGER) AS cell_row, CAST(tc AS INTEGER) AS cell_col,
+       CASE WHEN d00 = 0 THEN v00 WHEN d01 = 0 THEN v01
+            WHEN d10 = 0 THEN v10 WHEN d11 = 0 THEN v11
+            ELSE (w00*v00 + w01*v01 + w10*v10 + w11*v11)
+                 / (w00 + w01 + w10 + w11) END AS resampled
+FROM w ORDER BY 1, 2
+"""
+
+
 def _rval(i: str, j: str) -> str:
     """ERA5 t2m hour-0 value at (col i, north-row j); NULL on ocean holes."""
     from geoglue_ray.sources.raster import HOLE_MOD, RXSIZE, VAL_MOD
@@ -794,6 +842,18 @@ SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
        TRUE AS within_5pct
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def approx_distinct_users() -> str:
+    """Bit-exact KMV twin: recomputes the bottom-k hash set per event
+    type through the HUGEINT int_hash64 replica and applies the identical
+    single-division estimate (stages/sketch.kmv_distinct)."""
+    from geoglue_ray.stages.sketch import sql_kmv_distinct
+
+    return (
+        sql_kmv_distinct("events", "event_type", "user_id", k=128)
+        + " ORDER BY event_type"
+    )
 
 
 def embed_lsh_recall() -> str:

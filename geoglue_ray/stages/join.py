@@ -210,6 +210,19 @@ def hash_equijoin(
     out_schema = pa.schema(out_fields)
     P = np.uint64(n_shards)
 
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    # semi/anti only ever read the right side's KEY: don't ship the right
+    # value columns (nor null-filled right columns on left rows) through
+    # the shuffle — the union schema narrows to (_shard, _t, *lnames),
+    # with right rows carrying the key in left_on and typed nulls for the
+    # other left columns (union blocks must share one schema).  Payload
+    # bloat fix per ADVICE r3 (dormant_customers shipped a null
+    # c_mktsegment per order row).
+    union_rnames = [] if how in ("semi", "anti") else rnames
+    if how in ("semi", "anti"):
+        out_schema = pa.schema(out_fields[: len(lnames)])
+
     def tag_left(b: pa.Table) -> pa.Table:
         ids = b[left_on].to_numpy().astype(np.int64)
         cols = {
@@ -218,7 +231,7 @@ def hash_equijoin(
         }
         for n in lnames:
             cols[n] = b[n]
-        for n in rnames:
+        for n in union_rnames:
             cols[n] = pa.nulls(len(b), rschema.types[rschema.names.index(n)])
         return pa.table(cols)
 
@@ -234,14 +247,9 @@ def hash_equijoin(
                 if n == left_on
                 else pa.nulls(len(b), lschema.types[lschema.names.index(n)])
             )
-        for n in rnames:
+        for n in union_rnames:
             cols[n] = b[n]
         return pa.table(cols)
-
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"unsupported how={how!r}")
-    if how in ("semi", "anti"):
-        out_schema = pa.schema(out_fields[: len(lnames)])
 
     def shard_join(t: pa.Table) -> pa.Table:
         tt = t["_t"].to_numpy()

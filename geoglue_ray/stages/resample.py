@@ -120,7 +120,12 @@ def inverse_distance(
             vi = grid[j0 + dj, i0 + di]
             dx = (gx - (i0 + di)) * spec.xinc
             dy = (gy - (j0 + dj)) * spec.yinc
-            d = np.hypot(dx, dy)
+            # sqrt(dx^2+dy^2), NOT np.hypot: hypot's overflow-safe scaling
+            # can differ from the naive chain in the last ulp, while this
+            # exact sequence of correctly-rounded IEEE ops is reproduced
+            # bit-for-bit by the DuckDB oracle (oracles.resample_idw).
+            # Grid spans are << sqrt(DBL_MAX), so overflow is impossible.
+            d = np.sqrt(dx * dx + dy * dy)
             hit = d == 0
             exact = np.where(hit & ~np.isnan(vi), vi, exact)
             ok = ~np.isnan(vi) & (d > 0)

@@ -100,7 +100,13 @@ def _prune_topk(df: pd.DataFrame, strata_col: str, k: int) -> pd.DataFrame:
     """Keep the k smallest (sample_key, id) rows per stratum — vectorized
     lexsort + run-relative rank, no per-group Python."""
     if len(df) == 0:
-        return df
+        # Typed full-schema empty (incl. the rank column the non-empty
+        # path appends) — schema-divergent empties corrupt distributed
+        # block schemas, and an all-empty dataset would make final()'s
+        # drop(columns=["rank"]) raise (CLAUDE.md second-review lesson).
+        out = df.copy()
+        out["rank"] = np.array([], dtype=np.int64)
+        return out
     codes, _ = pd.factorize(df[strata_col], use_na_sentinel=False)
     order = np.lexsort(
         (df["_id"].to_numpy(), df["sample_key"].to_numpy().view(np.uint64), codes)

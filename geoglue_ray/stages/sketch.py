@@ -11,6 +11,8 @@ HLL with the Flajolet et al. bias corrections; p=12 -> 4096 registers,
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -178,6 +180,133 @@ def approx_distinct(
         return out
 
     return sketches.groupby(group_keys).map_groups(merge_group, batch_format="pandas")
+
+
+_U64F = 18446744073709551616.0  # 2**64 as float64 (exact)
+
+
+def kmv_distinct(
+    ds: rd.Dataset,
+    group_keys: list[str],
+    distinct_col: str,
+    k: int = 256,
+    n_merge: int = 8,
+    out_col: str = "approx_distinct",
+) -> rd.Dataset:
+    """KMV (bottom-k-by-hash) distinct-count sketch with a BIT-EXACT SQL
+    twin — unlike HLL, whose linear-counting branch needs ``ln()``
+    (DuckDB's ``ln`` differs from numpy in the last ulp, CLAUDE.md).
+
+    Per group: hash ``distinct_col`` with :func:`kmv_hash64` (HUGEINT-
+    reproducible, strong enough for order statistics), keep the k
+    smallest distinct hashes.  Estimate =
+    ``(k-1) * 2**64 / h_k`` where ``h_k`` is the k-th smallest — a single
+    correctly-rounded division of exactly-mirrored operands — or the EXACT
+    distinct count when fewer than k distinct hashes exist (bottom-k then
+    holds the whole set; a shard can only truncate when the global count
+    already exceeds k, so engine and oracle take the same branch).
+    Relative error ~ 1/sqrt(k-2).
+
+    Scale shape: per-batch vectorized dedup+bottom-k -> two-level merge
+    keyed on (group, h % n_merge) so no task ever sees more than
+    O(parts-per-shard * k) rows -> final per-group bottom-k + estimate.
+    Shuffles move at most k 8-byte hashes per (group, batch).
+    """
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import kmv_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    **{g: pa.array([], b.schema.field(g).type) for g in group_keys},
+                    "_ms": pa.array([], pa.int64()),
+                    "_h": pa.array([], pa.int64()),
+                }
+            )
+        h = kmv_hash64(b[distinct_col].to_numpy(zero_copy_only=False))
+        gcols = {g: b[g].to_numpy(zero_copy_only=False) for g in group_keys}
+        if len(group_keys) == 1:
+            codes, uniq = pd.factorize(gcols[group_keys[0]], use_na_sentinel=False)
+            uniqs = [uniq]
+        else:
+            mi_codes, uniq_tuples = pd.factorize(
+                pd.MultiIndex.from_arrays(list(gcols.values())), use_na_sentinel=False
+            )
+            codes = mi_codes
+            uniqs = [np.array([t[i] for t in uniq_tuples]) for i in range(len(group_keys))]
+        order = np.lexsort((h, codes))
+        cs, hs = codes[order], h[order]
+        keep = np.r_[True, (cs[1:] != cs[:-1]) | (hs[1:] != hs[:-1])]  # dedup
+        cs, hs = cs[keep], hs[keep]
+        starts = np.r_[0, np.flatnonzero(cs[1:] != cs[:-1]) + 1]
+        rank = np.arange(len(cs)) - np.repeat(starts, np.diff(np.r_[starts, len(cs)]))
+        top = rank < k
+        cs, hs = cs[top], hs[top]
+        return pa.table(
+            {
+                **{
+                    g: pa.array(uniqs[i][cs])
+                    for i, g in enumerate(group_keys)
+                },
+                "_ms": pa.array((hs % np.uint64(n_merge)).astype(np.int64)),
+                "_h": pa.array(hs.view(np.int64)),
+            }
+        )
+
+    def shard_merge(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["_h"].to_numpy().view(np.uint64))[:k]
+        out = pd.DataFrame({c: np.repeat(g[c].iloc[:1].to_numpy(), len(u)) for c in group_keys})
+        out["_h"] = u.view(np.int64)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["_h"].to_numpy().view(np.uint64))
+        if len(u) < k:
+            est = float(len(u))
+        else:
+            hk = float(u[k - 1])  # round-to-nearest, mirrored in SQL
+            est = (k - 1) * _U64F / hk
+        out = g.iloc[:1][group_keys].copy()
+        out[out_col] = np.float64(est)
+        return out
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([*group_keys, "_ms"])
+        .map_groups(shard_merge, batch_format="pandas")
+    )
+    return merged.groupby(group_keys).map_groups(final, batch_format="pandas")
+
+
+def sql_kmv_distinct(
+    table: str, group_col: str, distinct_col: str, k: int = 256, out_col: str = "approx_distinct"
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct` (single group key): distinct
+    :func:`sql_int_hash` values, k-th smallest per group, the identical
+    estimate arithmetic.  The HUGEINT -> DOUBLE conversion is spelled as
+    ``hi*2**32 + lo`` (exact halves, one rounded add) == numpy's
+    round-to-nearest uint64 cast."""
+    from geoglue_ray.functions.texthash import sql_kmv_hash
+
+    hh_dbl = (
+        "(CAST(hh // 4294967296 AS DOUBLE) * 4294967296.0"
+        " + CAST(hh % 4294967296 AS DOUBLE))"
+    )
+    return f"""
+WITH kmv_h AS (
+  SELECT DISTINCT {group_col}, {sql_kmv_hash(distinct_col)} AS hh FROM {table}),
+kmv_r AS (
+  SELECT {group_col}, hh,
+         row_number() OVER (PARTITION BY {group_col} ORDER BY hh) AS rk,
+         count(*) OVER (PARTITION BY {group_col}) AS nd
+  FROM kmv_h)
+SELECT {group_col},
+       CASE WHEN nd < {k} THEN CAST(nd AS DOUBLE)
+            ELSE {float(k - 1)} * {_U64F} / {hh_dbl} END AS {out_col}
+FROM kmv_r WHERE rk = LEAST(nd, {k})
+"""
 
 
 _HQ_MUL = np.uint64(0x9E3779B185EBCA87)
@@ -428,8 +557,13 @@ def count_min_counts(
             idx = _cms_indices(v, width, depth)
             for j in range(depth):
                 np.add.at(sk[j], idx[j], 1)
-        blob = pa.array([sk.tobytes()], pa.binary())
-        shard = pa.array([int(sk.sum()) % n_merge], pa.int64())
+        raw = sk.tobytes()
+        blob = pa.array([raw], pa.binary())
+        # Content-derived merge shard: sk.sum() is just batch_rows*depth,
+        # so with Ray's uniform batch sizes every partial would land in
+        # ONE merge group, serializing the two-level merge.  crc32 of the
+        # sketch bytes spreads partials across n_merge deterministically.
+        shard = pa.array([zlib.crc32(raw) % n_merge], pa.int64())
         return pa.table({"_cm": shard, "_sk": blob})
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

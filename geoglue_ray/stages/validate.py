@@ -101,6 +101,176 @@ def count_distinct(
     return counted.map_batches(rename, batch_format="pyarrow")
 
 
+def column_stats(ds: rd.Dataset) -> pa.Table:
+    """Global per-column stats with BOUNDED driver memory (the distributed
+    twin of the reference's ``minimal_stats``, validate.py:37-43).
+
+    Numeric columns stream through one ``map_batches`` pass that emits a
+    fixed-width partial row per (block, column) — n / nna / nansum / min /
+    max — reduced by a per-column ``map_groups`` (group count == #columns,
+    each group one tiny row per block).  Non-numeric columns get an exact
+    distinct count via the :func:`count_distinct` fixed-shard shape over
+    per-batch-deduped 64-bit value hashes (null-dropped, matching pandas
+    ``nunique``).  The driver only ever holds one row per column — never
+    the input (the round-3 ``cmd_stats`` did ``to_pandas()`` on the whole
+    input, fatal pointed at a corpus; this replaces it).
+    """
+    import pandas as pd
+
+    schema = ds.schema()
+    names = list(schema.names)
+    numeric = [
+        n
+        for n, t in zip(schema.names, schema.types)
+        if pa.types.is_integer(t) or pa.types.is_floating(t)
+    ]
+    other = [n for n in names if n not in numeric]
+
+    def partials(b: pa.Table) -> pa.Table:
+        rows = {"column": [], "n": [], "nna": [], "sum": [], "min": [], "max": []}
+        for name in names:
+            s = b[name].to_pandas()
+            na = int(s.isna().sum())
+            rows["column"].append(name)
+            rows["n"].append(len(s))
+            rows["nna"].append(na)
+            if name in numeric and len(s) - na > 0:
+                v = s.to_numpy(dtype=np.float64, na_value=np.nan)
+                rows["sum"].append(float(np.nansum(v)))
+                rows["min"].append(float(np.nanmin(v)))
+                rows["max"].append(float(np.nanmax(v)))
+            else:
+                rows["sum"].append(None)
+                rows["min"].append(None)
+                rows["max"].append(None)
+        return pa.table(
+            {
+                "column": pa.array(rows["column"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "nna": pa.array(rows["nna"], pa.int64()),
+                "sum": pa.array(rows["sum"], pa.float64()),
+                "min": pa.array(rows["min"], pa.float64()),
+                "max": pa.array(rows["max"], pa.float64()),
+            }
+        )
+
+    def reduce_col(g: pa.Table) -> pa.Table:
+        # Arrow-native (NOT pandas): a pandas block whose float column is
+        # all-NaN round-trips to Arrow type `null`, silently corrupting the
+        # distributed block schema (CLAUDE.md second-review lesson).
+        def _nanagg(col: str, fn) -> float:
+            v = g[col].to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
+            return float(fn(v)) if len(v) else np.nan
+
+        return pa.table(
+            {
+                "column": pa.array([g["column"][0].as_py()], pa.string()),
+                "n": pa.array([int(g["n"].to_numpy().sum())], pa.int64()),
+                "nna": pa.array([int(g["nna"].to_numpy().sum())], pa.int64()),
+                "sum": pa.array([_nanagg("sum", np.sum)], pa.float64()),
+                "min": pa.array([_nanagg("min", np.min)], pa.float64()),
+                "max": pa.array([_nanagg("max", np.max)], pa.float64()),
+            }
+        )
+
+    num_tab = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("column")
+        .map_groups(reduce_col, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    import ray
+
+    num_parts = [t for t in ray.get(num_tab) if len(t)]
+    if not num_parts:  # zero-block input
+        num_parts = [partials(schema.empty_table())]
+    num_df = pa.concat_tables(num_parts).to_pandas()  # one row/column: bounded
+
+    out = {
+        n: {
+            "n": int(r["n"]),
+            "nna": int(r["nna"]),
+            "sum": float(r["sum"]),
+            "min": float(r["min"]),
+            "max": float(r["max"]),
+        }
+        for n, r in num_df.set_index("column").iterrows()
+    }
+
+    if other:
+        idx = {n: i for i, n in enumerate(other)}
+
+        def value_hashes(b: pa.Table) -> pa.Table:
+            cols, hs = [], []
+            for name in other:
+                s = b[name].to_pandas().dropna()
+                arr = s.to_numpy()
+                if arr.dtype.kind in "Mm":
+                    arr = arr.view(np.int64)
+                h = np.unique(pd.util.hash_array(arr).astype(np.uint64))
+                cols.append(np.full(len(h), idx[name], dtype=np.int32))
+                hs.append(h)
+            return pa.table(
+                {
+                    "_col": pa.array(np.concatenate(cols) if cols else [], pa.int32()),
+                    "_h": pa.array(
+                        np.concatenate(hs) if hs else [], pa.uint64()
+                    ),
+                }
+            )
+
+        dist = count_distinct(
+            ds.map_batches(value_hashes, batch_format="pyarrow"),
+            ["_col"],
+            ["_h"],
+            "distinct",
+        ).take_all()  # <= #columns rows
+        for row in dist:
+            out[other[int(row["_col"])]]["distinct"] = int(row["distinct"])
+        for name in other:
+            out[name].setdefault("distinct", 0)
+
+    return pa.table(
+        {
+            "column": pa.array(names, pa.string()),
+            "kind": pa.array(
+                ["numeric" if n in numeric else "other" for n in names], pa.string()
+            ),
+            "n": pa.array([out.get(n, {}).get("n", 0) for n in names], pa.int64()),
+            "nna": pa.array([out.get(n, {}).get("nna", 0) for n in names], pa.int64()),
+            "mean": pa.array(
+                [
+                    (
+                        out[n]["sum"] / (out[n]["n"] - out[n]["nna"])
+                        if n in numeric
+                        and n in out
+                        and out[n]["n"] - out[n]["nna"] > 0
+                        else None
+                    )
+                    for n in names
+                ],
+                pa.float64(),
+            ),
+            "min": pa.array(
+                [out[n]["min"] if n in numeric and n in out else None for n in names],
+                pa.float64(),
+            ),
+            "max": pa.array(
+                [out[n]["max"] if n in numeric and n in out else None for n in names],
+                pa.float64(),
+            ),
+            "distinct": pa.array(
+                [
+                    out.get(n, {}).get("distinct") if n not in numeric else None
+                    for n in names
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def assert_hourly(ds: rd.Dataset, time_col: str = "valid_time") -> bool:
     """True iff every represented day has all 24 hours (``cds.py:53-55``)."""
 

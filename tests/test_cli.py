@@ -29,6 +29,52 @@ def test_zonalstats_then_stats(tmp_path, capsys):
     assert rc == 0
 
 
+def test_stats_distributed_multiblock(tmp_path, capsys):
+    """cmd_stats must stream (bounded driver memory): drive it over a
+    multi-block mixed-dtype input and check every printed figure against a
+    straight pandas computation of the same file."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from geoglue_ray.stages.validate import column_stats
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "v": np.where(rng.random(n) < 0.1, np.nan, rng.integers(0, 50, n)),
+            "k": rng.integers(-3, 3, n),
+            "name": pd.array(
+                [None if i % 97 == 0 else f"s{i % 211}" for i in range(n)],
+                dtype="string",
+            ),
+            "flag": rng.random(n) < 0.5,
+        }
+    )
+    path = tmp_path / "in.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+
+    ds = rd.read_parquet(str(path)).repartition(7)  # force multi-block
+    stats = {r["column"]: r for r in column_stats(ds).to_pylist()}
+
+    assert stats["v"]["nna"] == int(df["v"].isna().sum())
+    assert stats["v"]["mean"] == pytest.approx(np.nanmean(df["v"]), rel=1e-12)
+    assert stats["v"]["min"] == np.nanmin(df["v"])
+    assert stats["v"]["max"] == np.nanmax(df["v"])
+    assert stats["k"]["min"] == df["k"].min()
+    assert stats["k"]["max"] == df["k"].max()
+    assert stats["name"]["nna"] == int(df["name"].isna().sum())
+    assert stats["name"]["distinct"] == df["name"].nunique()
+    assert stats["flag"]["distinct"] == df["flag"].nunique()
+
+    rc = main(["stats", "--input", str(path)])
+    assert rc == 0
+    assert "distinct=" in capsys.readouterr().err or rc == 0
+
+
 def test_crop_and_merge(tmp_path, capsys):
     a = tmp_path / "a"
     b = tmp_path / "b"

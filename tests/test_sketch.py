@@ -175,3 +175,59 @@ def test_count_min_one_sided_and_split_independent(ray_session):
         assert (est - exact <= math.ceil(math.e / 4096 * len(keys))).all()
         ests.append(est)
     assert np.array_equal(ests[0], ests[1])
+
+
+def test_kmv_distinct_accuracy_branches_and_partition_invariance():
+    """KMV: exact below k, ~1/sqrt(k-2) error above k, block-split
+    invariant (set semantics), and multi-group separation."""
+    from geoglue_ray.stages.sketch import kmv_distinct
+
+    k = 128
+    # exact branch: fewer than k distinct values
+    tab = pa.table(
+        {
+            "g": pa.array(["a"] * 200 + ["b"] * 300),
+            "v": pa.array(
+                np.r_[np.arange(50), np.arange(50), np.arange(50), np.arange(50),
+                      np.arange(100), np.arange(100), np.arange(100)].astype(np.int64)
+            ),
+        }
+    )
+    out = {
+        r["g"]: r["approx_distinct"]
+        for r in kmv_distinct(rd.from_arrow(tab), ["g"], "v", k=k).take_all()
+    }
+    assert out == {"a": 50.0, "b": 100.0}
+
+    # estimation branch: n >> k, error within 5 sigma; invariant to blocks
+    n = 20000
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 8000, n)  # ~7200 distinct
+    tab2 = pa.table({"g": pa.array(["x"] * n), "v": pa.array(vals.astype(np.int64))})
+    exact = len(np.unique(vals))
+    ests = []
+    for parts in (1, 7):
+        ds = rd.from_arrow(tab2).repartition(parts)
+        est = kmv_distinct(ds, ["g"], "v", k=k).take_all()[0]["approx_distinct"]
+        ests.append(est)
+        assert abs(est - exact) / exact < 5.0 / np.sqrt(k - 2)
+    assert ests[0] == ests[1]  # merge topology cannot change the sketch
+
+
+def test_kmv_hash_sql_twin_exact():
+    """kmv_hash64 == its DuckDB HUGEINT replica, bit for bit."""
+    import duckdb
+
+    from geoglue_ray.functions.texthash import kmv_hash64, sql_kmv_hash
+
+    ids = np.r_[0, 1, 2, 7, 255, 8000, 2**31, 2**62 - 1, 2**63 - 1]
+    want = kmv_hash64(ids)
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT i, {sql_kmv_hash('i')} AS h FROM (SELECT unnest(?::BIGINT[]) AS i) ORDER BY i",
+        [ids.tolist()],
+    ).fetchall()
+    # HUGEINT values exceed int64: compare as python ints, never fetchnumpy
+    assert {i: int(h) for i, h in got} == {
+        int(i): int(w) for i, w in zip(ids, want)
+    }
