@@ -136,6 +136,26 @@ def _run_queries() -> dict:
         fn(SF_DIR).materialize()
         results[name] = round(time.perf_counter() - t0, 3)
 
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        # hot-cell skew demo (north_star mega-cells): ~half the corpus in
+        # ONE admin unit, salted vs unsalted two-level merge; results must
+        # be bit-identical (integer partial sums) — recorded as a hash
+        # equality alongside both wall times
+        from geoglue_ray.pipelines.zonal import skewed_zonal
+
+        skew_reps = int(os.environ.get("GRAFT_SKEW_REPLICAS", "1500"))
+        skew_out = {}
+        for mode, s in (("plain", None), ("salted", 16)):
+            t0 = time.perf_counter()
+            df = skewed_zonal(
+                SF_DIR, replicas=skew_reps, concurrency=pool, salt=s
+            ).to_pandas()
+            results[f"zonal_skew_{mode}"] = round(time.perf_counter() - t0, 3)
+            skew_out[mode] = df
+        results["zonal_skew_equal"] = bool(
+            skew_out["plain"].equals(skew_out["salted"])
+        )
+
     payload = {
         "metric": "zonal_flagship_elapsed",
         "value": round(headline, 3),

@@ -66,19 +66,52 @@ def extract_hourly(archive: str | Path, extract_path: str | Path) -> VartypePath
     return VartypePaths(**out)
 
 
+def _split_grib(src: Path, out: Path) -> VartypePaths:
+    """cfgrib-backed GRIB decode (``cds.py:389-414``): open every GRIB
+    hypercube, classify instant vs accum by ``GRIB_stepType``, flatten each
+    to the long-form parquet layout the rest of the engine consumes.
+    Reached only when cfgrib imports (see :func:`split_vartypes`); the
+    branch logic is pinned by tests via an injected cfgrib stand-in since
+    this environment has no cfgrib."""
+    import cfgrib
+    import pandas as pd
+
+    buckets: dict[str, list] = {}
+    for hypercube in cfgrib.open_datasets(str(src)):
+        step = getattr(hypercube, "attrs", {}).get("GRIB_stepType", "instant")
+        vt = "accum" if step in ("accum", "accumulated") else "instant"
+        buckets.setdefault(vt, []).append(hypercube.to_dataframe().reset_index())
+    paths: dict[str, str | None] = {}
+    for vt, dfs in buckets.items():
+        df = pd.concat(dfs, ignore_index=True)
+        df["vartype"] = vt
+        dst = out / f"{src.stem}.{vt}.parquet"
+        if dst.exists():
+            dst.unlink()  # cds.py:411 overwrites stale conversions
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), dst)
+        paths[vt] = str(dst)
+    if not paths:
+        raise ValueError(f"no decodable GRIB hypercubes in {src}")
+    return VartypePaths(**paths)
+
+
 def split_vartypes(src: str | Path, out_dir: str | Path | None = None) -> VartypePaths:
     """Split one mixed-vartype long-form file into one output per vartype
     (``grib_to_netcdf`` semantics, ``cds.py:389-414``): parquet in/out is
-    real; ``.grib`` input requires a cfgrib-style decoder this environment
-    lacks and raises NotImplementedError (honest stub, like the media
-    codecs)."""
+    real; ``.grib`` decodes through cfgrib when importable
+    (:func:`_split_grib`) and falls back to an honest NotImplementedError
+    here, where the sandbox has no cfgrib."""
     src = Path(src)
     out = Path(out_dir) if out_dir else src.parent
     if src.suffix == ".grib":
-        raise NotImplementedError(
-            "GRIB decode requires cfgrib (not in this environment); "
-            "provide the download as long-form parquet"
-        )
+        try:
+            import cfgrib  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "GRIB decode requires cfgrib (not in this environment); "
+                "provide the download as long-form parquet"
+            ) from exc
+        return _split_grib(src, out)
     if src.suffix != ".parquet":
         raise ValueError(f"unsupported source format {src.suffix!r}")
     t = pq.read_table(src)

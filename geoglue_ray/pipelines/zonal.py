@@ -250,6 +250,68 @@ def fused_zonal_pipeline(
     )
 
 
+def skewed_zonal(
+    sf_dir: str,
+    replicas: int = 1,
+    concurrency: int | tuple[int, int] = (1, 8),
+    salt: int | None = None,
+    batch_size: int = 16384,
+    hot_lon: float = 104.1875,
+    hot_lat: float = 12.1875,
+) -> rd.Dataset:
+    """Hot-cell (mega-city) skew fixture for the salting path: every ODD
+    replica shard teleports all its documents onto one interior point, so
+    ~half of the whole corpus lands in a single admin unit — the
+    north_star's "skewed mega-cells (cities, coastlines)" shape, far more
+    extreme than real skew.  Runs the standard assign -> zonal_aggregate
+    path so ``salt=k`` exercises stages/zonal's two-level salted merge;
+    results are bit-identical salted or unsalted (integer-valued partial
+    sums; asserted in tests/test_salting.py and in bench).
+
+    Scale note (measured, see BASELINE.md): per-task partial collapse
+    already absorbs ROW skew — every map task emits at most one partial
+    row per key regardless of how many rows hit that key — so the hot
+    key's extra load reaches the merge only as one row per source batch.
+    Salting spreads those rows over k first-level reducers; it buys merge
+    headroom, not map time.
+    """
+    import pyarrow.parquet as pq
+
+    stride = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = read_corpus(
+        sf_dir, replicas=replicas, with_spans=False, concurrency=concurrency
+    )
+
+    def teleport(b):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = b["doc_id"].to_numpy()
+        hot = ((ids // stride) % 2).astype(bool)
+        lon = np.where(hot, hot_lon, b["lon"].to_numpy())
+        lat = np.where(hot, hot_lat, b["lat"].to_numpy())
+        b = b.set_column(b.schema.get_field_index("lon"), "lon", pa.array(lon))
+        return b.set_column(b.schema.get_field_index("lat"), "lat", pa.array(lat))
+
+    ds = ds.map_batches(teleport, batch_format="pyarrow")
+    ds = ds.map_batches(encode_cells, batch_format="pyarrow")
+    ds = spatial_join(
+        ds,
+        index_ref=_admin_index_ref(),
+        weights_ref=_weights_ref(),
+        emit_names=False,
+        concurrency=concurrency,
+    )
+    return zonal_aggregate(
+        ds,
+        ["mean", "sum", "count", "weighted_mean", "weighted_sum"],
+        keys=["admin_idx"],
+        weight_col="weight",
+        salt=salt,
+        batch_size=batch_size,
+    ).sort("admin_idx")
+
+
 def zonal_pipeline(
     sf_dir: str,
     ops: list[str] | None = None,

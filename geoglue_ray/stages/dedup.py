@@ -258,6 +258,36 @@ def _explode_bands(
     return pa.table(out)
 
 
+def _assemble_sig_broadcast_impl(*tabs: pa.Table) -> dict:
+    """Concat signature blocks -> {sorted ids, row-aligned sig matrix}.
+    Runs as a Ray task (see minhash_neardup): the driver never holds the
+    matrix; only consumers (via :func:`_sig_lookup`) and the object store
+    do."""
+    tab = pa.concat_tables(tabs)
+    ids = tab["doc_id"].to_numpy()
+    mat = (
+        np.asarray(tab["sig"].combine_chunks().flatten())
+        .view(np.uint64)
+        .reshape(len(tab), -1)
+    )
+    order = np.argsort(ids)
+    return {"ids": ids[order], "mat": mat[order]}
+
+
+def _get_assemble_task():
+    """Lazily wrap the assembler as a Ray remote function (module import
+    must not require an initialized Ray)."""
+    import ray
+
+    global _ASSEMBLE_TASK
+    if _ASSEMBLE_TASK is None:
+        _ASSEMBLE_TASK = ray.remote(_assemble_sig_broadcast_impl)
+    return _ASSEMBLE_TASK
+
+
+_ASSEMBLE_TASK = None
+
+
 _SIG_CACHE: dict = {}
 
 
@@ -442,15 +472,11 @@ def minhash_neardup(
         import ray
 
         sigs = sigs.materialize()  # one computation for broadcast + explode
-        tab = pa.concat_tables(ray.get(sigs.to_arrow_refs()))
-        ids = tab["doc_id"].to_numpy()
-        mat = (
-            np.asarray(tab["sig"].combine_chunks().flatten())
-            .view(np.uint64)
-            .reshape(len(tab), -1)
-        )
-        order = np.argsort(ids)
-        sig_ref = ray.put({"ids": ids[order], "mat": mat[order]})
+        # Assemble the broadcast OFF-driver: the block refs go straight
+        # into a Ray task (zero-copy object-store reads) whose return IS
+        # the broadcast object — driver RSS stays flat at any corpus size
+        # instead of staging up to ~1 GB (num_perm*8 bytes x cap) here.
+        sig_ref = _get_assemble_task().remote(*sigs.to_arrow_refs())
     exploded = sigs.map_batches(
         lambda b: _explode_bands(b, bands, rows, n_shards, with_sig=sig_ref is None),
         batch_format="pyarrow",

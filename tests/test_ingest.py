@@ -73,10 +73,51 @@ def test_split_vartypes(tmp_path):
     pq.write_table(inst, tmp_path / "only.parquet")
     out2 = split_vartypes(tmp_path / "only.parquet")
     assert out2.accum is None and out2.instant is not None
-    # GRIB decode is an honest stub
+    # GRIB decode falls back to an honest stub while cfgrib is absent
     (tmp_path / "x.grib").write_bytes(b"GRIB")
     with pytest.raises(NotImplementedError, match="cfgrib"):
         split_vartypes(tmp_path / "x.grib")
+
+
+def test_split_grib_with_cfgrib_present(tmp_path, monkeypatch):
+    """The cfgrib decode branch (cds.py:389-414): exercised via an
+    injected cfgrib stand-in exposing the two API points the code uses
+    (open_datasets -> objects with .attrs / .to_dataframe), since the
+    sandbox has no real cfgrib.  Hypercubes are classified by
+    GRIB_stepType and land in per-vartype long-form parquet."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    from geoglue_ray.pipelines.ingest import split_vartypes
+
+    class _Cube:
+        def __init__(self, step, n):
+            self.attrs = {"GRIB_stepType": step}
+            self._df = pd.DataFrame(
+                {
+                    "valid_time": pd.date_range("2020-01-06", periods=n, freq="h"),
+                    "latitude": np.linspace(8.25, 9.25, n),
+                    "longitude": np.linspace(102.25, 103.25, n),
+                    "value": np.arange(n, dtype=np.float64),
+                }
+            )
+
+        def to_dataframe(self):
+            return self._df
+
+    fake = types.ModuleType("cfgrib")
+    fake.open_datasets = lambda path: [_Cube("instant", 6), _Cube("accum", 4)]
+    monkeypatch.setitem(sys.modules, "cfgrib", fake)
+
+    (tmp_path / "era5.grib").write_bytes(b"GRIB")
+    out = split_vartypes(tmp_path / "era5.grib")
+    inst = pq.read_table(out.instant)
+    acc = pq.read_table(out.accum)
+    assert inst.num_rows == 6 and acc.num_rows == 4
+    assert set(inst.column_names) >= {"valid_time", "latitude", "longitude", "value", "vartype"}
+    assert acc["vartype"].to_pylist() == ["accum"] * 4
 
 
 def test_convert_files_fanout(tmp_path):

@@ -33,6 +33,22 @@ def test_salted_equals_unsalted(sf_dir):
         assert np.array_equal(a, b, equal_nan=(a.dtype.kind == "f")), c
 
 
+def test_skewed_salted_equals_unsalted(sf_dir):
+    """The mega-cell fixture (half the corpus teleported into ONE admin
+    unit) must produce bit-identical results salted and unsalted, and the
+    hot unit must actually be hot (~50% of rows)."""
+    from geoglue_ray.pipelines.zonal import skewed_zonal
+
+    plain = skewed_zonal(sf_dir, replicas=4).to_pandas()
+    salted = skewed_zonal(sf_dir, replicas=4, salt=8).to_pandas()
+    assert list(plain.columns) == list(salted.columns)
+    for c in plain.columns:
+        a, b = plain[c].to_numpy(), salted[c].to_numpy()
+        assert np.array_equal(a, b, equal_nan=(a.dtype.kind == "f")), c
+    counts = plain["count"].to_numpy()
+    assert counts.max() >= 0.45 * counts.sum()  # one mega-cell
+
+
 def test_fused_equals_zonal_pipeline(sf_dir):
     """The fused single-pool bench variant must equal the composed
     pipeline bit-exactly, including through the per-batch

@@ -112,6 +112,35 @@ def test_lsh_bucket_keying_preserves_pairs():
     assert c.equals(d)
 
 
+def test_minhash_broadcast_never_staged_on_driver():
+    """Broadcast-sig mode must assemble the signature matrix in a Ray task,
+    not on the driver: with a ~40 MB matrix (20k docs x 256 perms x 8 B),
+    driver-side traced allocations during the run stay far below matrix
+    size.  tracemalloc sees numpy buffers (the old ray.get + fancy-index
+    staging allocated the full matrix here), so a regression trips this
+    regardless of earlier RSS high-water marks."""
+    import tracemalloc
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.dedup import minhash_neardup
+
+    n = 20000
+    docs = [f"alpha{i % 701} beta{i % 997} gamma{i}" for i in range(n)]
+    t = pa.table({"doc_id": list(range(n)), "text": docs})
+    ds = rd.from_arrow(t)
+
+    tracemalloc.start()
+    base = tracemalloc.get_traced_memory()[0]
+    out = minhash_neardup(ds, num_perm=256, bands=16, threshold=0.95)
+    n_pairs = out.count()
+    peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert n_pairs >= 0
+    assert peak - base < 20 * 1024 * 1024, f"driver staged {peak - base} bytes"
+
+
 def test_simhash_max_hamming_bound():
     import pyarrow as pa
     import ray.data as rd
