@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q.events_sessionize,
         "running_user_total": q.running_user_total,
         "session_overlaps": q.session_overlaps,
+        "events_in_windows": q.events_in_windows,
         "value_share_by_type": q.value_share_by_type,
         "user_growth": q.user_growth,
         "pivot_daily_events": q.pivot_daily_events,
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": q.media_frames,
         "media_ref_parse": q.media_ref_parse,
         "embed_knn": q.embed_knn,
+        "embed_centroids": q.embed_centroids,
         "approx_distinct_check": q.approx_distinct_check,
         "heavy_hitters_check": q.heavy_hitters_check,
         "embed_lsh_recall": q.embed_lsh_recall,
@@ -141,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": o.events_sessionize(),
         "running_user_total": o.running_user_total(),
         "session_overlaps": o.session_overlaps(),
+        "events_in_windows": o.events_in_windows(),
         "value_share_by_type": o.value_share_by_type(),
         "user_growth": o.user_growth(),
         "pivot_daily_events": o.pivot_daily_events(),
@@ -175,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": o.media_frames(),
         "media_ref_parse": o.media_ref_parse(),
         "embed_knn": o.embed_knn(),
+        "embed_centroids": o.embed_centroids(),
         "lang_id": o.lang_id(),
         "doc_fingerprint": o.doc_fingerprint(),
         "simhash_neardup": o.simhash_neardup(),

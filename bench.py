@@ -106,11 +106,18 @@ def _run_queries() -> dict:
 
     results: dict[str, float] = {}
 
-    t0 = time.perf_counter()
-    out = fused_zonal_pipeline(
-        SF_DIR, replicas=REPLICAS, concurrency=pool
-    ).materialize()
-    headline = time.perf_counter() - t0
+    # best-of-N: single samples on this host can sit 3-5x off right after
+    # another Ray session tore down (BASELINE.md round-3 lesson); the min
+    # of N back-to-back runs measures the code, not the hypervisor window.
+    headline_reps = int(os.environ.get("GRAFT_HEADLINE_REPEATS", "2"))
+    headline = float("inf")
+    out = None
+    for _ in range(max(1, headline_reps)):
+        t0 = time.perf_counter()
+        out = fused_zonal_pipeline(
+            SF_DIR, replicas=REPLICAS, concurrency=pool
+        ).materialize()
+        headline = min(headline, time.perf_counter() - t0)
     results["zonal_flagship"] = round(headline, 3)
     total_docs = n_docs * REPLICAS
     assert out.count() > 0
@@ -131,10 +138,14 @@ def _run_queries() -> dict:
         ("order_priority_revenue", q.order_priority_revenue),
         ("vocab_top", q.vocab_top),
     ]
+    extra_reps = int(os.environ.get("GRAFT_EXTRA_REPEATS", "2"))
     for name, fn in extra:
-        t0 = time.perf_counter()
-        fn(SF_DIR).materialize()
-        results[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, extra_reps)):
+            t0 = time.perf_counter()
+            fn(SF_DIR).materialize()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = round(best, 3)
 
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
         # hot-cell skew demo (north_star mega-cells): ~half the corpus in
@@ -189,6 +200,9 @@ def _scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_REPLICAS=scale_reps,
             GRAFT_HEADLINE_ONLY="1",
+            # the interleaved best-of-3 ACROSS processes is the noise
+            # control here; inner repeats would double every level's cost
+            GRAFT_HEADLINE_REPEATS="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

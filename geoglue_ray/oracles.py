@@ -914,6 +914,22 @@ FROM bytes GROUP BY 1, 2, 3 ORDER BY 1, 2
 """
 
 
+def embed_centroids() -> str:
+    """Quantized-centroid twin: identical floor(x*2^20 + 0.5) quantization
+    (exact for float32 inputs), integer-valued sums (order-independent),
+    one final division — mirrors pipelines/queries.embed_centroids."""
+    return """
+WITH x AS (
+  SELECT label, i.range AS dim,
+         floor(CAST(embedding[i.range + 1] AS DOUBLE) * 1048576.0 + 0.5) AS q
+  FROM embeddings, range(64) i)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       sum(q) / count(*) AS centroid_q,
+       CAST(count(*) AS DOUBLE) AS n_vecs
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def embed_knn() -> str:
     return """
 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -1396,6 +1412,25 @@ SELECT d.doc_id,
 FROM documents d, range(2) j
 WHERE 1 + j.range <= d.doc_id % 3
 ORDER BY doc_id, span_index
+"""
+
+
+def events_in_windows() -> str:
+    """Two-table range-join twin: the identical o_orderkey -> window
+    arithmetic in BIGINT microseconds, then a BETWEEN join and exact
+    integer aggregates per priority."""
+    epoch = 1704067200 * 1_000_000  # 2024-01-01T00:00:00 in us
+    return f"""
+WITH e AS (SELECT epoch_us(ts) AS e_ts, floor(value) AS v FROM events),
+w AS (
+  SELECT o_orderpriority AS pri,
+         {epoch} + (o_orderkey % 720) * 3600000000 AS w_start,
+         {epoch} + (o_orderkey % 720) * 3600000000
+                 + (1 + o_orderkey % 48) * 3600000000 AS w_end
+  FROM orders)
+SELECT w.pri, CAST(count(*) AS DOUBLE) AS n_events, sum(e.v) AS sum_val
+FROM e JOIN w ON e.e_ts BETWEEN w.w_start AND w.w_end
+GROUP BY 1 ORDER BY 1
 """
 
 

@@ -869,6 +869,56 @@ def dedup_corpus(sf_dir: str) -> rd.Dataset:
     return dc(text, keep, threshold=0.4).sort("doc_id")
 
 
+def embed_centroids(sf_dir: str) -> rd.Dataset:
+    """Grouped embedding centroids per label — the k-means/M-step shape —
+    with an ORDER-INDEPENDENT exactness story: each float32 component is
+    quantized to integers at 2^-20 resolution (``floor(x*2^20 + 0.5)``,
+    exact: power-of-two scaling of a float32 never rounds), so the
+    distributed partial sums are integer-valued and the centroid is one
+    final division — bit-exact vs the DuckDB twin regardless of block
+    order.  The quantized centroid differs from the float centroid by
+    < 2^-20 per component (bounded, documented), which is what makes a
+    verifiable distributed mean over floats possible at all."""
+    from geoglue_ray.stages.zonal import zonal_aggregate
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy()
+        la = b["embedding"].combine_chunks()
+        mat = np.asarray(la.flatten()).reshape(len(b), -1)
+        q = np.floor(mat.astype(np.float64) * 1048576.0 + 0.5)
+        dim = mat.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(lab, dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int32), len(b))),
+                "v": pa.array(q.reshape(-1)),
+            }
+        )
+
+    agg = zonal_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["mean", "count"],
+        keys=["label", "dim"],
+        value_col="v",
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": b["label"],
+                "dim": b["dim"],
+                "centroid_q": b["mean"],
+                "n_vecs": b["count"],
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort(["label", "dim"])
+
+
 def embed_knn(sf_dir: str) -> rd.Dataset:
     from geoglue_ray.stages.similarity import knn_bruteforce
 
@@ -1559,6 +1609,58 @@ def media_ref_parse(sf_dir: str) -> rd.Dataset:
     )
     out = parsed.select_columns(["doc_id", "span_index", "ref_doc", "ref_span"])
     return out.sort(["doc_id", "span_index"])
+
+
+def events_in_windows(sf_dir: str) -> rd.Dataset:
+    """Point-in-interval join across two DISTINCT tables (the big-big
+    range-join shape session_overlaps only exercised as a self-join):
+    events (points) against 15k order-derived promo windows — each order
+    opens a window of 1..48 hours at a deterministic offset inside the
+    events month (orders' own dates are 1995-2001, disjoint from the
+    events epoch, so the window table is derived arithmetically from
+    o_orderkey; the mapping is mirrored in SQL).  ~520 windows cover any
+    instant, so the join yields ~5M pairs, aggregated per priority with
+    exact integer sums."""
+    from geoglue_ray.stages.join import interval_join
+    from geoglue_ray.stages.zonal import zonal_aggregate
+
+    HOUR = 3_600_000_000
+    EPOCH = int(np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64))
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def pts(b: pa.Table) -> pa.Table:
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {"e_ts": pa.array(t), "v": pa.array(np.floor(b["value"].to_numpy()))}
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def wins(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy()
+        ws = EPOCH + (k % 720) * HOUR
+        we = ws + (1 + k % 48) * HOUR
+        return pa.table(
+            {"pri": b["o_orderpriority"], "w_start": pa.array(ws), "w_end": pa.array(we)}
+        )
+
+    joined = interval_join(
+        ev.map_batches(pts, batch_format="pyarrow"),
+        orders.map_batches(wins, batch_format="pyarrow"),
+        on=("e_ts", "e_ts", "w_start", "w_end"),
+        bucket_width=HOUR,  # <=49 buckets per window, 1 per event point
+    )
+    agg = zonal_aggregate(joined, ["count", "sum"], keys=["pri"], value_col="v")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"pri": b["pri"], "n_events": b["count"], "sum_val": b["sum"]}
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("pri")
 
 
 def session_overlaps(sf_dir: str, gap_minutes: int = 30, n_shards: int = 64) -> rd.Dataset:

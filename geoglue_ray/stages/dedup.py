@@ -274,6 +274,71 @@ def _assemble_sig_broadcast_impl(*tabs: pa.Table) -> dict:
     return {"ids": ids[order], "mat": mat[order]}
 
 
+_BLOOM_BITS_PER_ID = 12  # m/n=12, k=8 -> ~0.3% false positives
+_BLOOM_K = 8
+
+
+def _bloom_hashes(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Double-hashing basis (h1 + i*h2): two independent 64-bit mixes of
+    the id; h2 forced odd so the probe sequence cycles the whole table."""
+    from geoglue_ray.functions.texthash import int_hash64, kmv_hash64
+
+    return kmv_hash64(ids), int_hash64(ids) | np.uint64(1)
+
+
+def _bloom_query(ids: np.ndarray, bits: np.ndarray, m: int) -> np.ndarray:
+    """True where the bloom MAY contain id (no false negatives)."""
+    h1, h2 = _bloom_hashes(ids)
+    maybe = np.ones(len(ids), dtype=bool)
+    for i in range(_BLOOM_K):
+        idx = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+        maybe &= (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 > 0
+    return maybe
+
+
+def _build_bloom_impl(n: int, id_col: str, *tabs: pa.Table) -> dict:
+    """One-pass bloom build over the eliminated-id blocks.  Runs as a Ray
+    task (block refs in, broadcastable dict out) so the driver holds
+    neither the ids nor the bit array; memory = bits (n*12/8 bytes) + one
+    block at a time."""
+    m = max(64, int(n) * _BLOOM_BITS_PER_ID)
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for t in tabs:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        h1, h2 = _bloom_hashes(ids)
+        for i in range(_BLOOM_K):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            np.bitwise_or.at(bits, idx >> 3, (np.uint8(1) << (idx & 7).astype(np.uint8)))
+    return {"bits": bits, "m": m}
+
+
+def _get_bloom_task():
+    import ray
+
+    global _BLOOM_TASK
+    if _BLOOM_TASK is None:
+        _BLOOM_TASK = ray.remote(_build_bloom_impl)
+    return _BLOOM_TASK
+
+
+_BLOOM_TASK = None
+_BLOOM_CACHE: dict = {}
+
+
+def _bloom_lookup(ref):
+    """Per-worker size-1 cached fetch of the broadcast bloom (the
+    _sig_lookup pattern)."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    hit = _BLOOM_CACHE.get(key)
+    if hit is None:
+        import ray
+
+        hit = ray.get(ref)
+        _BLOOM_CACHE.clear()
+        _BLOOM_CACHE[key] = hit
+    return hit
+
+
 def _get_assemble_task():
     """Lazily wrap the assembler as a Ray remote function (module import
     must not require an initialized Ray)."""
@@ -969,10 +1034,43 @@ def survivor_corpus(
         keep = (tt == 1) & ~np.isin(ids, ids[tt == 0])
         return t.filter(pa.array(keep)).drop_columns(["_bucket", "_t"])
 
-    tagged = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+    to_check = docs
+    definite_keep = None
+    if n_elim is not None and n_elim > 0:
+        # Bloom pre-filter (scale path): a compact bit array of the
+        # eliminated ids, built OFF-driver in one Ray task and broadcast.
+        # No false negatives, so rows the bloom rejects are DEFINITE keeps
+        # and bypass the all-to-all shuffle entirely; only the ~0.3%
+        # false-positive "maybe" rows (plus real members) co-shuffle for
+        # the exact check.  Shuffle volume drops from |docs| full-payload
+        # rows to |eliminated| + fp x |docs|.  Cost: ``docs`` is consumed
+        # by both branches, so its lineage executes twice — the right
+        # trade when docs is a column-pruned file read (the composed-dedup
+        # case); materialize expensive lineages first (CLAUDE.md rule).
+        bloom_ref = _get_bloom_task().remote(
+            n_elim, id_col, *eliminated.to_arrow_refs()
+        )
+
+        def _maybe_mask(b: pa.Table) -> np.ndarray:
+            bloom = _bloom_lookup(bloom_ref)
+            return _bloom_query(
+                b[id_col].to_numpy().astype(np.int64), bloom["bits"], bloom["m"]
+            )
+
+        definite_keep = docs.map_batches(
+            lambda b: b.filter(pa.array(~_maybe_mask(b))), batch_format="pyarrow"
+        )
+        to_check = docs.map_batches(
+            lambda b: b.filter(pa.array(_maybe_mask(b))), batch_format="pyarrow"
+        )
+
+    tagged = to_check.map_batches(tag_docs, batch_format="pyarrow").union(
         eliminated.map_batches(tag_elim, batch_format="pyarrow")
     )
-    return tagged.groupby("_bucket").map_groups(shard_filter, batch_format="pyarrow")
+    checked = tagged.groupby("_bucket").map_groups(
+        shard_filter, batch_format="pyarrow"
+    )
+    return checked if definite_keep is None else definite_keep.union(checked)
 
 
 def dedup_corpus(

@@ -165,6 +165,8 @@ def hash_equijoin(
     how: str = "inner",
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    hot_keys=None,
+    hot_salt: int = 8,
 ) -> rd.Dataset:
     """Distributed big-big equi-join on int64 keys — the general
     shuffle join Ray Data's Dataset API lacks.  ``how``: ``inner`` /
@@ -183,9 +185,20 @@ def hash_equijoin(
 
     Partitioning assumptions (document per the build brief): shuffle
     payload = both projected sides; per-shard skew follows key-hash
-    skew — a single mega-key still lands in one task (salting a join
-    requires replicating the other side; out of scope here).  Project
-    columns *before* joining.  Output key column is ``left_on``.
+    skew — a single mega-key lands in one task UNLESS declared in
+    ``hot_keys``.  Project columns *before* joining.  Output key column
+    is ``left_on``.
+
+    **Hot-key salting** (``hot_keys`` + ``hot_salt``): each declared hot
+    key gets its own ``hot_salt`` sub-shards past the normal range — the
+    LEFT side's hot rows split round-robin across them (parallelizing the
+    mega-key's probe work over ``hot_salt`` tasks) while the RIGHT side's
+    hot rows REPLICATE to all of them, so every (l, r) pair still meets
+    exactly once.  Exact for all four ``how`` modes (a left row lives in
+    exactly one sub-shard and sees the full matching right set there);
+    result sets are identical to the unsalted path (tested).  Intended
+    for a small measured set of mega-keys (e.g. from ``topk_counts``) —
+    replication cost is ``hot_salt`` x the right side's hot rows.
     """
     from geoglue_ray.functions.texthash import int_hash64
 
@@ -223,10 +236,30 @@ def hash_equijoin(
     if how in ("semi", "anti"):
         out_schema = pa.schema(out_fields[: len(lnames)])
 
+    hk = (
+        np.unique(np.asarray(hot_keys, dtype=np.int64))
+        if hot_keys is not None and len(hot_keys)
+        else None
+    )
+
+    def _hot_rank(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(is_hot mask, rank of each id in the sorted hot set)."""
+        pos = np.searchsorted(hk, ids)
+        pos_c = np.minimum(pos, len(hk) - 1)
+        return hk[pos_c] == ids, pos_c
+
     def tag_left(b: pa.Table) -> pa.Table:
         ids = b[left_on].to_numpy().astype(np.int64)
+        shard = (int_hash64(ids) % P).astype(np.int64)
+        if hk is not None and len(b):
+            hot, rank = _hot_rank(ids)
+            # round-robin split of the mega-key's rows over its sub-shards
+            # (any assignment yields the same result SET; this one is
+            # deterministic per batch)
+            spread = np.arange(len(b)) % hot_salt
+            shard = np.where(hot, n_shards + rank * hot_salt + spread, shard)
         cols = {
-            "_shard": pa.array((int_hash64(ids) % P).astype(np.int64)),
+            "_shard": pa.array(shard),
             "_t": pa.array(np.zeros(len(b), np.int8)),
         }
         for n in lnames:
@@ -237,18 +270,30 @@ def hash_equijoin(
 
     def tag_right(b: pa.Table) -> pa.Table:
         ids = b[right_on].to_numpy().astype(np.int64)
+        shard = (int_hash64(ids) % P).astype(np.int64)
+        take: np.ndarray | None = None
+        if hk is not None and len(b):
+            hot, rank = _hot_rank(ids)
+            # replicate hot right rows to every sub-shard of their key
+            reps = np.where(hot, hot_salt, 1).astype(np.int64)
+            take = np.repeat(np.arange(len(b)), reps)
+            within = np.arange(len(take)) - np.repeat(np.cumsum(reps) - reps, reps)
+            shard = np.where(
+                hot[take], n_shards + rank[take] * hot_salt + within, shard[take]
+            )
+            ids = ids[take]
         cols = {
-            "_shard": pa.array((int_hash64(ids) % P).astype(np.int64)),
-            "_t": pa.array(np.ones(len(b), np.int8)),
+            "_shard": pa.array(shard),
+            "_t": pa.array(np.ones(len(ids), np.int8)),
         }
         for n in lnames:
             cols[n] = (
                 pa.array(ids)
                 if n == left_on
-                else pa.nulls(len(b), lschema.types[lschema.names.index(n)])
+                else pa.nulls(len(ids), lschema.types[lschema.names.index(n)])
             )
         for n in union_rnames:
-            cols[n] = b[n]
+            cols[n] = b[n] if take is None else b[n].take(pa.array(take))
         return pa.table(cols)
 
     def shard_join(t: pa.Table) -> pa.Table:
@@ -276,3 +321,116 @@ def hash_equijoin(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
     return tagged.groupby("_shard").map_groups(shard_join, batch_format="pyarrow")
+
+
+
+
+def interval_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: tuple[str, str, str, str],
+    bucket_width: int,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Big-big interval join of two DISTINCT tables: one output row per
+    overlapping (left interval, right interval) pair — closed-interval
+    overlap ``l_start <= r_end AND r_start <= l_end``.
+
+    ``on`` names the four int64 boundary columns
+    ``(l_start, l_end, r_start, r_end)``; a point side passes the same
+    column twice.  The session_overlaps shape generalized to two inputs:
+    explode each interval to its covering width-``bucket_width`` buckets
+    (fan-out bounded by interval length / bucket_width), co-shuffle the
+    tagged union on ``hash(bucket) % n_shards`` (FIXED group count), build
+    per-bucket left x right cross products in one vectorized
+    ragged-cartesian pass per shard, and keep each pair exactly once — in
+    the bucket containing ``max(l_start, r_start)``, which lies inside
+    both intervals so exactly one bucket qualifies.
+
+    Partitioning assumption: a shard task materializes its buckets' cross
+    products, so pick ``bucket_width`` to bound ``L_b * R_b`` per bucket;
+    skewed hot buckets want a finer width.  The two sides' data columns
+    must be disjoint (select/rename first) — only projected columns ship.
+    The whole path is Arrow-native: side-exclusive nulls never pass
+    through pandas, so int64/timestamp columns keep their types (the
+    tagged-union float64 NaN-fill hazard, CLAUDE.md).
+    """
+    ls_c, le_c, rs_c, re_c = on
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    overlap_names = set(lcols) & set(rcols)
+    if overlap_names:
+        raise ValueError(f"column collision between sides: {sorted(overlap_names)}")
+    all_fields = [(c, lschema.types[lcols.index(c)]) for c in lcols] + [
+        (c, rschema.types[rcols.index(c)]) for c in rcols
+    ]
+    MUL = np.uint64(0x9E3779B185EBCA87)
+
+    def make_explode(s_col: str, e_col: str, tag: int, own: set):
+        def explode(b: pa.Table) -> pa.Table:
+            s = b[s_col].to_numpy()
+            e = b[e_col].to_numpy()
+            b0 = s // bucket_width
+            k = (e // bucket_width - b0 + 1).astype(np.int64)
+            row = np.repeat(np.arange(len(b)), k)
+            within = np.arange(int(k.sum())) - np.repeat(np.cumsum(k) - k, k)
+            bucket = b0[row] + within
+            shard = ((bucket.astype(np.uint64) * MUL) % np.uint64(n_shards)).astype(
+                np.int64
+            )
+            cols: dict = {
+                "_is": pa.array(shard),
+                "_ib": pa.array(bucket),
+                "_it": pa.array(np.full(len(row), tag, dtype=np.int8)),
+            }
+            take = pa.array(row)
+            for c, t in all_fields:  # canonical order on BOTH sides
+                cols[c] = b[c].take(take) if c in own else pa.nulls(len(row), t)
+            return pa.table(cols)
+
+        return explode
+
+    tagged = left.map_batches(
+        make_explode(ls_c, le_c, 0, set(lcols)), batch_format="pyarrow"
+    ).union(
+        right.map_batches(make_explode(rs_c, re_c, 1, set(rcols)), batch_format="pyarrow")
+    )
+
+    empty = pa.table({c: pa.array([], t) for c, t in all_fields})
+
+    def shard_pairs(g: pa.Table) -> pa.Table:
+        t = g["_it"].to_numpy()
+        lg = g.filter(pa.array(t == 0))
+        rg = g.filter(pa.array(t == 1))
+        if len(lg) == 0 or len(rg) == 0:
+            return empty
+        lb = lg["_ib"].to_numpy()
+        rb = rg["_ib"].to_numpy()
+        lo = np.argsort(lb, kind="mergesort")
+        ro = np.argsort(rb, kind="mergesort")
+        ub, lcnt = np.unique(lb, return_counts=True)
+        vb, rcnt = np.unique(rb, return_counts=True)
+        common, ui, vi = np.intersect1d(ub, vb, return_indices=True)
+        if len(common) == 0:
+            return empty
+        L, R = lcnt[ui], rcnt[vi]
+        lofs = (np.cumsum(lcnt) - lcnt)[ui]
+        rofs = (np.cumsum(rcnt) - rcnt)[vi]
+        npair = L * R
+        total = int(npair.sum())
+        pb = np.repeat(np.arange(len(common)), npair)
+        within = np.arange(total) - np.repeat(np.cumsum(npair) - npair, npair)
+        lidx = lo[lofs[pb] + within // R[pb]]
+        ridx = ro[rofs[pb] + within % R[pb]]
+        ls = lg[ls_c].to_numpy()[lidx]
+        le = lg[le_c].to_numpy()[lidx]
+        rs = rg[rs_c].to_numpy()[ridx]
+        re_ = rg[re_c].to_numpy()[ridx]
+        keep = (
+            (ls <= re_) & (rs <= le) & (np.maximum(ls, rs) // bucket_width == common[pb])
+        )
+        lt = lg.select(lcols).take(pa.array(lidx[keep]))
+        rt = rg.select(rcols).take(pa.array(ridx[keep]))
+        return pa.table({**{c: lt[c] for c in lcols}, **{c: rt[c] for c in rcols}})
+
+    return tagged.groupby("_is").map_groups(shard_pairs, batch_format="pyarrow")

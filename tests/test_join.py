@@ -143,3 +143,116 @@ def test_session_overlaps_shard_invariant(ray_session, sf_dir):
     b = session_overlaps(sf_dir, n_shards=64).to_pandas()
     assert a.equals(b)
     assert a["n_overlaps"].sum() > 0
+
+
+def test_interval_join_exact_and_typed():
+    """interval_join: hand-checkable overlap set, each pair exactly once
+    even when it spans several buckets, int64/string dtypes preserved
+    through the tagged union (no float64 NaN-fill), point-side support."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.join import interval_join
+
+    left = pa.table(
+        {
+            "lid": pa.array([1, 2, 3], pa.int64()),
+            "ls": pa.array([0, 95, 250], pa.int64()),
+            "le": pa.array([120, 105, 260], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rname": pa.array(["a", "b", "c"], pa.string()),
+            "rs": pa.array([100, 200, 50], pa.int64()),
+            "re": pa.array([110, 300, 60], pa.int64()),
+        }
+    )
+    out = (
+        interval_join(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right),
+            on=("ls", "le", "rs", "re"),
+            bucket_width=10,  # intervals span many buckets: dedup must hold
+            n_shards=8,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rname"])
+        .reset_index(drop=True)
+    )
+    # brute-force oracle
+    want = sorted(
+        (int(l), r)
+        for l, ls, le in zip(*[left[c].to_numpy() for c in ("lid", "ls", "le")])
+        for r, rs, re in zip(*[right[c].to_numpy() for c in ("rname", "rs", "re")])
+        if ls <= re and rs <= le
+    )
+    got = list(zip(out["lid"].tolist(), out["rname"].tolist()))
+    assert got == want and len(want) == 4  # (1,a),(1,c),(2,a),(3,b)
+    assert out["lid"].dtype == np.int64 and out["ls"].dtype == np.int64
+    assert out["rname"].dtype == object
+
+    # point-in-interval special case (start == end on the left)
+    pts = pa.table(
+        {"pid": pa.array([7, 8], pa.int64()), "p": pa.array([55, 400], pa.int64())}
+    )
+    out2 = interval_join(
+        rd.from_arrow(pts),
+        rd.from_arrow(right),
+        on=("p", "p", "rs", "re"),
+        bucket_width=100,
+        n_shards=4,
+    ).to_pandas()
+    assert sorted(zip(out2["pid"], out2["rname"])) == [(7, "c")]
+
+
+def test_hot_key_salted_equijoin_equals_plain():
+    """Salt-replicated hot keys: identical result sets to the unsalted
+    join for every how mode, on a corpus where one key holds ~40% of the
+    left side (the mega-key shape)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.join import hash_equijoin
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    lkeys = np.where(rng.random(n) < 0.4, 7, rng.integers(0, 300, n)).astype(np.int64)
+    left = pa.table(
+        {"k": pa.array(lkeys), "lv": pa.array(np.arange(n, dtype=np.int64))}
+    )
+    rkeys = np.r_[np.full(40, 7), rng.integers(0, 300, 400)].astype(np.int64)
+    right = pa.table(
+        {"rk": pa.array(rkeys), "rv": pa.array(np.arange(len(rkeys), dtype=np.int64))}
+    )
+    for how in ("inner", "left", "semi", "anti"):
+        plain = (
+            hash_equijoin(
+                rd.from_arrow(left).repartition(3),
+                rd.from_arrow(right),
+                "k",
+                "rk",
+                how=how,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"] + (["rv"] if how in ("inner", "left") else []))
+            .reset_index(drop=True)
+        )
+        salted = (
+            hash_equijoin(
+                rd.from_arrow(left).repartition(3),
+                rd.from_arrow(right),
+                "k",
+                "rk",
+                how=how,
+                hot_keys=[7],
+                hot_salt=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"] + (["rv"] if how in ("inner", "left") else []))
+            .reset_index(drop=True)
+        )
+        assert plain.equals(salted), how
+        assert len(plain) > 0

@@ -737,3 +737,56 @@ def test_regex_extractor_drops_nonmatches_and_validates():
     assert out["k"].to_pylist() == [1, 3]
     with pytest.raises(ValueError, match="groups"):
         RegexExtractor(r"(\d+)(\w+)", {"only_one": pa.int64()})
+
+
+def test_bloom_prefilter_exact_and_no_false_negatives():
+    """The bloom broadcast: zero false negatives by construction (every
+    member must report maybe=True), fp rate near the m/n=12,k=8 design
+    point, and the bloomed co-shuffle anti-join equals the broadcast path
+    on a corpus large enough for real false positives to occur."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.dedup import (
+        _bloom_query,
+        _build_bloom_impl,
+        survivor_corpus,
+    )
+
+    rng = np.random.default_rng(11)
+    members = np.unique(rng.integers(0, 2**62, 5000))
+    bloom = _build_bloom_impl(
+        len(members), "doc_id", pa.table({"doc_id": pa.array(members, pa.int64())})
+    )
+    assert _bloom_query(members, bloom["bits"], bloom["m"]).all()  # no FNs
+    probes = np.unique(rng.integers(0, 2**62, 20000))
+    probes = np.setdiff1d(probes, members)
+    fp = _bloom_query(probes, bloom["bits"], bloom["m"]).mean()
+    assert fp < 0.02, fp  # design point ~0.3%
+
+    n = 30000
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "payload": pa.array([f"p{i}" for i in range(n)]),
+            }
+        )
+    ).repartition(5)
+    elim_ids = np.unique(rng.integers(0, n, 4000))
+    elim = rd.from_arrow(pa.table({"doc_id": pa.array(elim_ids, pa.int64())}))
+    bc = (
+        survivor_corpus(docs, elim, broadcast_below=10**6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sh = (
+        survivor_corpus(docs, elim, broadcast_below=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(bc) == n - len(elim_ids)
+    assert bc.equals(sh[bc.columns])
