@@ -157,11 +157,14 @@ def _run_queries() -> dict:
         skew_reps = int(os.environ.get("GRAFT_SKEW_REPLICAS", "1500"))
         skew_out = {}
         for mode, s in (("plain", None), ("salted", 16)):
-            t0 = time.perf_counter()
-            df = skewed_zonal(
-                SF_DIR, replicas=skew_reps, concurrency=pool, salt=s
-            ).to_pandas()
-            results[f"zonal_skew_{mode}"] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(max(1, extra_reps)):  # first call pays pool ramp
+                t0 = time.perf_counter()
+                df = skewed_zonal(
+                    SF_DIR, replicas=skew_reps, concurrency=pool, salt=s
+                ).to_pandas()
+                best = min(best, time.perf_counter() - t0)
+            results[f"zonal_skew_{mode}"] = round(best, 3)
             skew_out[mode] = df
         results["zonal_skew_equal"] = bool(
             skew_out["plain"].equals(skew_out["salted"])

@@ -278,8 +278,18 @@ def skewed_zonal(
     import pyarrow.parquet as pq
 
     stride = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    # TWO fixed actor pools run concurrently here (replica expansion +
+    # spatial join): split an integer budget ~1/3 : 2/3 so their SUM stays
+    # within the session's CPUs — two full-size fixed pools oversubscribe
+    # the scheduler and starve the join stage (measured: bench hung at
+    # 24+24 actors on 32 slots; CLAUDE.md fixed-pool lesson).
+    if isinstance(concurrency, int):
+        derive_pool: int | tuple[int, int] = max(1, concurrency // 3)
+        join_pool: int | tuple[int, int] = max(1, concurrency - concurrency // 3)
+    else:
+        derive_pool = join_pool = concurrency
     ds = read_corpus(
-        sf_dir, replicas=replicas, with_spans=False, concurrency=concurrency
+        sf_dir, replicas=replicas, with_spans=False, concurrency=derive_pool
     )
 
     def teleport(b):
@@ -290,8 +300,11 @@ def skewed_zonal(
         hot = ((ids // stride) % 2).astype(bool)
         lon = np.where(hot, hot_lon, b["lon"].to_numpy())
         lat = np.where(hot, hot_lat, b["lat"].to_numpy())
-        b = b.set_column(b.schema.get_field_index("lon"), "lon", pa.array(lon))
-        return b.set_column(b.schema.get_field_index("lat"), "lat", pa.array(lat))
+        # project to the aggregate's needs here — carrying text through
+        # the join+shuffle would 10x the in-flight payload for nothing
+        return pa.table(
+            {"lon": pa.array(lon), "lat": pa.array(lat), "value": b["value"]}
+        )
 
     ds = ds.map_batches(teleport, batch_format="pyarrow")
     ds = ds.map_batches(encode_cells, batch_format="pyarrow")
@@ -300,7 +313,7 @@ def skewed_zonal(
         index_ref=_admin_index_ref(),
         weights_ref=_weights_ref(),
         emit_names=False,
-        concurrency=concurrency,
+        concurrency=join_pool,
     )
     return zonal_aggregate(
         ds,

@@ -27,21 +27,42 @@ def collapse_step_to_month(batch: pa.Table, n_months: int | None = None) -> pa.T
     The reference assumes a fixed survivor count per row
     (``reshape.py:41-44``); we assert the same.
     """
-    df = batch.select(
-        ["valid_time", "cell_row", "cell_col", "step", "value"]
-    ).to_pandas()
-    df = df[~df["value"].isna()]
-    df = df.sort_values(["valid_time", "cell_row", "cell_col", "step"], kind="mergesort")
-    g = df.groupby(["valid_time", "cell_row", "cell_col"], sort=False)
-    df["month"] = (g.cumcount() + 1).astype(np.int32)
-    counts = g.size().to_numpy()
-    m = n_months or (counts[0] if len(counts) else 0)
+    t = batch.select(["valid_time", "cell_row", "cell_col", "step", "value"])
+    vt = t["valid_time"].to_numpy()
+    cr = t["cell_row"].to_numpy()
+    cc = t["cell_col"].to_numpy()
+    st = t["step"].to_numpy()
+    v = t["value"].to_numpy(zero_copy_only=False)
+    ok = ~np.isnan(v)
+    vt, cr, cc, st, v = vt[ok], cr[ok], cc[ok], st[ok], v[ok]
+    # lexsort + run detection (the repo idiom) — the round-3 audit flagged
+    # the previous per-batch pandas groupby here
+    def _key(a: np.ndarray) -> np.ndarray:
+        return a.view(np.int64) if a.dtype.kind in "Mm" else a
+
+    order = np.lexsort((_key(st), cc, cr, _key(vt)))
+    vt, cr, cc, v = vt[order], cr[order], cc[order], v[order]
+    brk = np.r_[
+        True, (vt[1:] != vt[:-1]) | (cr[1:] != cr[:-1]) | (cc[1:] != cc[:-1])
+    ] if len(vt) else np.zeros(0, dtype=bool)
+    starts = np.flatnonzero(brk)
+    counts = np.diff(np.r_[starts, len(vt)]) if len(starts) else np.zeros(0, np.int64)
+    month = (
+        np.arange(len(vt)) - np.repeat(starts, counts) + 1
+    ).astype(np.int32) if len(starts) else np.zeros(0, np.int32)
     if len(counts) and not (counts == counts[0]).all():
         raise ValueError("variable number of valid steps per (time, cell)")
     if n_months is not None and len(counts) and counts[0] != n_months:
         raise ValueError(f"expected {n_months} valid steps, found {counts[0]}")
-    out = df[["valid_time", "cell_row", "cell_col", "month", "value"]]
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.table(
+        {
+            "valid_time": pa.array(vt),
+            "cell_row": pa.array(cr),
+            "cell_col": pa.array(cc),
+            "month": pa.array(month),
+            "value": pa.array(v),
+        }
+    )
 
 
 def days_in_nth_month(t: np.datetime64 | str, n_month: int) -> int:
