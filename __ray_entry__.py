@@ -49,9 +49,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_stats": q.brand_stats,
         "order_priority_revenue": q.order_priority_revenue,
         "dormant_customers": q.dormant_customers,
+        "customer_order_balance": q.customer_order_balance,
+        "event_funnel": q.event_funnel,
         "topk_by_admin1": q.topk_by_admin1,
         "distinct_sources": q.distinct_sources,
         "events_sessionize": q.events_sessionize,
+        "user_event_paths": q.user_event_paths,
         "running_user_total": q.running_user_total,
         "session_overlaps": q.session_overlaps,
         "events_in_windows": q.events_in_windows,
@@ -138,9 +141,12 @@ def oracle_sql() -> dict[str, str]:
         "brand_stats": o.brand_stats(),
         "order_priority_revenue": o.order_priority_revenue(),
         "dormant_customers": o.dormant_customers(),
+        "customer_order_balance": o.customer_order_balance(),
+        "event_funnel": o.event_funnel(),
         "topk_by_admin1": o.topk_by_admin1(),
         "distinct_sources": o.distinct_sources(),
         "events_sessionize": o.events_sessionize(),
+        "user_event_paths": o.user_event_paths(),
         "running_user_total": o.running_user_total(),
         "session_overlaps": o.session_overlaps(),
         "events_in_windows": o.events_in_windows(),

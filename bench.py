@@ -137,6 +137,9 @@ def _run_queries() -> dict:
         ("embed_knn", q.embed_knn),
         ("order_priority_revenue", q.order_priority_revenue),
         ("vocab_top", q.vocab_top),
+        # two-table interval join at a bounded window count (~2.3k windows
+        # x 100k events -> ~8M overlap pairs at sf0.1)
+        ("events_in_windows", lambda sf: q.events_in_windows(sf, key_mod=64)),
     ]
     extra_reps = int(os.environ.get("GRAFT_EXTRA_REPEATS", "2"))
     for name, fn in extra:

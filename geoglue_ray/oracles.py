@@ -1415,6 +1415,52 @@ ORDER BY doc_id, span_index
 """
 
 
+def user_event_paths() -> str:
+    """Ordered collect-list twin: string_agg with the same TOTAL order
+    (ts, event_id) the engine lexsorts by."""
+    return """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def customer_order_balance() -> str:
+    """FULL OUTER join twin: every third customer vs 1996 per-customer
+    order counts; COALESCE mirrors the engine's key-from-either-side."""
+    return """
+WITH l AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0),
+r AS (
+  SELECT o_custkey, CAST(count(*) AS DOUBLE) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1)
+SELECT COALESCE(l.c_custkey, r.o_custkey) AS c_custkey, l.c_mktsegment, r.n_orders
+FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey
+ORDER BY 1
+"""
+
+
+def event_funnel() -> str:
+    """Sequence-funnel twin: per-user first timestamps per stage, strict
+    ordering between stages, global counts."""
+    return """
+WITH m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY 1)
+SELECT CAST(count(*) FILTER (tv IS NOT NULL) AS DOUBLE) AS n_view,
+       CAST(count(*) FILTER (tv IS NOT NULL AND tc IS NOT NULL AND tc > tv)
+            AS DOUBLE) AS n_click,
+       CAST(count(*) FILTER (tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL
+                             AND tc > tv AND tp > tc) AS DOUBLE) AS n_purchase
+FROM m
+"""
+
+
 def events_in_windows() -> str:
     """Two-table range-join twin: the identical o_orderkey -> window
     arithmetic in BIGINT microseconds, then a BETWEEN join and exact

@@ -1385,6 +1385,202 @@ def dormant_customers(sf_dir: str) -> rd.Dataset:
     return out.sort("c_mktsegment")
 
 
+def customer_order_balance(sf_dir: str) -> rd.Dataset:
+    """Distributed FULL OUTER join: every third customer against 1996
+    per-customer order counts — left-only rows (filtered customers with
+    no 1996 orders) carry null n_orders, right-only rows (1996 buyers
+    outside the customer filter) carry null c_mktsegment, and the key
+    column is populated from whichever side exists (COALESCE in the SQL
+    twin).  The order counts are pre-aggregated BEFORE the join (push
+    aggregation below the shuffle: the join ships one row per buyer, not
+    one per order)."""
+    from geoglue_ray.stages.join import hash_equijoin
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us")
+    hi = np.datetime64("1997-01-01T00:00:00", "us")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def third(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["c_custkey"].to_numpy() % 3 == 0))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def in_1996(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy()
+        return b.filter(pa.array((d >= lo) & (d < hi))).select(["o_custkey"])
+
+    counts = zonal_aggregate(
+        orders.map_batches(in_1996, batch_format="pyarrow"),
+        ["count"],
+        keys=["o_custkey"],
+        value_col="o_custkey",
+    )
+
+    def rename_counts(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b["o_custkey"], "n_orders": b["count"]})
+
+    out = hash_equijoin(
+        cust.map_batches(third, batch_format="pyarrow"),
+        counts.map_batches(rename_counts, batch_format="pyarrow"),
+        "c_custkey",
+        "o_custkey",
+        how="outer",
+    )
+    return out.sort("c_custkey")
+
+
+def event_funnel(sf_dir: str) -> rd.Dataset:
+    """Ordered-sequence funnel over events: users whose FIRST view
+    precedes their first click precedes their first purchase — the
+    sequence-pattern aggregate (not expressible as sessionize or a plain
+    groupby).  Per-user first-timestamps reduce via per-batch partial
+    mins -> fixed-shard co-location -> one vectorized lexsort+reduceat
+    pass per shard; only (user, 3 timestamps) rows ever shuffle."""
+    from geoglue_ray.functions.texthash import int_hash64
+
+    STAGES = ("view", "click", "purchase")
+    n_shards = 64
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        stage = np.full(len(b), -1, dtype=np.int8)
+        for i, s in enumerate(STAGES):
+            stage[et == s] = i
+        keep = stage >= 0
+        uid = b["user_id"].to_numpy()[keep]
+        st = stage[keep]
+        ts = b["ts"].to_numpy()[keep].astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, st, uid))
+        uid, st, ts = uid[order], st[order], ts[order]
+        first = np.r_[True, (uid[1:] != uid[:-1]) | (st[1:] != st[:-1])] if len(uid) else np.zeros(0, bool)
+        uid, st, ts = uid[first], st[first], ts[first]
+        return pa.table(
+            {
+                "_fs": pa.array(
+                    (int_hash64(uid) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "uid": pa.array(uid),
+                "stage": pa.array(st),
+                "ts": pa.array(ts),
+            }
+        )
+
+    def shard_funnel(g: pa.Table) -> pa.Table:
+        uid = g["uid"].to_numpy()
+        st = g["stage"].to_numpy()
+        ts = g["ts"].to_numpy()
+        order = np.lexsort((ts, st, uid))
+        uid, st, ts = uid[order], st[order], ts[order]
+        first = np.r_[True, (uid[1:] != uid[:-1]) | (st[1:] != st[:-1])] if len(uid) else np.zeros(0, bool)
+        uid, st, ts = uid[first], st[first], ts[first]
+        # pivot each user's first-ts per stage into a (n_users, 3) matrix
+        codes, uniq = _pd_factorize(uid)
+        t = np.full((len(uniq), len(STAGES)), np.iinfo(np.int64).max, dtype=np.int64)
+        t[codes, st] = ts
+        M = np.iinfo(np.int64).max
+        n_view = int((t[:, 0] < M).sum())
+        n_click = int(((t[:, 0] < M) & (t[:, 1] < M) & (t[:, 1] > t[:, 0])).sum())
+        n_purch = int(
+            (
+                (t[:, 0] < M)
+                & (t[:, 1] < M)
+                & (t[:, 2] < M)
+                & (t[:, 1] > t[:, 0])
+                & (t[:, 2] > t[:, 1])
+            ).sum()
+        )
+        return pa.table(
+            {
+                "n_view": pa.array([n_view], pa.int64()),
+                "n_click": pa.array([n_click], pa.int64()),
+                "n_purchase": pa.array([n_purch], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_fs")
+        .map_groups(shard_funnel, batch_format="pyarrow")
+    )
+
+    def total(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                c: pa.array([float(b[c].to_numpy().sum())], pa.float64())
+                for c in ("n_view", "n_click", "n_purchase")
+            }
+        )
+
+    return parts.repartition(1).map_batches(total, batch_format="pyarrow")
+
+
+def _pd_factorize(a: np.ndarray):
+    import pandas as pd
+
+    return pd.factorize(a, use_na_sentinel=False)
+
+
+def user_event_paths(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Ordered collect-list per key — the sequence-building shape a
+    training-data pipeline uses to turn an event log into per-user
+    behavior strings.  Co-locate by user (fixed-shard), one lexsort per
+    shard with a TOTAL order (ts, event_id — ties must break identically
+    to the SQL twin's ``ORDER BY``), then slice-join each user's ordered
+    event types into one path string.  Per-user state is bounded by path
+    length; only (user, type, ts, id) rows shuffle."""
+    from geoglue_ray.functions.texthash import int_hash64
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "_ps": pa.array((int_hash64(uid) % np.uint64(n_shards)).astype(np.int64)),
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+            }
+        )
+
+    def paths(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        brk = np.r_[True, uid[1:] != uid[:-1]] if len(uid) else np.zeros(0, bool)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(uid)]
+        users = uid[starts]
+        joined = [">".join(et[s:e]) for s, e in zip(starts, ends)]
+        return pa.table(
+            {
+                "user_id": pa.array(users),
+                "path": pa.array(joined, pa.string()),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_ps")
+        .map_groups(paths, batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
 def media_resize(sf_dir: str) -> rd.Dataset:
     """Image-span resize path: explode -> decode (stub, SQL-replicable
     bytes) -> block-mean resize in a bounded-batch actor pool; projected
@@ -1611,7 +1807,7 @@ def media_ref_parse(sf_dir: str) -> rd.Dataset:
     return out.sort(["doc_id", "span_index"])
 
 
-def events_in_windows(sf_dir: str) -> rd.Dataset:
+def events_in_windows(sf_dir: str, key_mod: int = 1) -> rd.Dataset:
     """Point-in-interval join across two DISTINCT tables (the big-big
     range-join shape session_overlaps only exercised as a self-join):
     events (points) against 15k order-derived promo windows — each order
@@ -1641,6 +1837,9 @@ def events_in_windows(sf_dir: str) -> rd.Dataset:
 
     def wins(b: pa.Table) -> pa.Table:
         k = b["o_orderkey"].to_numpy()
+        if key_mod > 1:  # bench-scale bound: output pairs scale with |windows|
+            keep = k % key_mod == 0
+            b, k = b.filter(pa.array(keep)), k[keep]
         ws = EPOCH + (k % 720) * HOUR
         we = ws + (1 + k % 48) * HOUR
         return pa.table(

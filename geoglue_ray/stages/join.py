@@ -171,8 +171,11 @@ def hash_equijoin(
     """Distributed big-big equi-join on int64 keys — the general
     shuffle join Ray Data's Dataset API lacks.  ``how``: ``inner`` /
     ``left`` (right columns null-filled for unmatched left rows) /
-    ``semi`` / ``anti`` (left rows with / without a right match; left
-    columns only, never duplicated by multi-matches).
+    ``outer`` (FULL OUTER: unmatched rows from both sides survive with
+    the other side null-filled; the key column is populated from
+    whichever side has it) / ``semi`` / ``anti`` (left rows with /
+    without a right match; left columns only, never duplicated by
+    multi-matches).
 
     Shape: each side is tagged (``_t``) and sharded on
     ``int_hash64(key) % n_shards`` — a FIXED group count, so Ray's
@@ -223,7 +226,7 @@ def hash_equijoin(
     out_schema = pa.schema(out_fields)
     P = np.uint64(n_shards)
 
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     # semi/anti only ever read the right side's KEY: don't ship the right
     # value columns (nor null-filled right columns on left rows) through

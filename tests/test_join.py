@@ -256,3 +256,32 @@ def test_hot_key_salted_equijoin_equals_plain():
         )
         assert plain.equals(salted), how
         assert len(plain) > 0
+
+
+def test_hash_equijoin_outer():
+    """FULL OUTER: unmatched rows from both sides survive, key populated
+    from whichever side exists, other side typed-null (never float-drift
+    on int columns that do match)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.join import hash_equijoin
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()), "lv": pa.array(["a", "b", "c"])}
+    )
+    right = pa.table(
+        {"rk": pa.array([2, 3, 4], pa.int64()), "rv": pa.array([20.0, 30.0, 40.0])}
+    )
+    out = (
+        hash_equijoin(rd.from_arrow(left), rd.from_arrow(right), "k", "rk", how="outer")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["lv"].tolist() == ["a", "b", "c", None]
+    rv = out["rv"].to_numpy()
+    assert np.isnan(rv[0]) and rv[1:].tolist() == [20.0, 30.0, 40.0]
+    assert out["k"].dtype == np.int64
