@@ -436,4 +436,8 @@ def interval_join(
         rt = rg.select(rcols).take(pa.array(ridx[keep]))
         return pa.table({**{c: lt[c] for c in lcols}, **{c: rt[c] for c in rcols}})
 
-    return tagged.groupby("_is").map_groups(shard_pairs, batch_format="pyarrow")
+    joined = tagged.groupby("_is").map_groups(shard_pairs, batch_format="pyarrow")
+    # An empty side produces zero groups, and Ray's sort then emits a
+    # schema-LESS empty dataset (test_ray_internals pins the upstream
+    # behavior); one typed zero-row block keeps the declared schema.
+    return joined.union(rd.from_arrow(empty))

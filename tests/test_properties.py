@@ -203,3 +203,62 @@ def test_value_rank_matches_duckdb(rows):
     ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(3)
     got = value_rank(ds, "k", "v").to_pandas().sort_values("rid").reset_index(drop=True)
     assert got["rank"].tolist() == ref["rank"].tolist()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 80)),
+        min_size=0,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 80)),
+        min_size=0,
+        max_size=25,
+    ),
+    st.sampled_from([7, 50, 1000]),
+)
+def test_interval_join_matches_bruteforce(lspec, rspec, width):
+    """interval_join == the quadratic reference on random intervals for
+    any bucket width (incl. one covering everything), exactly-once pairs,
+    empty sides included."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.join import interval_join
+
+    left = pa.table(
+        {
+            "lid": pa.array(range(len(lspec)), pa.int64()),
+            "ls": pa.array([s for s, _ in lspec], pa.int64()),
+            "le": pa.array([s + d for s, d in lspec], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array(range(len(rspec)), pa.int64()),
+            "rs": pa.array([s for s, _ in rspec], pa.int64()),
+            "re": pa.array([s + d for s, d in rspec], pa.int64()),
+        }
+    )
+    ds = interval_join(
+        rd.from_arrow(left),
+        rd.from_arrow(right),
+        on=("ls", "le", "rs", "re"),
+        bucket_width=width,
+        n_shards=5,
+    )
+    # the Dataset-level schema survives empty joins (typed zero-row
+    # block unioned in); ray's to_pandas drops columns at zero rows
+    # (pinned in test_ray_internals), so read pairs defensively
+    assert "lid" in ds.schema().names and "rid" in ds.schema().names
+    out = ds.to_pandas()
+    got = sorted(zip(out["lid"], out["rid"])) if len(out) else []
+    want = sorted(
+        (li, ri)
+        for li, (ls, ld) in enumerate(lspec)
+        for ri, (rs, rd_) in enumerate(rspec)
+        if ls <= rs + rd_ and rs <= ls + ld
+    )
+    assert got == want

@@ -143,3 +143,17 @@ def test_schema_hash_warning_is_pyarrow_internal(tmp_path):
             "nothing now."
         )
     assert all("unhashable type: 'dict'" in m for m in cap.hits)
+
+
+def test_to_pandas_of_typed_empty_loses_columns():
+    """Ray quirk pin: Dataset.to_pandas() on a TYPED zero-row dataset
+    returns a 0-column frame (the schema survives at the Dataset level,
+    only the pandas conversion drops it).  interval_join's property test
+    reads empty results defensively because of this; when a Ray upgrade
+    fixes the conversion this test fails and the workaround can go."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"a": pa.array([], pa.int64())}))
+    assert ds.schema().names == ["a"]
+    assert list(ds.to_pandas().columns) == []  # the quirk
