@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_windows": q.events_in_windows,
         "value_share_by_type": q.value_share_by_type,
         "user_growth": q.user_growth,
+        "cohort_growth": q.cohort_growth,
         "pivot_daily_events": q.pivot_daily_events,
         "melt_daily_events": q.melt_daily_events,
         "events_asof_obs": q.events_asof_obs,
@@ -68,10 +69,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": q.tile_pyramid,
         "zorder_events": q.zorder_events,
         "quantiles_admin1": q.quantiles_admin1,
+        "weighted_median_admin1": q.weighted_median_admin1,
         "value_rank_admin1": q.value_rank_admin1,
         "tfidf_top_token": q.tfidf_top_token,
         "split_assign": q.split_assign,
         "stratified_sample": q.stratified_sample,
+        "pack_documents": q.pack_documents,
         "crop_bbox": q.crop_bbox,
         "resample_nearest": q.resample_nearest,
         "resample_bilinear": q.resample_bilinear,
@@ -82,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q.text_quality,
         "dedup_exact": q.dedup_exact,
         "curation_pipeline": q.curation_pipeline,
+        "decontaminate_docs": q.decontaminate_docs,
         "vocab_top": q.vocab_top,
         "doc_repetition": q.doc_repetition,
         "hopping_window": q.hopping_window,
@@ -152,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "events_in_windows": o.events_in_windows(),
         "value_share_by_type": o.value_share_by_type(),
         "user_growth": o.user_growth(),
+        "cohort_growth": o.cohort_growth(),
         "pivot_daily_events": o.pivot_daily_events(),
         "melt_daily_events": o.melt_daily_events(),
         "events_asof_obs": o.events_asof_obs(),
@@ -160,10 +165,12 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid": o.tile_pyramid(),
         "zorder_events": o.zorder_events(),
         "quantiles_admin1": o.quantiles_admin1(),
+        "weighted_median_admin1": o.weighted_median_admin1(),
         "value_rank_admin1": o.value_rank_admin1(),
         "tfidf_top_token": o.tfidf_top_token(),
         "split_assign": o.split_assign(),
         "stratified_sample": o.stratified_sample(),
+        "pack_documents": o.pack_documents(),
         "embed_neardup_recall": o.embed_neardup_recall(),
         "crop_bbox": o.crop_bbox(),
         "resample_nearest": o.resample_nearest(),
@@ -174,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": o.text_quality(),
         "dedup_exact": o.dedup_exact(),
         "curation_pipeline": o.curation_pipeline(),
+        "decontaminate_docs": o.decontaminate_docs(),
         "vocab_top": o.vocab_top(),
         "doc_repetition": o.doc_repetition(),
         "hopping_window": o.hopping_window(),

@@ -1088,6 +1088,27 @@ FROM asg GROUP BY 1 ORDER BY 1
 """
 
 
+def weighted_median_admin1() -> str:
+    """Weighted-median twin: per-(admin1, value) weight histogram, window
+    cumulative weights, smallest value with 2*cumw >= totw — all-integer
+    comparisons."""
+    w = fx.sql_weight("lon", "lat")
+    return f"""{_assigned_cte()},
+h AS (
+  SELECT {fx.sql_admin1_name('a2')} AS admin1_id, value AS v, sum({w}) AS w
+  FROM asg GROUP BY 1, 2),
+cw AS (
+  SELECT admin1_id, v,
+         sum(w) OVER (PARTITION BY admin1_id ORDER BY v) AS cumw,
+         sum(w) OVER (PARTITION BY admin1_id) AS totw
+  FROM h)
+SELECT admin1_id,
+       CAST(max(totw) AS DOUBLE) AS total_w,
+       min(v) FILTER (2 * cumw >= totw) AS wmedian
+FROM cw GROUP BY 1 ORDER BY 1
+"""
+
+
 def curation_pipeline() -> str:
     """Replays the full curation chain serially: quality predicates ->
     minhash CTE over the filtered docs -> recursive component closure ->
@@ -1415,6 +1436,68 @@ ORDER BY doc_id, span_index
 """
 
 
+def decontaminate_docs() -> str:
+    """Decontamination twin: the minhash CTE's 3-shingle HUGEINT combine,
+    LEFT JOIN membership against the eval set's distinct-shingle set,
+    one exact-integer division per doc.  Valid while every doc has >= 3
+    tokens (all sf fixtures — the minhash oracle shares the caveat)."""
+    from geoglue_ray.functions.texthash import U64, sql_token_hash
+    from geoglue_ray.stages.dedup import _SH_MUL1, _SH_MUL2
+
+    m1, m2 = int(_SH_MUL1), int(_SH_MUL2)
+    step1 = f"((a.h * {m1}::HUGEINT) % {U64}::HUGEINT)"
+    step2 = f"((xor({step1}, b.h) * {m2}::HUGEINT) % {U64}::HUGEINT)"
+    step3 = f"((xor({step2}, c.h) * {m2}::HUGEINT) % {U64}::HUGEINT)"
+    return f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, i.range AS i,
+         {sql_token_hash("list_extract(toks, i.range::INTEGER)")} AS h
+  FROM tl, range(1, 128) i WHERE i.range <= len(toks)),
+sh AS (
+  SELECT a.doc_id, {step3} AS x
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+bset AS (SELECT DISTINCT x FROM sh WHERE doc_id % 97 = 0),
+m AS (
+  SELECT sh.doc_id, count(*) AS n_shingles, count(bset.x) AS n_overlap
+  FROM sh LEFT JOIN bset ON sh.x = bset.x GROUP BY 1)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contam_frac,
+       (CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE)) > 0.5
+         AS is_contaminated
+FROM m ORDER BY doc_id
+"""
+
+
+def pack_documents() -> str:
+    """Greedy-packing twin: the identical per-stratum recurrence as a
+    recursive CTE stepping one row_number at a time."""
+    return """
+WITH RECURSIVE d AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents),
+r AS (
+  SELECT lang, doc_id, n_chars, rn,
+         CAST(n_chars AS BIGINT) AS pack_fill, CAST(1 AS BIGINT) AS pack_id
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.lang, d.doc_id, d.n_chars, d.rn,
+         CASE WHEN r.pack_fill + d.n_chars > 2048 THEN CAST(d.n_chars AS BIGINT)
+              ELSE r.pack_fill + d.n_chars END,
+         CASE WHEN r.pack_fill + d.n_chars > 2048 THEN r.pack_id + 1
+              ELSE r.pack_id END
+  FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1)
+SELECT doc_id, lang, n_chars, pack_id, pack_fill FROM r ORDER BY doc_id
+"""
+
+
 def user_event_paths() -> str:
     """Ordered collect-list twin: string_agg with the same TOTAL order
     (ts, event_id) the engine lexsorts by."""
@@ -1527,4 +1610,19 @@ d AS (SELECT day, CAST(count(*) AS DOUBLE) AS new_users FROM f GROUP BY 1)
 SELECT day, new_users,
        sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_users
 FROM d ORDER BY day
+"""
+
+
+def cohort_growth() -> str:
+    """Per-type cohort twin: first day per (user, event_type), daily new
+    counts, PARTITIONed window running sum — small-integer doubles, exact."""
+    return """
+WITH f AS (SELECT user_id, event_type, date_trunc('day', min(ts))::TIMESTAMP AS day
+           FROM events GROUP BY 1, 2),
+d AS (SELECT event_type, day, CAST(count(*) AS DOUBLE) AS new_users
+      FROM f GROUP BY 1, 2)
+SELECT event_type, day, new_users,
+       sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS cum_users
+FROM d ORDER BY event_type, day
 """

@@ -1177,6 +1177,20 @@ def quantiles_admin1(sf_dir: str) -> rd.Dataset:
     return out.sort("admin1_id")
 
 
+def weighted_median_admin1(sf_dir: str) -> rd.Dataset:
+    """EXACT population-weighted median per admin-1 — the reference's
+    weighted zonal grammar (zonalstats.py:43-63) extended to an order
+    statistic: the weight is the worldpop-shaped grid value at each
+    observation (integer-valued), so cumulative-weight comparisons are
+    all-integer and the SQL window twin reproduces the result bit-exact
+    (stages/sketch.weighted_median histogram path)."""
+    from geoglue_ray.stages.sketch import weighted_median
+
+    ds = corpus_with_admin(sf_dir, with_spans=False, with_weights=True)
+    ds = ds.select_columns(["admin1_id", "value", "weight"])
+    return weighted_median(ds, "admin1_id", "value", "weight").sort("admin1_id")
+
+
 def curation_pipeline(sf_dir: str) -> rd.Dataset:
     """The end-to-end LLM-corpus curation flow a 100-TB user runs:
     quality filter (integer predicates: n_tokens >= 8 and at least one
@@ -1525,6 +1539,40 @@ def _pd_factorize(a: np.ndarray):
     import pandas as pd
 
     return pd.factorize(a, use_na_sentinel=False)
+
+
+def decontaminate_docs(sf_dir: str) -> rd.Dataset:
+    """Benchmark decontamination over the documents table: every 97th doc
+    plays the held-out eval set; each training doc gets its token-
+    occurrence overlap fraction against the eval vocabulary and a
+    threshold flag (stages/text.decontaminate — broadcast vocab, one
+    streamed corpus pass, no shuffle)."""
+    from geoglue_ray.stages.text import decontaminate
+
+    docs = read_documents_cols(sf_dir, ["doc_id", "text"])
+
+    def bench_filter(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 97 == 0))
+
+    bench = read_documents_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        bench_filter, batch_format="pyarrow"
+    )
+    return decontaminate(docs, bench, threshold=0.5).sort("doc_id")
+
+
+def pack_documents(sf_dir: str) -> rd.Dataset:
+    """Greedy sequence packing per language: documents in doc_id order
+    fill 2048-char context windows; a new pack opens when the running
+    size would overflow (stages/sample.greedy_pack — sharded by stratum,
+    sequential within, the inherent shape of order-dependent packing).
+    The SQL twin replays the recurrence with a recursive CTE."""
+    from geoglue_ray.stages.sample import greedy_pack
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "lang", "n_chars"])
+    out = greedy_pack(ds, "lang", "n_chars", "doc_id", capacity=2048)
+    return out.select_columns(
+        ["doc_id", "lang", "n_chars", "pack_id", "pack_fill"]
+    ).sort("doc_id")
 
 
 def user_event_paths(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
@@ -2070,3 +2118,74 @@ def user_growth(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
         batch_format="pyarrow",
     ).groupby("_all").map_groups(cumulate, batch_format="pandas")
     return out.sort("day")
+
+
+def cohort_growth(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Per-event-type cohort growth curves — the non-degenerate variant of
+    :func:`user_growth` (whose fixture collapses to 2 days because every
+    user's overall first event lands on day 1-2): a user's first event of
+    EACH TYPE is spread across the whole month, so the five curves have
+    real shape.  Same scale skeleton: per-user-shard first-seen reduction
+    (all of a user's rows co-locate; one lexsort + run-detection pass per
+    shard), a (type x day)-cardinality aggregate, then one in-task
+    partitioned cumulative sum over the bounded curve rows."""
+    import pandas as pd
+
+    DAY = 24 * 3_600_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return b.append_column("_us", pa.array(shard))
+
+    def first_seen(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        et_codes, et_uniq = pd.factorize(g["event_type"].to_numpy(), use_na_sentinel=False)
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        o = np.lexsort((t, et_codes, uid))
+        uid, etc, t = uid[o], et_codes[o], t[o]
+        first = np.r_[True, (uid[1:] != uid[:-1]) | (etc[1:] != etc[:-1])]
+        day = (t[first] // DAY) * DAY
+        return pd.DataFrame(
+            {
+                "event_type": et_uniq[etc[first]],
+                "day": day.astype("datetime64[us]"),
+                "one": 1.0,
+            }
+        )
+
+    firsts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_us")
+        .map_groups(first_seen, batch_format="pandas")
+    )
+    daily = zonal_aggregate(firsts, ["count"], keys=["event_type", "day"], value_col="one")
+
+    def cumulate(g: pd.DataFrame) -> pd.DataFrame:
+        # one task over the bounded (type x day) curve rows
+        g = g.sort_values(["event_type", "day"], kind="mergesort").reset_index(drop=True)
+        n = g["count"].to_numpy()
+        cum = np.cumsum(n)
+        etc, _ = pd.factorize(g["event_type"].to_numpy(), use_na_sentinel=False)
+        seg_start = np.r_[True, etc[1:] != etc[:-1]]
+        base = np.repeat(np.r_[0.0, cum[:-1]][seg_start], np.diff(np.r_[np.flatnonzero(seg_start), len(etc)]))
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"],
+                "new_users": n,
+                "cum_users": cum - base,
+            }
+        )
+
+    out = daily.map_batches(
+        lambda b: b.append_column("_all", pa.array(np.zeros(len(b), np.int64))),
+        batch_format="pyarrow",
+    ).groupby("_all").map_groups(cumulate, batch_format="pandas")
+    return out.sort(["event_type", "day"])

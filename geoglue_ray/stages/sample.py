@@ -152,3 +152,65 @@ def stratified_sample(
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def greedy_pack(
+    ds: "rd.Dataset",
+    strata_col: str,
+    size_col: str,
+    order_col: str,
+    capacity: int,
+    n_shards: int = 64,
+) -> "rd.Dataset":
+    """Greedy sequence packing — the training-batch op that bins ordered
+    documents into context windows: within each stratum, walk documents
+    in ``order_col`` order and open a new pack whenever the running token
+    count would exceed ``capacity`` (an oversize document gets a pack of
+    its own).  Emits (strata, order, size, pack_id, pack_fill).
+
+    Scale shape: packing is ORDER-DEPENDENT, so the sequential scan is
+    inherent — the parallelism axis is strata (co-located via
+    ``hash(strata) % n_shards``, the fixed-shard idiom); within a shard
+    the scan is one pass with O(1) work per row.  This mirrors how
+    production packers shard by stream.  The SQL twin replays the same
+    recurrence with a recursive CTE.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from geoglue_ray.functions.texthash import token_hash64
+
+    def shard(b: pa.Table) -> pa.Table:
+        s = b[strata_col].to_numpy(zero_copy_only=False)
+        h = token_hash64(s.astype(str)) % np.uint64(n_shards)
+        return b.append_column("_pk", pa.array(h.astype(np.int64)))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([strata_col, order_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        sizes = g[size_col].to_numpy()
+        strata = g[strata_col].to_numpy()
+        pack_id = np.empty(len(g), dtype=np.int64)
+        fill = np.empty(len(g), dtype=np.int64)
+        cur_s, cur_fill, cur_id = None, 0, 0
+        for i in range(len(g)):
+            if strata[i] != cur_s:
+                cur_s, cur_id, cur_fill = strata[i], 1, int(sizes[i])
+            elif cur_fill + sizes[i] > capacity:
+                cur_id += 1
+                cur_fill = int(sizes[i])
+            else:
+                cur_fill += int(sizes[i])
+            pack_id[i] = cur_id
+            fill[i] = cur_fill
+        out = g.drop(columns=["_pk"])
+        out["pack_id"] = pack_id
+        out["pack_fill"] = fill
+        return out
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(pack, batch_format="pandas")
+    )

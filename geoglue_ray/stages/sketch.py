@@ -417,6 +417,87 @@ def exact_quantiles(
     )
 
 
+
+
+def weighted_median(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    n_buckets: int = 64,
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """EXACT per-key weighted median over a discrete measure with
+    integer-valued weights: smallest value whose cumulative weight
+    reaches half the key's total (``2*cumw >= totw`` — all-integer
+    comparisons, bit-exact vs the SQL window twin).
+
+    Same scale shape as :func:`exact_quantiles`: per-batch (key, value)
+    weight histograms -> two fixed-cardinality reduce stages -> one
+    global searchsorted with per-key offset targets.  Shuffle payload is
+    (key x distinct-value) rows, never raw rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "_b": pa.array([], pa.int64()),
+                    key_col: pa.array([], b.schema.field(key_col).type),
+                    "_v": pa.array([], pa.float64()),
+                    "_n": pa.array([], pa.float64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                key_col: b[key_col].to_numpy(zero_copy_only=False),
+                "_v": b[value_col].to_numpy(zero_copy_only=False).astype(np.float64),
+                "_n": b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        k, v, w = _hist_reduce(df, key_col)
+        kh = pd.util.hash_array(np.ascontiguousarray(k)).astype(np.uint64)
+        bucket = ((kh ^ v.view(np.uint64)) * _HQ_MUL) % np.uint64(n_buckets)
+        return pa.table(
+            {
+                "_b": pa.array(bucket.astype(np.int64)),
+                key_col: pa.array(k),
+                "_v": pa.array(v),
+                "_n": pa.array(w),
+            }
+        )
+
+    def merge_hist(g: pd.DataFrame) -> pd.DataFrame:
+        k, v, w = _hist_reduce(g, key_col)
+        kh = pd.util.hash_array(np.ascontiguousarray(k)).astype(np.uint64)
+        shard = ((kh * _HQ_MUL) % np.uint64(n_shards)).astype(np.int64)
+        return pd.DataFrame({"_s": shard, key_col: k, "_v": v, "_n": w})
+
+    def shard_wmedian(g: pd.DataFrame) -> pd.DataFrame:
+        k, v, w = _hist_reduce(g, key_col)
+        codes, uniq = pd.factorize(k, use_na_sentinel=False)
+        cum = np.cumsum(w)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)] - 1
+        base = np.r_[0.0, cum[ends[:-1]]][: len(starts)]
+        totw = cum[ends] - base
+        idx = np.searchsorted(2.0 * cum, 2.0 * base + totw, side="left")
+        return pd.DataFrame(
+            {
+                key_col: uniq[codes[starts]],
+                "total_w": totw,
+                "wmedian": v[idx],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(merge_hist, batch_format="pandas")
+        .groupby("_s")
+        .map_groups(shard_wmedian, batch_format="pandas")
+    )
+
+
 def value_rank(
     ds: rd.Dataset,
     key_col: str,

@@ -365,3 +365,106 @@ class RegexExtractor:
                 g, pc.cast(pc.struct_field(ext, i), self.types[g])
             )
         return batch
+
+
+_VOCAB_CACHE: dict = {}
+
+
+def _vocab_lookup(ref):
+    """Per-worker size-1 cached fetch of a broadcast vocab array (the
+    _sig_lookup pattern from stages/dedup)."""
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    hit = _VOCAB_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref)
+        _VOCAB_CACHE.clear()
+        _VOCAB_CACHE[key] = hit
+    return hit
+
+
+def _assemble_vocab_impl(*tabs: pa.Table) -> np.ndarray:
+    """Union of per-block distinct token hashes -> one sorted uint64
+    array.  Runs as a Ray task (refs in, broadcastable array out): the
+    driver never stages the vocabulary."""
+    arrs = [
+        t["_h"].to_numpy().view(np.uint64)
+        for t in tabs
+        # Ray can hand back zero-row blocks carrying a stale/empty schema
+        # (the documented sort/materialize empties) — skip them
+        if len(t) and "_h" in t.schema.names
+    ]
+    return np.unique(np.concatenate(arrs or [np.zeros(0, np.uint64)]))
+
+
+_VOCAB_TASK = None
+
+
+def _get_vocab_task():
+    import ray
+
+    global _VOCAB_TASK
+    if _VOCAB_TASK is None:
+        _VOCAB_TASK = ray.remote(_assemble_vocab_impl)
+    return _VOCAB_TASK
+
+
+def decontaminate(
+    docs: rd.Dataset,
+    bench: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> rd.Dataset:
+    """Benchmark decontamination — the LLM-curation step that flags
+    training documents overlapping an evaluation set.  Per document: the
+    fraction of its 3-gram SHINGLE occurrences present in the benchmark's
+    distinct-shingle set, plus a threshold flag.  Shingles (not plain
+    tokens — a small shared vocabulary makes token overlap ~1 for every
+    document, measured on the fixture) use the SQL-replicable combine
+    from :func:`geoglue_ray.stages.dedup.shingle_hash_batch`.
+
+    Scale shape: the benchmark side (small by definition) reduces to
+    per-block distinct shingle hashes, assembled OFF-driver in one Ray
+    task into a sorted array and broadcast once; the corpus streams
+    through one vectorized pass (shingle -> ``searchsorted`` membership
+    -> per-doc segment sum).  No shuffle touches the corpus.  The SQL
+    twin recomputes every shingle through the HUGEINT replica, so the
+    fraction (one division of exact integers) is bit-exact.
+    """
+    from geoglue_ray.stages.dedup import shingle_hash_batch
+
+    def bench_hashes(b: pa.Table) -> pa.Table:
+        sh, _ = shingle_hash_batch(b[text_col].combine_chunks())
+        return pa.table({"_h": pa.array(np.unique(sh).view(np.int64))})
+
+    vocab_blocks = bench.map_batches(bench_hashes, batch_format="pyarrow").materialize()
+    vocab_ref = _get_vocab_task().remote(*vocab_blocks.to_arrow_refs())
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab = _vocab_lookup(vocab_ref)
+        sh, off = shingle_hash_batch(b[text_col].combine_chunks())
+        n_sh = np.diff(off)
+        pos = np.searchsorted(vocab, sh)
+        pos[pos == len(vocab)] = 0
+        hit = (
+            (vocab[pos] == sh).astype(np.int64)
+            if len(vocab)
+            else np.zeros(len(sh), np.int64)
+        )
+        n_overlap = np.add.reduceat(np.concatenate([hit, [0]]), off[:-1])
+        n_overlap[n_sh == 0] = 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = n_overlap.astype(np.float64) / n_sh.astype(np.float64)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_shingles": pa.array(n_sh.astype(np.int64)),
+                "n_overlap": pa.array(n_overlap.astype(np.int64)),
+                "contam_frac": pa.array(frac),
+                "is_contaminated": pa.array(frac > threshold),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

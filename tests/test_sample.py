@@ -87,3 +87,31 @@ def test_stratified_sample_small_stratum_keeps_all():
     got = stratified_sample(rd.from_pandas(df), "lang", "doc_id", 100).to_pandas()
     assert len(got) == 5
     assert set(got["rank"]) == {1, 2, 3, 4, 5}
+
+
+def test_greedy_pack_semantics():
+    """Boundary cases: exact fit stays in the pack, overflow opens a new
+    one, an oversize doc gets its own pack, strata are independent."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.sample import greedy_pack
+
+    t = pa.table(
+        {
+            "s": pa.array(["a"] * 5 + ["b"] * 2),
+            "id": pa.array([1, 2, 3, 4, 5, 1, 2], pa.int64()),
+            "n": pa.array([60, 40, 1, 200, 10, 100, 100], pa.int64()),
+        }
+    )
+    out = (
+        greedy_pack(rd.from_arrow(t).repartition(3), "s", "n", "id", capacity=100)
+        .to_pandas()
+        .sort_values(["s", "id"])
+        .reset_index(drop=True)
+    )
+    # a: 60+40=100 exact fit -> pack 1; 1 -> pack 2; 200 oversize -> pack 3; 10 -> pack 4
+    assert out.loc[out["s"] == "a", "pack_id"].tolist() == [1, 1, 2, 3, 4]
+    assert out.loc[out["s"] == "a", "pack_fill"].tolist() == [60, 100, 1, 200, 10]
+    # b: independent numbering
+    assert out.loc[out["s"] == "b", "pack_id"].tolist() == [1, 2]

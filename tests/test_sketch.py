@@ -231,3 +231,45 @@ def test_kmv_hash_sql_twin_exact():
     assert {i: int(h) for i, h in got} == {
         int(i): int(w) for i, w in zip(ids, want)
     }
+
+
+def test_weighted_median_matches_duckdb_and_splits():
+    """weighted_median vs the SQL window rule on random integer weights,
+    invariant to block splits, heavy value ties included."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.sketch import weighted_median
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    tab = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 7, n).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 12, n).astype(np.float64)),
+            "w": pa.array(rng.integers(1, 50, n).astype(np.float64)),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = con.execute(
+        """
+        WITH h AS (SELECT k, v, sum(w) AS w FROM t GROUP BY 1, 2),
+        cw AS (SELECT k, v, sum(w) OVER (PARTITION BY k ORDER BY v) AS cumw,
+                      sum(w) OVER (PARTITION BY k) AS totw FROM h)
+        SELECT k, CAST(max(totw) AS DOUBLE) AS total_w,
+               min(v) FILTER (2*cumw >= totw) AS wmedian
+        FROM cw GROUP BY 1 ORDER BY 1
+        """
+    ).fetchdf()
+    for parts in (1, 9):
+        got = (
+            weighted_median(rd.from_arrow(tab).repartition(parts), "k", "v", "w")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert np.array_equal(got["k"].to_numpy(), want["k"].to_numpy())
+        assert np.array_equal(got["total_w"].to_numpy(), want["total_w"].to_numpy())
+        assert np.array_equal(got["wmedian"].to_numpy(), want["wmedian"].to_numpy())

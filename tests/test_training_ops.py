@@ -790,3 +790,33 @@ def test_bloom_prefilter_exact_and_no_false_negatives():
     )
     assert len(bc) == n - len(elim_ids)
     assert bc.equals(sh[bc.columns])
+
+
+def test_decontaminate_planted():
+    """Planted contamination: a verbatim copy and a half-copied doc of a
+    benchmark document must flag; an unrelated doc must not."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.text import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    half = "alpha beta gamma delta epsilon completely different tail words here"
+    clean = "one two three four five six seven eight nine ten"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([bench_text, half, clean]),
+        }
+    )
+    bench = pa.table({"doc_id": pa.array([99], pa.int64()), "text": pa.array([bench_text])})
+    out = (
+        decontaminate(rd.from_arrow(docs), rd.from_arrow(bench), threshold=0.3)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[1, "is_contaminated"])  # verbatim copy
+    assert out.loc[1, "contam_frac"] == 1.0
+    assert bool(out.loc[2, "is_contaminated"])  # 3 of 8 shingles shared
+    assert not bool(out.loc[3, "is_contaminated"])
+    assert out.loc[3, "n_overlap"] == 0
