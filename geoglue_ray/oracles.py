@@ -1065,6 +1065,25 @@ ORDER BY lang, rank
 """
 
 
+def weighted_sample_docs(k: int = 20) -> str:
+    """Weighted-sample twin: the same ``kmv // weight`` HUGEINT priority,
+    ranked per language on the unsigned value; the emitted sample_key is
+    the signed two's-complement view on both sides."""
+    from geoglue_ray.functions.texthash import sql_kmv_hash, sql_u64_to_bigint
+
+    return f"""
+WITH h AS (
+  SELECT lang, doc_id, n_chars,
+         ({sql_kmv_hash('doc_id')}) // n_chars::HUGEINT AS pri
+  FROM documents)
+SELECT lang, doc_id, n_chars, {sql_u64_to_bigint('pri')} AS sample_key,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS BIGINT) AS rank
+FROM h
+QUALIFY rank <= {k}
+ORDER BY lang, rank
+"""
+
+
 def embed_neardup_recall() -> str:
     """Planted-pair recall claim for embedding near-dup: the engine must
     find >= 0.8 of the planted near-identical twins (and report the
@@ -1085,6 +1104,28 @@ SELECT {fx.sql_admin1_name('a2')} AS admin1_id,
        quantile_disc(value, 0.75) AS p75,
        median(value) AS median_val
 FROM asg GROUP BY 1 ORDER BY 1
+"""
+
+
+def gini_admin1() -> str:
+    """Gini twin: row_number rank-weighted sum (tie permutations within
+    an equal value leave sum(rn*v) unchanged, matching the engine's
+    closed form), exact BIGINT chain, one double division."""
+    a1 = fx.sql_admin1_name("a2")
+    return f"""{_assigned_cte()},
+g AS (SELECT {a1} AS admin1_id, CAST(value AS BIGINT) AS v FROM asg),
+r AS (SELECT admin1_id, v,
+             row_number() OVER (PARTITION BY admin1_id ORDER BY v) AS rn
+      FROM g),
+s AS (SELECT admin1_id,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(v) AS BIGINT) AS total,
+             CAST(sum(rn * v) AS BIGINT) AS rsum
+      FROM r GROUP BY 1)
+SELECT admin1_id, n_obs, total,
+       CAST(2 * rsum - (n_obs + 1) * total AS DOUBLE)
+         / CAST(n_obs * total AS DOUBLE) AS gini
+FROM s ORDER BY 1
 """
 
 

@@ -1177,6 +1177,19 @@ def quantiles_admin1(sf_dir: str) -> rd.Dataset:
     return out.sort("admin1_id")
 
 
+def gini_admin1(sf_dir: str) -> rd.Dataset:
+    """EXACT per-admin-1 Gini coefficient of the observation measure —
+    the inequality/concentration statistic a data-quality audit runs per
+    region (stages/sketch.gini: histogram partials, closed-form
+    rank-weighted sum per value run, exact int64 chain, one division).
+    Shuffle payload is (admin x distinct-value) histogram rows."""
+    from geoglue_ray.stages.sketch import gini
+
+    ds = corpus_with_admin(sf_dir)
+    ds = ds.select_columns(["admin1_id", "value"])
+    return gini(ds, "admin1_id", "value").sort("admin1_id")
+
+
 def weighted_median_admin1(sf_dir: str) -> rd.Dataset:
     """EXACT population-weighted median per admin-1 — the reference's
     weighted zonal grammar (zonalstats.py:43-63) extended to an order
@@ -1558,6 +1571,19 @@ def decontaminate_docs(sf_dir: str) -> rd.Dataset:
         bench_filter, batch_format="pyarrow"
     )
     return decontaminate(docs, bench, threshold=0.5).sort("doc_id")
+
+
+def weighted_sample_docs(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """Length-biased deterministic sample: k docs per language, inclusion
+    probability ~proportional to n_chars (sequential Poisson sampling
+    with priority ``kmv_hash64(doc_id) // n_chars`` — stages/sample.
+    weighted_sample; the grouped-weighted counterpart of
+    stratified_sample).  Two-level top-k, no corpus shuffle."""
+    from geoglue_ray.stages.sample import weighted_sample
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "lang", "n_chars"])
+    out = weighted_sample(ds, "lang", "doc_id", "n_chars", k)
+    return out.sort(["lang", "rank"])
 
 
 def pack_documents(sf_dir: str) -> rd.Dataset:

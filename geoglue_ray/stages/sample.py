@@ -154,6 +154,52 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    ds: rd.Dataset, strata_col: str, id_col: str, weight_col: str, k: int
+) -> rd.Dataset:
+    """Deterministic WEIGHTED k-per-stratum sample — sequential Poisson
+    sampling (Ohlsson) with the uniform variate replaced by the strong
+    id hash: priority ``kmv_hash64(id) // weight`` (integer floor
+    division — exact on both sides), keep the k smallest priorities per
+    stratum, ties broken by id.  A row with twice the weight halves its
+    expected priority, so inclusion probability grows ~proportional to
+    weight while staying a pure function of (id, weight): reruns and the
+    SQL oracle reproduce the sample bit-for-bit.  Weights must be
+    positive integers (integer-valued floats are fine).
+
+    Scale shape is :func:`stratified_sample`'s two-level top-k — per-batch
+    prune to <= k rows per stratum, one final task over the bounded
+    partial union; no corpus shuffle."""
+    from geoglue_ray.functions.texthash import kmv_hash64
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w) and w.min() <= 0:
+            raise ValueError(f"{weight_col} must be positive")
+        pri = kmv_hash64(ids) // w.astype(np.uint64)
+        df = pd.DataFrame(
+            {
+                strata_col: b[strata_col].to_numpy(zero_copy_only=False),
+                "_id": ids,
+                weight_col: w,
+                "sample_key": pri.view(np.int64),
+            }
+        )
+        return _prune_topk(df, strata_col, k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = _prune_topk(df.drop(columns=["rank"]), strata_col, k)
+        out = out.rename(columns={"_id": id_col})
+        return out[[strata_col, id_col, weight_col, "sample_key", "rank"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
 def greedy_pack(
     ds: "rd.Dataset",
     strata_col: str,

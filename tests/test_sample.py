@@ -115,3 +115,56 @@ def test_greedy_pack_semantics():
     assert out.loc[out["s"] == "a", "pack_fill"].tolist() == [60, 100, 1, 200, 10]
     # b: independent numbering
     assert out.loc[out["s"] == "b", "pack_id"].tolist() == [1, 2]
+
+
+def test_weighted_sample_bias_and_exactness():
+    """weighted_sample matches the brute-force priority rule exactly and
+    overselects heavy rows (weight 50 vs 1), invariant to block splits."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.functions.texthash import kmv_hash64
+    from geoglue_ray.stages.sample import weighted_sample
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.where(ids % 10 == 0, 50, 1).astype(np.int64)  # 10% heavy
+    t = pa.table(
+        {
+            "g": pa.array(np.repeat(["x", "y"], n // 2)),
+            "doc_id": pa.array(ids),
+            "w": pa.array(w),
+        }
+    )
+    pri = kmv_hash64(ids) // w.astype(np.uint64)
+    import pandas as pd
+
+    bf = pd.DataFrame({"g": t["g"].to_numpy(zero_copy_only=False), "doc_id": ids, "pri": pri})
+    bf["rank"] = bf.sort_values(["pri", "doc_id"]).groupby("g").cumcount() + 1
+    want = bf[bf["rank"] <= 30].sort_values(["g", "rank"])  # noqa: F841 — built below per group
+    want_ids = {
+        g: sub.sort_values(["pri", "doc_id"]).head(30)["doc_id"].tolist()
+        for g, sub in bf.groupby("g")
+    }
+    for parts in (1, 7):
+        got = (
+            weighted_sample(rd.from_arrow(t).repartition(parts), "g", "doc_id", "w", 30)
+            .to_pandas()
+            .sort_values(["g", "rank"])
+        )
+        for g, sub in got.groupby("g"):
+            assert sub["doc_id"].tolist() == want_ids[g]
+    heavy_frac = (got["doc_id"] % 10 == 0).mean()
+    assert heavy_frac > 0.5  # 10% of rows, >50% of the sample
+
+
+def test_weighted_sample_rejects_nonpositive():
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from geoglue_ray.stages.sample import weighted_sample
+
+    t = pa.table({"g": ["a"], "doc_id": pa.array([1], pa.int64()), "w": pa.array([0], pa.int64())})
+    with pytest.raises(Exception, match="positive"):
+        weighted_sample(rd.from_arrow(t), "g", "doc_id", "w", 5).to_pandas()

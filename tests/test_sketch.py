@@ -273,3 +273,47 @@ def test_weighted_median_matches_duckdb_and_splits():
         assert np.array_equal(got["k"].to_numpy(), want["k"].to_numpy())
         assert np.array_equal(got["total_w"].to_numpy(), want["total_w"].to_numpy())
         assert np.array_equal(got["wmedian"].to_numpy(), want["wmedian"].to_numpy())
+
+
+def test_gini_matches_duckdb_and_splits():
+    """gini vs the SQL row_number rule on random non-negative integers,
+    heavy ties included, invariant to block splits; uniform values give
+    low G, concentrated values high G."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.sketch import gini
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    k = rng.integers(0, 6, n).astype(np.int64)
+    v = rng.integers(0, 9, n).astype(np.float64)
+    v[k == 5] = (rng.random(n) < 0.05)[k == 5] * 1000.0  # concentrated key
+    tab = pa.table({"k": pa.array(k), "v": pa.array(v)})
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = con.execute(
+        """
+        WITH r AS (SELECT k, CAST(v AS BIGINT) AS vi,
+                          row_number() OVER (PARTITION BY k ORDER BY v) AS rn FROM t),
+        s AS (SELECT k, CAST(count(*) AS BIGINT) n_obs, CAST(sum(vi) AS BIGINT) total,
+                     CAST(sum(rn*vi) AS BIGINT) rsum FROM r GROUP BY 1)
+        SELECT k, n_obs, total,
+               CAST(2*rsum-(n_obs+1)*total AS DOUBLE)/CAST(n_obs*total AS DOUBLE) AS gini
+        FROM s ORDER BY 1
+        """
+    ).fetchdf()
+    for parts in (1, 11):
+        got = (
+            gini(rd.from_arrow(tab).repartition(parts), "k", "v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        for col in ("k", "n_obs", "total"):
+            assert np.array_equal(got[col].to_numpy(), want[col].to_numpy()), col
+        assert np.array_equal(got["gini"].to_numpy(), want["gini"].to_numpy())
+    g = got.set_index("k")["gini"]
+    assert g.loc[5] > 0.9  # 5% of rows hold all the mass
+    assert (g.loc[:4] < 0.5).all()  # near-uniform keys
