@@ -1065,6 +1065,22 @@ ORDER BY lang, rank
 """
 
 
+def copurchase_pairs(top_n: int = 50) -> str:
+    """Co-occurrence twin: distinct (order, part), self-join with
+    part1 < part2, exact counts, total-order cutoff (count desc, part
+    pair) so the LIMIT boundary is deterministic."""
+    return f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS item1, b.l_partkey AS item2
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey)
+SELECT item1, item2, CAST(count(*) AS BIGINT) AS n_baskets
+FROM p GROUP BY 1, 2
+ORDER BY n_baskets DESC, item1, item2
+LIMIT {top_n}
+"""
+
+
 def weighted_sample_docs(k: int = 20) -> str:
     """Weighted-sample twin: the same ``kmv // weight`` HUGEINT priority,
     ranked per language on the unsigned value; the emitted sample_key is

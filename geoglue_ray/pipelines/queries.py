@@ -1573,6 +1573,19 @@ def decontaminate_docs(sf_dir: str) -> rd.Dataset:
     return decontaminate(docs, bench, threshold=0.5).sort("doc_id")
 
 
+def copurchase_pairs(sf_dir: str, top_n: int = 50) -> rd.Dataset:
+    """Market-basket analysis over orders: the top 50 part pairs most
+    often bought together (stages/join.cooccur_topk — basket-sharded
+    vectorized pair generation with per-shard collapse, pair-sharded
+    exact sums, two-level top-k; the frequent-itemset k=2 primitive)."""
+    from geoglue_ray.stages.join import cooccur_topk
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return cooccur_topk(li, "l_orderkey", "l_partkey", top_n=top_n)
+
+
 def weighted_sample_docs(sf_dir: str, k: int = 20) -> rd.Dataset:
     """Length-biased deterministic sample: k docs per language, inclusion
     probability ~proportional to n_chars (sequential Poisson sampling

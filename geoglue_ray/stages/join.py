@@ -334,6 +334,8 @@ def interval_join(
     on: tuple[str, str, str, str],
     bucket_width: int,
     n_shards: int = 64,
+    hot_buckets: np.ndarray | None = None,
+    hot_salt: int = 8,
 ) -> rd.Dataset:
     """Big-big interval join of two DISTINCT tables: one output row per
     overlapping (left interval, right interval) pair — closed-interval
@@ -357,8 +359,21 @@ def interval_join(
     The whole path is Arrow-native: side-exclusive nulls never pass
     through pandas, so int64/timestamp columns keep their types (the
     tagged-union float64 NaN-fill hazard, CLAUDE.md).
+
+    Skew: ``hot_buckets`` (a small int64 array of bucket ids known to be
+    hot — e.g. from a cheap pre-count) splits each hot bucket across
+    ``hot_salt`` sub-keys, the join analogue of hash_equijoin's hot-key
+    salting: LEFT rows in a hot bucket round-robin over the salts, RIGHT
+    rows replicate to every salt, so every pair still meets exactly once
+    and one mega-bucket's L x R cross product spreads over ``hot_salt``
+    tasks (at the cost of replicating the hot right rows).  The salt is
+    packed into the pairing key, so two salts hashing to the same shard
+    can never double-count.  Results are identical with or without
+    salting (tested).
     """
     ls_c, le_c, rs_c, re_c = on
+    salt_mult = int(hot_salt) if hot_buckets is not None else 1
+    hot_sorted = np.sort(np.asarray(hot_buckets, dtype=np.int64)) if hot_buckets is not None else None
     lschema, rschema = left.schema(), right.schema()
     lcols, rcols = list(lschema.names), list(rschema.names)
     overlap_names = set(lcols) & set(rcols)
@@ -378,12 +393,34 @@ def interval_join(
             row = np.repeat(np.arange(len(b)), k)
             within = np.arange(int(k.sum())) - np.repeat(np.cumsum(k) - k, k)
             bucket = b0[row] + within
-            shard = ((bucket.astype(np.uint64) * MUL) % np.uint64(n_shards)).astype(
+            if hot_sorted is not None:
+                pos = np.searchsorted(hot_sorted, bucket)
+                pos[pos == len(hot_sorted)] = 0
+                hotm = (
+                    (hot_sorted[pos] == bucket)
+                    if len(hot_sorted)
+                    else np.zeros(len(bucket), bool)
+                )
+                if tag == 0:
+                    # probe side: round-robin hot rows over the salts
+                    salt = np.where(hotm, np.arange(len(bucket)) % hot_salt, 0)
+                else:
+                    # build side: replicate hot rows to every salt
+                    rep = np.where(hotm, hot_salt, 1).astype(np.int64)
+                    idx2 = np.repeat(np.arange(len(bucket)), rep)
+                    salt = np.arange(int(rep.sum())) - np.repeat(
+                        np.cumsum(rep) - rep, rep
+                    )
+                    row, bucket = row[idx2], bucket[idx2]
+                packed = bucket * salt_mult + salt
+            else:
+                packed = bucket
+            shard = ((packed.astype(np.uint64) * MUL) % np.uint64(n_shards)).astype(
                 np.int64
             )
             cols: dict = {
                 "_is": pa.array(shard),
-                "_ib": pa.array(bucket),
+                "_ib": pa.array(packed),
                 "_it": pa.array(np.full(len(row), tag, dtype=np.int8)),
             }
             take = pa.array(row)
@@ -430,7 +467,9 @@ def interval_join(
         rs = rg[rs_c].to_numpy()[ridx]
         re_ = rg[re_c].to_numpy()[ridx]
         keep = (
-            (ls <= re_) & (rs <= le) & (np.maximum(ls, rs) // bucket_width == common[pb])
+            (ls <= re_)
+            & (rs <= le)
+            & (np.maximum(ls, rs) // bucket_width == common[pb] // salt_mult)
         )
         lt = lg.select(lcols).take(pa.array(lidx[keep]))
         rt = rg.select(rcols).take(pa.array(ridx[keep]))
@@ -441,3 +480,103 @@ def interval_join(
     # schema-LESS empty dataset (test_ray_internals pins the upstream
     # behavior); one typed zero-row block keeps the declared schema.
     return joined.union(rd.from_arrow(empty))
+
+
+def cooccur_topk(
+    ds: rd.Dataset,
+    basket_col: str,
+    item_col: str,
+    top_n: int = 50,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Market-basket pair co-occurrence: for every unordered pair of
+    DISTINCT items appearing in the same basket, the number of baskets
+    containing both — the frequent-itemset (k=2) primitive of a
+    recommender / data-audit pipeline.  Emits the global ``top_n`` pairs
+    by (count desc, item1, item2) — a total order, so the cutoff is
+    deterministic.
+
+    Scale shape: baskets co-locate via ``hash(basket) % n_shards``; each
+    shard task generates within-basket pairs in one lexsort +
+    :func:`geoglue_ray.stages.dedup._run_pairs` pass and COLLAPSES them
+    to per-shard (pair, count) partials (shuffle payload = distinct-pair
+    cardinality, never the pair stream).  Pair partials co-locate via
+    ``hash(pair) % n_shards`` for the exact per-pair sum, each pair shard
+    prunes to its local top_n, and one final task reduces the bounded
+    ``n_shards x top_n`` union — two-level top-k, exact because a pair's
+    total count lives entirely in one pair shard.  Baskets are assumed
+    bounded (items-per-basket ~ tens); a hot basket with B items emits
+    B(B-1)/2 pairs — cap upstream if B can be adversarial."""
+    from geoglue_ray.functions.texthash import int_hash64
+    from geoglue_ray.stages.dedup import _run_pairs
+
+    def shard(b: pa.Table) -> pa.Table:
+        k = b[basket_col].to_numpy()
+        return pa.table(
+            {
+                "_sh": pa.array((int_hash64(k) % np.uint64(n_shards)).astype(np.int64)),
+                basket_col: b[basket_col],
+                item_col: b[item_col],
+            }
+        )
+
+    def gen_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        bk = g[basket_col].to_numpy()
+        it = g[item_col].to_numpy()
+        o = np.lexsort((it, bk))
+        bk, it = bk[o], it[o]
+        uniq = np.r_[True, (bk[1:] != bk[:-1]) | (it[1:] != it[:-1])]
+        bk, it = bk[uniq], it[uniq]  # distinct items per basket
+        ia, ib = _run_pairs(bk)
+        if len(ia) == 0:
+            return pd.DataFrame(
+                {
+                    "item1": np.array([], np.int64),
+                    "item2": np.array([], np.int64),
+                    "n_baskets": np.array([], np.int64),
+                    "_ps": np.array([], np.int64),
+                }
+            )
+        # items ascend within a basket run, so it[ia] < it[ib] already
+        packed = (it[ia].astype(np.int64) << np.int64(32)) | it[ib].astype(np.int64)
+        pu, cnt = np.unique(packed, return_counts=True)
+        ps = (int_hash64(pu) % np.uint64(n_shards)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "item1": (pu >> np.int64(32)).astype(np.int64),
+                "item2": (pu & np.int64(0xFFFFFFFF)).astype(np.int64),
+                "n_baskets": cnt.astype(np.int64),
+                "_ps": ps,
+            }
+        )
+
+    def topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+        if len(df) == 0:
+            return df[["item1", "item2", "n_baskets"]]
+        packed = (df["item1"].to_numpy() << np.int64(32)) | df["item2"].to_numpy()
+        pu, inv = np.unique(packed, return_inverse=True)
+        cnt = np.bincount(inv, weights=df["n_baskets"].to_numpy()).astype(np.int64)
+        o = np.lexsort((pu, -cnt))[:k]
+        return pd.DataFrame(
+            {
+                "item1": (pu[o] >> np.int64(32)).astype(np.int64),
+                "item2": (pu[o] & np.int64(0xFFFFFFFF)).astype(np.int64),
+                "n_baskets": cnt[o],
+            }
+        )
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return topk(g, top_n)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return topk(df, top_n)
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(gen_pairs, batch_format="pandas")
+        .groupby("_ps")
+        .map_groups(shard_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

@@ -285,3 +285,82 @@ def test_hash_equijoin_outer():
     rv = out["rv"].to_numpy()
     assert np.isnan(rv[0]) and rv[1:].tolist() == [20.0, 30.0, 40.0]
     assert out["k"].dtype == np.int64
+
+
+def test_cooccur_topk_bruteforce_duplicates_and_ties():
+    """cooccur_topk vs brute force on random baskets: duplicate items in
+    a basket count once, the (count desc, item1, item2) cutoff is a total
+    order, and block splits don't change the answer."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.join import cooccur_topk
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for basket in range(300):
+        items = rng.integers(0, 40, rng.integers(1, 7))
+        items = np.r_[items, items[:1]]  # plant a duplicate
+        rows += [(basket, int(i)) for i in items]
+    df = pd.DataFrame(rows, columns=["b", "i"])
+    counts: dict = {}
+    for _, g in df.groupby("b"):
+        for a, c in itertools.combinations(sorted(set(g["i"])), 2):
+            counts[(a, c)] = counts.get((a, c), 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    t = pa.table({"b": pa.array(df["b"], pa.int64()), "i": pa.array(df["i"], pa.int64())})
+    for parts in (1, 8):
+        got = cooccur_topk(
+            rd.from_arrow(t).repartition(parts), "b", "i", top_n=25, n_shards=8
+        ).to_pandas()
+        got_list = [((r.item1, r.item2), r.n_baskets) for r in got.itertuples()]
+        assert got_list == [((a, c), n) for (a, c), n in want]
+
+
+def test_interval_join_hot_bucket_salting_equality():
+    """Salted interval_join (hot mega-bucket split over sub-keys, build
+    side replicated) returns the exact same pair set as unsalted,
+    including lefts spanning multiple buckets and the pair-once rule."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.join import interval_join
+
+    rng = np.random.default_rng(31)
+    # points: 60% crammed into bucket 5 (width 100 -> [500, 600)), rest spread
+    n = 800
+    hot = rng.integers(500, 600, int(n * 0.6))
+    cold = rng.integers(0, 2000, n - len(hot))
+    pt = np.r_[hot, cold].astype(np.int64)
+    left = pa.table({"l_id": pa.array(np.arange(n, dtype=np.int64)), "ls": pa.array(pt), "le": pa.array(pt)})
+    # windows: some long (span many buckets), some inside the hot bucket
+    ws = rng.integers(0, 1900, 150).astype(np.int64)
+    wlen = rng.integers(1, 400, 150).astype(np.int64)
+    right = pa.table(
+        {
+            "w_id": pa.array(np.arange(150, dtype=np.int64)),
+            "rs": pa.array(ws),
+            "re": pa.array(ws + wlen),
+        }
+    )
+
+    def run(**kw):
+        out = interval_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(3),
+            ("ls", "le", "rs", "re"),
+            bucket_width=100,
+            n_shards=16,
+            **kw,
+        ).to_pandas()
+        return sorted(map(tuple, out[["l_id", "w_id"]].to_numpy()))
+
+    plain = run()
+    salted = run(hot_buckets=np.array([5], dtype=np.int64), hot_salt=4)
+    assert plain == salted
+    assert len(plain) > 1000  # non-trivial overlap volume
