@@ -1145,6 +1145,56 @@ FROM s ORDER BY 1
 """
 
 
+def covariance_admin1() -> str:
+    """Comoment twin: exact BIGINT moment sums, cleared-denominator
+    variance/covariance, one double division per statistic."""
+    a1 = fx.sql_admin1_name("a2")
+    w = fx.sql_weight("lon", "lat")
+    return f"""{_assigned_cte()},
+g AS (SELECT {a1} AS admin1_id, CAST(value AS BIGINT) AS x,
+             CAST({w} AS BIGINT) AS y
+      FROM asg),
+s AS (SELECT admin1_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM g GROUP BY 1)
+SELECT admin1_id, n AS n_obs,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+       CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * n AS DOUBLE) AS var_x,
+       CAST(n * syy - sy * sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS var_y,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS cov_xy
+FROM s ORDER BY 1
+"""
+
+
+def outliers_admin1() -> str:
+    """Outlier twin: per-key exact moments, the denominator-cleared
+    comparison in HUGEINT (an engine-side int64 overflow would redline
+    here instead of passing), one division for the reported mean."""
+    a1 = fx.sql_admin1_name("a2")
+    return f"""{_assigned_cte()},
+g AS (SELECT {a1} AS admin1_id, CAST(value AS BIGINT) AS v FROM asg),
+s AS (SELECT admin1_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(v * v) AS BIGINT) AS svv
+      FROM g GROUP BY 1)
+SELECT g.admin1_id,
+       max(s.n) AS n_obs,
+       CAST(max(s.sv) AS DOUBLE) / CAST(max(s.n) AS DOUBLE) AS mean_val,
+       CAST(count(*) FILTER (
+         (s.n::HUGEINT * g.v - s.sv) * (s.n::HUGEINT * g.v - s.sv)
+           > 4::HUGEINT * (s.n::HUGEINT * s.svv - s.sv::HUGEINT * s.sv)
+       ) AS BIGINT) AS n_outliers
+FROM g JOIN s ON g.admin1_id = s.admin1_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def weighted_median_admin1() -> str:
     """Weighted-median twin: per-(admin1, value) weight histogram, window
     cumulative weights, smallest value with 2*cumw >= totw — all-integer

@@ -1190,6 +1190,30 @@ def gini_admin1(sf_dir: str) -> rd.Dataset:
     return gini(ds, "admin1_id", "value").sort("admin1_id")
 
 
+def covariance_admin1(sf_dir: str) -> rd.Dataset:
+    """EXACT per-admin-1 bivariate profile of (value, population weight):
+    means, population variances and covariance — every statistic one
+    double division of exact int64 moment sums (stages/sketch.
+    comoment_stats), so the SQL twin matches bit-for-bit."""
+    from geoglue_ray.stages.sketch import comoment_stats
+
+    ds = corpus_with_admin(sf_dir, with_spans=False, with_weights=True)
+    ds = ds.select_columns(["admin1_id", "value", "weight"])
+    return comoment_stats(ds, "admin1_id", "value", "weight").sort("admin1_id")
+
+
+def outliers_admin1(sf_dir: str) -> rd.Dataset:
+    """EXACT per-admin-1 two-sigma outlier screen — |x - mean| > 2*std
+    without sqrt or per-row division: the all-integer comparison
+    (n*x - S)^2 > 4*(n*SS - S^2) evaluated once per distinct value run of
+    the histogram (stages/sketch.outlier_counts)."""
+    from geoglue_ray.stages.sketch import outlier_counts
+
+    ds = corpus_with_admin(sf_dir)
+    ds = ds.select_columns(["admin1_id", "value"])
+    return outlier_counts(ds, "admin1_id", "value", n_sigma=2).sort("admin1_id")
+
+
 def weighted_median_admin1(sf_dir: str) -> rd.Dataset:
     """EXACT population-weighted median per admin-1 — the reference's
     weighted zonal grammar (zonalstats.py:43-63) extended to an order

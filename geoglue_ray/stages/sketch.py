@@ -326,30 +326,20 @@ def _hist_reduce(df: pd.DataFrame, key_col: str) -> tuple:
     return uniq[cs[starts]], vs[starts], np.add.reduceat(cn, starts)
 
 
-def exact_quantiles(
+def _hist_pipeline(
     ds: rd.Dataset,
     key_col: str,
     value_col: str,
-    quantiles: tuple[float, ...] = (0.25, 0.75),
-    n_buckets: int = 64,
-    n_shards: int = 32,
+    shard_fn,
+    n_buckets: int,
+    n_shards: int,
 ) -> rd.Dataset:
-    """EXACT per-key quantiles + median via a value histogram — the
-    scale path for quantiles over a DISCRETE measure (integer-valued /
-    binned doubles; for unbounded continuous values use
-    :func:`approx_quantiles`).  Partitioning assumption: the shuffle
-    payload is (key x distinct-value) histogram rows, never raw rows, so
-    the distinct-value count per key must be bounded (here: fixture
-    measures live in [0, 65536)).
-
-    Quantile rule mirrors DuckDB ``quantile_disc`` exactly (probed:
-    0-based index ``ceil(q*n) - 1`` == first position whose cumulative
-    count reaches ``ceil(q*n)``); ``median_val`` averages the two middle
-    elements for even n (exact: integer-valued doubles).  Both reduce
-    stages are fixed-cardinality shuffles (hash % n_buckets / n_shards)
-    with all of a task's keys processed in one lexsort + reduceat pass.
-    The per-key search is one ``searchsorted`` on the GLOBAL cumulative
-    count array with per-key offset targets — no per-key Python."""
+    """Shared skeleton of the exact value-histogram aggregates
+    (:func:`exact_quantiles` / :func:`gini` / :func:`outlier_counts`):
+    per-batch (key, value, count) histograms -> (key, value)-bucketed
+    merge -> key-sharded ``shard_fn`` computing the per-key statistic in
+    one vectorized pass.  Shuffle payload is (key x distinct-value) rows
+    at every stage."""
 
     def partial(b: pa.Table) -> pa.Table:
         if len(b) == 0:  # typed empty — untyped empties corrupt block schemas
@@ -386,6 +376,40 @@ def exact_quantiles(
         shard = ((kh * _HQ_MUL) % np.uint64(n_shards)).astype(np.int64)
         return pd.DataFrame({"_s": shard, key_col: k, "_v": v, "_n": n})
 
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(merge_hist, batch_format="pandas")
+        .groupby("_s")
+        .map_groups(shard_fn, batch_format="pandas")
+    )
+
+
+def exact_quantiles(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.75),
+    n_buckets: int = 64,
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """EXACT per-key quantiles + median via a value histogram — the
+    scale path for quantiles over a DISCRETE measure (integer-valued /
+    binned doubles; for unbounded continuous values use
+    :func:`approx_quantiles`).  Partitioning assumption: the shuffle
+    payload is (key x distinct-value) histogram rows, never raw rows, so
+    the distinct-value count per key must be bounded (here: fixture
+    measures live in [0, 65536)).
+
+    Quantile rule mirrors DuckDB ``quantile_disc`` exactly (probed:
+    0-based index ``ceil(q*n) - 1`` == first position whose cumulative
+    count reaches ``ceil(q*n)``); ``median_val`` averages the two middle
+    elements for even n (exact: integer-valued doubles).  Both reduce
+    stages are fixed-cardinality shuffles (hash % n_buckets / n_shards)
+    with all of a task's keys processed in one lexsort + reduceat pass.
+    The per-key search is one ``searchsorted`` on the GLOBAL cumulative
+    count array with per-key offset targets — no per-key Python."""
+
     def shard_quantiles(g: pd.DataFrame) -> pd.DataFrame:
         k, v, n = _hist_reduce(g, key_col)
         codes, uniq = pd.factorize(k, use_na_sentinel=False)
@@ -408,13 +432,7 @@ def exact_quantiles(
         out["median_val"] = (lo + hi) / 2.0
         return pd.DataFrame(out)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(merge_hist, batch_format="pandas")
-        .groupby("_s")
-        .map_groups(shard_quantiles, batch_format="pandas")
-    )
+    return _hist_pipeline(ds, key_col, value_col, shard_quantiles, n_buckets, n_shards)
 
 
 
@@ -518,41 +536,6 @@ def gini(
     ~10^9 rows/key at fixture-scale measures; beyond that, split the
     rank-weighted sum into per-shard HUGEINT-style (hi, lo) pairs."""
 
-    def partial(b: pa.Table) -> pa.Table:
-        if len(b) == 0:  # typed empty — untyped empties corrupt block schemas
-            return pa.table(
-                {
-                    "_b": pa.array([], pa.int64()),
-                    key_col: pa.array([], b.schema.field(key_col).type),
-                    "_v": pa.array([], pa.float64()),
-                    "_n": pa.array([], pa.float64()),
-                }
-            )
-        df = pd.DataFrame(
-            {
-                key_col: b[key_col].to_numpy(zero_copy_only=False),
-                "_v": b[value_col].to_numpy(zero_copy_only=False).astype(np.float64),
-                "_n": np.ones(len(b), dtype=np.float64),
-            }
-        )
-        k, v, n = _hist_reduce(df, key_col)
-        kh = pd.util.hash_array(np.ascontiguousarray(k)).astype(np.uint64)
-        bucket = ((kh ^ v.view(np.uint64)) * _HQ_MUL) % np.uint64(n_buckets)
-        return pa.table(
-            {
-                "_b": pa.array(bucket.astype(np.int64)),
-                key_col: pa.array(k),
-                "_v": pa.array(v),
-                "_n": pa.array(n),
-            }
-        )
-
-    def merge_hist(g: pd.DataFrame) -> pd.DataFrame:
-        k, v, n = _hist_reduce(g, key_col)
-        kh = pd.util.hash_array(np.ascontiguousarray(k)).astype(np.uint64)
-        shard = ((kh * _HQ_MUL) % np.uint64(n_shards)).astype(np.int64)
-        return pd.DataFrame({"_s": shard, key_col: k, "_v": v, "_n": n})
-
     def shard_gini(g: pd.DataFrame) -> pd.DataFrame:
         k, v, n = _hist_reduce(g, key_col)
         c = n.astype(np.int64)
@@ -584,12 +567,151 @@ def gini(
             }
         )
 
+    return _hist_pipeline(ds, key_col, value_col, shard_gini, n_buckets, n_shards)
+
+
+def outlier_counts(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    n_sigma: int = 2,
+    n_buckets: int = 64,
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """EXACT per-key two-sided n-sigma outlier counts over an
+    integer-valued measure — the data-quality screen that normally needs
+    mean/std, made bit-exact by clearing denominators:
+    ``|x - mu| > s*sigma  <=>  (n*x - S)^2 > s^2 * (n*SS - S^2)`` with
+    S = sum(x), SS = sum(x^2) — an all-integer comparison, no sqrt and no
+    division until the single reported ``mean_val = S/n``.
+
+    Same histogram scale shape as :func:`gini` (partials -> two
+    fixed-cardinality reduces -> vectorized per-key closed form; the
+    comparison runs once per (key, distinct value) RUN, and every row of
+    a run shares the verdict).  int64 bound: needs
+    ``s^2 * n_k * SS_k < 2^63`` per key — holds to ~10^7 rows/key at
+    fixture-scale measures (the SQL twin computes the products in
+    HUGEINT, so an engine-side overflow would redline the gate rather
+    than pass silently)."""
+
+    def shard_outliers(g: pd.DataFrame) -> pd.DataFrame:
+        k, v, n = _hist_reduce(g, key_col)
+        c = n.astype(np.int64)
+        vi = v.astype(np.int64)
+        codes, uniq = pd.factorize(k, use_na_sentinel=False)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        seg_len = np.diff(np.r_[starts, len(codes)])
+        ends = np.r_[starts[1:], len(codes)] - 1
+
+        def seg_sum(x: np.ndarray) -> np.ndarray:
+            cs = np.cumsum(x)
+            return cs[ends] - np.r_[0, cs[ends[:-1]]][: len(starts)]
+
+        nk = seg_sum(c)
+        S = seg_sum(c * vi)
+        SS = seg_sum(c * vi * vi)
+        n_r = np.repeat(nk, seg_len)
+        S_r = np.repeat(S, seg_len)
+        SS_r = np.repeat(SS, seg_len)
+        d = n_r * vi - S_r
+        flag = d * d > (n_sigma * n_sigma) * (n_r * SS_r - S_r * S_r)
+        n_out = seg_sum(np.where(flag, c, 0))
+        return pd.DataFrame(
+            {
+                key_col: uniq[codes[starts]],
+                "n_obs": nk,
+                "mean_val": S.astype(np.float64) / nk.astype(np.float64),
+                "n_outliers": n_out,
+            }
+        )
+
+    return _hist_pipeline(ds, key_col, value_col, shard_outliers, n_buckets, n_shards)
+
+
+def comoment_stats(
+    ds: rd.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """EXACT per-key bivariate second-moment profile over integer-valued
+    measures: population variance and covariance with cleared
+    denominators — ``var_x = (n*Sxx - Sx^2)/n^2``, ``cov_xy =
+    (n*Sxy - Sx*Sy)/n^2`` — every sum and product exact int64, ONE double
+    division per reported statistic, so the SQL twin is bit-exact
+    (correlation needs sqrt and is deliberately absent; divide
+    downstream if tolerance is acceptable).
+
+    Scale shape: per-batch (n, Sx, Sy, Sxx, Syy, Sxy) partials via one
+    lexsort+reduceat pass (int64-exact, never float bincount), fixed-shard
+    merge, closed form per key.  Shuffle payload = key cardinality x 7
+    int64s per batch.  int64 bound: ``n_k * Sxy_k < 2^63`` per key."""
+    from geoglue_ray.functions.texthash import token_hash64
+
+    part_cols = ("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy")
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "_s": pa.array([], pa.int64()),
+                    key_col: pa.array([], b.schema.field(key_col).type),
+                    **{c: pa.array([], pa.int64()) for c in part_cols},
+                }
+            )
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(k, use_na_sentinel=False)
+        o = np.argsort(codes, kind="stable")
+        cs = codes[o]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+
+        def rsum(a: np.ndarray) -> np.ndarray:
+            return np.add.reduceat(a[o], starts)
+
+        keys = uniq[cs[starts]]
+        shard = (token_hash64(keys.astype(str)) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "_s": pa.array(shard),
+                key_col: pa.array(keys),
+                "_n": pa.array(rsum(np.ones(len(k), np.int64))),
+                "_sx": pa.array(rsum(x)),
+                "_sy": pa.array(rsum(y)),
+                "_sxx": pa.array(rsum(x * x)),
+                "_syy": pa.array(rsum(y * y)),
+                "_sxy": pa.array(rsum(x * y)),
+            }
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(g[key_col].to_numpy(), use_na_sentinel=False)
+        o = np.argsort(codes, kind="stable")
+        cs = codes[o]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        sums = {
+            c: np.add.reduceat(g[c].to_numpy()[o], starts) for c in part_cols
+        }
+        n, sx, sy = sums["_n"], sums["_sx"], sums["_sy"]
+        nf, n2f = n.astype(np.float64), (n * n).astype(np.float64)
+        return pd.DataFrame(
+            {
+                key_col: uniq[cs[starts]],
+                "n_obs": n,
+                "mean_x": sx.astype(np.float64) / nf,
+                "mean_y": sy.astype(np.float64) / nf,
+                "var_x": (n * sums["_sxx"] - sx * sx).astype(np.float64) / n2f,
+                "var_y": (n * sums["_syy"] - sy * sy).astype(np.float64) / n2f,
+                "cov_xy": (n * sums["_sxy"] - sx * sy).astype(np.float64) / n2f,
+            }
+        )
+
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(merge_hist, batch_format="pandas")
         .groupby("_s")
-        .map_groups(shard_gini, batch_format="pandas")
+        .map_groups(finalize, batch_format="pandas")
     )
 
 

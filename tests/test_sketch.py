@@ -317,3 +317,95 @@ def test_gini_matches_duckdb_and_splits():
     g = got.set_index("k")["gini"]
     assert g.loc[5] > 0.9  # 5% of rows hold all the mass
     assert (g.loc[:4] < 0.5).all()  # near-uniform keys
+
+
+def test_outlier_counts_matches_duckdb_and_flags_planted():
+    """outlier_counts vs the HUGEINT moment rule on random integers with
+    planted extreme values; split-invariant; the tight key flags nothing."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.sketch import outlier_counts
+
+    rng = np.random.default_rng(41)
+    n = 6000
+    k = rng.integers(0, 5, n).astype(np.int64)
+    v = rng.integers(40, 61, n).astype(np.float64)  # tight cluster
+    plant = (k == 3) & (rng.random(n) < 0.01)
+    v[plant] = 5000.0  # far outliers in key 3 only
+    v[k == 4] = 50.0  # constant key: zero variance, zero outliers
+    tab = pa.table({"k": pa.array(k), "v": pa.array(v)})
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = con.execute(
+        """
+        WITH g AS (SELECT k, CAST(v AS BIGINT) vi FROM t),
+        s AS (SELECT k, CAST(count(*) AS BIGINT) n, CAST(sum(vi) AS BIGINT) sv,
+                     CAST(sum(vi*vi) AS BIGINT) svv FROM g GROUP BY 1)
+        SELECT g.k, max(s.n) n_obs,
+               CAST(max(s.sv) AS DOUBLE)/CAST(max(s.n) AS DOUBLE) mean_val,
+               CAST(count(*) FILTER (
+                 (s.n::HUGEINT*g.vi - s.sv)*(s.n::HUGEINT*g.vi - s.sv)
+                   > 4::HUGEINT*(s.n::HUGEINT*s.svv - s.sv::HUGEINT*s.sv)
+               ) AS BIGINT) n_outliers
+        FROM g JOIN s ON g.k = s.k GROUP BY 1 ORDER BY 1
+        """
+    ).fetchdf()
+    for parts in (1, 9):
+        got = (
+            outlier_counts(rd.from_arrow(tab).repartition(parts), "k", "v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        for col in ("k", "n_obs", "n_outliers"):
+            assert np.array_equal(got[col].to_numpy(), want[col].to_numpy()), col
+        assert np.array_equal(got["mean_val"].to_numpy(), want["mean_val"].to_numpy())
+    byk = got.set_index("k")["n_outliers"]
+    assert byk.loc[3] == int(plant.sum())  # every planted extreme flagged
+    assert byk.loc[4] == 0  # zero-variance key flags nothing
+
+
+def test_comoment_stats_bruteforce_and_splits():
+    """comoment_stats vs numpy population moments computed per key in
+    exact integer arithmetic; invariant to block splits."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.sketch import comoment_stats
+
+    rng = np.random.default_rng(53)
+    n = 3000
+    k = rng.integers(0, 4, n).astype(np.int64)
+    x = rng.integers(0, 100, n).astype(np.int64)
+    y = (x // 2 + rng.integers(0, 10, n)).astype(np.int64)  # correlated
+    import pandas as pd
+
+    want = {}
+    for key in np.unique(k):
+        xi, yi = x[k == key].astype(object), y[k == key].astype(object)  # exact py ints
+        nn = len(xi)
+        sx, sy = sum(xi), sum(yi)
+        sxx, syy, sxy = sum(xi * xi), sum(yi * yi), sum(xi * yi)
+        want[int(key)] = (
+            nn,
+            float(sx) / nn,
+            float(sy) / nn,
+            float(nn * sxx - sx * sx) / float(nn * nn),
+            float(nn * syy - sy * sy) / float(nn * nn),
+            float(nn * sxy - sx * sy) / float(nn * nn),
+        )
+    t = pa.table({"k": pa.array(k), "x": pa.array(x), "y": pa.array(y)})
+    for parts in (1, 8):
+        got = (
+            comoment_stats(rd.from_arrow(t).repartition(parts), "k", "x", "y")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        for r in got.itertuples():
+            nn, mx, my, vx, vy, cxy = want[int(r.k)]
+            assert (r.n_obs, r.mean_x, r.mean_y) == (nn, mx, my)
+            assert (r.var_x, r.var_y, r.cov_xy) == (vx, vy, cxy)
+    assert (got["cov_xy"] > 0).all()  # built-in correlation
