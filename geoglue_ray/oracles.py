@@ -1543,6 +1543,30 @@ ORDER BY doc_id, span_index
 """
 
 
+def bigram_stats(k: int = 100) -> str:
+    """Bigram twin: positional token CTE (the decontaminate pattern),
+    adjacency self-join, exact counts, one division, total-order LIMIT.
+    Valid while docs have <= 127 tokens (shared with the minhash CTE)."""
+    return f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, i.range AS i, list_extract(toks, i.range::INTEGER) AS w
+  FROM tl, range(1, 128) i WHERE i.range <= len(toks)),
+bg AS (
+  SELECT a.w AS tok1, b.w AS tok2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+c AS (SELECT tok1, tok2, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM bg GROUP BY 1, 2),
+u AS (SELECT tok1, CAST(sum(n_pairs) AS BIGINT) AS n_first FROM c GROUP BY 1)
+SELECT c.tok1, c.tok2, c.n_pairs, u.n_first,
+       CAST(c.n_pairs AS DOUBLE) / CAST(u.n_first AS DOUBLE) AS cond_p
+FROM c JOIN u USING (tok1)
+ORDER BY n_pairs DESC, tok1, tok2 LIMIT {k}
+"""
+
+
 def decontaminate_docs() -> str:
     """Decontamination twin: the minhash CTE's 3-shingle HUGEINT combine,
     LEFT JOIN membership against the eval set's distinct-shingle set,
@@ -1602,6 +1626,27 @@ r AS (
               ELSE r.pack_id END
   FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1)
 SELECT doc_id, lang, n_chars, pack_id, pack_fill FROM r ORDER BY doc_id
+"""
+
+
+def time_weighted_user_value() -> str:
+    """Interval-weighted mean twin: lead() over the same (ts, event_id)
+    total order, whole-second dt, floored measure — exact integer sums,
+    one division; single-event users yield NULL (engine NaN)."""
+    return """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, CAST(floor(value) AS BIGINT) AS v,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t2
+  FROM events),
+s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum((t2 - t) // 1000000) AS BIGINT) AS den,
+         CAST(sum(v * ((t2 - t) // 1000000)) AS BIGINT) AS num
+  FROM e GROUP BY 1)
+SELECT user_id, n_events,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS tw_mean
+FROM s ORDER BY 1
 """
 
 

@@ -1578,6 +1578,17 @@ def _pd_factorize(a: np.ndarray):
     return pd.factorize(a, use_na_sentinel=False)
 
 
+def bigram_stats(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """N-gram language-model statistics over the corpus: the top 100
+    adjacent-token bigrams with exact counts and conditional probability
+    P(tok2|tok1) (stages/text.bigram_topk — first-token-sharded exact
+    sums, two-level top-k on the (count desc, pair) total order)."""
+    from geoglue_ray.stages.text import bigram_topk
+
+    docs = read_documents_cols(sf_dir, ["doc_id", "text"])
+    return bigram_topk(docs, "text", k=k)
+
+
 def decontaminate_docs(sf_dir: str) -> rd.Dataset:
     """Benchmark decontamination over the documents table: every 97th doc
     plays the held-out eval set; each training doc gets its token-
@@ -1636,6 +1647,63 @@ def pack_documents(sf_dir: str) -> rd.Dataset:
     return out.select_columns(
         ["doc_id", "lang", "n_chars", "pack_id", "pack_fill"]
     ).sort("doc_id")
+
+
+def time_weighted_user_value(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Time-weighted mean per user — the sensor/reanalysis aggregation
+    (each reading holds until the next one; CDO-style interval weighting)
+    over the event log: ``sum(v_i * dt_i) / sum(dt_i)`` with dt in whole
+    seconds and the measure integerized (floor), so both sums are exact
+    int64 and the single division is bit-exact vs the lead() SQL twin.
+    Total order (ts, event_id) breaks ties identically on both sides;
+    a single-event user has no interval and yields NULL/NaN.
+
+    Scale shape: users co-locate via ``hash(user) % n_shards``; one
+    lexsort + edge-zeroed reduceat pass per shard — only (user, ts, id,
+    value) rows shuffle, output is user-cardinality."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        shard = (int_hash64(uid) % np.uint64(n_shards)).astype(np.int64)
+        return b.append_column("_us", pa.array(shard))
+
+    def twm(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        v = np.floor(g["value"].to_numpy()).astype(np.int64)
+        o = np.lexsort((eid, t, uid))
+        uid, t, v = uid[o], t[o], v[o]
+        same = uid[1:] == uid[:-1]  # edge i connects rows i, i+1
+        dt = (t[1:] - t[:-1]) // 1_000_000
+        num = np.r_[np.where(same, v[:-1] * dt, 0), 0]
+        den = np.r_[np.where(same, dt, 0), 0]
+        starts = np.flatnonzero(np.r_[True, ~same])
+        nsum = np.add.reduceat(num, starts)
+        dsum = np.add.reduceat(den, starts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = nsum.astype(np.float64) / dsum.astype(np.float64)
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "n_events": np.diff(np.r_[starts, len(uid)]).astype(np.int64),
+                "tw_mean": mean,
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_us")
+        .map_groups(twm, batch_format="pandas")
+        .sort("user_id")
+    )
 
 
 def user_event_paths(sf_dir: str, n_shards: int = 64) -> rd.Dataset:

@@ -468,3 +468,87 @@ def decontaminate(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_topk(
+    ds: rd.Dataset, text_col: str = "text", k: int = 100, n_shards: int = 64
+) -> rd.Dataset:
+    """EXACT top-k adjacent-token bigrams with conditional probability —
+    the n-gram language-model statistic (count(w1,w2) and
+    P(w2|w1) = c12 / c1, where c1 counts w1 in a bigram-FIRST position):
+    integer counts end to end, one division per emitted row, bit-exact vs
+    the SQL self-join twin.
+
+    Scale shape: per-batch pair counts (factorize + packed-code unique —
+    each block collapses to its distinct bigrams before anything ships),
+    shuffle keyed on ``token_hash64(tok1) % n_shards`` so ALL bigrams
+    sharing a first token land in one shard (c1 is computable exactly
+    in-shard with no second shuffle; assumes no single first-token
+    dominates the corpus — salt by tok1 prefix if one does), per-shard
+    exact sums + local top-k, then one small sort/limit over
+    <= n_shards*k rows on the (count desc, tok1, tok2) total order."""
+    from geoglue_ray.functions.texthash import token_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b[text_col])
+        n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        tok_off = np.concatenate(([0], np.cumsum(n_tok)))
+        mask = np.zeros(len(flat), dtype=bool)
+        if len(flat):
+            mask[:] = True
+            # drop each doc's last token as a bigram start; an empty doc's
+            # entry aliases a previous doc's (already-dropped) last token
+            # or wraps to flat[-1] (the global last, also already dropped)
+            mask[tok_off[1:] - 1] = False
+        i1 = np.flatnonzero(mask)
+        if len(i1) == 0:
+            return pa.table(
+                {
+                    "tok1": pa.array([], pa.string()),
+                    "tok2": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "_shard": pa.array([], pa.int64()),
+                }
+            )
+        import pandas as pd
+
+        codes, uniq = pd.factorize(
+            np.concatenate([flat[i1], flat[i1 + 1]]), use_na_sentinel=False
+        )
+        c1, c2 = codes[: len(i1)], codes[len(i1):]
+        packed = c1.astype(np.int64) * len(uniq) + c2
+        pu, cnt = np.unique(packed, return_counts=True)
+        t1 = uniq[(pu // len(uniq)).astype(np.int64)]
+        t2 = uniq[(pu % len(uniq)).astype(np.int64)]
+        shard = (token_hash64(t1.astype(str)) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "tok1": pa.array(t1, pa.string()),
+                "tok2": pa.array(t2, pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+                "_shard": pa.array(shard),
+            }
+        )
+
+    def shard_topk(g):
+        s = g.groupby(["tok1", "tok2"], sort=False)["n"].sum().reset_index()
+        s = s.rename(columns={"n": "n_pairs"})
+        c1 = s.groupby("tok1", sort=False)["n_pairs"].sum()
+        s["n_first"] = s["tok1"].map(c1).astype(np.int64)
+        s["cond_p"] = s["n_pairs"].to_numpy().astype(np.float64) / s[
+            "n_first"
+        ].to_numpy().astype(np.float64)
+        s = s.sort_values(
+            ["n_pairs", "tok1", "tok2"], ascending=[False, True, True], kind="mergesort"
+        )
+        return s.head(k)[["tok1", "tok2", "n_pairs", "n_first", "cond_p"]]
+
+    parted = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_topk, batch_format="pandas")
+    )
+    return parted.sort(
+        ["n_pairs", "tok1", "tok2"], descending=[True, False, False]
+    ).limit(k)

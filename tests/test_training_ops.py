@@ -820,3 +820,34 @@ def test_decontaminate_planted():
     assert bool(out.loc[2, "is_contaminated"])  # 3 of 8 shingles shared
     assert not bool(out.loc[3, "is_contaminated"])
     assert out.loc[3, "n_overlap"] == 0
+
+
+def test_bigram_topk_adjacency_and_empty_docs():
+    """Bigrams never cross document boundaries, empty/1-token docs emit
+    nothing (including an empty FIRST doc — the offset-alias edge), and
+    the conditional probability divides exact in-position counts."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.text import bigram_topk
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["", "a b a b c", "solo", "b a", ""]),
+        }
+    )
+    out = (
+        bigram_topk(rd.from_arrow(docs).repartition(3), "text", k=10, n_shards=4)
+        .to_pandas()
+        .set_index(["tok1", "tok2"])
+    )
+    # pairs: (a,b)x2, (b,a)x1+1, (b,c)x1 ; never (c,solo) or (solo,b)
+    assert out.loc[("a", "b"), "n_pairs"] == 2
+    assert out.loc[("b", "a"), "n_pairs"] == 2
+    assert out.loc[("b", "c"), "n_pairs"] == 1
+    assert ("c", "solo") not in out.index and ("solo", "b") not in out.index
+    # a starts 2 bigrams -> P(b|a)=1; b starts 3 -> P(a|b)=2/3
+    assert out.loc[("a", "b"), "cond_p"] == 1.0
+    assert out.loc[("b", "a"), "cond_p"] == 2.0 / 3.0
+    assert out.loc[("b", "a"), "n_first"] == 3
