@@ -1145,6 +1145,27 @@ FROM s ORDER BY 1
 """
 
 
+def majority_admin1() -> str:
+    """Majority/minority/variety twin: per-(key, value) counts, two
+    row_number windows with the same (count, value) total orders."""
+    a1 = fx.sql_admin1_name("a2")
+    return f"""{_assigned_cte()},
+h AS (SELECT {a1} AS admin1_id, value AS v, CAST(count(*) AS BIGINT) AS c
+      FROM asg GROUP BY 1, 2),
+r AS (SELECT admin1_id, v, c,
+             row_number() OVER (PARTITION BY admin1_id ORDER BY c DESC, v) AS rj,
+             row_number() OVER (PARTITION BY admin1_id ORDER BY c ASC, v) AS rn
+      FROM h)
+SELECT admin1_id,
+       max(v) FILTER (rj = 1) AS majority_val,
+       max(c) FILTER (rj = 1) AS majority_n,
+       max(v) FILTER (rn = 1) AS minority_val,
+       max(c) FILTER (rn = 1) AS minority_n,
+       CAST(count(*) AS BIGINT) AS variety
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 def covariance_admin1() -> str:
     """Comoment twin: exact BIGINT moment sums, cleared-denominator
     variance/covariance, one double division per statistic."""
@@ -1540,6 +1561,24 @@ SELECT d.doc_id,
 FROM documents d, range(2) j
 WHERE 1 + j.range <= d.doc_id % 3
 ORDER BY doc_id, span_index
+"""
+
+
+def inverted_index_docs(min_df: int = 2, max_df: int = 100) -> str:
+    """Inverted-index twin: distinct (doc, token), string_agg ORDER BY
+    doc_id (ascending decimal rendering matches str() exactly), df band."""
+    return f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, list_extract(toks, i.range::INTEGER) AS w
+  FROM tl, range(1, 128) i WHERE i.range <= len(toks))
+SELECT w AS token, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM tok GROUP BY 1
+HAVING count(*) BETWEEN {min_df} AND {max_df}
+ORDER BY 1
 """
 
 

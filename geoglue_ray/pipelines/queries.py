@@ -1190,6 +1190,19 @@ def gini_admin1(sf_dir: str) -> rd.Dataset:
     return gini(ds, "admin1_id", "value").sort("admin1_id")
 
 
+def majority_admin1(sf_dir: str) -> rd.Dataset:
+    """exactextract's majority/minority/variety zonal statistics per
+    admin-1 (reference zonalstats.py drives exactextract, whose op set
+    includes these; the engine's op grammar covers the arithmetic family,
+    this covers the categorical one) — stages/sketch.majority_minority,
+    smallest-value tie-break, bit-exact vs the row_number twin."""
+    from geoglue_ray.stages.sketch import majority_minority
+
+    ds = corpus_with_admin(sf_dir)
+    ds = ds.select_columns(["admin1_id", "value"])
+    return majority_minority(ds, "admin1_id", "value").sort("admin1_id")
+
+
 def covariance_admin1(sf_dir: str) -> rd.Dataset:
     """EXACT per-admin-1 bivariate profile of (value, population weight):
     means, population variances and covariance — every statistic one
@@ -1576,6 +1589,19 @@ def _pd_factorize(a: np.ndarray):
     import pandas as pd
 
     return pd.factorize(a, use_na_sentinel=False)
+
+
+def inverted_index_docs(sf_dir: str) -> rd.Dataset:
+    """Posting-list inverted index over the corpus: token -> document
+    frequency + ascending doc-id posting string, for tokens in the
+    df band [2, 450] — wide enough to keep the fixture's whole 31-token
+    shared vocabulary non-degenerate (stages/text.inverted_index —
+    distinct (token, doc) pairs collapse per batch, token-sharded
+    slice-join; the df filter bounds every posting list)."""
+    from geoglue_ray.stages.text import inverted_index
+
+    docs = read_documents_cols(sf_dir, ["doc_id", "text"])
+    return inverted_index(docs, "text", "doc_id", min_df=2, max_df=450).sort("token")
 
 
 def bigram_stats(sf_dir: str, k: int = 100) -> rd.Dataset:

@@ -628,6 +628,50 @@ def outlier_counts(
     return _hist_pipeline(ds, key_col, value_col, shard_outliers, n_buckets, n_shards)
 
 
+def majority_minority(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    n_buckets: int = 64,
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """Per-key MAJORITY (mode), MINORITY and VARIETY over a discrete
+    measure — the exactextract zonal statistics the reference's op
+    grammar doesn't reach (exactextract docs: majority/minority/variety;
+    reference zonalstats.py drives exactextract ops).  Ties break to the
+    SMALLEST value on both statistics — a total order, so the SQL
+    row_number twin is deterministic and bit-exact.
+
+    Same :func:`_hist_pipeline` scale shape; the per-key argmax/argmin
+    is a reduceat + first-flagged-position pass, no per-group Python."""
+
+    def shard_mode(g: pd.DataFrame) -> pd.DataFrame:
+        k, v, n = _hist_reduce(g, key_col)
+        c = n.astype(np.int64)
+        codes, uniq = pd.factorize(k, use_na_sentinel=False)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        seg_len = np.diff(np.r_[starts, len(codes)])
+        cmax = np.repeat(np.maximum.reduceat(c, starts), seg_len)
+        cmin = np.repeat(np.minimum.reduceat(c, starts), seg_len)
+        pos = np.arange(len(codes))
+        # v ascends within a key, so the FIRST position hitting the
+        # extreme count is the smallest-value tie-winner
+        maj_idx = np.minimum.reduceat(np.where(c == cmax, pos, len(codes)), starts)
+        min_idx = np.minimum.reduceat(np.where(c == cmin, pos, len(codes)), starts)
+        return pd.DataFrame(
+            {
+                key_col: uniq[codes[starts]],
+                "majority_val": v[maj_idx],
+                "majority_n": c[maj_idx],
+                "minority_val": v[min_idx],
+                "minority_n": c[min_idx],
+                "variety": seg_len.astype(np.int64),
+            }
+        )
+
+    return _hist_pipeline(ds, key_col, value_col, shard_mode, n_buckets, n_shards)
+
+
 def comoment_stats(
     ds: rd.Dataset,
     key_col: str,

@@ -552,3 +552,77 @@ def bigram_topk(
     return parted.sort(
         ["n_pairs", "tok1", "tok2"], descending=[True, False, False]
     ).limit(k)
+
+
+def inverted_index(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df: int = 100,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Posting-list inverted index — the text-retrieval build step:
+    token -> document frequency + the ascending comma-joined doc-id
+    posting list, keeping tokens with ``min_df <= df <= max_df`` (the
+    classic stop-word / hapax band filter, which also BOUNDS every
+    emitted posting list by max_df).
+
+    Scale shape: each document row emits its DISTINCT tokens once
+    (lexsort + run-detect per batch — and since a document lives in one
+    row, (token, doc) pairs are globally unique with no cross-batch
+    dedup); pairs co-locate via ``token_hash64(token) % n_shards``; each
+    shard lexsorts (token, doc_id) once and slice-joins per token.  The
+    df band filter runs in-shard, so unbounded-df stop-word lists never
+    leave the reducer."""
+    from geoglue_ray.functions.texthash import token_hash64
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b[text_col])
+        n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(b[id_col].to_numpy(), n_tok)
+        import pandas as pd
+
+        codes, uniq = pd.factorize(flat, use_na_sentinel=False)
+        o = np.lexsort((codes, doc))
+        dd, cc = doc[o], codes[o]
+        first = np.r_[True, (dd[1:] != dd[:-1]) | (cc[1:] != cc[:-1])]
+        tokens = uniq[cc[first]]
+        shard = (token_hash64(tokens.astype(str)) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "token": pa.array(tokens, pa.string()),
+                id_col: pa.array(dd[first]),
+                "_shard": pa.array(shard),
+            }
+        )
+
+    def postings(g: pa.Table) -> pa.Table:
+        tok = g["token"].to_numpy(zero_copy_only=False)
+        doc = g[id_col].to_numpy()
+        o = np.lexsort((doc, tok))
+        tok, doc = tok[o], doc[o]
+        brk = np.r_[True, tok[1:] != tok[:-1]] if len(tok) else np.zeros(0, bool)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(tok)]
+        df = (ends - starts).astype(np.int64)
+        keep = (df >= min_df) & (df <= max_df)
+        joined = [
+            ",".join(map(str, doc[s:e]))
+            for s, e, k in zip(starts, ends, keep)
+            if k
+        ]
+        return pa.table(
+            {
+                "token": pa.array(tok[starts[keep]], pa.string()),
+                "df": pa.array(df[keep]),
+                "postings": pa.array(joined, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(postings, batch_format="pyarrow")
+    )

@@ -409,3 +409,49 @@ def test_comoment_stats_bruteforce_and_splits():
             assert (r.n_obs, r.mean_x, r.mean_y) == (nn, mx, my)
             assert (r.var_x, r.var_y, r.cov_xy) == (vx, vy, cxy)
     assert (got["cov_xy"] > 0).all()  # built-in correlation
+
+
+def test_majority_minority_matches_duckdb_with_ties():
+    """majority/minority/variety vs the row_number rule; planted exact
+    count ties must break to the smaller value; split-invariant."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.sketch import majority_minority
+
+    rng = np.random.default_rng(61)
+    n = 4000
+    k = rng.integers(0, 6, n).astype(np.int64)
+    v = rng.integers(0, 15, n).astype(np.float64)
+    # key 5: values 7 and 9 forced to the exact same (max) count
+    sel = k == 5
+    v[sel] = rng.integers(0, 5, sel.sum())
+    idx5 = np.flatnonzero(sel)
+    v[idx5[:600][:300]] = 7.0
+    v[idx5[:600][300:]] = 9.0
+    tab = pa.table({"k": pa.array(k), "v": pa.array(v)})
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = con.execute(
+        """
+        WITH h AS (SELECT k, v, CAST(count(*) AS BIGINT) c FROM t GROUP BY 1,2),
+        r AS (SELECT k, v, c,
+                     row_number() OVER (PARTITION BY k ORDER BY c DESC, v) rj,
+                     row_number() OVER (PARTITION BY k ORDER BY c ASC, v) rn FROM h)
+        SELECT k, max(v) FILTER (rj=1) majority_val, max(c) FILTER (rj=1) majority_n,
+               max(v) FILTER (rn=1) minority_val, max(c) FILTER (rn=1) minority_n,
+               CAST(count(*) AS BIGINT) variety
+        FROM r GROUP BY 1 ORDER BY 1
+        """
+    ).fetchdf()
+    for parts in (1, 10):
+        got = (
+            majority_minority(rd.from_arrow(tab).repartition(parts), "k", "v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        for col in want.columns:
+            assert np.array_equal(got[col].to_numpy(), want[col].to_numpy()), col
+    assert got.set_index("k").loc[5, "majority_val"] == 7.0  # tie -> smaller value

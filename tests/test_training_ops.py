@@ -851,3 +851,40 @@ def test_bigram_topk_adjacency_and_empty_docs():
     assert out.loc[("a", "b"), "cond_p"] == 1.0
     assert out.loc[("b", "a"), "cond_p"] == 2.0 / 3.0
     assert out.loc[("b", "a"), "n_first"] == 3
+
+
+def test_inverted_index_semantics():
+    """Duplicate tokens within a doc post once, postings ascend by doc_id,
+    the df band drops hapax and stop-band tokens; split-invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.text import inverted_index
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2, 4], pa.int64()),
+            "text": pa.array(
+                ["cat dog cat", "dog bird", "cat stop", "stop rare"]
+            ),
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            inverted_index(
+                rd.from_arrow(docs).repartition(parts),
+                "text",
+                "doc_id",
+                min_df=2,
+                max_df=2,
+                n_shards=4,
+            )
+            .to_pandas()
+            .set_index("token")
+            .sort_index()
+        )
+        assert list(out.index) == ["cat", "dog", "stop"]
+        assert out.loc["cat", "postings"] == "2,3"  # dup within doc 3 posts once
+        assert out.loc["dog", "postings"] == "1,3"
+        assert out.loc["stop", "postings"] == "2,4"
+        assert (out["df"] == 2).all()  # 'bird'/'rare' (df=1) dropped
