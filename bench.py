@@ -140,6 +140,10 @@ def _run_queries() -> dict:
         # two-table interval join at a bounded window count (~2.3k windows
         # x 100k events -> ~8M overlap pairs at sf0.1)
         ("events_in_windows", lambda sf: q.events_in_windows(sf, key_mod=64)),
+        # market-basket pair co-occurrence (~1M within-order pairs at sf0.1)
+        ("copurchase_pairs", q.copurchase_pairs),
+        # bigram LM statistics over the full 5k-doc corpus
+        ("bigram_stats", q.bigram_stats),
     ]
     extra_reps = int(os.environ.get("GRAFT_EXTRA_REPEATS", "2"))
     for name, fn in extra:

@@ -1166,6 +1166,26 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def diversity_admin1() -> str:
+    """Diversity twin: per-(key,value) counts, cleared-denominator
+    Simpson index, one division per statistic."""
+    a1 = fx.sql_admin1_name("a2")
+    return f"""{_assigned_cte()},
+h AS (SELECT {a1} AS admin1_id, value AS v, CAST(count(*) AS BIGINT) AS c
+      FROM asg GROUP BY 1, 2),
+s AS (SELECT admin1_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * c) AS BIGINT) AS sq,
+             CAST(max(c) AS BIGINT) AS cmax,
+             CAST(count(*) AS BIGINT) AS variety
+      FROM h GROUP BY 1)
+SELECT admin1_id, n AS n_obs, variety,
+       CAST(n * n - sq AS DOUBLE) / CAST(n * n AS DOUBLE) AS simpson,
+       CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE) AS dominance
+FROM s ORDER BY 1
+"""
+
+
 def covariance_admin1() -> str:
     """Comoment twin: exact BIGINT moment sums, cleared-denominator
     variance/covariance, one double division per statistic."""

@@ -1203,6 +1203,17 @@ def majority_admin1(sf_dir: str) -> rd.Dataset:
     return majority_minority(ds, "admin1_id", "value").sort("admin1_id")
 
 
+def diversity_admin1(sf_dir: str) -> rd.Dataset:
+    """Simpson diversity + dominance of the measure distribution per
+    admin-1 (stages/sketch.diversity): landscape-ecology zonal
+    statistics, each one double division over exact int64 sums."""
+    from geoglue_ray.stages.sketch import diversity
+
+    ds = corpus_with_admin(sf_dir)
+    ds = ds.select_columns(["admin1_id", "value"])
+    return diversity(ds, "admin1_id", "value").sort("admin1_id")
+
+
 def covariance_admin1(sf_dir: str) -> rd.Dataset:
     """EXACT per-admin-1 bivariate profile of (value, population weight):
     means, population variances and covariance — every statistic one

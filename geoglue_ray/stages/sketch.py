@@ -672,6 +672,48 @@ def majority_minority(
     return _hist_pipeline(ds, key_col, value_col, shard_mode, n_buckets, n_shards)
 
 
+def diversity(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    n_buckets: int = 64,
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """Per-key Simpson diversity index and dominance over a discrete
+    measure — the standard zonal diversity statistics (landscape-ecology
+    companion to exactextract's variety): ``simpson = 1 - sum(c_i^2)/n^2
+    = (n^2 - sum(c_i^2))/n^2`` and ``dominance = c_max/n``, each ONE
+    double division over exact int64 integers, so the SQL twin is
+    bit-exact.  Same :func:`_hist_pipeline` scale shape."""
+
+    def shard_div(g: pd.DataFrame) -> pd.DataFrame:
+        k, v, n = _hist_reduce(g, key_col)
+        c = n.astype(np.int64)
+        codes, uniq = pd.factorize(k, use_na_sentinel=False)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)] - 1
+
+        def seg_sum(x: np.ndarray) -> np.ndarray:
+            cs = np.cumsum(x)
+            return cs[ends] - np.r_[0, cs[ends[:-1]]][: len(starts)]
+
+        nk = seg_sum(c)
+        sq = seg_sum(c * c)
+        cmax = np.maximum.reduceat(c, starts)
+        n2 = (nk * nk).astype(np.float64)
+        return pd.DataFrame(
+            {
+                key_col: uniq[codes[starts]],
+                "n_obs": nk,
+                "variety": np.diff(np.r_[starts, len(codes)]).astype(np.int64),
+                "simpson": (nk * nk - sq).astype(np.float64) / n2,
+                "dominance": cmax.astype(np.float64) / nk.astype(np.float64),
+            }
+        )
+
+    return _hist_pipeline(ds, key_col, value_col, shard_div, n_buckets, n_shards)
+
+
 def comoment_stats(
     ds: rd.Dataset,
     key_col: str,

@@ -455,3 +455,45 @@ def test_majority_minority_matches_duckdb_with_ties():
         for col in want.columns:
             assert np.array_equal(got[col].to_numpy(), want[col].to_numpy()), col
     assert got.set_index("k").loc[5, "majority_val"] == 7.0  # tie -> smaller value
+
+
+def test_diversity_sanity_and_duckdb():
+    """Simpson/dominance vs the SQL rule; constant key -> simpson 0 /
+    dominance 1; near-uniform key -> simpson near 1 - 1/V."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.sketch import diversity
+
+    rng = np.random.default_rng(71)
+    n = 3000
+    k = rng.integers(0, 3, n).astype(np.int64)
+    v = rng.integers(0, 20, n).astype(np.float64)
+    v[k == 2] = 7.0  # constant key
+    tab = pa.table({"k": pa.array(k), "v": pa.array(v)})
+    con = duckdb.connect()
+    con.register("t", tab)
+    want = con.execute(
+        """
+        WITH h AS (SELECT k, v, CAST(count(*) AS BIGINT) c FROM t GROUP BY 1,2),
+        s AS (SELECT k, CAST(sum(c) AS BIGINT) n, CAST(sum(c*c) AS BIGINT) sq,
+                     CAST(max(c) AS BIGINT) cmax, CAST(count(*) AS BIGINT) variety
+              FROM h GROUP BY 1)
+        SELECT k, n n_obs, variety,
+               CAST(n*n - sq AS DOUBLE)/CAST(n*n AS DOUBLE) simpson,
+               CAST(cmax AS DOUBLE)/CAST(n AS DOUBLE) dominance
+        FROM s ORDER BY 1
+        """
+    ).fetchdf()
+    got = (
+        diversity(rd.from_arrow(tab).repartition(7), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for col in want.columns:
+        assert np.array_equal(got[col].to_numpy(), want[col].to_numpy()), col
+    byk = got.set_index("k")
+    assert byk.loc[2, "simpson"] == 0.0 and byk.loc[2, "dominance"] == 1.0
+    assert byk.loc[0, "simpson"] > 0.9
