@@ -721,6 +721,56 @@ ORDER BY 1, 2
 """
 
 
+def pagerank_parts() -> str:
+    """Unrolled 3-iteration fixed-point PageRank in HUGEINT: the engine's
+    int64 chain (rank//deg floor contributions, order-independent integer
+    sums, (85*sum)//100 damping, base 15*2^32//100) is mirrored term for
+    term; the final CAST narrows to BIGINT exactly (values < 2^63 by the
+    engine's asserted overflow bound)."""
+    it = """
+  SELECT e.dst AS node,
+         15 * CAST(4294967296 AS HUGEINT) // 100
+         + 85 * SUM({rank} // d.d) // 100 AS rank
+  FROM pr_edges e JOIN deg d ON d.src = e.src{join}
+  GROUP BY e.dst"""
+    return (
+        """
+WITH pr_edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT src, count(*) AS d FROM pr_edges GROUP BY src),
+r1 AS ("""
+        + it.format(rank="CAST(4294967296 AS HUGEINT)", join="")
+        + "),\nr2 AS ("
+        + it.format(rank="r.rank", join=" JOIN r1 r ON r.node = e.src")
+        + "),\nr3 AS ("
+        + it.format(rank="r.rank", join=" JOIN r2 r ON r.node = e.src")
+        + """)
+SELECT node AS part_key, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY 1
+"""
+    )
+
+
+def edit_neardup() -> str:
+    """Length-band blocked quadratic Levenshtein — the candidate set
+    ``same lang AND |Δlen| <= 8`` is exactly what the engine's
+    adjacent-bucket banding resolves (bucket = len // 9, pair resolved in
+    the max bucket's group), so pair sets match bit-for-bit; ``lev`` is an
+    integer in both."""
+    return """
+WITH cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.text, b.text) AS lev
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang
+   AND a.doc_id < b.doc_id
+   AND abs(length(a.text) - length(b.text)) <= 8)
+SELECT doc_a, doc_b, lev FROM cand WHERE lev <= 8
+ORDER BY 1, 2
+"""
+
+
 def _sql_minhash_cte(threshold: float, source: str = "documents") -> str:
     """CTE chain reproducing the full MinHash+LSH pipeline in DuckDB:
     position-ordered token hashes -> 3-shingle combines -> 64 multiply-add

@@ -851,6 +851,16 @@ def ngram_neardup(sf_dir: str) -> rd.Dataset:
     ).sort(["doc_a", "doc_b"])
 
 
+def edit_neardup(sf_dir: str) -> rd.Dataset:
+    """Exact Levenshtein near-dup pairs (<= 8 edits) within language blocks
+    — the classic fuzzy-dedup verifier; candidates via adjacent length
+    bands (complete for the |Δlen| <= 8 necessary condition)."""
+    from geoglue_ray.stages.dedup import edit_neardup as ed
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text", "lang"])
+    return ed(ds, max_edits=8, block_cols=["lang"]).sort(["doc_a", "doc_b"])
+
+
 def dedup_clusters(sf_dir: str) -> rd.Dataset:
     """Near-duplicate clusters: MinHash+LSH pairs -> connected components."""
     from geoglue_ray.stages.dedup import duplicate_clusters, minhash_neardup as mh
@@ -1656,6 +1666,22 @@ def copurchase_pairs(sf_dir: str, top_n: int = 50) -> rd.Dataset:
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
     return cooccur_topk(li, "l_orderkey", "l_partkey", top_n=top_n)
+
+
+def pagerank_parts(sf_dir: str) -> pa.Table:
+    """Fixed-point PageRank (3 iterations, damping 85/100, ranks scaled by
+    2^32) over the symmetric part co-purchase graph — the engine's
+    representative ITERATIVE algorithm, in pure int64 so the unrolled
+    HUGEINT CTE oracle matches bit-for-bit (stages/graph.py: distinct
+    edges stay distributed; only the node-cardinality rank vector is
+    broadcast per round)."""
+    from geoglue_ray.stages.graph import basket_edges, pagerank_fixedpoint
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    t = pagerank_fixedpoint(basket_edges(li, "l_orderkey", "l_partkey"), iters=3)
+    return t.rename_columns(["part_key", "rank"])
 
 
 def weighted_sample_docs(sf_dir: str, k: int = 20) -> rd.Dataset:

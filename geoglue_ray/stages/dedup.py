@@ -950,6 +950,203 @@ def ngram_jaccard_block(
     return grams.groupby("shard").map_groups(pairs, batch_format="pyarrow")
 
 
+# ------------------------------------------------- edit-distance near-dup
+def _pad_codepoints(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Code-point matrix ``[n, Lmax+1]`` (uint32, zero-padded) + char
+    lengths.  One vectorized pass over the concatenated UTF-32 buffer —
+    no per-row Python beyond a single ``join``.  Character (not byte)
+    indexing matches SQL ``levenshtein``'s character semantics for all of
+    Unicode, not just ASCII."""
+    n = len(texts)
+    L = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    Lmax = int(L.max()) if n else 0
+    M = np.zeros((n, Lmax + 1), dtype=np.uint32)
+    if Lmax:
+        cp = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+        rows = np.repeat(np.arange(n, dtype=np.int64), L)
+        offs = np.concatenate(([0], np.cumsum(L)))
+        cols = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(offs[:-1], L)
+        M[rows, cols] = cp
+    return M, L
+
+
+def banded_levenshtein(
+    A: np.ndarray, La: np.ndarray, B: np.ndarray, Lb: np.ndarray, k: int
+) -> np.ndarray:
+    """Exact Levenshtein distance clipped at ``k + 1``, vectorized ACROSS
+    pairs: a Ukkonen band of width ``2k+1`` per pair, the only Python loop
+    over rows of the longest string — every step one ``[n_pairs, 2k+1]``
+    int32 kernel (min / compare / prefix-scan).
+
+    Callers must pre-filter to ``|La - Lb| <= k`` (necessary for a finite
+    in-band answer).  Clipping at ``k + 1`` is exact for every kept pair:
+    DP cell values along an optimal alignment path are non-decreasing, so
+    a distance-``<= k`` pair never routes through a clipped (``> k``)
+    cell.  The intra-row left-neighbour dependency is resolved as a
+    min-plus prefix scan: ``D[i,j] = min_v<=j (D0[i,v] + (j-v))`` =
+    ``minimum.accumulate(D0 - j) + j``.
+    """
+    P = len(La)
+    if P == 0:
+        return np.empty(0, np.int64)
+    if np.any(np.abs(La - Lb) > k):  # contract: banding is complete only then
+        raise ValueError("banded_levenshtein requires |len(a)-len(b)| <= k")
+    INF = np.int32(k + 1)
+    W = 2 * k + 1
+    w = np.arange(W, dtype=np.int64)
+    res = np.full(P, int(INF), dtype=np.int64)
+    done0 = La == 0
+    res[done0] = np.minimum(Lb[done0], k + 1)
+    # row 0: D[0, j] = j on the band j = w - k (out-of-range slots = INF)
+    j0 = w - k
+    prev = np.where(
+        (j0[None, :] >= 0) & (j0[None, :] <= Lb[:, None]),
+        np.minimum(np.maximum(j0, 0), k + 1)[None, :],
+        INF,
+    ).astype(np.int32)
+    Bw = B.shape[1]
+    Lmax = int(La.max())
+    for i in range(1, Lmax + 1):
+        j = i - k + w  # [W] column index of each band slot at this row
+        a_ch = A[:, i - 1][:, None]  # [P, 1]
+        b_ch = B[:, np.clip(j - 1, 0, Bw - 1)]  # [P, W] gather of B[j-1]
+        sub = prev + (a_ch != b_ch)  # D[i-1, j-1] + substitution cost
+        up = np.concatenate(  # D[i-1, j] lives one slot right in prev
+            [prev[:, 1:], np.full((P, 1), INF, np.int32)], axis=1
+        ) + np.int32(1)
+        cur = np.minimum(sub, up).astype(np.int32)
+        # invalid columns (j < 1 or j > len(b)) cannot seed the scan; a
+        # clipped INF there is safe — those columns only ever feed other
+        # invalid columns (paths move rightward/diagonally)
+        cur[(j[None, :] < 1) | (j[None, :] > Lb[:, None])] = INF
+        if 0 >= i - k:  # column j == 0 is in band: boundary D[i, 0] = i
+            cur[:, k - i] = min(i, k + 1)
+        # left-to-right min-plus scan (insertion chain within the row)
+        t = cur - w.astype(np.int32)
+        np.minimum.accumulate(t, axis=1, out=t)
+        cur = np.minimum(t + w.astype(np.int32), INF)
+        sel = La == i
+        if sel.any():
+            res[sel] = cur[sel, Lb[sel] - i + k]
+        prev = cur
+    return res
+
+
+def edit_neardup(
+    ds: rd.Dataset,
+    max_edits: int = 8,
+    block_cols: list[str] | None = None,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Exact edit-distance (Levenshtein ``<= max_edits``) near-dup pairs —
+    the classic fuzzy-dedup verifier missing between exact hash equality
+    and token/gram similarity (reference analogue: the dedup family's
+    exact-verify stage, cf. ngram_jaccard_block).
+
+    Candidate generation is LENGTH BANDING: ``|len(a) - len(b)| <= k`` is
+    necessary for ``lev <= k``, and with ``bucket = len // (k+1)`` any
+    qualifying pair sits in the same or adjacent buckets.  Each doc is
+    emitted to the two anchor groups ``{bucket, bucket+1}``; a pair is
+    resolved exactly once, in the group anchored at ``max(bucket_a,
+    bucket_b)``.  Shuffle payload is (shard, text) — each doc ships twice,
+    nothing quadratic ever moves.  A shard task resolves ALL its anchors
+    in one lexsort + within-run pair pass (:func:`_run_pairs`), then runs
+    one banded DP vectorized across the surviving candidates.
+
+    Partitioning assumption (100 TB): length banding alone leaves
+    O(docs-per-length-window^2) candidates per band — pass ``block_cols``
+    (language, source, or an upstream LSH bucket) to bound group sizes;
+    exact block equality is enforced inside the task via factorized codes
+    (shard-hash collisions co-locate blocks, never merge them).
+    """
+    import pyarrow.compute as pc
+
+    from geoglue_ray.stages.zonal import _factorize_keys
+
+    k = int(max_edits)
+    cols = list(block_cols or [])
+    width = np.int64(k + 1)
+
+    def prep(b: pa.Table) -> pa.Table:
+        L = pc.utf8_length(b[text_col]).to_numpy().astype(np.int64)
+        bucket = L // width
+        h = np.zeros(len(b), dtype=np.uint64)
+        for c in cols:
+            arr = b[c].to_numpy(zero_copy_only=False)
+            v = (
+                arr.astype(np.uint64)
+                if arr.dtype.kind in "iu"
+                else pd.util.hash_array(arr).astype(np.uint64)
+            )
+            h = h * _MIX1 + v
+        parts = []
+        for off in (0, 1):  # emit to anchor = bucket and bucket + 1
+            anchor = bucket + off
+            shard = (
+                (h * _MIX1 + anchor.astype(np.uint64)) % np.uint64(n_shards)
+            ).astype(np.int64)
+            out = {c: b[c] for c in cols}
+            out[id_col] = b[id_col]
+            out[text_col] = b[text_col]
+            out["_lb"] = pa.array(L)
+            out["_bucket"] = pa.array(bucket)
+            out["_anchor"] = pa.array(anchor)
+            out["shard"] = pa.array(shard)
+            parts.append(pa.table(out))
+        return pa.concat_tables(parts)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "lev": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) < 2:
+            return empty
+        ids = t[id_col].to_numpy().astype(np.int64)
+        lb = t["_lb"].to_numpy().astype(np.int64)
+        bucket = t["_bucket"].to_numpy().astype(np.int64)
+        anchor = t["_anchor"].to_numpy().astype(np.int64)
+        _, code, _ = _factorize_keys(
+            [t[c].to_numpy(zero_copy_only=False) for c in cols] + [anchor]
+        )
+        o = np.lexsort((ids, code))
+        ia, ib = _run_pairs(code[o])
+        if not len(ia):
+            return empty
+        bk, an, ln = bucket[o], anchor[o], lb[o]
+        keep = (np.maximum(bk[ia], bk[ib]) == an[ia]) & (
+            np.abs(ln[ia] - ln[ib]) <= k
+        )
+        ia, ib = ia[keep], ib[keep]
+        if not len(ia):
+            return empty
+        # pad code points once for the docs that actually appear in pairs
+        used = np.unique(np.concatenate([ia, ib]))
+        texts = t[text_col].take(pa.array(o[used])).to_pylist()
+        M, L = _pad_codepoints(texts)
+        pos = np.empty(len(o), dtype=np.int64)
+        pos[used] = np.arange(len(used))
+        ua, ub = pos[ia], pos[ib]
+        lev = banded_levenshtein(M[ua], L[ua], M[ub], L[ub], k)
+        ok = lev <= k
+        ids_s = ids[o]
+        return pa.table(
+            {
+                "doc_a": pa.array(ids_s[ia[ok]]),
+                "doc_b": pa.array(ids_s[ib[ok]]),
+                "lev": pa.array(lev[ok]),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return prepped.groupby("shard").map_groups(pairs, batch_format="pyarrow")
+
+
 # ------------------------------------------------------ survivor anti-join
 def survivor_corpus(
     docs: rd.Dataset,

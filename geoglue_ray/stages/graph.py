@@ -1,0 +1,237 @@
+"""Graph stages over edge Datasets: distinct-edge extraction from baskets
+and fixed-point PageRank.
+
+PageRank is the representative ITERATIVE algorithm of the engine (the
+class the correctness brief allows to skip SQL — here it doesn't have to):
+all arithmetic is integer fixed-point (ranks scaled by ``2**32``, damping
+85/100 applied as ``(85 * sum) // 100``), so every iteration is
+order-independent integer sums + floor divisions that a DuckDB HUGEINT
+oracle reproduces bit-for-bit (`geoglue_ray.oracles.pagerank_parts`).
+
+Scale shape: the EDGE set stays distributed (materialized once, streamed
+once per iteration); only the NODE-cardinality rank vector lives on the
+driver and is re-broadcast each round via ``ray.put`` — the same bounded-
+state contract as vocab_top / embed_centroids (nodes ~ catalog size,
+edges ~ corpus size).  Per-batch partials collapse to distinct-dst rows
+before the fixed-shard exact merge, so the shuffle payload per iteration
+is node-bounded, never edge-bounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from geoglue_ray.functions.texthash import int_hash64
+from geoglue_ray.stages.dedup import _run_pairs
+
+
+def basket_edges(
+    ds: rd.Dataset,
+    basket_col: str,
+    item_col: str,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Distinct DIRECTED co-occurrence edges: for every unordered pair of
+    distinct items sharing a basket, both ``(a, b)`` and ``(b, a)`` —
+    the symmetric item graph of a market-basket corpus.
+
+    Baskets co-locate via ``hash(basket) % n_shards``; each shard task
+    generates within-basket pairs in one lexsort + run-pair pass and
+    collapses to its DISTINCT pairs (shuffle payload = per-shard distinct
+    pair cardinality).  A second fixed-shard pass on ``hash(pair)``
+    dedupes across basket shards — a pair's global identity lives in one
+    pair shard, so the result is exactly DuckDB's ``SELECT DISTINCT``.
+    """
+
+    def shard(b: pa.Table) -> pa.Table:
+        k = b[basket_col].to_numpy()
+        return pa.table(
+            {
+                "_sh": pa.array(
+                    (int_hash64(k) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                basket_col: b[basket_col],
+                item_col: b[item_col],
+            }
+        )
+
+    def gen(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "_ps": np.array([], np.int64),
+                    "packed": np.array([], np.int64),
+                }
+            )
+        bk = g[basket_col].to_numpy()
+        it = g[item_col].to_numpy()
+        o = np.lexsort((it, bk))
+        bk, it = bk[o], it[o]
+        uniq = np.r_[True, (bk[1:] != bk[:-1]) | (it[1:] != it[:-1])]
+        bk, it = bk[uniq], it[uniq]
+        ia, ib = _run_pairs(bk)
+        if len(ia) == 0:
+            return pd.DataFrame(
+                {
+                    "_ps": np.array([], np.int64),
+                    "packed": np.array([], np.int64),
+                }
+            )
+        packed = (it[ia].astype(np.int64) << np.int64(32)) | it[ib].astype(
+            np.int64
+        )
+        pu = np.unique(packed)
+        return pd.DataFrame(
+            {
+                "_ps": (int_hash64(pu) % np.uint64(n_shards)).astype(np.int64),
+                "packed": pu,
+            }
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        pu = np.unique(g["packed"].to_numpy())
+        a = (pu >> np.int64(32)).astype(np.int64)
+        b = (pu & np.int64(0xFFFFFFFF)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([a, b]),
+                "dst": np.concatenate([b, a]),
+            }
+        )
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(gen, batch_format="pandas")
+        .groupby("_ps")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+def pagerank_fixedpoint(
+    edges: rd.Dataset,
+    iters: int = 3,
+    scale: int = 1 << 32,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    n_merge: int = 32,
+) -> pa.Table:
+    """Fixed-point PageRank over distinct directed ``(src, dst)`` edges.
+
+    ``rank_0 = scale`` for every node; each iteration computes
+    ``rank'[v] = (15 * scale) // 100 + (85 * sum_in(rank[u] // deg[u])) // 100``
+    in pure int64 — floor divisions and order-independent integer sums,
+    bit-reproducible by an unrolled HUGEINT CTE.  Nodes are taken from the
+    edge set itself (every node has out-degree >= 1 in a symmetric graph),
+    so there is no dangling-mass term.
+
+    The driver holds only the node-cardinality rank/degree vectors
+    (asserted against int64 overflow: ``damping_num * n * scale < 2**63``)
+    and re-broadcasts contributions per iteration; edges stream through
+    ``map_batches`` with per-batch distinct-dst partial collapse and a
+    fixed-shard exact merge.
+    """
+    edges = edges.materialize()  # consumed once per iteration + degrees
+
+    def _empty_partial() -> pa.Table:
+        return pa.table(
+            {
+                "_m": pa.array([], pa.int64()),
+                "node": pa.array([], pa.int64()),
+                "val": pa.array([], pa.int64()),
+            }
+        )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _empty_partial()
+        src = np.sort(b["src"].to_numpy().astype(np.int64))
+        bnd = np.r_[True, src[1:] != src[:-1]]
+        starts = np.nonzero(bnd)[0]
+        cnt = np.diff(np.r_[starts, len(src)])
+        return pa.table(
+            {
+                "_m": pa.array(
+                    (int_hash64(src[starts]) % np.uint64(n_merge)).astype(
+                        np.int64
+                    )
+                ),
+                "node": pa.array(src[starts]),
+                "val": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "node": np.array([], np.int64),
+                    "val": np.array([], np.int64),
+                }
+            )
+        node = g["node"].to_numpy().astype(np.int64)
+        val = g["val"].to_numpy().astype(np.int64)
+        o = np.argsort(node, kind="stable")
+        node, val = node[o], val[o]
+        bnd = np.r_[True, node[1:] != node[:-1]]
+        starts = np.nonzero(bnd)[0]
+        sums = np.add.reduceat(val, starts)
+        return pd.DataFrame({"node": node[starts], "val": sums})
+
+    def reduce_nodes(ds_part: rd.Dataset) -> pd.DataFrame:
+        return (
+            ds_part.groupby("_m")
+            .map_groups(merge, batch_format="pandas")
+            .to_pandas()
+        )
+
+    degs = reduce_nodes(edges.map_batches(deg_partial, batch_format="pyarrow"))
+    nodes = degs["node"].to_numpy().astype(np.int64)
+    o = np.argsort(nodes)
+    nodes, deg = nodes[o], degs["val"].to_numpy().astype(np.int64)[o]
+    n = len(nodes)
+    assert damping_num * n * scale < (1 << 63), (
+        "fixed-point overflow bound: shrink scale for this node count"
+    )
+    rank = np.full(n, scale, dtype=np.int64)
+    base = (damping_den - damping_num) * scale // damping_den
+
+    for _ in range(iters):
+        contrib_ref = ray.put({"nodes": nodes, "contrib": rank // deg})
+
+        def inc_partial(b: pa.Table, *, ref=contrib_ref) -> pa.Table:
+            if len(b) == 0:
+                return _empty_partial()
+            state = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            src = b["src"].to_numpy().astype(np.int64)
+            dst = b["dst"].to_numpy().astype(np.int64)
+            c = state["contrib"][np.searchsorted(state["nodes"], src)]
+            o2 = np.argsort(dst, kind="stable")
+            dst_s, c_s = dst[o2], c[o2]
+            bnd = np.r_[True, dst_s[1:] != dst_s[:-1]]
+            starts = np.nonzero(bnd)[0]
+            sums = np.add.reduceat(c_s, starts)
+            du = dst_s[starts]
+            return pa.table(
+                {
+                    "_m": pa.array(
+                        (int_hash64(du) % np.uint64(n_merge)).astype(np.int64)
+                    ),
+                    "node": pa.array(du),
+                    "val": pa.array(sums.astype(np.int64)),
+                }
+            )
+
+        inc = reduce_nodes(
+            edges.map_batches(inc_partial, batch_format="pyarrow")
+        )
+        incoming = np.zeros(n, dtype=np.int64)
+        idx = np.searchsorted(nodes, inc["node"].to_numpy().astype(np.int64))
+        incoming[idx] = inc["val"].to_numpy().astype(np.int64)
+        rank = base + damping_num * incoming // damping_den
+
+    return pa.table({"node": pa.array(nodes), "rank": pa.array(rank)})
