@@ -721,6 +721,37 @@ ORDER BY 1, 2
 """
 
 
+def revenue_rollup() -> str:
+    """GROUP BY ROLLUP twin — each grouping set sums the same floored
+    (hence integer-valued, order-independent) per-row revenue the engine
+    collapses per nation; 'ALL' sentinels replace ROLLUP's NULL levels so
+    block schemas and sorts stay typed on both sides."""
+    return """
+WITH rev AS (
+  SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+         SUM(floor(l_extendedprice * (1.0 - l_discount))) AS revenue
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  GROUP BY ROLLUP(r_name, n_name))
+SELECT r_name, n_name, revenue FROM rev ORDER BY 1, 2
+"""
+
+
+def redact_docs() -> str:
+    """RE2 twin of the Arrow redaction kernels: `regexp_extract_all`
+    counts the same non-overlapping matches `count_substring_regex`
+    counts, and `regexp_replace(..., 'g')` rewrites the same spans."""
+    return r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\b(key|part|table)\b')) AS n_masked,
+       regexp_replace(text, '\b(key|part|table)\b', '<TERM>', 'g')
+         AS text_redacted
+FROM documents ORDER BY doc_id
+"""
+
+
 def pagerank_parts() -> str:
     """Unrolled 3-iteration fixed-point PageRank in HUGEINT: the engine's
     int64 chain (rank//deg floor contributions, order-independent integer
@@ -750,6 +781,30 @@ r1 AS ("""
 SELECT node AS part_key, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY 1
 """
     )
+
+
+def triangle_parts() -> str:
+    """Triangle enumeration by 3-way self-join over the distinct
+    undirected co-purchase edge set (each triangle once as s<t<u by id),
+    then each corner counted — integer counts, order-free."""
+    return """
+WITH pairs AS (
+  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS s,
+         greatest(x.l_partkey, y.l_partkey) AS t
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+tri AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.s = e1.t
+  JOIN pairs e3 ON e3.s = e1.s AND e3.t = e2.t),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node AS part_key, count(*) AS n_triangles
+FROM corners GROUP BY node ORDER BY 1
+"""
 
 
 def edit_neardup() -> str:

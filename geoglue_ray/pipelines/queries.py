@@ -314,6 +314,103 @@ def region_revenue(sf_dir: str) -> rd.Dataset:
     return out.sort("r_name")
 
 
+def revenue_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(region, nation) revenue — the grouping-sets
+    primitive.  The supplier->nation dimension chain is composed into one
+    dense broadcast LUT; lineitem batches partial-collapse to nation
+    cardinality (25), and the rollup levels (region subtotals, grand
+    total) are derived in one bounded driver step — sums of exact
+    integer-valued-double nation sums, so every level matches DuckDB's
+    per-grouping-set SUM bit-for-bit.  Rolled-up key levels use the
+    'ALL' sentinel (never NULL) to keep block schemas typed."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    n_nat = nat.num_rows
+    s_to_n = np.empty(int(sup["s_suppkey"].to_numpy().max()) + 1, dtype=np.int64)
+    s_to_n[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+    n_names = np.empty(n_nat, dtype=object)
+    n_names[nat["n_nationkey"].to_numpy()] = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    n_to_r = np.empty(n_nat, dtype=np.int64)
+    n_to_r[nat["n_nationkey"].to_numpy()] = nat["n_regionkey"].to_numpy()
+    r_names = np.empty(reg.num_rows, dtype=object)
+    r_names[reg["r_regionkey"].to_numpy()] = np.asarray(reg["r_name"].to_pylist(), dtype=object)
+    lut_ref = ray.put(s_to_n)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        code = lut[b["l_suppkey"].to_numpy()]
+        rev = np.floor(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        )
+        return pa.table(
+            {
+                "_n": pa.array(np.arange(n_nat, dtype=np.int64)),
+                "revenue": pa.array(np.bincount(code, weights=rev, minlength=n_nat)),
+            }
+        )
+
+    # partials are nation-cardinality x block-count — provably bounded
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    by_n = np.zeros(n_nat, dtype=np.float64)
+    np.add.at(by_n, parts["_n"].to_numpy(), parts["revenue"].to_numpy())
+    rows_r = [r_names[n_to_r[n]] for n in range(n_nat)]
+    by_region: dict[str, float] = {}
+    for n in range(n_nat):
+        by_region[rows_r[n]] = by_region.get(rows_r[n], 0.0) + by_n[n]
+    out = pd.DataFrame(
+        {
+            "r_name": rows_r + sorted(by_region) + ["ALL"],
+            "n_name": [n_names[n] for n in range(n_nat)]
+            + ["ALL"] * len(by_region)
+            + ["ALL"],
+            "revenue": list(by_n)
+            + [by_region[r] for r in sorted(by_region)]
+            + [float(sum(by_region.values()))],
+        }
+    )
+    return pa.Table.from_pandas(
+        out.sort_values(["r_name", "n_name"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def redact_docs(sf_dir: str) -> rd.Dataset:
+    """Vectorized regex masking — the PII-redaction primitive of a
+    training-data pipeline: every standalone occurrence of the masked
+    terms is counted and replaced in one RE2 kernel pass per Arrow batch
+    (`pc.count_substring_regex` / `pc.replace_substring_regex`; both
+    engines run RE2, so replacement positions agree exactly)."""
+    import pyarrow.compute as pc
+
+    pat = r"\b(key|part|table)\b"
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+
+    def red(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_masked": pc.count_substring_regex(b["text"], pat).cast(
+                    pa.int64()
+                ),
+                "text_redacted": pc.replace_substring_regex(
+                    b["text"], pat, "<TERM>"
+                ),
+            }
+        )
+
+    return ds.map_batches(red, batch_format="pyarrow").sort("doc_id")
+
+
 def brand_stats(sf_dir: str) -> rd.Dataset:
     """lineitem joined to part by broadcast dense-key gather, grouped by
     brand (card 25): sum/min/max of floored measures so every aggregate
@@ -1682,6 +1779,20 @@ def pagerank_parts(sf_dir: str) -> pa.Table:
     )
     t = pagerank_fixedpoint(basket_edges(li, "l_orderkey", "l_partkey"), iters=3)
     return t.rename_columns(["part_key", "rank"])
+
+
+def triangle_parts(sf_dir: str) -> pa.Table:
+    """Per-part triangle counts over the part co-purchase graph — the
+    wedge-enumeration graph aggregate (stages/graph.py: degree-ordered
+    orientation, fixed-shard wedge generation, co-shuffled edge-set
+    membership; never an edge-set broadcast)."""
+    from geoglue_ray.stages.graph import basket_edges, triangle_counts
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    t = triangle_counts(basket_edges(li, "l_orderkey", "l_partkey"))
+    return t.rename_columns(["part_key", "n_triangles"])
 
 
 def weighted_sample_docs(sf_dir: str, k: int = 20) -> rd.Dataset:

@@ -235,3 +235,213 @@ def pagerank_fixedpoint(
         rank = base + damping_num * incoming // damping_den
 
     return pa.table({"node": pa.array(nodes), "rank": pa.array(rank)})
+
+
+def triangle_counts(
+    edges: rd.Dataset,
+    n_shards: int = 64,
+    n_merge: int = 32,
+) -> pa.Table:
+    """Per-node triangle counts over distinct directed ``(src, dst)``
+    edges (both directions present, as :func:`basket_edges` emits) — the
+    representative GRAPH-ANALYTICS aggregate beyond the iterative class
+    (reference analogue: the co-occurrence family, cf. copurchase_pairs).
+
+    Degree-ordered orientation (the standard wedge-bounding trick): keep
+    ``u -> v`` only when ``(deg[u], u) < (deg[v], v)``, so every triangle
+    has exactly ONE corner with two outgoing oriented edges and is
+    enumerated exactly once as a wedge at that corner.  Wedges
+    ``(v1, v2)`` generated per source in one fixed-shard lexsort +
+    run-pair pass are matched against the undirected edge set by a
+    co-shuffled tagged union on ``hash(packed(min, max)) % n_shards`` —
+    membership is a searchsorted per shard task, never a broadcast of the
+    edge set.  Each matched wedge increments all three corners; per-task
+    partials collapse to node cardinality before the fixed-shard exact
+    merge (the pagerank reduce shape).
+
+    Partitioning assumption (100 TB): orientation bounds out-degree by
+    ~sqrt(|E|), so per-task wedge volume is ``sum C(outdeg, 2)`` over one
+    shard's sources — raise ``n_shards`` (and salt a pathological
+    super-hub upstream) to bound task memory.  Node ids must fit int32
+    (packed pair keys), asserted.
+    """
+    edges = edges.materialize()  # consumed for degrees + two passes
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        src = np.sort(b["src"].to_numpy().astype(np.int64))
+        if len(src) == 0:
+            return pa.table(
+                {
+                    "_m": pa.array([], pa.int64()),
+                    "node": pa.array([], pa.int64()),
+                    "val": pa.array([], pa.int64()),
+                }
+            )
+        bnd = np.r_[True, src[1:] != src[:-1]]
+        starts = np.nonzero(bnd)[0]
+        cnt = np.diff(np.r_[starts, len(src)]).astype(np.int64)
+        return pa.table(
+            {
+                "_m": pa.array(
+                    (int_hash64(src[starts]) % np.uint64(n_merge)).astype(np.int64)
+                ),
+                "node": pa.array(src[starts]),
+                "val": pa.array(cnt),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].to_numpy().astype(np.int64)
+        val = g["val"].to_numpy().astype(np.int64)
+        o = np.argsort(node, kind="stable")
+        node, val = node[o], val[o]
+        if len(node) == 0:
+            return pd.DataFrame(
+                {"node": np.array([], np.int64), "val": np.array([], np.int64)}
+            )
+        bnd = np.r_[True, node[1:] != node[:-1]]
+        starts = np.nonzero(bnd)[0]
+        return pd.DataFrame(
+            {"node": node[starts], "val": np.add.reduceat(val, starts)}
+        )
+
+    degs = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("_m")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    nodes = degs["node"].to_numpy().astype(np.int64)
+    o = np.argsort(nodes)
+    nodes, deg = nodes[o], degs["val"].to_numpy().astype(np.int64)[o]
+    assert len(nodes) == 0 or nodes[-1] < (1 << 31), "node ids must fit int32"
+    deg_ref = ray.put({"nodes": nodes, "deg": deg})
+
+    def orient_wedges(b: pa.Table) -> pa.Table:
+        """Oriented out-edges per batch -> wedge shard rows.  Wedge pairs
+        need ALL of a source's out-edges together, so this stage only
+        tags rows with the source shard; pair generation happens in the
+        grouped pass below."""
+        state = ray.get(deg_ref) if isinstance(deg_ref, ray.ObjectRef) else deg_ref
+        src = b["src"].to_numpy().astype(np.int64)
+        dst = b["dst"].to_numpy().astype(np.int64)
+        du = state["deg"][np.searchsorted(state["nodes"], src)]
+        dv = state["deg"][np.searchsorted(state["nodes"], dst)]
+        keep = (du < dv) | ((du == dv) & (src < dst))
+        src, dst = src[keep], dst[keep]
+        return pa.table(
+            {
+                "_ws": pa.array(
+                    (int_hash64(src) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+            }
+        )
+
+    def gen_wedges(g: pd.DataFrame) -> pa.Table:
+        # returns Arrow so the union with edge_keys sees ONE block type
+        src = g["src"].to_numpy().astype(np.int64)
+        dst = g["dst"].to_numpy().astype(np.int64)
+        o2 = np.lexsort((dst, src))
+        src, dst = src[o2], dst[o2]
+        ia, ib = _run_pairs(src)
+        if len(ia) == 0:
+            return pa.table(
+                {
+                    "_ps": pa.array([], pa.int64()),
+                    "packed": pa.array([], pa.int64()),
+                    "corner": pa.array([], pa.int64()),
+                }
+            )
+        a = np.minimum(dst[ia], dst[ib])
+        c = np.maximum(dst[ia], dst[ib])
+        packed = (a << np.int64(32)) | c
+        return pa.table(
+            {
+                "_ps": pa.array(
+                    (int_hash64(packed) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "packed": pa.array(packed),
+                "corner": pa.array(src[ia]),
+            }
+        )
+
+    def edge_keys(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy().astype(np.int64)
+        dst = b["dst"].to_numpy().astype(np.int64)
+        keep = src < dst  # undirected edge exactly once
+        packed = (src[keep] << np.int64(32)) | dst[keep]
+        return pa.table(
+            {
+                "_ps": pa.array(
+                    (int_hash64(packed) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "packed": pa.array(packed),
+                "corner": pa.array(np.full(int(keep.sum()), -1, dtype=np.int64)),
+            }
+        )
+
+    wedges = (
+        edges.map_batches(orient_wedges, batch_format="pyarrow")
+        .groupby("_ws")
+        .map_groups(gen_wedges, batch_format="pandas")
+    )
+    tagged = wedges.union(edges.map_batches(edge_keys, batch_format="pyarrow"))
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        corner = g["corner"].to_numpy().astype(np.int64)
+        packed = g["packed"].to_numpy().astype(np.int64)
+        is_edge = corner < 0
+        q = np.sort(packed[is_edge])
+        p, u = packed[~is_edge], corner[~is_edge]
+        if len(q) == 0 or len(p) == 0:
+            return pd.DataFrame(
+                {"node": np.array([], np.int64), "val": np.array([], np.int64)}
+            )
+        idx = np.searchsorted(q, p)
+        idx[idx == len(q)] = 0
+        m = q[idx] == p
+        pm = p[m]
+        tri_nodes = np.concatenate(
+            [u[m], pm >> np.int64(32), pm & np.int64(0xFFFFFFFF)]
+        )
+        tri_nodes.sort()
+        if len(tri_nodes) == 0:
+            return pd.DataFrame(
+                {"node": np.array([], np.int64), "val": np.array([], np.int64)}
+            )
+        bnd = np.r_[True, tri_nodes[1:] != tri_nodes[:-1]]
+        starts = np.nonzero(bnd)[0]
+        cnt = np.diff(np.r_[starts, len(tri_nodes)]).astype(np.int64)
+        return pd.DataFrame({"node": tri_nodes[starts], "val": cnt})
+
+    # per-shard partials are node-bounded; one exact merge finishes
+    parts = tagged.groupby("_ps").map_groups(match, batch_format="pandas")
+
+    def tag_merge(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "_m": pa.array(
+                    (int_hash64(node) % np.uint64(n_merge)).astype(np.int64)
+                ),
+                "node": b["node"],
+                "val": b["val"],
+            }
+        )
+
+    out = (
+        parts.map_batches(tag_merge, batch_format="pyarrow")
+        .groupby("_m")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "node": pa.array(out["node"].to_numpy().astype(np.int64)),
+            "n_triangles": pa.array(out["val"].to_numpy().astype(np.int64)),
+        }
+    )

@@ -171,3 +171,41 @@ def test_basket_edges_distinct_and_symmetric(ray_session):
         .reset_index(drop=True)
     )
     assert out.to_dict("list") == {"src": [7, 8], "dst": [8, 7]}
+
+
+def test_triangle_counts_matches_brute_force(ray_session):
+    """Random graph: per-node triangle counts vs an O(n^3) numpy brute
+    force over the adjacency matrix."""
+    import ray.data as rd
+
+    from geoglue_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(7)
+    n = 40
+    adj = np.triu(rng.random((n, n)) < 0.2, k=1)
+    adj = adj | adj.T
+    src, dst = np.nonzero(adj)  # both directions, distinct
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src.astype(np.int64)),
+                  "dst": pa.array(dst.astype(np.int64))})
+    ).repartition(5)
+    out = triangle_counts(edges, n_shards=8, n_merge=4).to_pandas()
+    a = adj.astype(np.int64)
+    per_node = np.diag(a @ a @ a) // 2  # closed wedges at each node / 2
+    exp = {i: int(per_node[i]) for i in range(n) if per_node[i] > 0}
+    got = dict(zip(out["node"], out["n_triangles"]))
+    assert got == exp
+
+
+def test_triangle_counts_simple(ray_session):
+    """4-cycle with one chord = exactly 2 triangles, corners counted."""
+    import ray.data as rd
+
+    from geoglue_ray.stages.graph import triangle_counts
+
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    src = np.array([a for a, b in und] + [b for a, b in und], np.int64)
+    dst = np.array([b for a, b in und] + [a for a, b in und], np.int64)
+    edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    out = triangle_counts(edges, n_shards=4, n_merge=2).to_pandas()
+    assert dict(zip(out["node"], out["n_triangles"])) == {0: 2, 1: 1, 2: 2, 3: 1}
