@@ -783,6 +783,33 @@ SELECT node AS part_key, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY 1
     )
 
 
+def dedup_chunks() -> str:
+    """Chunk-dedup twin: zipped unnest tokenizes, string_agg rebuilds
+    chunk strings (single-space corpus, so reconstruction is exact),
+    row_number over (doc_id, chunk_id) is the same global first-wins
+    order the engine's lexsort implements, and the final string_agg
+    ORDER BY chunk_id mirrors the reassembly join."""
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(range(len(string_split(text, ' ')))) AS ord0
+  FROM documents),
+chunks AS (
+  SELECT doc_id, ord0 // 4 AS chunk_id,
+         string_agg(tok, ' ' ORDER BY ord0) AS chunk
+  FROM toks GROUP BY doc_id, ord0 // 4),
+keep AS (
+  SELECT doc_id, chunk_id, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks)
+SELECT doc_id, count(*) AS n_chunks_kept,
+       string_agg(chunk, ' ' ORDER BY chunk_id) AS text_dedup
+FROM keep WHERE rn = 1
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def triangle_parts() -> str:
     """Triangle enumeration by 3-way self-join over the distinct
     undirected co-purchase edge set (each triangle once as s<t<u by id),

@@ -958,6 +958,17 @@ def edit_neardup(sf_dir: str) -> rd.Dataset:
     return ed(ds, max_edits=8, block_cols=["lang"]).sort(["doc_a", "doc_b"])
 
 
+def dedup_chunks(sf_dir: str) -> rd.Dataset:
+    """Sub-document chunk dedup + reassembly (C4/RefinedWeb curation
+    shape): 4-token windows, global first-wins by (doc_id, chunk_id),
+    documents rebuilt from surviving chunks — all Arrow-kernel
+    vectorized (stages/dedup.chunk_dedup)."""
+    from geoglue_ray.stages.dedup import chunk_dedup
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    return chunk_dedup(ds, chunk_tokens=4).sort("doc_id")
+
+
 def dedup_clusters(sf_dir: str) -> rd.Dataset:
     """Near-duplicate clusters: MinHash+LSH pairs -> connected components."""
     from geoglue_ray.stages.dedup import duplicate_clusters, minhash_neardup as mh

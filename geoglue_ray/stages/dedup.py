@@ -1147,6 +1147,115 @@ def edit_neardup(
     return prepped.groupby("shard").map_groups(pairs, batch_format="pyarrow")
 
 
+# ---------------------------------------------- chunk dedup + reassembly
+def chunk_dedup(
+    ds: rd.Dataset,
+    chunk_tokens: int = 4,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Sub-document (chunk-level) exact dedup with document REASSEMBLY —
+    the C4/RefinedWeb curation shape: split every document into windows
+    of ``chunk_tokens`` whitespace tokens, keep each distinct chunk's
+    globally FIRST occurrence (ordered by ``(doc_id, chunk_id)``), and
+    rebuild each document from its surviving chunks in order.  Documents
+    that lose every chunk drop out entirely.
+
+    All string work is Arrow-kernel vectorized: ``pc.split_pattern``
+    tokenizes, chunk strings are re-materialized zero-copy by rebasing
+    the token ListArray's offsets onto chunk boundaries and one
+    ``pc.binary_join`` (no per-chunk Python), and reassembly is a second
+    offsets-rebase + ``binary_join`` over the kept chunks.
+
+    Scale shape: chunks ship ONCE to a fixed-shard content group
+    (``hash(chunk) % n_shards`` co-locates equal chunks; equality is
+    decided on the strings via factorize, so hash collisions co-locate
+    but never merge), survivors ship once more to a doc-shard for
+    reassembly — two linear shuffles, no broadcast, no driver state.
+    """
+    import pyarrow.compute as pc
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    W = int(chunk_tokens)
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        n = offs[1:] - offs[:-1]  # tokens per doc (>= 1: '' splits to [''])
+        c = -(-n // W)
+        rows = np.repeat(np.arange(len(b), dtype=np.int64), c)
+        total = int(c.sum())
+        chunk_id = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(c) - c, c
+        )
+        starts = offs[:-1][rows] + chunk_id * W
+        # chunk i spans [starts[i], starts[i+1]): within a doc chunks are
+        # contiguous, and a doc's last chunk ends where the next doc starts
+        new_offs = np.concatenate([starts, offs[-1:]]).astype(np.int32)
+        chunk_list = pa.ListArray.from_arrays(pa.array(new_offs), toks.values)
+        chunk = pc.binary_join(chunk_list, " ")
+        shard = (
+            pd.util.hash_array(chunk.to_numpy(zero_copy_only=False))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_cs": pa.array(shard),
+                id_col: b[id_col].take(pa.array(rows)),
+                "chunk_id": pa.array(chunk_id),
+                "chunk": chunk,
+            }
+        )
+
+    def first_wins(g: pd.DataFrame) -> pa.Table:
+        doc = g[id_col].to_numpy().astype(np.int64)
+        cid = g["chunk_id"].to_numpy().astype(np.int64)
+        code, _ = pd.factorize(g["chunk"].to_numpy())  # content equality
+        o = np.lexsort((cid, doc, code))
+        keep = o[np.r_[True, code[o][1:] != code[o][:-1]]]
+        shard = (int_hash64(doc[keep]) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "_rs": pa.array(shard),
+                id_col: pa.array(doc[keep]),
+                "chunk_id": pa.array(cid[keep]),
+                "chunk": pa.array(g["chunk"].to_numpy()[keep].astype(object)),
+            }
+        )
+
+    def reassemble(g: pd.DataFrame) -> pa.Table:
+        doc = g[id_col].to_numpy().astype(np.int64)
+        cid = g["chunk_id"].to_numpy().astype(np.int64)
+        o = np.lexsort((cid, doc))
+        doc, cid = doc[o], cid[o]
+        chunks = pa.array(g["chunk"].to_numpy()[o].astype(object))
+        bnd = np.r_[True, doc[1:] != doc[:-1]]
+        starts = np.nonzero(bnd)[0]
+        cnt = np.diff(np.r_[starts, len(doc)]).astype(np.int64)
+        offs = np.concatenate([starts, [len(doc)]]).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs), chunks), " "
+        )
+        return pa.table(
+            {
+                id_col: pa.array(doc[starts]),
+                "n_chunks_kept": pa.array(cnt),
+                "text_dedup": joined,
+            }
+        )
+
+    kept = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_cs")
+        .map_groups(first_wins, batch_format="pandas")
+    )
+    return kept.groupby("_rs").map_groups(reassemble, batch_format="pandas")
+
+
 # ------------------------------------------------------ survivor anti-join
 def survivor_corpus(
     docs: rd.Dataset,

@@ -888,3 +888,65 @@ def test_inverted_index_semantics():
         assert out.loc["dog", "postings"] == "1,3"
         assert out.loc["stop", "postings"] == "2,4"
         assert (out["df"] == 2).all()  # 'bird'/'rare' (df=1) dropped
+
+
+def test_chunk_dedup_planted_duplicates(ray_session):
+    """First-wins across docs, in-doc ordering preserved on reassembly,
+    and a doc losing every chunk drops out."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.dedup import chunk_dedup
+
+    docs = {
+        0: "a b c d e f g h",          # chunks: "a b c d", "e f g h"
+        1: "x y z w a b c d",          # "x y z w" kept, "a b c d" deduped
+        2: "a b c d",                  # fully duplicated -> dropped
+        3: "e f g h tail",             # "e f g h" deduped, "tail" kept
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "text": pa.array(list(docs.values())),
+            }
+        )
+    ).repartition(3)
+    out = (
+        chunk_dedup(ds, chunk_tokens=4, n_shards=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 3]
+    assert out["text_dedup"].tolist() == ["a b c d e f g h", "x y z w", "tail"]
+    assert out["n_chunks_kept"].tolist() == [2, 1, 1]
+
+
+def test_chunk_dedup_shard_count_invariance(ray_session):
+    """Content-equality dedup must not depend on shard count (hash
+    collisions co-locate, never merge)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.dedup import chunk_dedup
+
+    rng = np.random.default_rng(3)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(n)))
+        for n in rng.integers(1, 12, size=60)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(60), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(4)
+    a = chunk_dedup(ds, chunk_tokens=2, n_shards=2).to_pandas()
+    b = chunk_dedup(ds, chunk_tokens=2, n_shards=16).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
