@@ -783,6 +783,27 @@ SELECT node AS part_key, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY 1
     )
 
 
+def raster_focal_mean() -> str:
+    """Focal-mean twin by 3x3 lattice self-join: values are
+    integer-valued doubles so the <=9-term sum is order-free exact, and
+    the mean is the same single division the engine performs."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()})
+SELECT a.valid_time, a.r AS cell_row, a.c AS cell_col,
+       count(b.value) AS n_nb,
+       sum(b.value) / count(b.value) AS focal_mean
+FROM rast a JOIN rast b
+  ON b.t = a.t AND b.variable = a.variable
+ AND b.r BETWEEN a.r - 1 AND a.r + 1
+ AND b.c BETWEEN a.c - 1 AND a.c + 1
+ AND b.value IS NOT NULL
+WHERE a.variable = 't2m' AND a.t < 48
+GROUP BY 1, 2, 3 ORDER BY 2, 3, 1
+"""
+
+
 def dedup_chunks() -> str:
     """Chunk-dedup twin: zipped unnest tokenizes, string_agg rebuilds
     chunk strings (single-space corpus, so reconstruction is exact),

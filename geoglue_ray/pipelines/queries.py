@@ -1792,6 +1792,21 @@ def pagerank_parts(sf_dir: str) -> pa.Table:
     return t.rename_columns(["part_key", "rank"])
 
 
+def raster_focal_mean(sf_dir: str) -> rd.Dataset:
+    """3x3 focal (moving-window) mean over two days of the hourly raster
+    — the stencil operator: row-band x hour-chunk partitioning with a
+    one-row halo exchange, nine shifted adds per dense block
+    (stages/stencil.py).  sf_dir is unused: the raster is the
+    deterministic generated lattice (sources/raster.py), as for
+    raster_daily."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import focal_mean
+
+    return focal_mean(read_raster(n_days=2), variable="t2m").sort(
+        ["cell_row", "cell_col", "valid_time"]
+    )
+
+
 def triangle_parts(sf_dir: str) -> pa.Table:
     """Per-part triangle counts over the part co-purchase graph — the
     wedge-enumeration graph aggregate (stages/graph.py: degree-ordered

@@ -1,0 +1,114 @@
+"""Focal-mean stencil: brute-force equivalence and halo correctness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from geoglue_ray import fixtures as fx
+from geoglue_ray.stages.stencil import focal_mean
+
+
+def _lattice(nt: int, nr: int, nc: int, hole_frac: float, seed: int):
+    rng = np.random.default_rng(seed)
+    t, r, c = np.meshgrid(
+        np.arange(nt), np.arange(nr), np.arange(nc), indexing="ij"
+    )
+    t, r, c = t.ravel(), r.ravel(), c.ravel()
+    v = rng.integers(0, 100, size=len(t)).astype(np.float64)
+    v[rng.random(len(t)) < hole_frac] = np.nan
+    return t, r, c, v
+
+
+def _brute(t, r, c, v, nt, nr, nc):
+    grid = np.full((nt, nr, nc), np.nan)
+    grid[t, r, c] = v
+    rows = []
+    for ti in range(nt):
+        for ri in range(nr):
+            for ci in range(nc):
+                nb = grid[
+                    ti,
+                    max(ri - 1, 0) : ri + 2,
+                    max(ci - 1, 0) : ci + 2,
+                ].ravel()
+                nb = nb[np.isfinite(nb)]
+                if len(nb):
+                    rows.append((ti, ri, ci, len(nb), nb.sum() / len(nb)))
+    return pd.DataFrame(
+        rows, columns=["t", "cell_row", "cell_col", "n_nb", "focal_mean"]
+    )
+
+
+def test_focal_mean_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    nt, nr, nc = 3, 11, 7  # band_rows=4 -> 3 bands, real halo traffic
+    t, r, c, v = _lattice(nt, nr, nc, hole_frac=0.3, seed=5)
+    T0 = np.datetime64(fx.T0, "us")
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "valid_time": pa.array(
+                    T0 + (t * 3_600_000_000).astype("timedelta64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "cell_row": pa.array(r.astype(np.int32)),
+                "cell_col": pa.array(c.astype(np.int32)),
+                "variable": pa.array(np.repeat("t2m", len(t))),
+                "value": pa.array(v),
+            }
+        )
+    ).repartition(4)
+    out = focal_mean(ds, variable="t2m", band_rows=4, hour_chunk=2).to_pandas()
+    out["t"] = (
+        (out["valid_time"].to_numpy() - T0)
+        .astype("timedelta64[h]")
+        .astype(np.int64)
+    )
+    out = (
+        out[["t", "cell_row", "cell_col", "n_nb", "focal_mean"]]
+        .sort_values(["t", "cell_row", "cell_col"])
+        .reset_index(drop=True)
+    )
+    exp = _brute(t, r, c, v, nt, nr, nc)
+    assert out.shape == exp.shape
+    assert np.array_equal(out["n_nb"].to_numpy(), exp["n_nb"].to_numpy())
+    # integer-valued doubles: the 9-term sum and single division are exact
+    assert np.array_equal(
+        out["focal_mean"].to_numpy(), exp["focal_mean"].to_numpy()
+    )
+
+
+def test_focal_mean_band_partitioning_invariance(ray_session):
+    """Identical results for different band/chunk splits (halo exchange
+    is exact at every boundary placement)."""
+    import ray.data as rd
+
+    nt, nr, nc = 2, 9, 5
+    t, r, c, v = _lattice(nt, nr, nc, hole_frac=0.2, seed=11)
+    T0 = np.datetime64(fx.T0, "us")
+    tbl = pa.table(
+        {
+            "valid_time": pa.array(
+                T0 + (t * 3_600_000_000).astype("timedelta64[us]"),
+                type=pa.timestamp("us"),
+            ),
+            "cell_row": pa.array(r.astype(np.int32)),
+            "cell_col": pa.array(c.astype(np.int32)),
+            "variable": pa.array(np.repeat("t2m", len(t))),
+            "value": pa.array(v),
+        }
+    )
+    outs = []
+    for band_rows, hour_chunk in ((1, 1), (3, 2), (100, 24)):
+        ds = rd.from_arrow(tbl).repartition(3)
+        outs.append(
+            focal_mean(ds, band_rows=band_rows, hour_chunk=hour_chunk)
+            .to_pandas()
+            .sort_values(["valid_time", "cell_row", "cell_col"])
+            .reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
+    assert outs[0].equals(outs[2])
