@@ -804,6 +804,35 @@ GROUP BY 1, 2, 3 ORDER BY 2, 3, 1
 """
 
 
+def raster_clumps() -> str:
+    """Clump twin: same-class 4-adjacency edges, recursive reachability
+    closure (the dedup_clusters idiom), min-label regions aggregated to
+    (region, class, size) — all-integer, order-free."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH RECURSIVE rastq AS ({sql_raster_cte()}),
+cells AS (
+  SELECT r, c, r*33 + c AS id, CAST(value AS BIGINT) // 16 AS cls
+  FROM rastq WHERE t = 0 AND variable = 't2m' AND value IS NOT NULL),
+edges0 AS (
+  SELECT a.id AS src, b.id AS dst FROM cells a
+  JOIN cells b ON b.r = a.r AND b.c = a.c + 1 AND b.cls = a.cls
+  UNION ALL
+  SELECT a.id, b.id FROM cells a
+  JOIN cells b ON b.r = a.r + 1 AND b.c = a.c AND b.cls = a.cls),
+edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0),
+reach(node, lab) AS (
+  SELECT id, id FROM cells
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+lab AS (SELECT node, min(lab) AS region_id FROM reach GROUP BY node)
+SELECT l.region_id, c.cls, count(*) AS n_cells
+FROM lab l JOIN cells c ON c.id = l.node
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 def dedup_chunks() -> str:
     """Chunk-dedup twin: zipped unnest tokenizes, string_agg rebuilds
     chunk strings (single-space corpus, so reconstruction is exact),

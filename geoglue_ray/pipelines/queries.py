@@ -1807,6 +1807,24 @@ def raster_focal_mean(sf_dir: str) -> rd.Dataset:
     )
 
 
+def raster_clumps(sf_dir: str) -> rd.Dataset:
+    """Raster region labeling ("clump"): connected components of
+    same-class 4-adjacent cells on the hour-0 slice, one row per region
+    (region_id = lowest cell id, class, size).  Halo-exchange edge
+    generation composed with the distributed min-label propagation of
+    duplicate_clusters (stages/stencil.clump_regions)."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import clump_regions
+
+    T0 = pa.scalar(np.datetime64(fx.T0, "us"), pa.timestamp("us"))
+
+    def hour0(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["valid_time"], T0))
+
+    ds = read_raster(n_days=1).map_batches(hour0, batch_format="pyarrow")
+    return clump_regions(ds, variable="t2m", class_div=16).sort("region_id")
+
+
 def triangle_parts(sf_dir: str) -> pa.Table:
     """Per-part triangle counts over the part co-purchase graph — the
     wedge-enumeration graph aggregate (stages/graph.py: degree-ordered

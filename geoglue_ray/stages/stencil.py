@@ -144,3 +144,227 @@ def focal_mean(
         .groupby("_fb")
         .map_groups(stencil, batch_format="pandas")
     )
+
+
+def lattice_edges(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    class_div: int = 16,
+    band_rows: int = 8,
+    n_rows: int = 64,
+    n_cols: int = 33,
+) -> rd.Dataset:
+    """4-adjacency same-class edges of the raster lattice (per time
+    slice): cell class = ``int(value) // class_div``; NULL cells belong
+    to no region.  Cell id packs ``((hour * n_rows) + r) * n_cols + c``.
+
+    Right edges need no neighbor band; down edges are generated at the
+    upper cell's band, fed by a one-row halo (each band's FIRST row also
+    ships to the band above) — the same halo-exchange shape as
+    :func:`focal_mean`, one linear shuffle.
+    """
+    H = int(band_rows)
+    T0 = np.datetime64(fx.T0, "us")
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        hour = (
+            (b["valid_time"].to_numpy() - T0)
+            .astype("timedelta64[h]")
+            .astype(np.int64)
+        )[fin]
+        r = b["cell_row"].to_numpy().astype(np.int64)[fin]
+        c = b["cell_col"].to_numpy().astype(np.int64)[fin]
+        cls = v[fin].astype(np.int64) // class_div
+        band = r // H
+        parts = []
+        for off, sel in (
+            (0, np.ones(len(r), dtype=bool)),
+            (-1, r % H == 0),  # halo: first band row feeds the band above
+        ):
+            bb = band[sel] + off
+            ok = bb >= 0
+            parts.append(
+                pa.table(
+                    {
+                        "_fb": pa.array(bb[ok]),
+                        "hour": pa.array(hour[sel][ok]),
+                        "r": pa.array(r[sel][ok]),
+                        "c": pa.array(c[sel][ok]),
+                        "cls": pa.array(cls[sel][ok]),
+                        "_own": pa.array(np.full(int(ok.sum()), off == 0)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def edges(g: pd.DataFrame) -> pa.Table:
+        hour = g["hour"].to_numpy().astype(np.int64)
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        cls = g["cls"].to_numpy().astype(np.int64)
+        own = g["_own"].to_numpy().astype(bool)
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+        if not own.any():
+            return empty
+        hu = np.unique(hour)
+        t0, r0 = hour.min(), r.min()
+        ti = np.searchsorted(hu, hour)
+        nt, nr = len(hu), int(r.max() - r0 + 1)
+        C = np.full((nt, nr, n_cols), -1, dtype=np.int64)
+        O = np.zeros((nt, nr, n_cols), dtype=bool)
+        C[ti, r - r0, c] = cls
+        O[ti, r - r0, c] = own
+        def ids(tg, rg, cg):
+            return ((hu[tg] * n_rows) + (rg + r0)) * n_cols + cg
+        srcs, dsts = [], []
+        # right edges: owned cell and its right neighbour (same band row)
+        tg, rg, cg = np.nonzero(
+            O[:, :, :-1] & (C[:, :, :-1] >= 0) & (C[:, :, :-1] == C[:, :, 1:])
+        )
+        srcs.append(ids(tg, rg, cg))
+        dsts.append(ids(tg, rg, cg + 1))
+        # down edges: owned upper cell, neighbour may be the halo row
+        if nr > 1:
+            tg, rg, cg = np.nonzero(
+                O[:, :-1, :] & (C[:, :-1, :] >= 0) & (C[:, :-1, :] == C[:, 1:, :])
+            )
+            srcs.append(ids(tg, rg, cg))
+            dsts.append(ids(tg, rg + 1, cg))
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        if not len(src):
+            return empty
+        return pa.table({"doc_a": pa.array(src), "doc_b": pa.array(dst)})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(edges, batch_format="pandas")
+    )
+
+
+def clump_regions(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    class_div: int = 16,
+    band_rows: int = 8,
+    n_rows: int = 64,
+    n_cols: int = 33,
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """Raster region labeling ("clump" / region-group): connected
+    components of same-class 4-adjacent cells per time slice, reduced to
+    per-region rows ``(region_id, cls, n_cells)`` with ``region_id`` the
+    component's lowest cell id.  Composes :func:`lattice_edges` with the
+    distributed min-label propagation of ``dedup.duplicate_clusters``;
+    isolated cells (no same-class neighbour) become singleton regions via
+    a co-shuffled tagged union — no broadcast, no driver state.
+    """
+    from geoglue_ray.functions.texthash import int_hash64
+    from geoglue_ray.stages.dedup import duplicate_clusters
+
+    T0 = np.datetime64(fx.T0, "us")
+    labels = duplicate_clusters(
+        lattice_edges(ds, variable, class_div, band_rows, n_rows, n_cols),
+        sort=False,
+    )
+
+    def cell_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        hour = (
+            (b["valid_time"].to_numpy() - T0)
+            .astype("timedelta64[h]")
+            .astype(np.int64)
+        )[fin]
+        r = b["cell_row"].to_numpy().astype(np.int64)[fin]
+        c = b["cell_col"].to_numpy().astype(np.int64)[fin]
+        ids = ((hour * n_rows) + r) * n_cols + c
+        return pa.table(
+            {
+                "_ls": pa.array(
+                    (int_hash64(ids) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "id": pa.array(ids),
+                "cls": pa.array(v[fin].astype(np.int64) // class_div),
+                "lab": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            }
+        )
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "_ls": pa.array(
+                    (int_hash64(ids) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "id": pa.array(ids),
+                "cls": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "lab": b["cluster_id"],
+            }
+        )
+
+    tagged = ds.map_batches(cell_rows, batch_format="pyarrow").union(
+        labels.map_batches(label_rows, batch_format="pyarrow")
+    )
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        ids = g["id"].to_numpy().astype(np.int64)
+        cls = g["cls"].to_numpy().astype(np.int64)
+        lab = g["lab"].to_numpy().astype(np.int64)
+        o = np.lexsort((lab, ids))  # per id: cell row (lab -1) first
+        ids, cls, lab = ids[o], cls[o], lab[o]
+        bnd = np.r_[True, ids[1:] != ids[:-1]]
+        starts = np.nonzero(bnd)[0]
+        ends = np.r_[starts[1:], len(ids)]
+        region = np.where(ends - starts > 1, lab[ends - 1], ids[starts])
+        # per-shard partial: (region, cls) counts — region-bounded payload
+        key_r, key_c = region, cls[starts]
+        o2 = np.lexsort((key_c, key_r))
+        kr, kc = key_r[o2], key_c[o2]
+        bnd2 = np.r_[True, (kr[1:] != kr[:-1]) | (kc[1:] != kc[:-1])]
+        s2 = np.nonzero(bnd2)[0]
+        cnt = np.diff(np.r_[s2, len(kr)]).astype(np.int64)
+        return pa.table(
+            {
+                "_ms": pa.array(
+                    (int_hash64(kr[s2]) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "region_id": pa.array(kr[s2]),
+                "cls": pa.array(kc[s2]),
+                "n_cells": pa.array(cnt),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        r_ = g["region_id"].to_numpy().astype(np.int64)
+        c_ = g["cls"].to_numpy().astype(np.int64)
+        n_ = g["n_cells"].to_numpy().astype(np.int64)
+        o = np.lexsort((c_, r_))
+        r_, c_, n_ = r_[o], c_[o], n_[o]
+        bnd = np.r_[True, (r_[1:] != r_[:-1]) | (c_[1:] != c_[:-1])]
+        starts = np.nonzero(bnd)[0]
+        return pa.table(
+            {
+                "region_id": pa.array(r_[starts]),
+                "cls": pa.array(c_[starts]),
+                "n_cells": pa.array(np.add.reduceat(n_, starts)),
+            }
+        )
+
+    return (
+        tagged.groupby("_ls")
+        .map_groups(resolve, batch_format="pandas")
+        .groupby("_ms")
+        .map_groups(merge, batch_format="pandas")
+    )

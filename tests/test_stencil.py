@@ -112,3 +112,82 @@ def test_focal_mean_band_partitioning_invariance(ray_session):
         )
     assert outs[0].equals(outs[1])
     assert outs[0].equals(outs[2])
+
+
+def _class_lattice(classes: np.ndarray):
+    """Build a raster dataset from a [nr, nc] int class grid (class -1 =
+    NULL cell); values = class * 16 so class_div=16 recovers the grid."""
+    import ray.data as rd
+
+    nr, nc = classes.shape
+    r, c = np.meshgrid(np.arange(nr), np.arange(nc), indexing="ij")
+    r, c = r.ravel(), c.ravel()
+    cls = classes.ravel().astype(np.float64)
+    v = np.where(cls < 0, np.nan, cls * 16.0)
+    T0 = np.datetime64(fx.T0, "us")
+    return rd.from_arrow(
+        pa.table(
+            {
+                "valid_time": pa.array(
+                    np.full(len(r), T0), type=pa.timestamp("us")
+                ),
+                "cell_row": pa.array(r.astype(np.int32)),
+                "cell_col": pa.array(c.astype(np.int32)),
+                "variable": pa.array(np.repeat("t2m", len(r))),
+                "value": pa.array(v),
+            }
+        )
+    ).repartition(3)
+
+
+def test_clump_regions_hand_case(ray_session):
+    """Two L-shaped regions of the same class separated by a NULL/other
+    diagonal, plus an isolated singleton."""
+    from geoglue_ray.stages.stencil import clump_regions
+
+    grid = np.array(
+        [
+            [1, 1, -1, 2],
+            [1, -1, 2, 2],
+            [-1, 3, -1, 2],
+        ]
+    )
+    nc = grid.shape[1]
+    out = (
+        clump_regions(
+            _class_lattice(grid), class_div=16, band_rows=2, n_rows=3, n_cols=nc
+        )
+        .to_pandas()
+        .sort_values("region_id")
+        .reset_index(drop=True)
+    )
+    # ids: r*4+c -> region {0,1,4} label 0 cls1; {3,6,7,11} label 3 cls2;
+    # {9} singleton cls3
+    assert out.to_dict("list") == {
+        "region_id": [0, 3, 9],
+        "cls": [1, 2, 3],
+        "n_cells": [3, 4, 1],
+    }
+
+
+def test_clump_regions_band_invariance(ray_session):
+    from geoglue_ray.stages.stencil import clump_regions
+
+    rng = np.random.default_rng(9)
+    grid = rng.integers(-1, 3, size=(16, 6))
+    outs = []
+    for H in (1, 4, 100):
+        outs.append(
+            clump_regions(
+                _class_lattice(grid),
+                class_div=16,
+                band_rows=H,
+                n_rows=16,
+                n_cols=6,
+            )
+            .to_pandas()
+            .sort_values("region_id")
+            .reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
+    assert outs[0].equals(outs[2])
