@@ -860,6 +860,27 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def jaccard_orders() -> str:
+    """SSJoin twin: distinct items, per-pair shared-item counts, integer
+    rational-threshold filter (2*inter >= union), one double division."""
+    return """
+WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+sizes AS (SELECT ok, count(*) AS sz FROM items GROUP BY ok),
+inter AS (
+  SELECT a.ok AS doc_a, b.ok AS doc_b, count(*) AS inter
+  FROM items a JOIN items b ON a.item = b.item AND a.ok < b.ok
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, i.inter,
+       sa.sz + sb.sz - i.inter AS un,
+       CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.ok = i.doc_a
+JOIN sizes sb ON sb.ok = i.doc_b
+WHERE 2 * i.inter >= sa.sz + sb.sz - i.inter
+ORDER BY 1, 2
+"""
+
+
 def triangle_parts() -> str:
     """Triangle enumeration by 3-way self-join over the distinct
     undirected co-purchase edge set (each triangle once as s<t<u by id),

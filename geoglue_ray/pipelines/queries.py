@@ -1776,6 +1776,21 @@ def copurchase_pairs(sf_dir: str, top_n: int = 50) -> rd.Dataset:
     return cooccur_topk(li, "l_orderkey", "l_partkey", top_n=top_n)
 
 
+def jaccard_orders(sf_dir: str) -> rd.Dataset:
+    """Exact set-similarity self-join (SSJoin): order pairs whose basket
+    Jaccard >= 1/2 — integer rational-threshold filter, intersection
+    counted by per-item run pairs over three fixed-shard passes
+    (stages/join.setsim_join)."""
+    from geoglue_ray.stages.join import setsim_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return setsim_join(
+        li, "l_orderkey", "l_partkey", threshold_num=1, threshold_den=2
+    ).sort(["doc_a", "doc_b"])
+
+
 def pagerank_parts(sf_dir: str) -> pa.Table:
     """Fixed-point PageRank (3 iterations, damping 85/100, ranks scaled by
     2^32) over the symmetric part co-purchase graph — the engine's

@@ -580,3 +580,144 @@ def cooccur_topk(
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def setsim_join(
+    ds: rd.Dataset,
+    set_col: str,
+    item_col: str,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """EXACT set-similarity self-join (the SSJoin family): all pairs of
+    sets whose Jaccard similarity ``|A n B| / |A u B| >= threshold_num /
+    threshold_den`` — the threshold is a RATIONAL so the filter is pure
+    integer arithmetic (``den * inter >= num * union``); the reported
+    ``jaccard`` double is one division, mirrored by the SQL twin.
+
+    Three fixed-shard passes, all linear in the posting data:
+    1. co-locate rows by ``hash(set) % n_shards``; per group, collapse to
+       DISTINCT (set, item) and attach each set's size to its rows;
+    2. co-locate by ``hash(item)``; per group, one lexsort + run-pair
+       pass emits candidate pairs (each shared item contributes one),
+       pre-reduced per task to (pair, inter_partial, sizes);
+    3. merge per ``hash(pair)`` bucket: sum intersections, filter.
+
+    Partitioning assumption (100 TB): candidate volume is ``sum over
+    items of C(df, 2)`` — a hub item (huge document-frequency) is
+    quadratic.  Bound it upstream by dropping or splitting
+    stop-items (df cap / prefix filtering); the fixed-shard shape
+    itself never materializes more than one item-shard's pairs per task.
+    """
+    from geoglue_ray.functions.texthash import int_hash64
+
+    from geoglue_ray.stages.dedup import _MIX1, _MIX2, _run_pairs
+
+    P = np.uint64(n_shards)
+
+    def shard_sets(b: pa.Table) -> pa.Table:
+        k = b[set_col].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "_ss": pa.array((int_hash64(k) % P).astype(np.int64)),
+                "ok": pa.array(k),
+                "item": pa.array(b[item_col].to_numpy().astype(np.int64)),
+            }
+        )
+
+    def distinct_sized(g: pd.DataFrame) -> pa.Table:
+        ok = g["ok"].to_numpy().astype(np.int64)
+        it = g["item"].to_numpy().astype(np.int64)
+        o = np.lexsort((it, ok))
+        ok, it = ok[o], it[o]
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (it[1:] != it[:-1])]
+        ok, it = ok[keep], it[keep]
+        bnd = np.r_[True, ok[1:] != ok[:-1]]
+        starts = np.nonzero(bnd)[0]
+        sz = np.diff(np.r_[starts, len(ok)]).astype(np.int64)
+        return pa.table(
+            {
+                "_is": pa.array((int_hash64(it) % P).astype(np.int64)),
+                "ok": pa.array(ok),
+                "item": pa.array(it),
+                "sz": pa.array(np.repeat(sz, sz)),
+            }
+        )
+
+    def _pair_collapse(a, b_, inter, sa, sb):
+        o = np.lexsort((b_, a))
+        a, b_, inter, sa, sb = a[o], b_[o], inter[o], sa[o], sb[o]
+        bnd = np.r_[True, (a[1:] != a[:-1]) | (b_[1:] != b_[:-1])]
+        starts = np.nonzero(bnd)[0]
+        return (
+            a[starts],
+            b_[starts],
+            np.add.reduceat(inter, starts),
+            sa[starts],
+            sb[starts],
+        )
+
+    def gen_candidates(g: pd.DataFrame) -> pa.Table:
+        ok = g["ok"].to_numpy().astype(np.int64)
+        it = g["item"].to_numpy().astype(np.int64)
+        sz = g["sz"].to_numpy().astype(np.int64)
+        o = np.lexsort((ok, it))
+        ok, it, sz = ok[o], it[o], sz[o]
+        ia, ib = _run_pairs(it)
+        if len(ia) == 0:
+            return pa.table(
+                {
+                    "_pb": pa.array([], pa.int64()),
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "inter": pa.array([], pa.int64()),
+                    "sa": pa.array([], pa.int64()),
+                    "sb": pa.array([], pa.int64()),
+                }
+            )
+        a, b_, sa, sb = ok[ia], ok[ib], sz[ia], sz[ib]
+        a, b_, inter, sa, sb = _pair_collapse(
+            a, b_, np.ones(len(a), np.int64), sa, sb
+        )
+        h = (a.astype(np.uint64) * _MIX1 + b_.astype(np.uint64) * _MIX2) % P
+        return pa.table(
+            {
+                "_pb": pa.array(h.astype(np.int64)),
+                "doc_a": pa.array(a),
+                "doc_b": pa.array(b_),
+                "inter": pa.array(inter),
+                "sa": pa.array(sa),
+                "sb": pa.array(sb),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        a, b_, inter, sa, sb = _pair_collapse(
+            g["doc_a"].to_numpy().astype(np.int64),
+            g["doc_b"].to_numpy().astype(np.int64),
+            g["inter"].to_numpy().astype(np.int64),
+            g["sa"].to_numpy().astype(np.int64),
+            g["sb"].to_numpy().astype(np.int64),
+        )
+        union = sa + sb - inter
+        keep = threshold_den * inter >= threshold_num * union
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b_[keep]),
+                "inter": pa.array(inter[keep]),
+                "un": pa.array(union[keep]),
+                "jaccard": pa.array(inter[keep] / union[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(shard_sets, batch_format="pyarrow")
+        .groupby("_ss")
+        .map_groups(distinct_sized, batch_format="pandas")
+        .groupby("_is")
+        .map_groups(gen_candidates, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -364,3 +364,46 @@ def test_interval_join_hot_bucket_salting_equality():
     salted = run(hot_buckets=np.array([5], dtype=np.int64), hot_salt=4)
     assert plain == salted
     assert len(plain) > 1000  # non-trivial overlap volume
+
+
+def test_setsim_join_matches_brute_force(ray_session):
+    """Random baskets (with planted duplicate items) vs an O(n^2) exact
+    Jaccard reference; rational threshold, shard-count invariance."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.join import setsim_join
+
+    rng = np.random.default_rng(13)
+    sets = {
+        k: set(rng.choice(20, size=int(rng.integers(1, 8)), replace=True))
+        for k in range(40)
+    }
+    ok = np.array(
+        [k for k, s in sets.items() for _ in range(len(s) + 1)], np.int64
+    )
+    it = np.array(
+        [i for _, s in sets.items() for i in (list(s) + [next(iter(s))])],
+        np.int64,
+    )  # one repeated item per basket: distinct-collapse must dedupe it
+    ds = rd.from_arrow(
+        pa.table({"ok": pa.array(ok), "item": pa.array(it)})
+    ).repartition(4)
+    exp = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        un = len(sets[a] | sets[b])
+        if 2 * inter >= un:
+            exp.append((a, b, inter, un, inter / un))
+    for n_shards in (4, 16):
+        out = (
+            setsim_join(ds, "ok", "item", 1, 2, n_shards=n_shards)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        got = list(out.itertuples(index=False, name=None))
+        assert got == exp
