@@ -1836,7 +1836,14 @@ def raster_clumps(sf_dir: str) -> rd.Dataset:
     def hour0(b: pa.Table) -> pa.Table:
         return b.filter(pc.equal(b["valid_time"], T0))
 
-    ds = read_raster(n_days=1).map_batches(hour0, batch_format="pyarrow")
+    # clump_regions consumes ds TWICE (edge gen + cell rows): materialize
+    # the pruned hour-0 slice so the generator lineage runs once
+    # (CLAUDE.md round-3 rule; at scale, re-read from storage instead)
+    ds = (
+        read_raster(n_days=1)
+        .map_batches(hour0, batch_format="pyarrow")
+        .materialize()
+    )
     return clump_regions(ds, variable="t2m", class_div=16).sort("region_id")
 
 

@@ -241,6 +241,7 @@ def triangle_counts(
     edges: rd.Dataset,
     n_shards: int = 64,
     n_merge: int = 32,
+    broadcast_edges_below: int = 4_000_000,
 ) -> pa.Table:
     """Per-node triangle counts over distinct directed ``(src, dst)``
     edges (both directions present, as :func:`basket_edges` emits) — the
@@ -251,13 +252,21 @@ def triangle_counts(
     ``u -> v`` only when ``(deg[u], u) < (deg[v], v)``, so every triangle
     has exactly ONE corner with two outgoing oriented edges and is
     enumerated exactly once as a wedge at that corner.  Wedges
-    ``(v1, v2)`` generated per source in one fixed-shard lexsort +
-    run-pair pass are matched against the undirected edge set by a
-    co-shuffled tagged union on ``hash(packed(min, max)) % n_shards`` —
-    membership is a searchsorted per shard task, never a broadcast of the
-    edge set.  Each matched wedge increments all three corners; per-task
-    partials collapse to node cardinality before the fixed-shard exact
-    merge (the pagerank reduce shape).
+    ``(v1, v2)`` are generated per source in one fixed-shard lexsort +
+    run-pair pass.  Two byte-identical MATCH modes (the minhash
+    broadcast/ship two-mode pattern):
+
+    - **broadcast** (undirected edge count <= ``broadcast_edges_below``,
+      known for free from the degree sum): the packed edge set is
+      assembled OFF-driver in one Ray task, broadcast once (8 bytes per
+      edge), and each wedge task resolves membership + corner counts
+      locally — the wedge volume (the quadratic term) NEVER leaves its
+      task; the only shuffled payload is node-bounded count partials.
+      Measured at sf0.1: 125 s -> the shuffle of ~25M wedge rows was the
+      whole cost.
+    - **ship** (above the ceiling): wedges co-shuffle with edge keys on
+      ``hash(packed) % n_shards`` and membership is a searchsorted per
+      shard task — nothing is ever broadcast.
 
     Partitioning assumption (100 TB): orientation bounds out-degree by
     ~sqrt(|E|), so per-task wedge volume is ``sum C(outdeg, 2)`` over one
@@ -382,12 +391,8 @@ def triangle_counts(
             }
         )
 
-    wedges = (
-        edges.map_batches(orient_wedges, batch_format="pyarrow")
-        .groupby("_ws")
-        .map_groups(gen_wedges, batch_format="pandas")
-    )
-    tagged = wedges.union(edges.map_batches(edge_keys, batch_format="pyarrow"))
+    oriented = edges.map_batches(orient_wedges, batch_format="pyarrow")
+    n_und_edges = int(deg.sum()) // 2  # free from the degree vector
 
     def match(g: pd.DataFrame) -> pd.DataFrame:
         corner = g["corner"].to_numpy().astype(np.int64)
@@ -416,9 +421,6 @@ def triangle_counts(
         cnt = np.diff(np.r_[starts, len(tri_nodes)]).astype(np.int64)
         return pd.DataFrame({"node": tri_nodes[starts], "val": cnt})
 
-    # per-shard partials are node-bounded; one exact merge finishes
-    parts = tagged.groupby("_ps").map_groups(match, batch_format="pandas")
-
     def tag_merge(b: pa.Table) -> pa.Table:
         node = b["node"].to_numpy().astype(np.int64)
         return pa.table(
@@ -431,9 +433,82 @@ def triangle_counts(
             }
         )
 
+    if n_und_edges <= broadcast_edges_below:
+        # broadcast mode: edge set assembled off-driver, wedges matched
+        # in place — only node-bounded count partials ever shuffle
+        from geoglue_ray.stages.text import _get_vocab_task, _vocab_lookup
+
+        def edge_h(b: pa.Table) -> pa.Table:
+            src = b["src"].to_numpy().astype(np.int64)
+            dst = b["dst"].to_numpy().astype(np.int64)
+            keep = src < dst
+            packed = (src[keep] << np.int64(32)) | dst[keep]
+            return pa.table({"_h": pa.array(packed)})
+
+        blocks = edges.map_batches(edge_h, batch_format="pyarrow").materialize()
+        eref = _get_vocab_task().remote(*blocks.to_arrow_refs())
+
+        def gen_match(g: pd.DataFrame) -> pa.Table:
+            empty = pa.table(
+                {
+                    "_m": pa.array([], pa.int64()),
+                    "node": pa.array([], pa.int64()),
+                    "val": pa.array([], pa.int64()),
+                }
+            )
+            src = g["src"].to_numpy().astype(np.int64)
+            dst = g["dst"].to_numpy().astype(np.int64)
+            o2 = np.lexsort((dst, src))
+            src, dst = src[o2], dst[o2]
+            ia, ib = _run_pairs(src)
+            if len(ia) == 0:
+                return empty
+            a = np.minimum(dst[ia], dst[ib])
+            c = np.maximum(dst[ia], dst[ib])
+            packed = ((a << np.int64(32)) | c).view(np.uint64)
+            q = _vocab_lookup(eref)  # sorted distinct packed edges
+            if len(q) == 0:
+                return empty
+            idx = np.searchsorted(q, packed)
+            idx[idx == len(q)] = 0
+            hit = q[idx] == packed
+            pm = packed[hit].view(np.int64)
+            tri_nodes = np.concatenate(
+                [src[ia[hit]], pm >> np.int64(32), pm & np.int64(0xFFFFFFFF)]
+            )
+            if len(tri_nodes) == 0:
+                return empty
+            tri_nodes.sort()
+            bnd = np.r_[True, tri_nodes[1:] != tri_nodes[:-1]]
+            starts = np.nonzero(bnd)[0]
+            cnt = np.diff(np.r_[starts, len(tri_nodes)]).astype(np.int64)
+            nd = tri_nodes[starts]
+            return pa.table(
+                {
+                    "_m": pa.array(
+                        (int_hash64(nd) % np.uint64(n_merge)).astype(np.int64)
+                    ),
+                    "node": pa.array(nd),
+                    "val": pa.array(cnt),
+                }
+            )
+
+        parts_m = oriented.groupby("_ws").map_groups(
+            gen_match, batch_format="pandas"
+        )
+    else:
+        tagged = oriented.groupby("_ws").map_groups(
+            gen_wedges, batch_format="pandas"
+        ).union(edges.map_batches(edge_keys, batch_format="pyarrow"))
+        # per-shard partials are node-bounded; one exact merge finishes
+        parts_m = (
+            tagged.groupby("_ps")
+            .map_groups(match, batch_format="pandas")
+            .map_batches(tag_merge, batch_format="pyarrow")
+        )
+
     out = (
-        parts.map_batches(tag_merge, batch_format="pyarrow")
-        .groupby("_m")
+        parts_m.groupby("_m")
         .map_groups(merge, batch_format="pandas")
         .to_pandas()
         .sort_values("node")

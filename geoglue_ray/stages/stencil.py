@@ -266,6 +266,10 @@ def clump_regions(
     distributed min-label propagation of ``dedup.duplicate_clusters``;
     isolated cells (no same-class neighbour) become singleton regions via
     a co-shuffled tagged union — no broadcast, no driver state.
+
+    ``ds`` is consumed TWICE (edge generation, then cell rows): pass a
+    materialized slice or a cheap column-pruned file read — an expensive
+    lineage would re-execute per consumer (CLAUDE.md round-3 rule).
     """
     from geoglue_ray.functions.texthash import int_hash64
     from geoglue_ray.stages.dedup import duplicate_clusters

@@ -209,3 +209,25 @@ def test_triangle_counts_simple(ray_session):
     edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
     out = triangle_counts(edges, n_shards=4, n_merge=2).to_pandas()
     assert dict(zip(out["node"], out["n_triangles"])) == {0: 2, 1: 1, 2: 2, 3: 1}
+
+
+def test_triangle_counts_modes_identical(ray_session):
+    """Broadcast and ship match modes are byte-identical."""
+    import ray.data as rd
+
+    from geoglue_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(21)
+    n = 60
+    adj = np.triu(rng.random((n, n)) < 0.15, k=1)
+    adj = adj | adj.T
+    src, dst = np.nonzero(adj)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src.astype(np.int64)),
+                  "dst": pa.array(dst.astype(np.int64))})
+    ).repartition(4)
+    bc = triangle_counts(edges, n_shards=8, n_merge=4).to_pandas()
+    ship = triangle_counts(
+        edges, n_shards=8, n_merge=4, broadcast_edges_below=0
+    ).to_pandas()
+    assert bc.equals(ship)
