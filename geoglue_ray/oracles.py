@@ -804,6 +804,27 @@ GROUP BY 1, 2, 3 ORDER BY 2, 3, 1
 """
 
 
+def raster_focal_range() -> str:
+    """Focal min/max/range twin — order-free exact over integer-valued
+    doubles."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()})
+SELECT a.valid_time, a.r AS cell_row, a.c AS cell_col,
+       count(b.value) AS n_nb,
+       min(b.value) AS focal_min, max(b.value) AS focal_max,
+       max(b.value) - min(b.value) AS focal_range
+FROM rast a JOIN rast b
+  ON b.t = a.t AND b.variable = a.variable
+ AND b.r BETWEEN a.r - 1 AND a.r + 1
+ AND b.c BETWEEN a.c - 1 AND a.c + 1
+ AND b.value IS NOT NULL
+WHERE a.variable = 't2m' AND a.t < 24
+GROUP BY 1, 2, 3 ORDER BY 2, 3, 1
+"""
+
+
 def raster_clumps() -> str:
     """Clump twin: same-class 4-adjacency edges, recursive reachability
     closure (the dedup_clusters idiom), min-label regions aggregated to

@@ -1822,6 +1822,17 @@ def raster_focal_mean(sf_dir: str) -> rd.Dataset:
     )
 
 
+def raster_focal_range(sf_dir: str) -> rd.Dataset:
+    """3x3 focal min/max/range over one day — the multi-op stencil path
+    (all ops in the same nine-shifts pass; stages/stencil.focal_stats)."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import focal_stats
+
+    return focal_stats(
+        read_raster(n_days=1), ops=("min", "max", "range"), variable="t2m"
+    ).sort(["cell_row", "cell_col", "valid_time"])
+
+
 def raster_clumps(sf_dir: str) -> rd.Dataset:
     """Raster region labeling ("clump"): connected components of
     same-class 4-adjacent cells on the hour-0 slice, one row per region

@@ -38,12 +38,40 @@ def focal_mean(
     hour_chunk: int = 24,
     n_cols: int | None = None,
 ) -> rd.Dataset:
-    """3x3 focal mean of ``value`` over the (hour, row, col) lattice for
-    one variable.  Emits one row per lattice cell with at least one
-    non-null value in its 3x3 neighborhood: ``valid_time, cell_row,
-    cell_col, n_nb, focal_mean`` (count and single-division mean of the
-    non-null neighbors, the cell itself included).
+    """3x3 focal mean — see :func:`focal_stats` (``ops=("mean",)``)."""
+    return focal_stats(
+        ds,
+        ops=("mean",),
+        variable=variable,
+        band_rows=band_rows,
+        hour_chunk=hour_chunk,
+        n_cols=n_cols,
+    )
+
+
+def focal_stats(
+    ds: rd.Dataset,
+    ops: tuple[str, ...] = ("mean",),
+    variable: str = "t2m",
+    band_rows: int = 8,
+    hour_chunk: int = 24,
+    n_cols: int | None = None,
+) -> rd.Dataset:
+    """3x3 focal (moving-window) statistics of ``value`` over the
+    (hour, row, col) lattice for one variable — GIS "focal statistics".
+    Emits one row per lattice cell with at least one non-null value in
+    its 3x3 neighborhood: ``valid_time, cell_row, cell_col, n_nb`` plus
+    one ``focal_<op>`` column per requested op.
+
+    Ops: ``mean`` (single-division, exact for integer-valued doubles),
+    ``sum``, ``min``, ``max``, ``range`` (max - min, exact integers) —
+    all computed in the SAME nine-shifted-adds pass over the dense halo
+    block, so requesting several ops costs one traversal.
     """
+    allowed = {"mean", "sum", "min", "max", "range"}
+    bad = set(ops) - allowed
+    if bad:
+        raise ValueError(f"unknown focal ops: {sorted(bad)}")
     H = int(band_rows)
     T0 = np.datetime64(fx.T0, "us")
 
@@ -85,6 +113,8 @@ def focal_mean(
             )
         return pa.concat_tables(parts)
 
+    need_minmax = bool({"min", "max", "range"} & set(ops))
+
     def stencil(g: pd.DataFrame) -> pa.Table:
         hour = g["hour"].to_numpy().astype(np.int64)
         r = g["r"].to_numpy().astype(np.int64)
@@ -92,52 +122,72 @@ def focal_mean(
         v = g["value"].to_numpy().astype(np.float64)
         own = g["_own"].to_numpy().astype(bool)
         if not own.any():
-            return pa.table(
-                {
-                    "valid_time": pa.array([], pa.timestamp("us")),
-                    "cell_row": pa.array([], pa.int64()),
-                    "cell_col": pa.array([], pa.int64()),
-                    "n_nb": pa.array([], pa.int64()),
-                    "focal_mean": pa.array([], pa.float64()),
-                }
-            )
+            cols: dict = {
+                "valid_time": pa.array([], pa.timestamp("us")),
+                "cell_row": pa.array([], pa.int64()),
+                "cell_col": pa.array([], pa.int64()),
+                "n_nb": pa.array([], pa.int64()),
+            }
+            for op in ops:
+                cols[f"focal_{op}"] = pa.array([], pa.float64())
+            return pa.table(cols)
         t0, r0 = hour.min(), r.min()
         nt = int(hour.max() - t0 + 1)
         nr = int(r.max() - r0 + 1)
         nc = int(c.max()) + 1 if n_cols is None else int(n_cols)
-        V = np.zeros((nt, nr + 2, nc + 2), dtype=np.float64)
-        M = np.zeros((nt, nr + 2, nc + 2), dtype=np.int64)
+        shape = (nt, nr + 2, nc + 2)
+        V = np.zeros(shape, dtype=np.float64)
+        M = np.zeros(shape, dtype=np.int64)
         ti, ri, ci = hour - t0, r - r0 + 1, c + 1
         fin = np.isfinite(v)
         V[ti[fin], ri[fin], ci[fin]] = v[fin]
         M[ti[fin], ri[fin], ci[fin]] = 1
-        S = np.zeros_like(V)
-        C = np.zeros_like(M)
-        for dr in (-1, 0, 1):  # nine shifted adds — exact integer doubles
+        S = np.zeros(shape)
+        C = np.zeros(shape, dtype=np.int64)
+        if need_minmax:
+            Vlo = np.where(M == 1, V, np.inf)
+            Vhi = np.where(M == 1, V, -np.inf)
+            Mn = np.full(shape, np.inf)
+            Mx = np.full(shape, -np.inf)
+        inner = (slice(None), slice(1, -1), slice(1, -1))
+        for dr in (-1, 0, 1):  # one pass of nine shifts for every op
             for dc in (-1, 0, 1):
-                S[:, 1:-1, 1:-1] += V[
-                    :, 1 + dr : nr + 1 + dr, 1 + dc : nc + 1 + dc
-                ]
-                C[:, 1:-1, 1:-1] += M[
-                    :, 1 + dr : nr + 1 + dr, 1 + dc : nc + 1 + dc
-                ]
+                sh = (
+                    slice(None),
+                    slice(1 + dr, nr + 1 + dr),
+                    slice(1 + dc, nc + 1 + dc),
+                )
+                S[inner] += V[sh]  # exact: integer-valued doubles
+                C[inner] += M[sh]
+                if need_minmax:
+                    np.minimum(Mn[inner], Vlo[sh], out=Mn[inner])
+                    np.maximum(Mx[inner], Vhi[sh], out=Mx[inner])
         to, ro, co = ti[own], ri[own], ci[own]
         cnt = C[to, ro, co]
         nz = cnt > 0
         to, ro, co, cnt = to[nz], ro[nz], co[nz], cnt[nz]
-        mean = S[to, ro, co] / cnt
-        return pa.table(
-            {
-                "valid_time": pa.array(
-                    T0 + ((to + t0) * 3_600_000_000).astype("timedelta64[us]"),
-                    type=pa.timestamp("us"),
-                ),
-                "cell_row": pa.array(ro - 1 + r0),
-                "cell_col": pa.array(co - 1),
-                "n_nb": pa.array(cnt),
-                "focal_mean": pa.array(mean),
-            }
-        )
+        cols = {
+            "valid_time": pa.array(
+                T0 + ((to + t0) * 3_600_000_000).astype("timedelta64[us]"),
+                type=pa.timestamp("us"),
+            ),
+            "cell_row": pa.array(ro - 1 + r0),
+            "cell_col": pa.array(co - 1),
+            "n_nb": pa.array(cnt),
+        }
+        for op in ops:
+            if op == "mean":
+                out = S[to, ro, co] / cnt
+            elif op == "sum":
+                out = S[to, ro, co]
+            elif op == "min":
+                out = Mn[to, ro, co]
+            elif op == "max":
+                out = Mx[to, ro, co]
+            else:  # range
+                out = Mx[to, ro, co] - Mn[to, ro, co]
+            cols[f"focal_{op}"] = pa.array(out)
+        return pa.table(cols)
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")
