@@ -1214,6 +1214,15 @@ def chunk_dedup(
     def first_wins(g: pd.DataFrame) -> pa.Table:
         doc = g[id_col].to_numpy().astype(np.int64)
         cid = g["chunk_id"].to_numpy().astype(np.int64)
+        if len(doc) == 0:  # empty group: typed full-schema empty
+            return pa.table(
+                {
+                    "_rs": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                }
+            )
         code, _ = pd.factorize(g["chunk"].to_numpy())  # content equality
         o = np.lexsort((cid, doc, code))
         keep = o[np.r_[True, code[o][1:] != code[o][:-1]]]
@@ -1230,6 +1239,14 @@ def chunk_dedup(
     def reassemble(g: pd.DataFrame) -> pa.Table:
         doc = g[id_col].to_numpy().astype(np.int64)
         cid = g["chunk_id"].to_numpy().astype(np.int64)
+        if len(doc) == 0:  # empty group: typed full-schema empty
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_chunks_kept": pa.array([], pa.int64()),
+                    "text_dedup": pa.array([], pa.string()),
+                }
+            )
         o = np.lexsort((cid, doc))
         doc, cid = doc[o], cid[o]
         chunks = pa.array(g["chunk"].to_numpy()[o].astype(object))

@@ -629,6 +629,15 @@ def setsim_join(
     def distinct_sized(g: pd.DataFrame) -> pa.Table:
         ok = g["ok"].to_numpy().astype(np.int64)
         it = g["item"].to_numpy().astype(np.int64)
+        if len(ok) == 0:  # empty group: typed full-schema empty
+            return pa.table(
+                {
+                    "_is": pa.array([], pa.int64()),
+                    "ok": pa.array([], pa.int64()),
+                    "item": pa.array([], pa.int64()),
+                    "sz": pa.array([], pa.int64()),
+                }
+            )
         o = np.lexsort((it, ok))
         ok, it = ok[o], it[o]
         keep = np.r_[True, (ok[1:] != ok[:-1]) | (it[1:] != it[:-1])]
@@ -664,7 +673,7 @@ def setsim_join(
         sz = g["sz"].to_numpy().astype(np.int64)
         o = np.lexsort((ok, it))
         ok, it, sz = ok[o], it[o], sz[o]
-        ia, ib = _run_pairs(it)
+        ia, ib = _run_pairs(it)  # handles len 0/1 itself
         if len(ia) == 0:
             return pa.table(
                 {
@@ -693,6 +702,16 @@ def setsim_join(
         )
 
     def merge(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:  # empty group: typed full-schema empty
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "inter": pa.array([], pa.int64()),
+                    "un": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
         a, b_, inter, sa, sb = _pair_collapse(
             g["doc_a"].to_numpy().astype(np.int64),
             g["doc_b"].to_numpy().astype(np.int64),

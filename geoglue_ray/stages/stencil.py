@@ -376,6 +376,15 @@ def clump_regions(
         ids = g["id"].to_numpy().astype(np.int64)
         cls = g["cls"].to_numpy().astype(np.int64)
         lab = g["lab"].to_numpy().astype(np.int64)
+        if len(ids) == 0:  # empty group: typed full-schema empty
+            return pa.table(
+                {
+                    "_ms": pa.array([], pa.int64()),
+                    "region_id": pa.array([], pa.int64()),
+                    "cls": pa.array([], pa.int64()),
+                    "n_cells": pa.array([], pa.int64()),
+                }
+            )
         o = np.lexsort((lab, ids))  # per id: cell row (lab -1) first
         ids, cls, lab = ids[o], cls[o], lab[o]
         bnd = np.r_[True, ids[1:] != ids[:-1]]
@@ -404,6 +413,14 @@ def clump_regions(
         r_ = g["region_id"].to_numpy().astype(np.int64)
         c_ = g["cls"].to_numpy().astype(np.int64)
         n_ = g["n_cells"].to_numpy().astype(np.int64)
+        if len(r_) == 0:  # empty group: typed full-schema empty
+            return pa.table(
+                {
+                    "region_id": pa.array([], pa.int64()),
+                    "cls": pa.array([], pa.int64()),
+                    "n_cells": pa.array([], pa.int64()),
+                }
+            )
         o = np.lexsort((c_, r_))
         r_, c_, n_ = r_[o], c_[o], n_[o]
         bnd = np.r_[True, (r_[1:] != r_[:-1]) | (c_[1:] != c_[:-1])]
