@@ -144,6 +144,11 @@ def _run_queries() -> dict:
         ("copurchase_pairs", q.copurchase_pairs),
         # bigram LM statistics over the full 5k-doc corpus
         ("bigram_stats", q.bigram_stats),
+        # round-4 continuation families: chunk dedup + reassembly,
+        # halo-exchange stencil, banded-Levenshtein near-dup
+        ("dedup_chunks", q.dedup_chunks),
+        ("raster_focal_mean", q.raster_focal_mean),
+        ("edit_neardup", q.edit_neardup),
     ]
     extra_reps = int(os.environ.get("GRAFT_EXTRA_REPEATS", "2"))
     for name, fn in extra:

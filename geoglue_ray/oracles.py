@@ -1195,6 +1195,47 @@ FROM asg GROUP BY 1 ORDER BY 1
 """
 
 
+def events_contingency() -> str:
+    """Chi-square contingency twin: the events_zonal admin assignment
+    with event_type carried, window totals cast back to BIGINT (exact
+    integer sums), and the exp/term float chain spelled with the same
+    elementary operations in the same order as the numpy side."""
+    return f"""
+WITH c AS (
+  SELECT event_id AS id, event_type,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat,
+         event_id % {fx.OUT_MOD} = 0 AS is_outside
+  FROM events),
+cen AS ({fx.SQL_CENTROIDS}),
+asg AS (
+  SELECT c.*,
+         CASE WHEN c.is_outside
+              THEN (SELECT cen.a2 FROM cen
+                    ORDER BY (c.lon-cen.gx)*(c.lon-cen.gx) + (c.lat-cen.gy)*(c.lat-cen.gy), cen.a2
+                    LIMIT 1)
+              ELSE {fx.sql_admin2_inside('c.lon', 'c.lat')} END AS a2
+  FROM c),
+counts AS (
+  SELECT {fx.sql_admin2_name('a2')} AS admin_id, event_type,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM asg GROUP BY 1, 2),
+tots AS (
+  SELECT admin_id, event_type, obs,
+         CAST(SUM(obs) OVER (PARTITION BY admin_id) AS BIGINT) AS rt,
+         CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS ct,
+         CAST(SUM(obs) OVER () AS BIGINT) AS tot
+  FROM counts),
+cells AS (
+  SELECT admin_id, event_type, obs, rt, ct,
+         CAST(rt AS DOUBLE) * ct / tot AS exp_cnt
+  FROM tots)
+SELECT admin_id, event_type, obs, rt, ct, exp_cnt,
+       (obs - exp_cnt) * (obs - exp_cnt) / exp_cnt AS chi2_term
+FROM cells ORDER BY 1, 2
+"""
+
+
 def embed_ivf_recall() -> str:
     """Recall claim for IVF kNN vs brute force (>= 0.6 mean)."""
     return """

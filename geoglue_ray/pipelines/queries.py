@@ -1160,6 +1160,92 @@ class DeriveEventObservations:
         )
 
 
+def events_contingency(sf_dir: str) -> pa.Table:
+    """Contingency table + chi-square decomposition over (admin unit x
+    event type): observed counts, row/col totals, expected counts and
+    per-cell chi-square terms — the spatial association analysis.  Counts
+    partial-collapse per batch to cell cardinality (admins x types,
+    bounded), so the only driver-resident data is the contingency table
+    itself; the float chain (exp = rt*ct/tot, term = d*d/exp) is
+    elementary-op-identical to the SQL twin."""
+    import pandas as pd
+    import ray
+
+    from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    ds = ds.map_batches(encode_cells, batch_format="pyarrow")
+    index = AdminIndex.build(build_admin_table())
+    ds = spatial_join(ds, index_ref=ray.put(index))
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = b["admin_id"].to_numpy(zero_copy_only=False)
+        t = b["event_type"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table(
+                {
+                    "admin_id": pa.array([], pa.string()),
+                    "event_type": pa.array([], pa.string()),
+                    "obs": pa.array([], pa.int64()),
+                }
+            )
+        ca, ua = pd.factorize(a)
+        ct_, ut = pd.factorize(t)
+        packed = ca.astype(np.int64) * len(ut) + ct_
+        cnt = np.bincount(packed, minlength=len(ua) * len(ut))
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "admin_id": pa.array(ua[nz // len(ut)].astype(object)),
+                "event_type": pa.array(ut[nz % len(ut)].astype(object)),
+                "obs": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    # partials are (admins x types) x block-count — provably bounded
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["admin_id", "event_type"], as_index=False, sort=True)[
+        "obs"
+    ].sum()
+    admin = g["admin_id"].to_numpy()
+    typ = g["event_type"].to_numpy()
+    obs = g["obs"].to_numpy().astype(np.int64)
+    ca, _ = pd.factorize(admin)
+    ctc, _ = pd.factorize(typ)
+    rt = np.bincount(ca, weights=obs).astype(np.int64)[ca]
+    ct2 = np.bincount(ctc, weights=obs).astype(np.int64)[ctc]
+    tot = int(obs.sum())
+    exp = rt.astype(np.float64) * ct2 / tot
+    d = obs - exp
+    out = pd.DataFrame(
+        {
+            "admin_id": admin,
+            "event_type": typ,
+            "obs": obs,
+            "rt": rt,
+            "ct": ct2,
+            "exp_cnt": exp,
+            "chi2_term": d * d / exp,
+        }
+    ).sort_values(["admin_id", "event_type"])
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def events_zonal(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
     ds = ds.map_batches(DeriveEventObservations(), batch_format="pyarrow")
