@@ -825,6 +825,48 @@ GROUP BY 1, 2, 3 ORDER BY 2, 3, 1
 """
 
 
+def raster_moran() -> str:
+    """Local Moran's I twin: rook-neighbour integer sums by lattice
+    self-join, per-slice moments from exact BIGINT aggregates, and the
+    identical single-op float chain (mean = sx/n; m2 = sxx/n - mean*mean;
+    z = x - mean; lag = ns - k*mean; I = (z*lag)/m2) — no transcendental
+    functions, all sums integer-exact and order-free."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, valid_time, CAST(value AS BIGINT) AS x
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+mom AS (
+  SELECT t,
+         CAST(CAST(SUM(x) AS DOUBLE) / count(*) AS DOUBLE) AS mean,
+         CAST(SUM(x*x) AS DOUBLE) / count(*)
+           - (CAST(SUM(x) AS DOUBLE) / count(*))
+             * (CAST(SUM(x) AS DOUBLE) / count(*)) AS m2
+  FROM v GROUP BY t),
+nb AS (
+  SELECT a.t, a.r, a.c, a.valid_time, a.x,
+         count(b.x) AS k, COALESCE(SUM(b.x), 0) AS ns
+  FROM v a LEFT JOIN v b
+    ON b.t = a.t
+   AND b.r BETWEEN a.r - 1 AND a.r + 1
+   AND b.c BETWEEN a.c - 1 AND a.c + 1
+   AND abs(b.r - a.r) + abs(b.c - a.c) = 1
+  GROUP BY 1, 2, 3, 4, 5),
+cells AS (
+  SELECT nb.valid_time, nb.r AS cell_row, nb.c AS cell_col,
+         CAST(nb.k AS BIGINT) AS n_nb,
+         CAST(nb.x AS DOUBLE) - m.mean AS z,
+         CAST(nb.ns AS DOUBLE) - CAST(nb.k AS DOUBLE) * m.mean AS lag,
+         m.m2
+  FROM nb JOIN mom m ON m.t = nb.t)
+SELECT valid_time, cell_row, cell_col, n_nb, z, lag,
+       (z * lag) / m2 AS local_i
+FROM cells ORDER BY 2, 3, 1
+"""
+
+
 def raster_clumps() -> str:
     """Clump twin: same-class 4-adjacency edges, recursive reachability
     closure (the dedup_clusters idiom), min-label regions aggregated to

@@ -1919,6 +1919,30 @@ def raster_focal_range(sf_dir: str) -> rd.Dataset:
     ).sort(["cell_row", "cell_col", "valid_time"])
 
 
+def raster_moran(sf_dir: str) -> rd.Dataset:
+    """Local Moran's I (Anselin LISA, binary rook weights) per cell over
+    two days of the hourly raster — spatial hot/cold-spot detection, the
+    autocorrelation companion to the focal stencils.  One bounded
+    per-slice moment pass + one halo-exchange stencil pass
+    (stages/stencil.local_moran); the float chain is single IEEE ops on
+    exact integer aggregates, mirrored term-for-term by the SQL twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import local_moran
+
+    t2m = pa.scalar("t2m")
+
+    def prune(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["variable"], t2m))
+
+    # local_moran consumes ds TWICE (moments + stencil): materialize the
+    # pruned slice so the generator lineage runs once (CLAUDE.md rule;
+    # at scale, re-read the pruned columns from storage instead)
+    ds = read_raster(n_days=2).map_batches(prune, batch_format="pyarrow").materialize()
+    return local_moran(ds, variable="t2m").sort(
+        ["cell_row", "cell_col", "valid_time"]
+    )
+
+
 def raster_clumps(sf_dir: str) -> rd.Dataset:
     """Raster region labeling ("clump"): connected components of
     same-class 4-adjacent cells on the hour-0 slice, one row per region

@@ -196,6 +196,188 @@ def focal_stats(
     )
 
 
+def slice_moments(ds: rd.Dataset, variable: str = "t2m") -> dict[str, np.ndarray]:
+    """Exact per-time-slice moments ``(n, sum x, sum x^2)`` of the valid
+    raster cells, as int64 — partial-collapsed per batch to hour
+    cardinality, so the driver only ever holds ``blocks x hours-per-block``
+    tiny rows (the provably-bounded ``take_all`` class).  Raster values
+    are integer-valued doubles, so the sums are exact and
+    order-independent."""
+    T0 = np.datetime64(fx.T0, "us")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        hour = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        )[fin]
+        x = v[fin]  # exact small integers in float64
+        hu, hi = np.unique(hour, return_inverse=True)
+        return pa.table(
+            {
+                "hour": pa.array(hu.astype(np.int64)),
+                "n": pa.array(np.bincount(hi).astype(np.int64)),
+                "sx": pa.array(np.bincount(hi, weights=x).astype(np.int64)),
+                "sxx": pa.array(np.bincount(hi, weights=x * x).astype(np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[int, list[int]] = {}
+    for row in rows:
+        a = agg.setdefault(int(row["hour"]), [0, 0, 0])
+        a[0] += int(row["n"])
+        a[1] += int(row["sx"])
+        a[2] += int(row["sxx"])
+    hours = np.array(sorted(agg), dtype=np.int64)
+    n = np.array([agg[h][0] for h in hours], dtype=np.int64)
+    sx = np.array([agg[h][1] for h in hours], dtype=np.int64)
+    sxx = np.array([agg[h][2] for h in hours], dtype=np.int64)
+    return {"hours": hours, "n": n, "sx": sx, "sxx": sxx}
+
+
+def local_moran(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    band_rows: int = 8,
+    hour_chunk: int = 24,
+    n_cols: int | None = None,
+) -> rd.Dataset:
+    """Local Moran's I spatial autocorrelation (Anselin LISA, binary rook
+    weights) per raster cell and time slice — the hot-spot/cold-spot
+    operator of the GIS toolbox, over the same (hour, row, col) lattice
+    geoglue's zonal statistics consume.
+
+    Per slice t with valid cells x_i (integer-valued doubles):
+    ``mean = sx/n``, ``m2 = sxx/n - mean*mean``, ``z_i = x_i - mean``,
+    ``lag_i = ns_i - k_i*mean`` (ns_i/k_i = rook-neighbour integer
+    sum/count), ``I_i = (z_i * lag_i) / m2``.  Every float is a fixed
+    chain of single IEEE ops on exact integer aggregates, so a DuckDB
+    twin spelling the same expressions reproduces it bit-for-bit (the
+    events_contingency discipline; no transcendental functions).
+
+    Distribution: one bounded-moment pass (:func:`slice_moments`,
+    driver-resident at hour cardinality, shipped to tasks by closure)
+    plus one halo-exchange stencil pass (the :func:`focal_stats` banding —
+    row bands x hour chunks, first/last band rows duplicated to the
+    adjacent band; four shifted adds per dense block).  NOTE: consumes
+    ``ds`` twice — materialize a pruned slice first (CLAUDE.md rule) or
+    pass a re-readable source.
+    """
+    H = int(band_rows)
+    T0 = np.datetime64(fx.T0, "us")
+    mom = slice_moments(ds, variable=variable)
+    m_hours = mom["hours"]
+    nd = mom["n"].astype(np.float64)
+    mean_h = mom["sx"].astype(np.float64) / nd
+    m2_h = mom["sxx"].astype(np.float64) / nd - mean_h * mean_h
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        hour = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        )
+        r = b["cell_row"].to_numpy().astype(np.int64)
+        c = b["cell_col"].to_numpy().astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        band = r // H
+        tch = hour // hour_chunk
+        parts = []
+        for off, sel in (
+            (0, np.ones(len(r), dtype=bool)),
+            (-1, r % H == 0),  # halo down to the band above
+            (1, r % H == H - 1),  # halo up to the band below
+        ):
+            bb = band[sel] + off
+            ok = bb >= 0
+            parts.append(
+                pa.table(
+                    {
+                        "_fb": pa.array((tch[sel][ok] << np.int64(20)) | bb[ok]),
+                        "hour": pa.array(hour[sel][ok]),
+                        "r": pa.array(r[sel][ok]),
+                        "c": pa.array(c[sel][ok]),
+                        "value": pa.array(v[sel][ok]),
+                        "_own": pa.array(np.full(int(ok.sum()), off == 0)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def stencil(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "valid_time": pa.array([], pa.timestamp("us")),
+                "cell_row": pa.array([], pa.int64()),
+                "cell_col": pa.array([], pa.int64()),
+                "n_nb": pa.array([], pa.int64()),
+                "z": pa.array([], pa.float64()),
+                "lag": pa.array([], pa.float64()),
+                "local_i": pa.array([], pa.float64()),
+            }
+        )
+        hour = g["hour"].to_numpy().astype(np.int64)
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        own = g["_own"].to_numpy().astype(bool)
+        if not own.any():
+            return empty
+        t0, r0 = hour.min(), r.min()
+        nt = int(hour.max() - t0 + 1)
+        nr = int(r.max() - r0 + 1)
+        nc = int(c.max()) + 1 if n_cols is None else int(n_cols)
+        shape = (nt, nr + 2, nc + 2)
+        V = np.zeros(shape, dtype=np.float64)
+        M = np.zeros(shape, dtype=np.int64)
+        ti, ri, ci = hour - t0, r - r0 + 1, c + 1
+        fin = np.isfinite(v)
+        V[ti[fin], ri[fin], ci[fin]] = v[fin]
+        M[ti[fin], ri[fin], ci[fin]] = 1
+        NS = np.zeros(shape)
+        K = np.zeros(shape, dtype=np.int64)
+        inner = (slice(None), slice(1, -1), slice(1, -1))
+        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):  # rook, no self
+            sh = (slice(None), slice(1 + dr, nr + 1 + dr), slice(1 + dc, nc + 1 + dc))
+            NS[inner] += V[sh]  # exact: integer-valued doubles
+            K[inner] += M[sh]
+        sel = own & fin  # Moran's I is defined only at valid cells
+        if not sel.any():
+            return empty
+        to, ro, co = ti[sel], ri[sel], ci[sel]
+        hi = np.searchsorted(m_hours, to + t0)
+        mean = mean_h[hi]
+        k = K[to, ro, co]
+        ns = NS[to, ro, co]
+        z = v[sel] - mean
+        lag = ns - k * mean
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    T0 + ((to + t0) * 3_600_000_000).astype("timedelta64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "cell_row": pa.array(ro - 1 + r0),
+                "cell_col": pa.array(co - 1),
+                "n_nb": pa.array(k),
+                "z": pa.array(z),
+                "lag": pa.array(lag),
+                "local_i": pa.array((z * lag) / m2_h[hi]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(stencil, batch_format="pandas")
+    )
+
+
 def lattice_edges(
     ds: rd.Dataset,
     variable: str = "t2m",
