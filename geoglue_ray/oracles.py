@@ -867,6 +867,32 @@ FROM cells ORDER BY 2, 3, 1
 """
 
 
+def raster_variogram() -> str:
+    """Semivariogram twin: axis-aligned lag-h pairs by self-join, exact
+    integer squared-difference sums, one division — order-free."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, valid_time, CAST(value AS BIGINT) AS x
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+hs AS (SELECT range AS h FROM range(1, 5)),
+pv AS (
+  SELECT a.valid_time, hs.h, (a.x - b.x) * (a.x - b.x) AS d2
+  FROM v a CROSS JOIN hs
+  JOIN v b ON b.t = a.t AND b.r = a.r + hs.h AND b.c = a.c),
+ph AS (
+  SELECT a.valid_time, hs.h, (a.x - b.x) * (a.x - b.x) AS d2
+  FROM v a CROSS JOIN hs
+  JOIN v b ON b.t = a.t AND b.r = a.r AND b.c = a.c + hs.h),
+allp AS (SELECT * FROM pv UNION ALL SELECT * FROM ph)
+SELECT valid_time, h AS lag, count(*) AS n_pairs,
+       CAST(SUM(d2) AS DOUBLE) / (2 * count(*)) AS gamma
+FROM allp GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def raster_clumps() -> str:
     """Clump twin: same-class 4-adjacency edges, recursive reachability
     closure (the dedup_clusters idiom), min-label regions aggregated to

@@ -1943,6 +1943,18 @@ def raster_moran(sf_dir: str) -> rd.Dataset:
     )
 
 
+def raster_variogram(sf_dir: str) -> pa.Table:
+    """Empirical semivariogram (lags 1-4, axis-aligned pairs) per hourly
+    slice over two days — the kriging-precursor geostatistics operator
+    (stages/stencil.variogram): banded halo-exchange pair generation,
+    all-integer partials at (slice x lag) cardinality, single-division
+    gamma mirrored by the SQL self-join twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import variogram
+
+    return variogram(read_raster(n_days=2), variable="t2m", max_lag=4)
+
+
 def raster_clumps(sf_dir: str) -> rd.Dataset:
     """Raster region labeling ("clump"): connected components of
     same-class 4-adjacent cells on the hour-0 slice, one row per region

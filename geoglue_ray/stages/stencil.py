@@ -378,6 +378,156 @@ def local_moran(
     )
 
 
+def variogram(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    max_lag: int = 4,
+    band_rows: int = 8,
+    hour_chunk: int = 24,
+) -> pa.Table:
+    """Empirical semivariogram per time slice — ``gamma(h) = sum of
+    (x_i - x_j)^2 over axis-aligned valid pairs at lag h, / (2 *
+    n_pairs)`` for ``h = 1..max_lag`` — the geostatistics operator
+    (variogram estimation, the first step of kriging) over the raster
+    lattice.
+
+    Distribution: the focal-stats row-band x hour-chunk banding, with an
+    ``max_lag``-row halo (a band's first ``max_lag`` rows also ship to
+    the band above; horizontal pairs never cross bands; vertical pairs
+    are owned by their upper cell).  Each band task emits one partial
+    ``(hour, h, n, sd2)`` row per (slice, lag) — all-integer, exact,
+    order-free — so the driver only ever holds ``bands x chunks x
+    slices x max_lag`` tiny rows before the final single-division
+    ``gamma``.  Returns a bounded in-memory table (slice x lag rows).
+    """
+    H = int(band_rows)
+    L = int(max_lag)
+    if L >= H:
+        raise ValueError("max_lag must be < band_rows (halo depth)")
+    T0 = np.datetime64(fx.T0, "us")
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        hour = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        )[fin]
+        r = b["cell_row"].to_numpy().astype(np.int64)[fin]
+        c = b["cell_col"].to_numpy().astype(np.int64)[fin]
+        x = v[fin]
+        band = r // H
+        tch = hour // hour_chunk
+        parts = []
+        for off, sel in (
+            (0, np.ones(len(r), dtype=bool)),
+            (-1, r % H < L),  # halo: first L band rows feed the band above
+        ):
+            bb = band[sel] + off
+            ok = bb >= 0
+            parts.append(
+                pa.table(
+                    {
+                        "_fb": pa.array((tch[sel][ok] << np.int64(20)) | bb[ok]),
+                        "hour": pa.array(hour[sel][ok]),
+                        "r": pa.array(r[sel][ok]),
+                        "c": pa.array(c[sel][ok]),
+                        "value": pa.array(x[sel][ok]),
+                        "_own": pa.array(np.full(int(ok.sum()), off == 0)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "hour": pa.array([], pa.int64()),
+                "h": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sd2": pa.array([], pa.int64()),
+            }
+        )
+        hour = g["hour"].to_numpy().astype(np.int64)
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        own = g["_own"].to_numpy().astype(bool)
+        if not own.any():
+            return empty
+        t0, r0 = hour.min(), r.min()
+        nt = int(hour.max() - t0 + 1)
+        nr = int(r.max() - r0 + 1)
+        nc = int(c.max()) + 1
+        V = np.zeros((nt, nr, nc))
+        M = np.zeros((nt, nr, nc), dtype=bool)
+        O = np.zeros((nt, nr, nc), dtype=bool)
+        ti, ri, ci = hour - t0, r - r0, c
+        V[ti, ri, ci] = v
+        M[ti, ri, ci] = True
+        O[ti, ri, ci] = own
+        rows = {"hour": [], "h": [], "n": [], "sd2": []}
+        for h in range(1, L + 1):
+            # vertical pairs, owned by the upper cell (halo feeds the lower)
+            if nr > h:
+                ok = O[:, :-h, :] & M[:, :-h, :] & M[:, h:, :]
+                d = np.where(ok, V[:, :-h, :] - V[:, h:, :], 0.0)
+                n_v = ok.sum(axis=(1, 2))
+                s_v = (d * d).sum(axis=(1, 2))  # exact: integer diffs
+            else:
+                n_v = np.zeros(nt, np.int64)
+                s_v = np.zeros(nt)
+            # horizontal pairs, owned by the left cell (never cross bands)
+            if nc > h:
+                ok = O[:, :, :-h] & M[:, :, :-h] & M[:, :, h:]
+                d = np.where(ok, V[:, :, :-h] - V[:, :, h:], 0.0)
+                n_h = ok.sum(axis=(1, 2))
+                s_h = (d * d).sum(axis=(1, 2))
+            else:
+                n_h = np.zeros(nt, np.int64)
+                s_h = np.zeros(nt)
+            n = (n_v + n_h).astype(np.int64)
+            sd2 = (s_v + s_h).astype(np.int64)
+            nz = n > 0
+            rows["hour"].extend((np.arange(nt, dtype=np.int64) + t0)[nz])
+            rows["h"].extend(np.full(int(nz.sum()), h, dtype=np.int64))
+            rows["n"].extend(n[nz])
+            rows["sd2"].extend(sd2[nz])
+        if not rows["hour"]:
+            return empty
+        return pa.table({k: pa.array(np.asarray(a, np.int64)) for k, a in rows.items()})
+
+    parts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(pairs, batch_format="pandas")
+        .take_all()
+    )
+    agg: dict[tuple[int, int], list[int]] = {}
+    for row in parts:
+        a = agg.setdefault((int(row["hour"]), int(row["h"])), [0, 0])
+        a[0] += int(row["n"])
+        a[1] += int(row["sd2"])
+    keys = sorted(agg)
+    hour = np.array([k[0] for k in keys], dtype=np.int64)
+    lag = np.array([k[1] for k in keys], dtype=np.int64)
+    n = np.array([agg[k][0] for k in keys], dtype=np.int64)
+    sd2 = np.array([agg[k][1] for k in keys], dtype=np.int64)
+    return pa.table(
+        {
+            "valid_time": pa.array(
+                T0 + (hour * 3_600_000_000).astype("timedelta64[us]"),
+                type=pa.timestamp("us"),
+            ),
+            "lag": pa.array(lag),
+            "n_pairs": pa.array(n),
+            "gamma": pa.array(sd2.astype(np.float64) / (2 * n)),
+        }
+    )
+
+
 def lattice_edges(
     ds: rd.Dataset,
     variable: str = "t2m",
