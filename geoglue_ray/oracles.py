@@ -867,6 +867,43 @@ FROM cells ORDER BY 2, 3, 1
 """
 
 
+def raster_hotspots() -> str:
+    """Getis-Ord Gi* twin: queen 3x3 self-join incl. self, exact BIGINT
+    moments, and the identical single-op chain — sqrt is IEEE
+    correctly-rounded on both sides (transcendentals are not, and never
+    appear here)."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, valid_time, CAST(value AS BIGINT) AS x
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+mom AS (
+  SELECT t, count(*) AS n,
+         CAST(SUM(x) AS DOUBLE) / count(*) AS mean,
+         sqrt(CAST(SUM(x*x) AS DOUBLE) / count(*)
+              - (CAST(SUM(x) AS DOUBLE) / count(*))
+                * (CAST(SUM(x) AS DOUBLE) / count(*))) AS s
+  FROM v GROUP BY t),
+nb AS (
+  SELECT a.t, a.r, a.c, a.valid_time,
+         count(b.x) AS w, SUM(b.x) AS ns
+  FROM v a JOIN v b
+    ON b.t = a.t
+   AND b.r BETWEEN a.r - 1 AND a.r + 1
+   AND b.c BETWEEN a.c - 1 AND a.c + 1
+  GROUP BY 1, 2, 3, 4)
+SELECT nb.valid_time, nb.r AS cell_row, nb.c AS cell_col,
+       CAST(nb.w AS BIGINT) AS w_nb,
+       (CAST(nb.ns AS DOUBLE) - CAST(nb.w AS DOUBLE) * m.mean)
+         / (m.s * sqrt(CAST(m.n * nb.w - nb.w * nb.w AS DOUBLE) / (m.n - 1)))
+         AS g_star
+FROM nb JOIN mom m ON m.t = nb.t
+ORDER BY 2, 3, 1
+"""
+
+
 def raster_variogram() -> str:
     """Semivariogram twin: axis-aligned lag-h pairs by self-join, exact
     integer squared-difference sums, one division — order-free."""

@@ -1943,6 +1943,24 @@ def raster_moran(sf_dir: str) -> rd.Dataset:
     )
 
 
+def raster_hotspots(sf_dir: str) -> rd.Dataset:
+    """Getis-Ord Gi* hot-spot z-scores per cell over two days of the
+    hourly raster (queen 3x3 incl. self) — the significance-scored
+    companion of raster_moran (stages/stencil.getis_ord).  All-integer
+    aggregates + single-op IEEE chains + correctly-rounded sqrt, so the
+    SQL twin is bit-exact."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import getis_ord
+
+    t2m = pa.scalar("t2m")
+
+    def prune(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["variable"], t2m))
+
+    ds = read_raster(n_days=2).map_batches(prune, batch_format="pyarrow").materialize()
+    return getis_ord(ds, variable="t2m").sort(["cell_row", "cell_col", "valid_time"])
+
+
 def raster_variogram(sf_dir: str) -> pa.Table:
     """Empirical semivariogram (lags 1-4, axis-aligned pairs) per hourly
     slice over two days — the kriging-precursor geostatistics operator

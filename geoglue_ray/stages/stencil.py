@@ -378,6 +378,137 @@ def local_moran(
     )
 
 
+def getis_ord(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    band_rows: int = 8,
+    hour_chunk: int = 24,
+    n_cols: int | None = None,
+) -> rd.Dataset:
+    """Getis-Ord Gi* hot-spot statistic per raster cell and time slice —
+    the z-scored local-sum operator (queen 3x3 neighborhood INCLUDING
+    self, binary weights): ``Gi* = (ns - w*mean) / (s * sqrt((n*w - w*w)
+    / (n-1)))`` with ``ns``/``w`` the neighborhood integer sum/valid
+    count, ``mean``/``s = sqrt(m2)`` the per-slice moments.
+
+    Exactness: integer aggregates, single-op IEEE chains, and ``sqrt``
+    only — which IEEE-754 requires correctly rounded, so numpy and
+    DuckDB agree bit-for-bit (unlike transcendental functions, which
+    must never appear in an oracle chain — CLAUDE.md).  Same banding +
+    halo and moment pass as :func:`local_moran`; consumes ``ds`` twice
+    (materialize a pruned slice first)."""
+    H = int(band_rows)
+    T0 = np.datetime64(fx.T0, "us")
+    mom = slice_moments(ds, variable=variable)
+    m_hours = mom["hours"]
+    n_h = mom["n"].astype(np.float64)
+    mean_h = mom["sx"].astype(np.float64) / n_h
+    s_h = np.sqrt(mom["sxx"].astype(np.float64) / n_h - mean_h * mean_h)
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        hour = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        )
+        r = b["cell_row"].to_numpy().astype(np.int64)
+        c = b["cell_col"].to_numpy().astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        band = r // H
+        tch = hour // hour_chunk
+        parts = []
+        for off, sel in (
+            (0, np.ones(len(r), dtype=bool)),
+            (-1, r % H == 0),
+            (1, r % H == H - 1),
+        ):
+            bb = band[sel] + off
+            ok = bb >= 0
+            parts.append(
+                pa.table(
+                    {
+                        "_fb": pa.array((tch[sel][ok] << np.int64(20)) | bb[ok]),
+                        "hour": pa.array(hour[sel][ok]),
+                        "r": pa.array(r[sel][ok]),
+                        "c": pa.array(c[sel][ok]),
+                        "value": pa.array(v[sel][ok]),
+                        "_own": pa.array(np.full(int(ok.sum()), off == 0)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def stencil(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "valid_time": pa.array([], pa.timestamp("us")),
+                "cell_row": pa.array([], pa.int64()),
+                "cell_col": pa.array([], pa.int64()),
+                "w_nb": pa.array([], pa.int64()),
+                "g_star": pa.array([], pa.float64()),
+            }
+        )
+        hour = g["hour"].to_numpy().astype(np.int64)
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        own = g["_own"].to_numpy().astype(bool)
+        if not own.any():
+            return empty
+        t0, r0 = hour.min(), r.min()
+        nt = int(hour.max() - t0 + 1)
+        nr = int(r.max() - r0 + 1)
+        nc = int(c.max()) + 1 if n_cols is None else int(n_cols)
+        shape = (nt, nr + 2, nc + 2)
+        V = np.zeros(shape)
+        M = np.zeros(shape, dtype=np.int64)
+        ti, ri, ci = hour - t0, r - r0 + 1, c + 1
+        fin = np.isfinite(v)
+        V[ti[fin], ri[fin], ci[fin]] = v[fin]
+        M[ti[fin], ri[fin], ci[fin]] = 1
+        NS = np.zeros(shape)
+        W = np.zeros(shape, dtype=np.int64)
+        inner = (slice(None), slice(1, -1), slice(1, -1))
+        for dr in (-1, 0, 1):  # queen 3x3 INCLUDING self
+            for dc in (-1, 0, 1):
+                sh = (
+                    slice(None),
+                    slice(1 + dr, nr + 1 + dr),
+                    slice(1 + dc, nc + 1 + dc),
+                )
+                NS[inner] += V[sh]
+                W[inner] += M[sh]
+        sel = own & fin
+        if not sel.any():
+            return empty
+        to, ro, co = ti[sel], ri[sel], ci[sel]
+        hi = np.searchsorted(m_hours, to + t0)
+        w = W[to, ro, co]
+        ns = NS[to, ro, co]
+        n = n_h[hi]
+        num = ns - w * mean_h[hi]
+        den = s_h[hi] * np.sqrt((n * w - w * w) / (n - 1))
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    T0 + ((to + t0) * 3_600_000_000).astype("timedelta64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "cell_row": pa.array(ro - 1 + r0),
+                "cell_col": pa.array(co - 1),
+                "w_nb": pa.array(w),
+                "g_star": pa.array(num / den),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(stencil, batch_format="pandas")
+    )
+
+
 def variogram(
     ds: rd.Dataset,
     variable: str = "t2m",
