@@ -579,6 +579,46 @@ FROM bl ORDER BY 1, 2
 """
 
 
+def events_extract() -> str:
+    """Point-extraction twin: sparse bilinear of the ERA5 t2m hour-0
+    field at each event's derived (lon, lat) — the resample_sparse
+    fill/mask chain with the engine's interior mask spelled as integer
+    bounds (i0 in [0, 31], j0 in [0, 62]); event coordinates are dyadic
+    odd-numerator so gx/gy are never integral and every weight is
+    exact."""
+    fill = {k: f"COALESCE({_rval(*ij)}, 0.0)" for k, ij in
+            {"f00": ("i0", "j0"), "f01": ("i0+1", "j0"),
+             "f10": ("i0", "j0+1"), "f11": ("i0+1", "j0+1")}.items()}
+    mask = {k: f"(CASE WHEN {_rval(*ij)} IS NULL THEN 0.0 ELSE 1.0 END)" for k, ij in
+            {"m00": ("i0", "j0"), "m01": ("i0+1", "j0"),
+             "m10": ("i0", "j0+1"), "m11": ("i0+1", "j0+1")}.items()}
+    bil_f = (f"(1.0-fxx)*(1.0-fy)*{fill['f00']} + fxx*(1.0-fy)*{fill['f01']}"
+             f" + (1.0-fxx)*fy*{fill['f10']} + fxx*fy*{fill['f11']}")
+    bil_m = (f"(1.0-fxx)*(1.0-fy)*{mask['m00']} + fxx*(1.0-fy)*{mask['m01']}"
+             f" + (1.0-fxx)*fy*{mask['m10']} + fxx*fy*{mask['m11']}")
+    return f"""
+WITH e AS (
+  SELECT event_id,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+g AS (
+  SELECT event_id, (lon - 102.125)/0.25 AS gx, (23.9375 - lat)/0.25 AS gy
+  FROM e),
+h AS (
+  SELECT event_id,
+         CAST(floor(gx) AS BIGINT) AS i0, CAST(floor(gy) AS BIGINT) AS j0,
+         gx - floor(gx) AS fxx, gy - floor(gy) AS fy
+  FROM g),
+bl AS (SELECT event_id, i0, j0, {bil_f} AS fillr, {bil_m} AS maskr FROM h)
+SELECT event_id,
+       CASE WHEN i0 BETWEEN 0 AND 31 AND j0 BETWEEN 0 AND 62
+                 AND maskr > 0.000001
+            THEN fillr / maskr ELSE NULL END AS resampled
+FROM bl ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------- training-data oracles
 def token_count() -> str:
     return r"""

@@ -853,6 +853,47 @@ def resample_idw(sf_dir: str) -> rd.Dataset:
     return _resample_weights_to_era5("remapdis")
 
 
+def events_extract(sf_dir: str) -> rd.Dataset:
+    """Raster value extraction at observation point locations — the
+    point-sampling face of raster<->vector fusion (rasterio ``sample`` /
+    exactextract point queries; the reference reads fields at admin
+    units, this reads them at raw observations): each event's derived
+    (lon, lat) samples the ERA5 t2m hour-0 field by SPARSE bilinear
+    (fill/mask semantics, so NaN ocean holes never bleed), NULL outside
+    the grid interior.  The field is a tiny dense array broadcast once
+    via ray.put into the Resampler pool; events stream through in
+    batches — no shuffle at all, the 100 TB shape for small-side raster
+    x huge point corpus."""
+    import ray
+
+    from geoglue_ray.sources.raster import (
+        RXSIZE,
+        RYSIZE,
+        raster_grid_spec,
+        raster_value,
+    )
+    from geoglue_ray.stages.resample import Resampler
+
+    r, c = np.meshgrid(np.arange(RYSIZE), np.arange(RXSIZE), indexing="ij")
+    dense = raster_value(np.zeros_like(r), r, c, 0).reshape(RYSIZE, RXSIZE)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {"event_id": b["event_id"], "lon": pa.array(lon), "lat": pa.array(lat)}
+        )
+
+    out = ds.map_batches(derive, batch_format="pyarrow").map_batches(
+        Resampler,
+        fn_constructor_args=(ray.put(dense), raster_grid_spec(), "sremapbil"),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["event_id", "resampled"]).sort("event_id")
+
+
 def resample_sparse(sf_dir: str) -> rd.Dataset:
     """ERA5 t2m hour-0 field (NaN ocean holes) -> fine 0.125-deg grid via
     sparse bilinear (``resample.py:19-78`` fill/mask semantics)."""
