@@ -1596,6 +1596,33 @@ FROM s ORDER BY 1
 """
 
 
+def trend_admin1() -> str:
+    """OLS trend twin: x = observation hour (id % N_HOURS), exact BIGINT
+    sums, cleared-denominator slope (one double division), intercept as
+    the same fixed single-op chain the engine computes."""
+    a1 = fx.sql_admin1_name("a2")
+    return f"""{_assigned_cte()},
+g AS (SELECT {a1} AS admin1_id,
+             CAST(id % {fx.N_HOURS} AS BIGINT) AS x,
+             CAST(value AS BIGINT) AS y
+      FROM asg),
+s AS (SELECT admin1_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM g GROUP BY 1),
+t AS (SELECT admin1_id, n, sx, sy,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+      FROM s)
+SELECT admin1_id, n AS n_obs, slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM t ORDER BY 1
+"""
+
+
 def covariance_admin1() -> str:
     """Comoment twin: exact BIGINT moment sums, cleared-denominator
     variance/covariance, one double division per statistic."""

@@ -1471,6 +1471,31 @@ def covariance_admin1(sf_dir: str) -> rd.Dataset:
     return comoment_stats(ds, "admin1_id", "value", "weight").sort("admin1_id")
 
 
+def trend_admin1(sf_dir: str) -> rd.Dataset:
+    """EXACT per-admin-1 OLS temporal trend of the observation value —
+    slope/intercept of value vs observation hour (the warming-rate-per-
+    zone analysis): cleared-denominator slope, one double division of
+    exact int64 sums (stages/sketch.trend_stats), so the SQL twin
+    matches bit-for-bit."""
+    from geoglue_ray.stages.sketch import trend_stats
+
+    T0 = np.datetime64(fx.T0, "us")
+    ds = corpus_with_admin(sf_dir, with_spans=False)
+
+    def hourly(b: pa.Table) -> pa.Table:
+        h = (
+            (b["event_time"].to_numpy() - T0)
+            .astype("timedelta64[h]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {"admin1_id": b["admin1_id"], "t": pa.array(h), "value": b["value"]}
+        )
+
+    ds = ds.map_batches(hourly, batch_format="pyarrow")
+    return trend_stats(ds, "admin1_id", "t", "value").sort("admin1_id")
+
+
 def outliers_admin1(sf_dir: str) -> rd.Dataset:
     """EXACT per-admin-1 two-sigma outlier screen — |x - mean| > 2*std
     without sqrt or per-row division: the all-integer comparison

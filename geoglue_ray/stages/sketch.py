@@ -727,12 +727,80 @@ def comoment_stats(
     (n*Sxy - Sx*Sy)/n^2`` — every sum and product exact int64, ONE double
     division per reported statistic, so the SQL twin is bit-exact
     (correlation needs sqrt and is deliberately absent; divide
-    downstream if tolerance is acceptable).
+    downstream if tolerance is acceptable)."""
 
-    Scale shape: per-batch (n, Sx, Sy, Sxx, Syy, Sxy) partials via one
-    lexsort+reduceat pass (int64-exact, never float bincount), fixed-shard
-    merge, closed form per key.  Shuffle payload = key cardinality x 7
-    int64s per batch.  int64 bound: ``n_k * Sxy_k < 2^63`` per key."""
+    def project(keys, sums) -> pd.DataFrame:
+        n, sx, sy = sums["_n"], sums["_sx"], sums["_sy"]
+        nf, n2f = n.astype(np.float64), (n * n).astype(np.float64)
+        return pd.DataFrame(
+            {
+                key_col: keys,
+                "n_obs": n,
+                "mean_x": sx.astype(np.float64) / nf,
+                "mean_y": sy.astype(np.float64) / nf,
+                "var_x": (n * sums["_sxx"] - sx * sx).astype(np.float64) / n2f,
+                "var_y": (n * sums["_syy"] - sy * sy).astype(np.float64) / n2f,
+                "cov_xy": (n * sums["_sxy"] - sx * sy).astype(np.float64) / n2f,
+            }
+        )
+
+    empty = {"n_obs": np.int64, "mean_x": np.float64, "mean_y": np.float64,
+             "var_x": np.float64, "var_y": np.float64, "cov_xy": np.float64}
+    return _bivariate_sums(ds, key_col, x_col, y_col, n_shards, project, empty)
+
+
+def trend_stats(
+    ds: rd.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """EXACT per-key OLS linear trend ``y = slope*x + intercept`` over
+    integer-valued (x, y): ``slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2)``
+    (one division of exact int64 sums), ``intercept = (Sy - slope*Sx)/n``
+    (a fixed single-op chain) — the per-zone temporal-trend operator
+    (e.g. warming rate per admin unit).  Same partial/merge skeleton and
+    int64 bound as :func:`comoment_stats`; keys whose x is constant
+    divide by zero (IEEE inf/NaN), mirroring SQL only when the fixture
+    guarantees x varies per key."""
+
+    def project(keys, sums) -> pd.DataFrame:
+        n, sx, sy = sums["_n"], sums["_sx"], sums["_sy"]
+        nf = n.astype(np.float64)
+        slope = (n * sums["_sxy"] - sx * sy).astype(np.float64) / (
+            n * sums["_sxx"] - sx * sx
+        ).astype(np.float64)
+        return pd.DataFrame(
+            {
+                key_col: keys,
+                "n_obs": n,
+                "slope": slope,
+                "intercept": (sy.astype(np.float64) - slope * sx.astype(np.float64))
+                / nf,
+            }
+        )
+
+    empty = {"n_obs": np.int64, "slope": np.float64, "intercept": np.float64}
+    return _bivariate_sums(ds, key_col, x_col, y_col, n_shards, project, empty)
+
+
+def _bivariate_sums(
+    ds: rd.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    n_shards: int,
+    project,
+    empty_schema: dict,
+) -> rd.Dataset:
+    """Shared skeleton of the exact bivariate-moment family: per-batch
+    (n, Sx, Sy, Sxx, Syy, Sxy) partials via one lexsort+reduceat pass
+    (int64-exact, never float bincount), fixed-shard merge, then a
+    caller-supplied closed-form projection per key.  Shuffle payload =
+    key cardinality x 7 int64s per batch.  int64 bound: ``n_k * Sxy_k <
+    2^63`` per key (and < 2^53 where the SQL twin must CAST the cleared
+    numerator to DOUBLE without rounding)."""
     from geoglue_ray.functions.texthash import token_hash64
 
     part_cols = ("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy")
@@ -773,6 +841,10 @@ def comoment_stats(
         )
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:  # typed full-schema empty (block-schema corruption class)
+            cols = {key_col: pd.Series([], dtype=object)}
+            cols.update({c: pd.Series([], dtype=t) for c, t in empty_schema.items()})
+            return pd.DataFrame(cols)
         codes, uniq = pd.factorize(g[key_col].to_numpy(), use_na_sentinel=False)
         o = np.argsort(codes, kind="stable")
         cs = codes[o]
@@ -780,19 +852,7 @@ def comoment_stats(
         sums = {
             c: np.add.reduceat(g[c].to_numpy()[o], starts) for c in part_cols
         }
-        n, sx, sy = sums["_n"], sums["_sx"], sums["_sy"]
-        nf, n2f = n.astype(np.float64), (n * n).astype(np.float64)
-        return pd.DataFrame(
-            {
-                key_col: uniq[cs[starts]],
-                "n_obs": n,
-                "mean_x": sx.astype(np.float64) / nf,
-                "mean_y": sy.astype(np.float64) / nf,
-                "var_x": (n * sums["_sxx"] - sx * sx).astype(np.float64) / n2f,
-                "var_y": (n * sums["_syy"] - sy * sy).astype(np.float64) / n2f,
-                "cov_xy": (n * sums["_sxy"] - sx * sy).astype(np.float64) / n2f,
-            }
-        )
+        return project(uniq[cs[starts]], sums)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
