@@ -1381,6 +1381,27 @@ FROM cells ORDER BY 1, 2
 """
 
 
+def user_trajectories() -> str:
+    """Trajectory twin: row_number / lag windows over (ts, event_id)
+    order per user; step distance via the engine's exact chain
+    sqrt(dx*dx + dy*dy) on dyadic coordinates (never a scaled hypot)."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+w AS (
+  SELECT user_id, event_id,
+         row_number() OVER u AS seq,
+         lon - lag(lon) OVER u AS dx,
+         lat - lag(lat) OVER u AS dy
+  FROM e WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id, seq, sqrt(dx*dx + dy*dy) AS step_dist
+FROM w ORDER BY user_id, seq
+"""
+
+
 def embed_ivf_recall() -> str:
     """Recall claim for IVF kNN vs brute force (>= 0.6 mean)."""
     return """

@@ -1287,6 +1287,82 @@ def events_contingency(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def user_trajectories(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Per-user movement trajectories — each user's events in time order
+    with the planar step distance from the previous location (the
+    movement-analytics operator over the interleaved corpus).  All of a
+    user's rows co-locate on ``hash(user) % n_shards`` (FIXED group
+    count); one lexsort + run-detection pass per shard computes sequence
+    numbers and consecutive diffs.  ``step = sqrt(dx*dx + dy*dy)`` — the
+    explicit chain, never np.hypot (CLAUDE.md): subtract, two multiplies,
+    add, correctly-rounded sqrt, all mirrored by the SQL window twin;
+    NaN on each user's first event (SQL NULL lag)."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "_us": pa.array(shard),
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    def steps(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "seq": pa.array([], pa.int64()),
+                    "step_dist": pa.array([], pa.float64()),
+                }
+            )
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        o = np.lexsort((eid, t, uid))
+        uid, eid, lon, lat = uid[o], eid[o], lon[o], lat[o]
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(first)
+        run = np.cumsum(first) - 1
+        seq = np.arange(len(uid), dtype=np.int64) - starts[run] + 1
+        step = np.full(len(uid), np.nan)
+        dx = lon[1:] - lon[:-1]
+        dy = lat[1:] - lat[:-1]
+        step[1:] = np.sqrt(dx * dx + dy * dy)
+        step[first] = np.nan
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "seq": pa.array(seq),
+                "step_dist": pa.array(step),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_us")
+        .map_groups(steps, batch_format="pandas")
+        .sort(["user_id", "seq"])
+    )
+
+
 def events_zonal(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
     ds = ds.map_batches(DeriveEventObservations(), batch_format="pyarrow")
