@@ -1381,6 +1381,36 @@ FROM cells ORDER BY 1, 2
 """
 
 
+def events_nn() -> str:
+    """Radius-NN twin: self-join pre-filtered by the (necessary) per-axis
+    radius bound, the exact d2 = dx*dx + dy*dy chain, inclusive
+    d2 <= r*r (r a power of two, exact comparison), nearest by
+    (d2, neighbour id) window rank, LEFT JOIN for isolated points."""
+    return f"""
+WITH e AS (
+  SELECT event_id,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+p AS (
+  SELECT a.event_id, b.event_id AS nb,
+         (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS d2
+  FROM e a JOIN e b
+    ON b.event_id <> a.event_id
+   AND b.lon BETWEEN a.lon - 0.0625 AND a.lon + 0.0625
+   AND b.lat BETWEEN a.lat - 0.0625 AND a.lat + 0.0625
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= 0.0625 * 0.0625),
+r AS (
+  SELECT event_id, nb, sqrt(d2) AS dist,
+         row_number() OVER (PARTITION BY event_id ORDER BY d2, nb) AS rn
+  FROM p)
+SELECT e.event_id, r.nb AS nn_id, r.dist AS nn_dist
+FROM e LEFT JOIN r ON r.event_id = e.event_id AND r.rn = 1
+ORDER BY 1
+"""
+
+
 def user_trajectories() -> str:
     """Trajectory twin: row_number / lag windows over (ts, event_id)
     order per user; step distance via the engine's exact chain

@@ -1363,6 +1363,27 @@ def user_trajectories(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
     )
 
 
+def events_nn(sf_dir: str) -> rd.Dataset:
+    """Bounded-radius nearest-neighbour join among observation points —
+    each event's closest other event within 1/16 deg (planar, ties to
+    the smallest id), NULL when isolated (stages/spatial.radius_nn_join:
+    grid-bucket co-shuffle at cell size == radius, 3x3 ring candidates,
+    vectorized per-cell distance blocks).  The point x point spatial
+    join; bit-exact vs the SQL self-join twin."""
+    from geoglue_ray.stages.spatial import radius_nn_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {"event_id": b["event_id"], "lon": pa.array(lon), "lat": pa.array(lat)}
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    return radius_nn_join(ds, radius=0.0625, id_col="event_id").sort("event_id")
+
+
 def events_zonal(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
     ds = ds.map_batches(DeriveEventObservations(), batch_format="pyarrow")

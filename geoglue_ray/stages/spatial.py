@@ -85,6 +85,132 @@ class SpatialJoiner:
         return out
 
 
+def radius_nn_join(
+    ds,
+    radius: float = 0.0625,
+    id_col: str = "event_id",
+    n_shards: int = 64,
+):
+    """Bounded-radius nearest-neighbour self-join over a point table:
+    for every point, the nearest OTHER point within ``radius`` (planar
+    Euclidean; ties broken by smallest neighbour id), NULL when none —
+    the point x point face of the spatial-join family (the reference
+    joins points to polygons; this joins observations to observations,
+    e.g. duplicate-sensor detection, co-located report matching).
+
+    Distribution: grid-bucket at cell size == ``radius``, so a point's
+    nearest in-radius neighbour provably lies in its 3x3 cell ring.  Own
+    rows ship once, candidate copies ship to the 9 ring cells (bounded
+    9x fan-out of the point table); buckets co-shuffle on ``hash(cell) %
+    n_shards`` (FIXED group count) and each shard resolves many cells in
+    one pass — per cell a vectorized (own x candidate) distance block
+    with candidates pre-sorted by id so ``argmin`` ties resolve to the
+    smallest id.  Mega-cell skew (the city-cluster callout): per-cell
+    cost is |own|x|cand|; ``radius`` IS the cell size, so choosing it
+    small splits hot clusters structurally — the documented knob, same
+    family as embed_neardup's second-level bucket split.
+
+    Exactness: dyadic coordinates make dx/dy exact; ``d2 = dx*dx +
+    dy*dy`` and ``sqrt`` are the resample_idw chain; the radius is a
+    power of two so ``d2 <= r*r`` is an exact comparison — the SQL
+    self-join twin reproduces every row bit-for-bit.
+    """
+    import pandas as pd
+    import ray.data as rd  # noqa: F401  (ds is already a Dataset)
+
+    r2 = radius * radius
+    inv = 1.0 / radius  # radius is a power of two: exact
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        cx = np.floor(lon * inv).astype(np.int64)
+        cy = np.floor(lat * inv).astype(np.int64)
+        n = len(ids)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                own = dx == 0 and dy == 0
+                cell = (cx + dx) * np.int64(1 << 21) + (cy + dy)
+                t = pa.table(
+                    {
+                        "_cell": pa.array(cell),
+                        id_col: pa.array(ids),
+                        "lon": pa.array(lon),
+                        "lat": pa.array(lat),
+                        "_own": pa.array(np.full(n, own)),
+                    }
+                )
+                parts.append(t)
+        out = pa.concat_tables(parts)
+        # uint64 wraparound keeps the shard non-negative for negative cells
+        shard = (
+            (out["_cell"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return out.append_column("_s", pa.array(shard))
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "nn_id": pa.array([], pa.int64()),
+                "nn_dist": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cell = g["_cell"].to_numpy().astype(np.int64)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        own = g["_own"].to_numpy().astype(bool)
+        # candidates sorted by (cell, id): argmin picks smallest id on ties
+        o = np.lexsort((ids, cell))
+        cell, ids, lon, lat, own = cell[o], ids[o], lon[o], lat[o], own[o]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        out_id, out_nn, out_d = [], [], []
+        for s, e in zip(starts, ends):
+            osel = own[s:e]
+            if not osel.any():
+                continue
+            oi = ids[s:e][osel]
+            olon, olat = lon[s:e][osel], lat[s:e][osel]
+            dxm = olon[:, None] - lon[s:e][None, :]
+            dym = olat[:, None] - lat[s:e][None, :]
+            d2 = dxm * dxm + dym * dym
+            bad = (d2 > r2) | (oi[:, None] == ids[s:e][None, :])
+            d2 = np.where(bad, np.inf, d2)
+            j = np.argmin(d2, axis=1)
+            dmin = d2[np.arange(len(oi)), j]
+            hit = np.isfinite(dmin)
+            out_id.append(oi)
+            out_nn.append(np.where(hit, ids[s:e][j], -1))
+            out_d.append(np.where(hit, np.sqrt(dmin), np.nan))
+        if not out_id:
+            return empty
+        oi = np.concatenate(out_id)
+        nn = np.concatenate(out_nn)
+        d = np.concatenate(out_d)
+        return pa.table(
+            {
+                id_col: pa.array(oi),
+                "nn_id": pa.array(
+                    np.where(nn >= 0, nn, 0), mask=(nn < 0), type=pa.int64()
+                ),
+                "nn_dist": pa.array(d),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
 def spatial_join(
     ds: rd.Dataset,
     index: AdminIndex | None = None,
