@@ -944,6 +944,42 @@ ORDER BY 2, 3, 1
 """
 
 
+def raster_mannkendall() -> str:
+    """Mann-Kendall twin: time-ordered pair signs by self-join, exact
+    BIGINT S and tie terms, var = num/18 (one division), the same
+    continuity-corrected z branches; sqrt correctly rounded both
+    sides."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, CAST(value AS BIGINT) AS x
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+s AS (
+  SELECT a.r, a.c,
+         CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM v a JOIN v b ON b.r = a.r AND b.c = a.c AND b.t > a.t
+  GROUP BY 1, 2),
+n AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1, 2),
+ties AS (
+  SELECT r, c, CAST(SUM(tg*(tg-1)*(2*tg+5)) AS BIGINT) AS tsum
+  FROM (SELECT r, c, x, CAST(count(*) AS BIGINT) AS tg FROM v GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+f AS (
+  SELECT n.r, n.c, n.n, s.s_stat,
+         CAST(n.n*(n.n-1)*(2*n.n+5) - ties.tsum AS DOUBLE) / 18 AS var_s
+  FROM n JOIN s ON s.r = n.r AND s.c = n.c
+  JOIN ties ON ties.r = n.r AND ties.c = n.c)
+SELECT r AS cell_row, c AS cell_col, n AS n_obs, s_stat, var_s,
+       CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+            WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+            ELSE 0.0 END AS z
+FROM f ORDER BY 1, 2
+"""
+
+
 def raster_variogram() -> str:
     """Semivariogram twin: axis-aligned lag-h pairs by self-join, exact
     integer squared-difference sums, one division — order-free."""

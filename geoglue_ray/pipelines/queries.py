@@ -2124,6 +2124,20 @@ def raster_hotspots(sf_dir: str) -> rd.Dataset:
     return getis_ord(ds, variable="t2m").sort(["cell_row", "cell_col", "valid_time"])
 
 
+def raster_mannkendall(sf_dir: str) -> rd.Dataset:
+    """Mann-Kendall monotonic-trend test per raster cell over two days
+    of hourly t2m — S statistic, tie-corrected variance and
+    continuity-corrected z (stages/stencil.mann_kendall): cells
+    fixed-shard co-shuffled, O(T^2) pair scan vectorized per cell,
+    exact-integer statistics to one /18 division and a sqrt."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import mann_kendall
+
+    return mann_kendall(read_raster(n_days=2), variable="t2m").sort(
+        ["cell_row", "cell_col"]
+    )
+
+
 def raster_variogram(sf_dir: str) -> pa.Table:
     """Empirical semivariogram (lags 1-4, axis-aligned pairs) per hourly
     slice over two days — the kriging-precursor geostatistics operator
