@@ -1417,6 +1417,38 @@ FROM cells ORDER BY 1, 2
 """
 
 
+def events_density() -> str:
+    """Density-surface twin: edge-aligned floor bins, zero-filled full
+    lattice by LEFT JOIN, 3x3 self-join smoothing with integer sums and
+    the single-division mean."""
+    return f"""
+WITH e AS (
+  SELECT {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+binned AS (
+  SELECT CAST(floor((24.0625 - lat) / 0.25) AS BIGINT) AS r,
+         CAST(floor((lon - 102.0) / 0.25) AS BIGINT) AS c
+  FROM e
+  WHERE floor((24.0625 - lat) / 0.25) BETWEEN 0 AND 63
+    AND floor((lon - 102.0) / 0.25) BETWEEN 0 AND 32),
+bc AS (SELECT r, c, count(*) AS cnt FROM binned GROUP BY 1, 2),
+grid AS (
+  SELECT g.r, g.c, CAST(COALESCE(bc.cnt, 0) AS DOUBLE) AS v
+  FROM (SELECT rr.range AS r, cc.range AS c
+        FROM range(64) rr, range(33) cc) g
+  LEFT JOIN bc ON bc.r = g.r AND bc.c = g.c)
+SELECT a.r AS cell_row, a.c AS cell_col,
+       count(b.v) AS n_nb,
+       sum(b.v) AS focal_sum,
+       sum(b.v) / count(b.v) AS focal_mean
+FROM grid a JOIN grid b
+  ON b.r BETWEEN a.r - 1 AND a.r + 1
+ AND b.c BETWEEN a.c - 1 AND a.c + 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_nn() -> str:
     """Radius-NN twin: self-join pre-filtered by the (necessary) per-axis
     radius bound, the exact d2 = dx*dx + dy*dy chain, inclusive

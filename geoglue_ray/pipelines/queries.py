@@ -1384,6 +1384,60 @@ def events_nn(sf_dir: str) -> rd.Dataset:
     return radius_nn_join(ds, radius=0.0625, id_col="event_id").sort("event_id")
 
 
+def events_density(sf_dir: str) -> rd.Dataset:
+    """Smoothed point-density surface — events binned to the ERA5 grid
+    (edge-aligned floor bins, exact dyadic arithmetic), zero-filled to
+    the full lattice, then 3x3 focal sum/mean smoothing via the stencil
+    operator: the KDE-style heatmap as a composition of partial-collapse
+    binning (shuffle payload = grid cardinality, never event count) and
+    the halo-exchange stencil.  Bit-exact vs the SQL twin (integer
+    counts, single-division mean)."""
+    from geoglue_ray.sources.raster import RXSIZE, RYSIZE
+    from geoglue_ray.stages.stencil import focal_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def bin_counts(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        r = np.floor((24.0625 - lat) / 0.25).astype(np.int64)
+        c = np.floor((lon - 102.0) / 0.25).astype(np.int64)
+        ok = (r >= 0) & (r < RYSIZE) & (c >= 0) & (c < RXSIZE)
+        packed = r[ok] * RXSIZE + c[ok]
+        cnt = np.bincount(packed, minlength=RYSIZE * RXSIZE)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "r": pa.array(nz // RXSIZE),
+                "c": pa.array(nz % RXSIZE),
+                "cnt": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    # partials are grid-cardinality rows per block — provably bounded
+    parts = ds.map_batches(bin_counts, batch_format="pyarrow").take_all()
+    grid = np.zeros(RYSIZE * RXSIZE, dtype=np.int64)
+    for row in parts:
+        grid[int(row["r"]) * RXSIZE + int(row["c"])] += int(row["cnt"])
+    rr, cc = np.divmod(np.arange(RYSIZE * RXSIZE, dtype=np.int64), RXSIZE)
+    dense = pa.table(
+        {
+            "valid_time": pa.array(
+                np.full(len(rr), np.datetime64(fx.T0, "us")), pa.timestamp("us")
+            ),
+            "cell_row": pa.array(rr),
+            "cell_col": pa.array(cc),
+            "variable": pa.array(np.repeat("density", len(rr))),
+            "value": pa.array(grid.astype(np.float64)),
+        }
+    )
+    out = focal_stats(
+        rd.from_arrow(dense), ops=("sum", "mean"), variable="density"
+    )
+    return out.select_columns(
+        ["cell_row", "cell_col", "n_nb", "focal_sum", "focal_mean"]
+    ).sort(["cell_row", "cell_col"])
+
+
 def events_zonal(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
     ds = ds.map_batches(DeriveEventObservations(), batch_format="pyarrow")
