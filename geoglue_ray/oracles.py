@@ -1417,6 +1417,38 @@ FROM cells ORDER BY 1, 2
 """
 
 
+def events_ripley() -> str:
+    """Ripley K/L twin: per-radius pair counts by prefiltered self-join,
+    (area * pairs) / (n*(n-1)) in the engine's exact op order, L via
+    the identical pi double literal — all deterministic single ops."""
+    k = "(128.0 * CAST(p.n_pairs AS DOUBLE)) / CAST(n.n * (n.n - 1) AS DOUBLE)"
+    return f"""
+WITH e AS (
+  SELECT event_id,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+f AS (SELECT * FROM e
+      WHERE lon >= 102.0 AND lon < 110.0 AND lat >= 8.0 AND lat < 24.0),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+rs AS (SELECT * FROM (VALUES (0.015625), (0.03125), (0.046875), (0.0625))
+       t(r)),
+p AS (
+  SELECT rs.r, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM rs JOIN f a ON TRUE JOIN f b
+    ON b.event_id <> a.event_id
+   AND b.lon BETWEEN a.lon - rs.r AND a.lon + rs.r
+   AND b.lat BETWEEN a.lat - rs.r AND a.lat + rs.r
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= rs.r * rs.r
+  GROUP BY 1)
+SELECT p.r AS radius, p.n_pairs,
+       {k} AS k_est,
+       sqrt(({k}) / 3.141592653589793) AS l_est
+FROM p, n ORDER BY 1
+"""
+
+
 def events_density() -> str:
     """Density-surface twin: edge-aligned floor bins, zero-filled full
     lattice by LEFT JOIN, 3x3 self-join smoothing with integer sums and

@@ -1384,6 +1384,32 @@ def events_nn(sf_dir: str) -> rd.Dataset:
     return radius_nn_join(ds, radius=0.0625, id_col="event_id").sort("event_id")
 
 
+def events_ripley(sf_dir: str) -> pa.Table:
+    """Ripley's K / L point-pattern statistics of the in-bbox events at
+    four dyadic radii (naive estimator, no edge correction) — clustered
+    vs dispersed detection (stages/spatial.ripley_k: the radius_nn_join
+    grid-bucket ring co-shuffle counting all radii per vectorized cell
+    block; integer pair counts, single-op K and L chains)."""
+    from geoglue_ray.stages.spatial import ripley_k
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        ok = (lon >= 102.0) & (lon < 110.0) & (lat >= 8.0) & (lat < 24.0)
+        return pa.table(
+            {
+                "event_id": b["event_id"].filter(pa.array(ok)),
+                "lon": pa.array(lon[ok]),
+                "lat": pa.array(lat[ok]),
+            }
+        )
+
+    return ripley_k(
+        ds.map_batches(derive, batch_format="pyarrow"), area=128.0
+    )
+
+
 def events_density(sf_dir: str) -> rd.Dataset:
     """Smoothed point-density surface — events binned to the ERA5 grid
     (edge-aligned floor bins, exact dyadic arithmetic), zero-filled to

@@ -211,6 +211,128 @@ def radius_nn_join(
     )
 
 
+def ripley_k(
+    ds,
+    radii: tuple[float, ...] = (1 / 64, 2 / 64, 3 / 64, 4 / 64),
+    area: float = 128.0,
+    id_col: str = "event_id",
+    n_shards: int = 64,
+):
+    """Ripley's K point-pattern statistic (naive estimator, no edge
+    correction — documented): ``K(r) = area * #ordered pairs with d <= r
+    / (n * (n-1))`` plus the variance-stabilized ``L(r) = sqrt(K/pi)``
+    — clustered vs dispersed process detection over the observation
+    points.
+
+    Same grid-bucket ring co-shuffle as :func:`radius_nn_join` with cell
+    size == max(radii) (all pair distances <= r_max provably resolve in
+    the 3x3 ring); per cell one vectorized distance block counts all
+    radii at once, emitting (radius index, pair count) integer partials
+    — the driver only ever holds ``shards x |radii|`` tiny rows.  All
+    counts exact; K is one multiply + one divide, L one divide + sqrt
+    (pi is the same IEEE double literal on both sides), so the SQL twin
+    is bit-exact.  Returns a bounded in-memory table (|radii| rows)."""
+    import math
+
+    rmax = max(radii)
+    inv = 1.0 / rmax  # power-of-two radius: exact
+    r2s = np.array([r * r for r in radii])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        cx = np.floor(lon * inv).astype(np.int64)
+        cy = np.floor(lat * inv).astype(np.int64)
+        n = len(ids)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                own = dx == 0 and dy == 0
+                cell = (cx + dx) * np.int64(1 << 21) + (cy + dy)
+                parts.append(
+                    pa.table(
+                        {
+                            "_cell": pa.array(cell),
+                            id_col: pa.array(ids),
+                            "lon": pa.array(lon),
+                            "lat": pa.array(lat),
+                            "_own": pa.array(np.full(n, own)),
+                        }
+                    )
+                )
+        out = pa.concat_tables(parts)
+        shard = (
+            (out["_cell"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return out.append_column("_s", pa.array(shard))
+
+    def count_pairs(g) -> pa.Table:
+        empty = pa.table(
+            {
+                "ri": pa.array([], pa.int64()),
+                "pairs": pa.array([], pa.int64()),
+                "n_own": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cell = g["_cell"].to_numpy().astype(np.int64)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        own = g["_own"].to_numpy().astype(bool)
+        o = np.argsort(cell, kind="stable")
+        cell, ids, lon, lat, own = cell[o], ids[o], lon[o], lat[o], own[o]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        counts = np.zeros(len(radii), dtype=np.int64)
+        n_own = 0
+        for s, e in zip(starts, ends):
+            osel = own[s:e]
+            if not osel.any():
+                continue
+            n_own += int(osel.sum())
+            dxm = lon[s:e][osel][:, None] - lon[s:e][None, :]
+            dym = lat[s:e][osel][:, None] - lat[s:e][None, :]
+            d2 = dxm * dxm + dym * dym
+            ne = ids[s:e][osel][:, None] != ids[s:e][None, :]
+            for k, r2 in enumerate(r2s):
+                counts[k] += int((ne & (d2 <= r2)).sum())
+        return pa.table(
+            {
+                "ri": pa.array(np.arange(len(radii), dtype=np.int64)),
+                "pairs": pa.array(counts),
+                "n_own": pa.array(
+                    np.r_[np.int64(n_own), np.zeros(len(radii) - 1, np.int64)]
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(count_pairs, batch_format="pandas")
+        .take_all()
+    )
+    pairs = np.zeros(len(radii), dtype=np.int64)
+    n = 0
+    for row in rows:
+        pairs[int(row["ri"])] += int(row["pairs"])
+        n += int(row["n_own"])
+    nf = float(n * (n - 1))
+    k_est = (area * pairs.astype(np.float64)) / nf
+    return pa.table(
+        {
+            "radius": pa.array(np.array(radii)),
+            "n_pairs": pa.array(pairs),
+            "k_est": pa.array(k_est),
+            "l_est": pa.array(np.sqrt(k_est / math.pi)),
+        }
+    )
+
+
 def spatial_join(
     ds: rd.Dataset,
     index: AdminIndex | None = None,
