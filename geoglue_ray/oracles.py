@@ -177,6 +177,36 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def raster_zonal_majority() -> str:
+    """Categorical zonal twin: hour-0 t2m classes joined to the cell
+    assignment CTE, per-(admin, class) counts, the same (count, value)
+    row_number total orders as majority_admin1."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+{_raster_cells_cte()},
+h AS (
+  SELECT {fx.sql_admin2_name('cass.a2')} AS admin_id,
+         CAST(rast.value AS BIGINT) // 16 AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM rast JOIN cass ON rast.r = cass.r AND rast.c = cass.c
+  WHERE rast.t = 0 AND rast.variable = 't2m' AND rast.value IS NOT NULL
+  GROUP BY 1, 2),
+r AS (SELECT admin_id, v, c,
+             row_number() OVER (PARTITION BY admin_id ORDER BY c DESC, v) AS rj,
+             row_number() OVER (PARTITION BY admin_id ORDER BY c ASC, v) AS rn
+      FROM h)
+SELECT admin_id,
+       max(v) FILTER (rj = 1) AS majority_val,
+       max(c) FILTER (rj = 1) AS majority_n,
+       max(v) FILTER (rn = 1) AS minority_val,
+       max(c) FILTER (rn = 1) AS minority_n,
+       CAST(count(*) AS BIGINT) AS variety
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 def zonal_coverage() -> str:
     """Coverage-fraction zonal stats, closed form: each raster cell's
     overlap with an admin square splits by the diagonal via the clamped-

@@ -123,6 +123,51 @@ def raster_zonal() -> rd.Dataset:
     return agg.map_batches(project, batch_format="pyarrow").sort(["admin_id", "variable"])
 
 
+def raster_zonal_majority() -> rd.Dataset:
+    """Categorical zonal statistics — land-cover-style majority /
+    minority / variety per admin-2 of the hour-0 t2m CLASS field
+    (``class = int(value) // 16``): raster cells become points, assign
+    through the same broadcast PIP pool as every zonal path (kNN for the
+    east-of-bbox column), then the majority_minority histogram pipeline
+    (smallest-class tie-break, bit-exact vs the row_number twin)."""
+    from geoglue_ray import fixtures as fx
+    from geoglue_ray.runtime import pool_size
+    from geoglue_ray.stages.sketch import majority_minority
+
+    t0 = pa.scalar(np.datetime64(fx.T0, "us"), pa.timestamp("us"))
+    t2m = pa.scalar("t2m")
+
+    def slice_cls(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(
+            pc.and_(pc.equal(b["valid_time"], t0), pc.equal(b["variable"], t2m))
+        )
+        v = b["value"].to_numpy(zero_copy_only=False)
+        fin = np.isfinite(v)
+        cls = np.where(fin, v, 0.0).astype(np.int64) // 16
+        return pa.table(
+            {
+                "lon": b["longitude"],
+                "lat": b["latitude"],
+                "cls": pa.array(cls),
+            }
+        ).filter(pa.array(fin))
+
+    ds = read_raster(n_days=1)
+    ds = ds.map_batches(slice_cls, batch_format="pyarrow")
+    ds = ds.map_batches(encode_cells, batch_format="pyarrow")
+    index = AdminIndex.build(build_admin_table())
+    ds = spatial_join(
+        ds,
+        index_ref=ray.put(index),
+        emit_names=True,
+        concurrency=(1, pool_size(4, reserve=2)),
+    )
+    ds = ds.select_columns(["admin_id", "cls"])
+    return majority_minority(ds, "admin_id", "cls").sort("admin_id")
+
+
 def raster_weekly_zonal() -> rd.Dataset:
     """Weekly zonal covariates per (admin, variable, week) — the engine's
     ``DatasetPool.weekly_reduce`` + zonalstats composition (A4 + A1)."""
