@@ -974,6 +974,27 @@ ORDER BY 2, 3, 1
 """
 
 
+def raster_temporal_variogram() -> str:
+    """Temporal-semivariogram twin: same-cell (t, t+h) pairs by
+    self-join, exact integer squared-difference sums, one division."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, CAST(value AS BIGINT) AS x
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+hs AS (SELECT range AS h FROM range(1, 7)),
+p AS (
+  SELECT hs.h, (b.x - a.x) * (b.x - a.x) AS d2
+  FROM v a CROSS JOIN hs
+  JOIN v b ON b.r = a.r AND b.c = a.c AND b.t = a.t + hs.h)
+SELECT h AS lag_hours, count(*) AS n_pairs,
+       CAST(SUM(d2) AS DOUBLE) / (2 * count(*)) AS gamma
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
 def raster_mannkendall() -> str:
     """Mann-Kendall twin: time-ordered pair signs by self-join, exact
     BIGINT S and tie terms, var = num/18 (one division), the same

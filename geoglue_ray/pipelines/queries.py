@@ -2204,6 +2204,18 @@ def raster_hotspots(sf_dir: str) -> rd.Dataset:
     return getis_ord(ds, variable="t2m").sort(["cell_row", "cell_col", "valid_time"])
 
 
+def raster_temporal_variogram(sf_dir: str) -> pa.Table:
+    """Marginal temporal semivariogram (lags 1-6 hours, same-cell pairs)
+    over two days of hourly t2m — the time-axis companion of
+    raster_variogram (stages/stencil.temporal_variogram): cells
+    fixed-shard co-shuffled, one lexsort + shifted comparison per lag,
+    all-integer partials, single-division gamma."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import temporal_variogram
+
+    return temporal_variogram(read_raster(n_days=2), variable="t2m", max_lag_hours=6)
+
+
 def raster_mannkendall(sf_dir: str) -> rd.Dataset:
     """Mann-Kendall monotonic-trend test per raster cell over two days
     of hourly t2m — S statistic, tie-corrected variance and

@@ -659,6 +659,112 @@ def variogram(
     )
 
 
+def temporal_variogram(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    max_lag_hours: int = 6,
+    n_shards: int = 32,
+) -> pa.Table:
+    """Marginal temporal semivariogram — ``gamma(h) = sum over same-cell
+    pairs (t, t+h) of (x_{t+h} - x_t)^2 / (2 * n_pairs)`` for ``h =
+    1..max_lag_hours`` — the time-axis companion of :func:`variogram`
+    (together they give the space-time covariance structure kriging
+    needs).
+
+    Distribution: cells co-shuffle on ``hash(cell) % n_shards`` (all of
+    a cell's hours co-locate, NO halo needed); one lexsort per shard,
+    then each lag is a single shifted comparison over the sorted array.
+    Partials are (lag, n, sd2) integers — the driver holds ``shards x
+    max_lag`` rows before the single-division gamma.  Returns a bounded
+    in-memory table (max_lag rows).  Partitioning assumption: a DENSE
+    hourly axis per cell (array distance == hour distance after the
+    lexsort); cells with missing hours would under-count pairs whose
+    gap spans a hole."""
+    L = int(max_lag_hours)
+    T0 = np.datetime64(fx.T0, "us")
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        hour = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        )[fin]
+        r = b["cell_row"].to_numpy().astype(np.int64)[fin]
+        c = b["cell_col"].to_numpy().astype(np.int64)[fin]
+        cell = r * np.int64(1 << 20) + c
+        shard = (
+            (cell.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_s": pa.array(shard),
+                "cell": pa.array(cell),
+                "hour": pa.array(hour),
+                "x": pa.array(v[fin].astype(np.int64)),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "h": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sd2": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cell = g["cell"].to_numpy().astype(np.int64)
+        hour = g["hour"].to_numpy().astype(np.int64)
+        x = g["x"].to_numpy().astype(np.int64)
+        o = np.lexsort((hour, cell))
+        cell, hour, x = cell[o], hour[o], x[o]
+        hs, ns, sds = [], [], []
+        for h in range(1, L + 1):
+            if len(x) <= h:
+                continue
+            ok = (cell[h:] == cell[:-h]) & (hour[h:] == hour[:-h] + h)
+            d = x[h:][ok] - x[:-h][ok]
+            hs.append(h)
+            ns.append(int(ok.sum()))
+            sds.append(int((d * d).sum()))
+        if not hs:
+            return empty
+        return pa.table(
+            {
+                "h": pa.array(np.asarray(hs, np.int64)),
+                "n": pa.array(np.asarray(ns, np.int64)),
+                "sd2": pa.array(np.asarray(sds, np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(pairs, batch_format="pandas")
+        .take_all()
+    )
+    agg: dict[int, list[int]] = {}
+    for row in rows:
+        a = agg.setdefault(int(row["h"]), [0, 0])
+        a[0] += int(row["n"])
+        a[1] += int(row["sd2"])
+    lags = np.array(sorted(agg), dtype=np.int64)
+    n = np.array([agg[h][0] for h in lags], dtype=np.int64)
+    sd2 = np.array([agg[h][1] for h in lags], dtype=np.int64)
+    return pa.table(
+        {
+            "lag_hours": pa.array(lags),
+            "n_pairs": pa.array(n),
+            "gamma": pa.array(sd2.astype(np.float64) / (2 * n)),
+        }
+    )
+
+
 def mann_kendall(
     ds: rd.Dataset,
     variable: str = "t2m",
