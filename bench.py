@@ -95,6 +95,14 @@ def _run_queries() -> dict:
 
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
 
+    def _as_ds(tbl):
+        # bounded in-memory results (pa.Table) timed like any pipeline
+        class _Done:
+            def materialize(self):
+                return tbl
+
+        return _Done()
+
     # one fused actor pool at a fixed 3/4 of the session's CPUs (same
     # fraction at every level so scaling compares like with like), the rest
     # as headroom for shuffle/reduce tasks; fixed size (autoscaling ramps
@@ -149,6 +157,11 @@ def _run_queries() -> dict:
         ("dedup_chunks", q.dedup_chunks),
         ("raster_focal_mean", q.raster_focal_mean),
         ("edit_neardup", q.edit_neardup),
+        # geostatistics family: moment-pass + halo stencil, grid-bucket
+        # ring pair counting, exact bivariate-sums trend
+        ("raster_moran", q.raster_moran),
+        ("events_ripley", lambda sf: _as_ds(q.events_ripley(sf))),
+        ("trend_admin1", q.trend_admin1),
     ]
     extra_reps = int(os.environ.get("GRAFT_EXTRA_REPEATS", "2"))
     for name, fn in extra:

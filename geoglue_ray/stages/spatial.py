@@ -172,23 +172,29 @@ def radius_nn_join(
         starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
         ends = np.r_[starts[1:], len(cell)]
         out_id, out_nn, out_d = [], [], []
+        CHUNK = 1024  # own-side rows per distance block: caps a hot
+        # mega-cell's |own| x |cand| matrix at CHUNK x |cand| floats
         for s, e in zip(starts, ends):
             osel = own[s:e]
             if not osel.any():
                 continue
-            oi = ids[s:e][osel]
-            olon, olat = lon[s:e][osel], lat[s:e][osel]
-            dxm = olon[:, None] - lon[s:e][None, :]
-            dym = olat[:, None] - lat[s:e][None, :]
-            d2 = dxm * dxm + dym * dym
-            bad = (d2 > r2) | (oi[:, None] == ids[s:e][None, :])
-            d2 = np.where(bad, np.inf, d2)
-            j = np.argmin(d2, axis=1)
-            dmin = d2[np.arange(len(oi)), j]
-            hit = np.isfinite(dmin)
-            out_id.append(oi)
-            out_nn.append(np.where(hit, ids[s:e][j], -1))
-            out_d.append(np.where(hit, np.sqrt(dmin), np.nan))
+            oi_all = ids[s:e][osel]
+            olon_all, olat_all = lon[s:e][osel], lat[s:e][osel]
+            for c0 in range(0, len(oi_all), CHUNK):
+                oi = oi_all[c0 : c0 + CHUNK]
+                olon = olon_all[c0 : c0 + CHUNK]
+                olat = olat_all[c0 : c0 + CHUNK]
+                dxm = olon[:, None] - lon[s:e][None, :]
+                dym = olat[:, None] - lat[s:e][None, :]
+                d2 = dxm * dxm + dym * dym
+                bad = (d2 > r2) | (oi[:, None] == ids[s:e][None, :])
+                d2 = np.where(bad, np.inf, d2)
+                j = np.argmin(d2, axis=1)
+                dmin = d2[np.arange(len(oi)), j]
+                hit = np.isfinite(dmin)
+                out_id.append(oi)
+                out_nn.append(np.where(hit, ids[s:e][j], -1))
+                out_d.append(np.where(hit, np.sqrt(dmin), np.nan))
         if not out_id:
             return empty
         oi = np.concatenate(out_id)
@@ -289,17 +295,21 @@ def ripley_k(
         ends = np.r_[starts[1:], len(cell)]
         counts = np.zeros(len(radii), dtype=np.int64)
         n_own = 0
+        CHUNK = 1024  # cap hot-cell |own| x |cand| blocks (radius_nn_join)
         for s, e in zip(starts, ends):
             osel = own[s:e]
             if not osel.any():
                 continue
             n_own += int(osel.sum())
-            dxm = lon[s:e][osel][:, None] - lon[s:e][None, :]
-            dym = lat[s:e][osel][:, None] - lat[s:e][None, :]
-            d2 = dxm * dxm + dym * dym
-            ne = ids[s:e][osel][:, None] != ids[s:e][None, :]
-            for k, r2 in enumerate(r2s):
-                counts[k] += int((ne & (d2 <= r2)).sum())
+            olon_all, olat_all = lon[s:e][osel], lat[s:e][osel]
+            oid_all = ids[s:e][osel]
+            for c0 in range(0, len(oid_all), CHUNK):
+                dxm = olon_all[c0 : c0 + CHUNK][:, None] - lon[s:e][None, :]
+                dym = olat_all[c0 : c0 + CHUNK][:, None] - lat[s:e][None, :]
+                d2 = dxm * dxm + dym * dym
+                ne = oid_all[c0 : c0 + CHUNK][:, None] != ids[s:e][None, :]
+                for k, r2 in enumerate(r2s):
+                    counts[k] += int((ne & (d2 <= r2)).sum())
         return pa.table(
             {
                 "ri": pa.array(np.arange(len(radii), dtype=np.int64)),
