@@ -165,7 +165,19 @@ def raster_zonal_majority() -> rd.Dataset:
         concurrency=(1, pool_size(4, reserve=2)),
     )
     ds = ds.select_columns(["admin_id", "cls"])
-    return majority_minority(ds, "admin_id", "cls").sort("admin_id")
+    out = majority_minority(ds, "admin_id", "cls")
+
+    def cast_cls(b: pa.Table) -> pa.Table:
+        # _hist_pipeline carries values as float64 (uint64-view bucketing);
+        # the class labels are small exact integers, and the SQL twin's
+        # `CAST(value AS BIGINT) // 16` is BIGINT — cast the projection
+        # explicitly (driver value-hash is dtype-KIND-sensitive).
+        for col in ("majority_val", "minority_val"):
+            i = b.schema.get_field_index(col)
+            b = b.set_column(i, col, pa.compute.cast(b[col], pa.int64()))
+        return b
+
+    return out.map_batches(cast_cls, batch_format="pyarrow").sort("admin_id")
 
 
 def raster_weekly_zonal() -> rd.Dataset:
