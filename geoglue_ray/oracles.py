@@ -609,6 +609,48 @@ FROM bl ORDER BY 1, 2
 """
 
 
+def resample_conservative() -> str:
+    """remapcon twin: per-axis integer overlap lengths on the 1/256-deg
+    lattice (GREATEST/LEAST interval intersection), integer SUM numerator
+    (order-free), one division by the target cell area — mirrors
+    stages/resample.ConservativeRegridder op-for-op.  The source value at
+    (col i, south-row wy) is the closed-form weights field (_wval with
+    wy = 255 - j)."""
+    from geoglue_ray.stages.resample import (
+        CON_N,
+        CON_SRC_U,
+        CON_TINC_U,
+        CON_X0_U,
+        CON_YTOP_U,
+    )
+
+    area = CON_TINC_U * CON_TINC_U
+    return f"""
+WITH tgt AS (
+  SELECT r.range AS tr, c.range AS tc,
+         {CON_X0_U} + {CON_TINC_U}*c.range AS tx0,
+         {CON_YTOP_U} - {CON_TINC_U}*(r.range+1) AS ty0
+  FROM range({CON_N}) r, range({CON_N}) c),
+cand AS (
+  SELECT tr, tc, tx0, ty0,
+         tx0//{CON_SRC_U} + b.range AS i,
+         ty0//{CON_SRC_U} + a.range AS wy
+  FROM tgt, range(3) a, range(3) b),
+ov AS (
+  SELECT tr, tc, i, wy,
+         GREATEST(0, LEAST(tx0+{CON_TINC_U}, {CON_SRC_U}*(i+1))
+                  - GREATEST(tx0, {CON_SRC_U}*i)) AS ox,
+         GREATEST(0, LEAST(ty0+{CON_TINC_U}, {CON_SRC_U}*(wy+1))
+                  - GREATEST(ty0, {CON_SRC_U}*wy)) AS oy
+  FROM cand)
+SELECT CAST(tr AS INTEGER) AS cell_row, CAST(tc AS INTEGER) AS cell_col,
+       CAST(SUM(((i*31 + wy*17 + 7) % 101) * ox * oy) AS DOUBLE) / {area}.0
+         AS resampled
+FROM ov WHERE ox > 0 AND oy > 0
+GROUP BY tr, tc ORDER BY 1, 2
+"""
+
+
 def events_extract() -> str:
     """Point-extraction twin: sparse bilinear of the ERA5 t2m hour-0
     field at each event's derived (lon, lat) — the resample_sparse
@@ -871,6 +913,32 @@ FROM rast a JOIN rast b
  AND b.value IS NOT NULL
 WHERE a.variable = 't2m' AND a.t < 48
 GROUP BY 1, 2, 3 ORDER BY 2, 3, 1
+"""
+
+
+def raster_gradient() -> str:
+    """Gradient twin by four cardinal self-joins: differences, the *2.0
+    dyadic scale and the two-term square sum are exact over
+    integer-valued doubles; grad2 is built from the SAME grad_x/grad_y
+    expressions the engine squares."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+t2 AS (SELECT t, valid_time, r, c, value FROM rast
+       WHERE variable = 't2m' AND t < 24 AND value IS NOT NULL),
+g AS (
+  SELECT a.valid_time, a.r, a.c,
+         (e.value - w.value) * 2.0 AS grad_x,
+         (n.value - s.value) * 2.0 AS grad_y
+  FROM t2 a
+  JOIN t2 e ON e.t = a.t AND e.r = a.r AND e.c = a.c + 1
+  JOIN t2 w ON w.t = a.t AND w.r = a.r AND w.c = a.c - 1
+  JOIN t2 n ON n.t = a.t AND n.r = a.r - 1 AND n.c = a.c
+  JOIN t2 s ON s.t = a.t AND s.r = a.r + 1 AND s.c = a.c)
+SELECT valid_time, r AS cell_row, c AS cell_col, grad_x, grad_y,
+       grad_x*grad_x + grad_y*grad_y AS grad2
+FROM g ORDER BY 2, 3, 1
 """
 
 

@@ -853,6 +853,32 @@ def resample_idw(sf_dir: str) -> rd.Dataset:
     return _resample_weights_to_era5("remapdis")
 
 
+def resample_conservative(sf_dir: str) -> rd.Dataset:
+    """First-order conservative regrid (CDO ``remapcon``, reference
+    resample.py:81-161's remap grammar) of the integer weights field onto
+    a deliberately NON-NESTED 0.1875-deg target grid: both grids put cell
+    boundaries on the shared 1/256-deg lattice but never align, so every
+    target cell straddles 2-3 source cells per axis with genuine
+    fractional overlap areas.  Overlap lengths are exact int64 lattice
+    units -> order-independent integer numerator, one final division —
+    bit-exact vs the SQL twin, and flux-conserving (test_resample)."""
+    import ray
+
+    from geoglue_ray.sources.weights import build_weights_grid
+    from geoglue_ray.stages.resample import (
+        ConservativeRegridder,
+        conservative_target_cells,
+    )
+
+    out = conservative_target_cells().map_batches(
+        ConservativeRegridder,
+        fn_constructor_args=(ray.put(build_weights_grid()),),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.sort(["cell_row", "cell_col"])
+
+
 def events_extract(sf_dir: str) -> rd.Dataset:
     """Raster value extraction at observation point locations — the
     point-sampling face of raster<->vector fusion (rasterio ``sample`` /
@@ -2147,6 +2173,21 @@ def raster_focal_mean(sf_dir: str) -> rd.Dataset:
     from geoglue_ray.stages.stencil import focal_mean
 
     return focal_mean(read_raster(n_days=2), variable="t2m").sort(
+        ["cell_row", "cell_col", "valid_time"]
+    )
+
+
+def raster_gradient(sf_dir: str) -> rd.Dataset:
+    """Central-difference gradient components + squared magnitude over
+    one day of the hourly raster — terrain-analysis slope on the lattice
+    (stages/stencil.focal_gradient; same halo-exchange shuffle as the
+    focal family).  grad2 avoids sqrt/atan2 so the SQL twin stays
+    bit-exact (CLAUDE.md: never build an oracle through transcendental
+    functions)."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import focal_gradient
+
+    return focal_gradient(read_raster(n_days=1), variable="t2m").sort(
         ["cell_row", "cell_col", "valid_time"]
     )
 

@@ -219,3 +219,94 @@ def resample(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------------------------------------
+# First-order conservative regrid — CDO ``remapcon`` (the last member of
+# the reference's remap grammar family, resample.py:81-161).
+#
+# Integer lattice: 1 unit = 1/256 degree.  Both grids place every cell
+# boundary on this lattice, so each per-axis overlap length is an exact
+# int64 — the numerator ``sum(value * ox * oy)`` is an order-independent
+# integer sum, and the single final division by the target cell area is
+# the only float op, which makes the DuckDB twin bit-exact.
+CON_SRC_U = 32  # source (weights) cell size in units (0.125 deg)
+CON_TINC_U = 48  # target cell size in units (0.1875 deg) — never nests
+CON_X0_U = 1  # target west edge, units east of the source west edge
+CON_YTOP_U = 8191  # target north edge, units north of the source south edge
+CON_N = 128  # target grid is CON_N x CON_N
+
+
+def conservative_target_cells(n: int = CON_N, rows_per_task: int = 16) -> rd.Dataset:
+    """Target cell (row, col) index pairs as a streaming Dataset."""
+
+    def gen(batch: pa.Table):
+        for chunk in batch["id"].to_numpy():
+            r0 = int(chunk) * rows_per_task
+            r1 = min(r0 + rows_per_task, n)
+            if r0 >= r1:
+                continue
+            rr, cc = np.meshgrid(np.arange(r0, r1), np.arange(n), indexing="ij")
+            yield pa.table(
+                {
+                    "cell_row": pa.array(rr.ravel().astype(np.int32)),
+                    "cell_col": pa.array(cc.ravel().astype(np.int32)),
+                }
+            )
+
+    n_tasks = (n + rows_per_task - 1) // rows_per_task
+    return rd.range(n_tasks).map_batches(gen, batch_format="pyarrow", batch_size=1)
+
+
+class ConservativeRegridder:
+    """Area-weighted (flux-conserving) regrid of an integer source field:
+    each target cell's value is the exact area-weighted mean of every
+    source cell it overlaps, so the regrid preserves the spatial integral
+    over the covered window bit-exactly (asserted in test_resample).
+
+    The source field is broadcast once via ``ray.put`` (the same
+    broadcast-bounded small-side assumption as every :class:`Resampler`
+    mode); target cells stream through in batches — no shuffle at all.
+    A target cell spans at most ``ceil(TINC/SRC)+1 = 3`` source cells per
+    axis, so the gather is a fixed (n, 3, 3) window."""
+
+    _OFF = np.arange(3, dtype=np.int64)
+
+    def __init__(self, grid_ref):
+        # dense [south-ascending row, col] integer field
+        self.grid = np.ascontiguousarray(ray.get(grid_ref).astype(np.int64))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ny, nx = self.grid.shape
+        tr = b["cell_row"].to_numpy().astype(np.int64)
+        tc = b["cell_col"].to_numpy().astype(np.int64)
+        tx0 = CON_X0_U + CON_TINC_U * tc
+        ty0 = CON_YTOP_U - CON_TINC_U * (tr + 1)
+        i = tx0[:, None] // CON_SRC_U + self._OFF[None, :]
+        wy = ty0[:, None] // CON_SRC_U + self._OFF[None, :]
+        ox = np.clip(
+            np.minimum(tx0[:, None] + CON_TINC_U, CON_SRC_U * (i + 1))
+            - np.maximum(tx0[:, None], CON_SRC_U * i),
+            0,
+            None,
+        )
+        oy = np.clip(
+            np.minimum(ty0[:, None] + CON_TINC_U, CON_SRC_U * (wy + 1))
+            - np.maximum(ty0[:, None], CON_SRC_U * wy),
+            0,
+            None,
+        )
+        # zero-overlap guard columns may index past the field edge — the
+        # clipped gather is multiplied by their ox/oy == 0
+        v = self.grid[
+            np.clip(wy, 0, ny - 1)[:, :, None], np.clip(i, 0, nx - 1)[:, None, :]
+        ]
+        num = (v * oy[:, :, None] * ox[:, None, :]).sum(axis=(1, 2))
+        res = num.astype(np.float64) / float(CON_TINC_U * CON_TINC_U)
+        return pa.table(
+            {
+                "cell_row": b["cell_row"],
+                "cell_col": b["cell_col"],
+                "resampled": pa.array(res),
+            }
+        )

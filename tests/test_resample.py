@@ -92,3 +92,51 @@ def test_resampler_rejects_unknown_method():
 
     with pytest.raises(ValueError):
         Resampler(_grid(), SPEC, "remapcon")
+
+
+def test_conservative_regrid_flux_and_bruteforce(ray_session):
+    """remapcon: (a) brute-force 3x3 integer-overlap recompute matches,
+    (b) the regrid conserves the spatial integral over the covered window
+    exactly (sum of numerators == sum of source value x covered area)."""
+    from geoglue_ray.pipelines.queries import resample_conservative
+    from geoglue_ray.sources.weights import build_weights_grid
+    from geoglue_ray.stages.resample import (
+        CON_N,
+        CON_SRC_U,
+        CON_TINC_U,
+        CON_X0_U,
+        CON_YTOP_U,
+    )
+
+    out = resample_conservative("unused").to_pandas()
+    assert len(out) == CON_N * CON_N
+    grid = build_weights_grid().astype(np.int64)
+    area = CON_TINC_U * CON_TINC_U
+
+    # (a) brute-force recompute at a scattered subset of cells
+    rng = np.random.default_rng(7)
+    for idx in rng.choice(len(out), 64, replace=False):
+        tr, tc = int(out["cell_row"].iloc[idx]), int(out["cell_col"].iloc[idx])
+        tx0, ty0 = CON_X0_U + CON_TINC_U * tc, CON_YTOP_U - CON_TINC_U * (tr + 1)
+        num = 0
+        for wy in range(ty0 // CON_SRC_U, ty0 // CON_SRC_U + 3):
+            for i in range(tx0 // CON_SRC_U, tx0 // CON_SRC_U + 3):
+                ox = min(tx0 + CON_TINC_U, CON_SRC_U * (i + 1)) - max(tx0, CON_SRC_U * i)
+                oy = min(ty0 + CON_TINC_U, CON_SRC_U * (wy + 1)) - max(ty0, CON_SRC_U * wy)
+                if ox > 0 and oy > 0:
+                    num += int(grid[wy, i]) * ox * oy
+        assert out["resampled"].iloc[idx] == num / float(area)
+
+    # (b) exact flux conservation: recover each cell's integer numerator
+    # and compare against the analytic integral over the covered window
+    nums = np.rint(out["resampled"].to_numpy() * area).astype(np.int64)
+    x_lo, x_hi = CON_X0_U, CON_X0_U + CON_TINC_U * CON_N
+    y_lo, y_hi = CON_YTOP_U - CON_TINC_U * CON_N, CON_YTOP_U
+    wy, wx = np.indices(grid.shape)
+    cov_x = np.clip(
+        np.minimum(x_hi, CON_SRC_U * (wx + 1)) - np.maximum(x_lo, CON_SRC_U * wx), 0, None
+    )
+    cov_y = np.clip(
+        np.minimum(y_hi, CON_SRC_U * (wy + 1)) - np.maximum(y_lo, CON_SRC_U * wy), 0, None
+    )
+    assert nums.sum() == (grid * cov_x * cov_y).sum()
