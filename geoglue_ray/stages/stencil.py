@@ -196,6 +196,127 @@ def focal_stats(
     )
 
 
+def focal_gradient(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    band_rows: int = 8,
+    hour_chunk: int = 24,
+    n_cols: int | None = None,
+) -> rd.Dataset:
+    """Central-difference gradient (GIS slope components; the terrain-
+    analysis face of the focal family): per cell and hour,
+    ``grad_x = (E - W) * 2.0`` and ``grad_y = (N - S) * 2.0`` — the
+    d/dlon, d/dlat finite differences at 0.25-deg spacing (1/(2*0.25)
+    == the exact dyadic factor 2.0) — plus the squared magnitude
+    ``grad2 = grad_x^2 + grad_y^2``.  Emitted only where the center and
+    all four cardinal neighbors are non-null (boundary cells and cells
+    adjacent to a hole are excluded).
+
+    Same halo-exchange partitioning as :func:`focal_stats` (row bands x
+    hour chunks, one-row halo, one linear shuffle); values are
+    integer-valued doubles, so differences, the *2.0 scaling and the
+    two-term square sum are all exact — the SQL 4-way self-join twin is
+    bit-exact."""
+    H = int(band_rows)
+    T0 = np.datetime64(fx.T0, "us")
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        hour = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        )
+        r = b["cell_row"].to_numpy().astype(np.int64)
+        c = b["cell_col"].to_numpy().astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        band = r // H
+        tch = hour // hour_chunk
+        parts = []
+        for off, sel in (
+            (0, np.ones(len(r), dtype=bool)),
+            (-1, r % H == 0),
+            (1, r % H == H - 1),
+        ):
+            bb = band[sel] + off
+            ok = bb >= 0
+            parts.append(
+                pa.table(
+                    {
+                        "_fb": pa.array((tch[sel][ok] << np.int64(20)) | bb[ok]),
+                        "hour": pa.array(hour[sel][ok]),
+                        "r": pa.array(r[sel][ok]),
+                        "c": pa.array(c[sel][ok]),
+                        "value": pa.array(v[sel][ok]),
+                        "_own": pa.array(np.full(int(ok.sum()), off == 0)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def stencil(g: pd.DataFrame) -> pa.Table:
+        hour = g["hour"].to_numpy().astype(np.int64)
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        own = g["_own"].to_numpy().astype(bool)
+        empty = {
+            "valid_time": pa.array([], pa.timestamp("us")),
+            "cell_row": pa.array([], pa.int64()),
+            "cell_col": pa.array([], pa.int64()),
+            "grad_x": pa.array([], pa.float64()),
+            "grad_y": pa.array([], pa.float64()),
+            "grad2": pa.array([], pa.float64()),
+        }
+        if not own.any():
+            return pa.table(empty)
+        t0, r0 = hour.min(), r.min()
+        nt = int(hour.max() - t0 + 1)
+        nr = int(r.max() - r0 + 1)
+        nc = int(c.max()) + 1 if n_cols is None else int(n_cols)
+        shape = (nt, nr + 2, nc + 2)
+        V = np.zeros(shape, dtype=np.float64)
+        M = np.zeros(shape, dtype=bool)
+        ti, ri, ci = hour - t0, r - r0 + 1, c + 1
+        fin = np.isfinite(v)
+        V[ti[fin], ri[fin], ci[fin]] = v[fin]
+        M[ti[fin], ri[fin], ci[fin]] = True
+        to, ro, co = ti[own], ri[own], ci[own]
+        valid = (
+            M[to, ro, co]
+            & M[to, ro, co + 1]
+            & M[to, ro, co - 1]
+            & M[to, ro - 1, co]
+            & M[to, ro + 1, co]
+        )
+        # interior only: a physical-boundary neighbor is an always-empty
+        # padding cell, so M there is False and `valid` already excludes it
+        to, ro, co = to[valid], ro[valid], co[valid]
+        if len(to) == 0:
+            return pa.table(empty)
+        gx = (V[to, ro, co + 1] - V[to, ro, co - 1]) * 2.0
+        gy = (V[to, ro - 1, co] - V[to, ro + 1, co]) * 2.0
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    T0 + ((to + t0) * 3_600_000_000).astype("timedelta64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "cell_row": pa.array(ro - 1 + r0),
+                "cell_col": pa.array(co - 1),
+                "grad_x": pa.array(gx),
+                "grad_y": pa.array(gy),
+                "grad2": pa.array(gx * gx + gy * gy),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(stencil, batch_format="pandas")
+    )
+
+
 def slice_moments(ds: rd.Dataset, variable: str = "t2m") -> dict[str, np.ndarray]:
     """Exact per-time-slice moments ``(n, sum x, sum x^2)`` of the valid
     raster cells, as int64 — partial-collapsed per batch to hour

@@ -191,3 +191,59 @@ def test_clump_regions_band_invariance(ray_session):
         )
     assert outs[0].equals(outs[1])
     assert outs[0].equals(outs[2])
+
+
+def test_focal_gradient_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from geoglue_ray.stages.stencil import focal_gradient
+
+    nt, nr, nc = 2, 11, 7
+    t, r, c, v = _lattice(nt, nr, nc, hole_frac=0.25, seed=11)
+    T0 = np.datetime64(fx.T0, "us")
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "valid_time": pa.array(
+                    T0 + (t * 3_600_000_000).astype("timedelta64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "cell_row": pa.array(r.astype(np.int32)),
+                "cell_col": pa.array(c.astype(np.int32)),
+                "variable": pa.array(np.repeat("t2m", len(t))),
+                "value": pa.array(v),
+            }
+        )
+    )
+    out = (
+        focal_gradient(ds, band_rows=4, n_cols=nc)
+        .to_pandas()
+        .sort_values(["cell_row", "cell_col", "valid_time"])
+        .reset_index(drop=True)
+    )
+    grid = np.full((nt, nr, nc), np.nan)
+    grid[t, r, c] = v
+    rows = []
+    for ti in range(nt):
+        for ri in range(1, nr - 1):
+            for ci in range(1, nc - 1):
+                win = grid[ti, ri - 1 : ri + 2, ci - 1 : ci + 2]
+                if not (
+                    np.isfinite(win[1, 1]) and np.isfinite(win[1, 0])
+                    and np.isfinite(win[1, 2]) and np.isfinite(win[0, 1])
+                    and np.isfinite(win[2, 1])
+                ):
+                    continue
+                gx = (win[1, 2] - win[1, 0]) * 2.0
+                gy = (win[0, 1] - win[2, 1]) * 2.0
+                rows.append((ti, ri, ci, gx, gy, gx * gx + gy * gy))
+    exp = pd.DataFrame(
+        rows, columns=["t", "cell_row", "cell_col", "grad_x", "grad_y", "grad2"]
+    ).sort_values(["cell_row", "cell_col", "t"]).reset_index(drop=True)
+    assert len(out) == len(exp)
+    assert np.array_equal(out["grad_x"].to_numpy(), exp["grad_x"].to_numpy())
+    assert np.array_equal(out["grad_y"].to_numpy(), exp["grad_y"].to_numpy())
+    assert np.array_equal(out["grad2"].to_numpy(), exp["grad2"].to_numpy())
+    # boundary rows/cols never emit
+    assert out["cell_row"].min() >= 1 and out["cell_row"].max() <= nr - 2
+    assert out["cell_col"].min() >= 1 and out["cell_col"].max() <= nc - 2
