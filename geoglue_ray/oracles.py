@@ -942,6 +942,71 @@ FROM g ORDER BY 2, 3, 1
 """
 
 
+def raster_geary() -> str:
+    """Local Geary twin: the neighbour squared-difference sum in pure
+    BIGINT (k*x*x - 2*x*ns + nss), per-slice m2 from exact aggregates,
+    one division — mirrors stages/stencil.local_geary op-for-op."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, valid_time, CAST(value AS BIGINT) AS x
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+mom AS (
+  SELECT t,
+         CAST(SUM(x*x) AS DOUBLE) / count(*)
+           - (CAST(SUM(x) AS DOUBLE) / count(*))
+             * (CAST(SUM(x) AS DOUBLE) / count(*)) AS m2
+  FROM v GROUP BY t),
+nb AS (
+  SELECT a.t, a.r, a.c, a.valid_time, a.x,
+         count(b.x) AS k, COALESCE(SUM(b.x), 0) AS ns,
+         COALESCE(SUM(b.x*b.x), 0) AS nss
+  FROM v a LEFT JOIN v b
+    ON b.t = a.t
+   AND b.r BETWEEN a.r - 1 AND a.r + 1
+   AND b.c BETWEEN a.c - 1 AND a.c + 1
+   AND abs(b.r - a.r) + abs(b.c - a.c) = 1
+  GROUP BY 1, 2, 3, 4, 5),
+cells AS (
+  SELECT nb.valid_time, nb.r AS cell_row, nb.c AS cell_col,
+         CAST(nb.k AS BIGINT) AS n_nb,
+         CAST(nb.k*nb.x*nb.x - 2*nb.x*nb.ns + nb.nss AS DOUBLE) AS sqdiff,
+         m.m2
+  FROM nb JOIN mom m ON m.t = nb.t)
+SELECT valid_time, cell_row, cell_col, n_nb, sqdiff, sqdiff / m2 AS local_c
+FROM cells ORDER BY 2, 3, 1
+"""
+
+
+def raster_joincount() -> str:
+    """Join-count twin: rook edges enumerated once as right- and
+    down-neighbour pairs, endpoint-color sums in CASE pivots — all
+    integer counts."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, valid_time,
+         CASE WHEN value >= 499 THEN 1 ELSE 0 END AS b
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+e AS (
+  SELECT a.t, a.valid_time, a.b + n.b AS s
+  FROM v a JOIN v n ON n.t = a.t AND n.r = a.r AND n.c = a.c + 1
+  UNION ALL
+  SELECT a.t, a.valid_time, a.b + n.b AS s
+  FROM v a JOIN v n ON n.t = a.t AND n.r = a.r + 1 AND n.c = a.c)
+SELECT valid_time,
+       CAST(count(*) FILTER (s = 2) AS BIGINT) AS bb,
+       CAST(count(*) FILTER (s = 0) AS BIGINT) AS ww,
+       CAST(count(*) FILTER (s = 1) AS BIGINT) AS bw,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
 def raster_focal_range() -> str:
     """Focal min/max/range twin — order-free exact over integer-valued
     doubles."""

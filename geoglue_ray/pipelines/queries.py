@@ -2227,6 +2227,39 @@ def raster_moran(sf_dir: str) -> rd.Dataset:
     )
 
 
+def raster_geary(sf_dir: str) -> rd.Dataset:
+    """Local Geary's c (squared-difference LISA, binary rook weights) per
+    cell over two days of the hourly raster — the dissimilarity
+    complement of raster_moran (stages/stencil.local_geary): the
+    neighbour term expands to the pure-integer k*x^2 - 2*x*ns + nss, so
+    the only float ops are the per-slice m2 chain and one division."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import local_geary
+
+    t2m = pa.scalar("t2m")
+
+    def prune(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["variable"], t2m))
+
+    # local_geary consumes ds TWICE (moments + stencil): materialize the
+    # pruned slice so the generator lineage runs once (CLAUDE.md rule)
+    ds = read_raster(n_days=2).map_batches(prune, batch_format="pyarrow").materialize()
+    return local_geary(ds, variable="t2m").sort(
+        ["cell_row", "cell_col", "valid_time"]
+    )
+
+
+def raster_joincount(sf_dir: str) -> rd.Dataset:
+    """Join-count statistics per time slice (Cliff & Ord binary-map
+    autocorrelation): black/white classification at the value midpoint,
+    rook-edge color counts bb/ww/bw — pure integers, one halo stencil
+    pass + a slice-cardinality reduce (stages/stencil.join_counts)."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import join_counts
+
+    return join_counts(read_raster(n_days=2), variable="t2m").sort("valid_time")
+
+
 def raster_hotspots(sf_dir: str) -> rd.Dataset:
     """Getis-Ord Gi* hot-spot z-scores per cell over two days of the
     hourly raster (queen 3x3 incl. self) — the significance-scored

@@ -196,27 +196,11 @@ def focal_stats(
     )
 
 
-def focal_gradient(
-    ds: rd.Dataset,
-    variable: str = "t2m",
-    band_rows: int = 8,
-    hour_chunk: int = 24,
-    n_cols: int | None = None,
-) -> rd.Dataset:
-    """Central-difference gradient (GIS slope components; the terrain-
-    analysis face of the focal family): per cell and hour,
-    ``grad_x = (E - W) * 2.0`` and ``grad_y = (N - S) * 2.0`` — the
-    d/dlon, d/dlat finite differences at 0.25-deg spacing (1/(2*0.25)
-    == the exact dyadic factor 2.0) — plus the squared magnitude
-    ``grad2 = grad_x^2 + grad_y^2``.  Emitted only where the center and
-    all four cardinal neighbors are non-null (boundary cells and cells
-    adjacent to a hole are excluded).
-
-    Same halo-exchange partitioning as :func:`focal_stats` (row bands x
-    hour chunks, one-row halo, one linear shuffle); values are
-    integer-valued doubles, so differences, the *2.0 scaling and the
-    two-term square sum are all exact — the SQL 4-way self-join twin is
-    bit-exact."""
+def _halo_prep(variable: str, band_rows: int, hour_chunk: int):
+    """Shared banding/halo closure of the stencil family: filter to one
+    variable, split into row bands x hour chunks, duplicate a band's
+    first/last rows to the adjacent band (the one-row halo), tag own vs
+    halo rows.  Returns the map_batches callable."""
     H = int(band_rows)
     T0 = np.datetime64(fx.T0, "us")
 
@@ -253,6 +237,33 @@ def focal_gradient(
                 )
             )
         return pa.concat_tables(parts)
+
+    return prep
+
+
+def focal_gradient(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    band_rows: int = 8,
+    hour_chunk: int = 24,
+    n_cols: int | None = None,
+) -> rd.Dataset:
+    """Central-difference gradient (GIS slope components; the terrain-
+    analysis face of the focal family): per cell and hour,
+    ``grad_x = (E - W) * 2.0`` and ``grad_y = (N - S) * 2.0`` — the
+    d/dlon, d/dlat finite differences at 0.25-deg spacing (1/(2*0.25)
+    == the exact dyadic factor 2.0) — plus the squared magnitude
+    ``grad2 = grad_x^2 + grad_y^2``.  Emitted only where the center and
+    all four cardinal neighbors are non-null (boundary cells and cells
+    adjacent to a hole are excluded).
+
+    Same halo-exchange partitioning as :func:`focal_stats` (row bands x
+    hour chunks, one-row halo, one linear shuffle); values are
+    integer-valued doubles, so differences, the *2.0 scaling and the
+    two-term square sum are all exact — the SQL 4-way self-join twin is
+    bit-exact."""
+    T0 = np.datetime64(fx.T0, "us")
+    prep = _halo_prep(variable, band_rows, hour_chunk)
 
     def stencil(g: pd.DataFrame) -> pa.Table:
         hour = g["hour"].to_numpy().astype(np.int64)
@@ -314,6 +325,180 @@ def focal_gradient(
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("_fb")
         .map_groups(stencil, batch_format="pandas")
+    )
+
+
+def local_geary(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    band_rows: int = 8,
+    hour_chunk: int = 24,
+    n_cols: int | None = None,
+) -> rd.Dataset:
+    """Local Geary's c (Anselin 1995 LISA family, binary rook weights) —
+    the squared-difference complement of :func:`local_moran`: per valid
+    cell, ``c_i = sum_{j in nb} (x_i - x_j)^2 / m2``.  The neighbour
+    squared-difference sum expands to the pure-integer form
+    ``k*x^2 - 2*x*ns + nss`` (k/ns/nss = rook neighbour count / sum /
+    sum of squares), computed in int64 and cast once, so the only float
+    ops are the per-slice m2 chain and ONE final division — the DuckDB
+    twin spelling the same expressions is bit-exact.
+
+    Same two-pass distribution as local_moran: bounded moment pass +
+    one halo-exchange stencil pass.  NOTE: consumes ``ds`` twice —
+    materialize a pruned slice first (CLAUDE.md rule)."""
+    T0 = np.datetime64(fx.T0, "us")
+    mom = slice_moments(ds, variable=variable)
+    m_hours = mom["hours"]
+    nd = mom["n"].astype(np.float64)
+    mean_h = mom["sx"].astype(np.float64) / nd
+    m2_h = mom["sxx"].astype(np.float64) / nd - mean_h * mean_h
+    prep = _halo_prep(variable, band_rows, hour_chunk)
+
+    def stencil(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "valid_time": pa.array([], pa.timestamp("us")),
+                "cell_row": pa.array([], pa.int64()),
+                "cell_col": pa.array([], pa.int64()),
+                "n_nb": pa.array([], pa.int64()),
+                "sqdiff": pa.array([], pa.float64()),
+                "local_c": pa.array([], pa.float64()),
+            }
+        )
+        hour = g["hour"].to_numpy().astype(np.int64)
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        own = g["_own"].to_numpy().astype(bool)
+        if not own.any():
+            return empty
+        t0, r0 = hour.min(), r.min()
+        nt = int(hour.max() - t0 + 1)
+        nr = int(r.max() - r0 + 1)
+        nc = int(c.max()) + 1 if n_cols is None else int(n_cols)
+        shape = (nt, nr + 2, nc + 2)
+        V = np.zeros(shape, dtype=np.int64)
+        M = np.zeros(shape, dtype=np.int64)
+        ti, ri, ci = hour - t0, r - r0 + 1, c + 1
+        fin = np.isfinite(v)
+        V[ti[fin], ri[fin], ci[fin]] = v[fin].astype(np.int64)
+        M[ti[fin], ri[fin], ci[fin]] = 1
+        NS = np.zeros(shape, dtype=np.int64)
+        NSS = np.zeros(shape, dtype=np.int64)
+        K = np.zeros(shape, dtype=np.int64)
+        inner = (slice(None), slice(1, -1), slice(1, -1))
+        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):  # rook, no self
+            sh = (slice(None), slice(1 + dr, nr + 1 + dr), slice(1 + dc, nc + 1 + dc))
+            NS[inner] += V[sh]
+            NSS[inner] += V[sh] * V[sh]
+            K[inner] += M[sh]
+        sel = own & fin
+        if not sel.any():
+            return empty
+        to, ro, co = ti[sel], ri[sel], ci[sel]
+        hi = np.searchsorted(m_hours, to + t0)
+        xi = v[sel].astype(np.int64)
+        k = K[to, ro, co]
+        num = k * xi * xi - 2 * xi * NS[to, ro, co] + NSS[to, ro, co]
+        sqd = num.astype(np.float64)
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    T0 + ((to + t0) * 3_600_000_000).astype("timedelta64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "cell_row": pa.array(ro - 1 + r0),
+                "cell_col": pa.array(co - 1),
+                "n_nb": pa.array(k),
+                "sqdiff": pa.array(sqd),
+                "local_c": pa.array(sqd / m2_h[hi]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(stencil, batch_format="pandas")
+    )
+
+
+def join_counts(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    threshold: int = 499,
+    band_rows: int = 8,
+    hour_chunk: int = 24,
+) -> rd.Dataset:
+    """Join-count statistics (Cliff & Ord; the binary-map autocorrelation
+    test): classify each valid cell black (``value >= threshold``) or
+    white, then count rook lattice EDGES per time slice by endpoint
+    colors — ``bb``/``ww``/``bw`` plus the edge total.  Pure integer
+    counts, so the SQL right/down pair-join twin is bit-exact.
+
+    Distribution: each band task counts its horizontal edges and the
+    vertical edges whose UPPER endpoint it owns (the lower row may be a
+    halo copy — every edge is counted exactly once); per-(slice, band)
+    partials are slice-cardinality rows reduced by one tiny groupby."""
+    T0 = np.datetime64(fx.T0, "us")
+    prep = _halo_prep(variable, band_rows, hour_chunk)
+
+    def count_band(g: pd.DataFrame) -> pd.DataFrame:
+        hour = g["hour"].to_numpy().astype(np.int64)
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        own = g["_own"].to_numpy().astype(bool)
+        cols = ["hour", "bb", "ww", "bw", "n_edges"]
+        if not own.any():
+            return pd.DataFrame({k: np.array([], dtype=np.int64) for k in cols})
+        t0, r0 = hour.min(), r.min()
+        nt = int(hour.max() - t0 + 1)
+        nr = int(r.max() - r0 + 1)
+        nc = int(c.max()) + 1
+        shape = (nt, nr, nc)
+        B = np.zeros(shape, dtype=np.int64)  # 1 = black, 0 = white
+        M = np.zeros(shape, dtype=bool)
+        O = np.zeros(shape, dtype=bool)  # own (non-halo) cells
+        ti, ri, ci = hour - t0, r - r0, c
+        fin = np.isfinite(v)
+        B[ti[fin], ri[fin], ci[fin]] = (v[fin] >= threshold).astype(np.int64)
+        M[ti[fin], ri[fin], ci[fin]] = True
+        O[ti[own], ri[own], ci[own]] = True
+        out = {k: [] for k in cols}
+        for t in range(nt):
+            # horizontal edges: both endpoints own rows by construction
+            hl = M[t, :, :-1] & M[t, :, 1:] & O[t, :, :-1]
+            hs = B[t, :, :-1] + B[t, :, 1:]
+            # vertical edges: upper endpoint must be an own row
+            vl = M[t, :-1, :] & M[t, 1:, :] & O[t, :-1, :]
+            vs = B[t, :-1, :] + B[t, 1:, :]
+            s = np.r_[hs[hl], vs[vl]]
+            out["hour"].append(t + t0)
+            out["bb"].append(int((s == 2).sum()))
+            out["ww"].append(int((s == 0).sum()))
+            out["bw"].append(int((s == 1).sum()))
+            out["n_edges"].append(len(s))
+        return pd.DataFrame({k: np.asarray(vv, dtype=np.int64) for k, vv in out.items()})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("hour", as_index=False, dropna=False)[
+            ["bb", "ww", "bw", "n_edges"]
+        ].sum()
+        tot["valid_time"] = pd.Series(
+            np.datetime64(fx.T0, "us")
+            + (tot["hour"].to_numpy() * 3_600_000_000).astype("timedelta64[us]")
+        )
+        return tot[["valid_time", "bb", "ww", "bw", "n_edges"]]
+
+    partials = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(count_band, batch_format="pandas")
+    )
+    # slice-cardinality partials -> one final reduce task
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None
     )
 
 

@@ -247,3 +247,52 @@ def test_focal_gradient_matches_brute_force(ray_session):
     # boundary rows/cols never emit
     assert out["cell_row"].min() >= 1 and out["cell_row"].max() <= nr - 2
     assert out["cell_col"].min() >= 1 and out["cell_col"].max() <= nc - 2
+
+
+def test_join_counts_band_invariance_and_totals(ray_session):
+    import ray.data as rd
+
+    from geoglue_ray.stages.stencil import join_counts
+
+    nt, nr, nc = 2, 13, 5
+    t, r, c, v = _lattice(nt, nr, nc, hole_frac=0.2, seed=3)
+    T0 = np.datetime64(fx.T0, "us")
+    tbl = pa.table(
+        {
+            "valid_time": pa.array(
+                T0 + (t * 3_600_000_000).astype("timedelta64[us]"),
+                type=pa.timestamp("us"),
+            ),
+            "cell_row": pa.array(r.astype(np.int32)),
+            "cell_col": pa.array(c.astype(np.int32)),
+            "variable": pa.array(np.repeat("t2m", len(t))),
+            "value": pa.array(v),
+        }
+    )
+    outs = []
+    for H in (1, 4, 100):
+        outs.append(
+            join_counts(rd.from_arrow(tbl), threshold=50, band_rows=H)
+            .to_pandas()
+            .sort_values("valid_time")
+            .reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1]) and outs[0].equals(outs[2])
+    # brute force: every rook edge with both endpoints finite, once
+    grid = np.full((nt, nr, nc), np.nan)
+    grid[t, r, c] = v
+    B = grid >= 50
+    F = np.isfinite(grid)
+    for ti in range(nt):
+        s, n = [], 0
+        for arr, msk in (
+            ((B[ti, :, :-1].astype(int) + B[ti, :, 1:]), F[ti, :, :-1] & F[ti, :, 1:]),
+            ((B[ti, :-1, :].astype(int) + B[ti, 1:, :]), F[ti, :-1, :] & F[ti, 1:, :]),
+        ):
+            s.append(arr[msk])
+        s = np.concatenate(s)
+        row = outs[0].iloc[ti]
+        assert row["n_edges"] == len(s)
+        assert row["bb"] == int((s == 2).sum())
+        assert row["ww"] == int((s == 0).sum())
+        assert row["bw"] == int((s == 1).sum())
