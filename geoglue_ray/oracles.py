@@ -1007,6 +1007,33 @@ FROM e GROUP BY 1 ORDER BY 1
 """
 
 
+def raster_streaks() -> str:
+    """Streaks twin: daily max per cell, islands via day - row_number()
+    (consecutive qualifying days share an island id), per-cell run
+    statistics — all integers."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+d AS (
+  SELECT r, c, t // 24 AS day, max(value) AS dmax
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL
+  GROUP BY 1, 2, 3),
+a AS (
+  SELECT r, c, day,
+         day - row_number() OVER (PARTITION BY r, c ORDER BY day) AS island
+  FROM d WHERE dmax >= 970.0),
+runs AS (
+  SELECT r, c, island, CAST(count(*) AS BIGINT) AS len
+  FROM a GROUP BY 1, 2, 3)
+SELECT CAST(r AS BIGINT) AS cell_row, CAST(c AS BIGINT) AS cell_col,
+       CAST(SUM(len) AS BIGINT) AS days_above,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(MAX(len) AS BIGINT) AS longest_run
+FROM runs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def raster_focal_range() -> str:
     """Focal min/max/range twin — order-free exact over integer-valued
     doubles."""

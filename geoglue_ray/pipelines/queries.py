@@ -2260,6 +2260,48 @@ def raster_joincount(sf_dir: str) -> rd.Dataset:
     return join_counts(read_raster(n_days=2), variable="t2m").sort("valid_time")
 
 
+def raster_streaks(sf_dir: str) -> rd.Dataset:
+    """Heatwave-duration statistics per raster cell over the full 30-day
+    month: daily t2m maxima (skip-null partial/final collapse), then
+    per-cell maximal runs of CONSECUTIVE days with dmax >= 970 —
+    days_above / n_runs / longest_run, the gaps-and-islands operator
+    (stages/timeagg.threshold_streaks).  All-integer outputs; the SQL
+    twin is the day - row_number() island construction."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.timeagg import threshold_streaks
+    from geoglue_ray.stages.zonal import zonal_aggregate
+
+    from geoglue_ray import fixtures as fx
+
+    T0 = np.datetime64(fx.T0, "us")
+    t2m = pa.scalar("t2m")
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["variable"], t2m))
+        day = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+            // 24
+        )
+        return pa.table(
+            {
+                "cell_row": b["cell_row"],
+                "cell_col": b["cell_col"],
+                "day": pa.array(day),
+                "value": b["value"],
+            }
+        )
+
+    daily = zonal_aggregate(
+        read_raster().map_batches(prep, batch_format="pyarrow"),
+        ["max"],
+        keys=["cell_row", "cell_col", "day"],
+        skip_nulls=True,
+    )
+    return threshold_streaks(
+        daily, ["cell_row", "cell_col"], "day", "max", threshold=970
+    ).sort(["cell_row", "cell_col"])
+
+
 def raster_hotspots(sf_dir: str) -> rd.Dataset:
     """Getis-Ord Gi* hot-spot z-scores per cell over two days of the
     hourly raster (queen 3x3 incl. self) — the significance-scored

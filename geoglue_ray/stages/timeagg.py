@@ -136,3 +136,75 @@ def timeshift_hours(
         )
 
     return ds.map_batches(_shift, batch_format="pyarrow")
+
+
+def threshold_streaks(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    day_col: str,
+    value_col: str,
+    threshold: float,
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """Per-key statistics of the maximal runs of CONSECUTIVE day numbers
+    whose value meets ``threshold`` — the gaps-and-islands operator
+    (heatwave / dry-spell duration in the climate toolbox): emits
+    ``days_above``, ``n_runs`` and ``longest_run`` per key (keys with no
+    qualifying day emit nothing).  Pure integer outputs, so the SQL
+    ``day - row_number()`` island twin is bit-exact.
+
+    Scale shape: the threshold filter runs streaming per batch; survivors
+    co-locate by a FIXED key-hash shard (never a per-key groupby), and
+    each shard task resolves ALL its keys' runs in one lexsort +
+    run-detection pass.  Key columns must be integer-valued."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def pick(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b[value_col], pa.scalar(float(threshold))))
+        h = np.zeros(len(b), np.int64)
+        for k in key_cols:
+            h = h * np.int64(1_000_003) + b[k].to_numpy().astype(np.int64)
+        shard = (h % n_shards + n_shards) % n_shards
+        cols = {"_s": pa.array(shard)}
+        for k in key_cols:
+            cols[k] = pc.cast(b[k], pa.int64())
+        cols[day_col] = pc.cast(b[day_col], pa.int64())
+        return pa.table(cols)
+
+    def shard_runs(g: pd.DataFrame) -> pd.DataFrame:
+        base = {k: np.array([], dtype=np.int64) for k in key_cols}
+        base.update(
+            days_above=np.array([], dtype=np.int64),
+            n_runs=np.array([], dtype=np.int64),
+            longest_run=np.array([], dtype=np.int64),
+        )
+        if len(g) == 0:  # typed full-schema empty (block-schema rule)
+            return pd.DataFrame(base)
+        keys = [g[k].to_numpy().astype(np.int64) for k in key_cols]
+        day = g[day_col].to_numpy().astype(np.int64)
+        order = np.lexsort((day, *reversed(keys)))
+        ks = [k[order] for k in keys]
+        ds_ = day[order]
+        newkey = np.zeros(len(ds_), dtype=bool)
+        newkey[0] = True
+        for k in ks:
+            newkey[1:] |= k[1:] != k[:-1]
+        brk = newkey.copy()
+        brk[1:] |= (ds_[1:] - ds_[:-1]) != 1
+        run_starts = np.flatnonzero(brk)
+        run_len = np.diff(np.r_[run_starts, len(ds_)]).astype(np.int64)
+        key_starts = np.flatnonzero(newkey)
+        run_key = (np.cumsum(newkey) - 1)[run_starts]  # sorted by key
+        first_run = np.flatnonzero(np.r_[True, run_key[1:] != run_key[:-1]])
+        out = {k: ks[i][key_starts] for i, k in enumerate(key_cols)}
+        out["days_above"] = np.add.reduceat(run_len, first_run)
+        out["n_runs"] = np.diff(np.r_[first_run, len(run_key)]).astype(np.int64)
+        out["longest_run"] = np.maximum.reduceat(run_len, first_run)
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(pick, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(shard_runs, batch_format="pandas")
+    )

@@ -107,3 +107,31 @@ def test_pivot_counts_split_independent_and_strict(ray_session):
     bad = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame({"k": [1], "p": ["zz"]})))
     with pytest.raises(Exception, match="unknown"):
         pivot_counts(bad, "k", "p", cats).materialize()
+
+
+def test_threshold_streaks_hand_series(ray_session):
+    import pandas as pd
+
+    from geoglue_ray.stages.timeagg import threshold_streaks
+
+    # key 1: days 0,1,2, 5, 7,8 above -> runs 3,1,2; key 2: none above;
+    # key 3: one day above; day order scrambled to exercise the lexsort
+    rows = {
+        "k": [1, 1, 1, 1, 1, 1, 1, 2, 3, 1],
+        "day": [5, 0, 1, 2, 7, 8, 3, 4, 9, 6],
+        "v": [9.0, 9.0, 9.0, 9.0, 9.0, 9.0, 1.0, 1.0, 9.0, 1.0],
+    }
+    out = (
+        threshold_streaks(
+            rd.from_pandas(pd.DataFrame(rows)), ["k"], "day", "v", threshold=5.0,
+            n_shards=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 3]
+    assert out["days_above"].tolist() == [6, 1]
+    assert out["n_runs"].tolist() == [3, 1]
+    assert out["longest_run"].tolist() == [3, 1]
+    assert all(out[c].dtype.kind == "i" for c in out.columns)
