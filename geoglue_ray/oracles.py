@@ -1587,6 +1587,43 @@ FROM asg GROUP BY 1 ORDER BY 1
 """
 
 
+def dasymetric_events() -> str:
+    """Dasymetric twin: the raster-cell admin CTE supplies both the cell
+    lattice and (via its cen) the event assignment; per-admin ancillary
+    mass and event totals join back to cells, with the engine's exact
+    BIGINT product and single division."""
+    return f"""
+WITH {_raster_cells_cte()},
+wc AS (
+  SELECT cass.r, cass.c, cass.a2,
+         CAST({fx.sql_weight('cells.lon', 'cells.lat')} AS BIGINT) AS w
+  FROM cass JOIN cells ON cells.r = cass.r AND cells.c = cass.c),
+ws AS (SELECT a2, SUM(w) AS wsum FROM wc GROUP BY 1),
+e AS (
+  SELECT event_id AS id,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat,
+         event_id % {fx.OUT_MOD} = 0 AS is_outside
+  FROM events),
+asg AS (
+  SELECT e.*,
+         CASE WHEN e.is_outside
+              THEN (SELECT cen.a2 FROM cen
+                    ORDER BY (e.lon-cen.gx)*(e.lon-cen.gx) + (e.lat-cen.gy)*(e.lat-cen.gy), cen.a2
+                    LIMIT 1)
+              ELSE {fx.sql_admin2_inside('e.lon', 'e.lat')} END AS a2
+  FROM e),
+tot AS (SELECT a2, CAST(count(*) AS BIGINT) AS total FROM asg GROUP BY 1)
+SELECT CAST(wc.r AS BIGINT) AS cell_row, CAST(wc.c AS BIGINT) AS cell_col,
+       {fx.sql_admin2_name('wc.a2')} AS admin_id,
+       CAST(wc.w AS BIGINT) AS w,
+       CAST(COALESCE(tot.total, 0) * wc.w AS DOUBLE)
+         / CAST(ws.wsum AS DOUBLE) AS alloc
+FROM wc JOIN ws ON ws.a2 = wc.a2 LEFT JOIN tot ON tot.a2 = wc.a2
+ORDER BY 1, 2
+"""
+
+
 def events_contingency() -> str:
     """Chi-square contingency twin: the events_zonal admin assignment
     with event_type carried, window totals cast back to BIGINT (exact

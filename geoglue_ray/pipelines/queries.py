@@ -1516,6 +1516,69 @@ def events_zonal(sf_dir: str) -> rd.Dataset:
     return out.map_batches(rename, batch_format="pyarrow").sort("admin_id")
 
 
+def dasymetric_events(sf_dir: str) -> rd.Dataset:
+    """Dasymetric areal interpolation — the population-downscaling move
+    of the GIS toolbox: each admin unit's EVENT COUNT is redistributed
+    over the raster cells it contains, proportional to each cell's
+    ancillary weight (the weights field at the cell center), i.e.
+    ``alloc = total * w / wsum``.  The big side (events -> admin counts)
+    streams through the broadcast PIP pool; the cell lattice and both
+    per-admin lookup tables are admin/lattice-cardinality small sides
+    (bounded ``to_pandas``, broadcast into the final cell pass).
+    ``total * w`` is an exact int64 product and the one division mirrors
+    the SQL ``CAST(total*w AS DOUBLE)/CAST(wsum AS DOUBLE)``."""
+    import pandas as pd
+    import ray
+
+    from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+    from geoglue_ray.sources.raster import RINC, RXFIRST, RXSIZE, RYFIRST, RYSIZE
+    from geoglue_ray.sources.weights import build_weights_grid, lookup_weight
+
+    rr, cc = np.meshgrid(np.arange(RYSIZE), np.arange(RXSIZE), indexing="ij")
+    rr, cc = rr.ravel(), cc.ravel()
+    lon = RXFIRST + cc * RINC
+    lat = RYFIRST - rr * RINC
+    w = lookup_weight(lon, lat, build_weights_grid()).astype(np.int64)
+    cells = rd.from_arrow(
+        pa.table(
+            {
+                "cell_row": pa.array(rr.astype(np.int64)),
+                "cell_col": pa.array(cc.astype(np.int64)),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "w": pa.array(w),
+            }
+        )
+    )
+    index_ref = ray.put(AdminIndex.build(build_admin_table()))
+    cells = spatial_join(
+        cells.map_batches(encode_cells, batch_format="pyarrow"), index_ref=index_ref
+    )
+    # lattice-cardinality (RYSIZE x RXSIZE) and consumed twice: materialize
+    cells = cells.select_columns(["cell_row", "cell_col", "admin_id", "w"]).materialize()
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    ev = ev.map_batches(DeriveEventObservations(), batch_format="pyarrow")
+    ev = ev.map_batches(encode_cells, batch_format="pyarrow")
+    ev = spatial_join(ev, index_ref=index_ref)
+    tot = zonal_aggregate(ev, ["count"], keys=["admin_id"]).to_pandas()
+    totals = dict(zip(tot["admin_id"], tot["count"].astype(np.int64)))
+    ws = zonal_aggregate(cells, ["sum"], keys=["admin_id"], value_col="w").to_pandas()
+    wsums = dict(zip(ws["admin_id"], ws["sum"].astype(np.int64)))
+
+    def alloc(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["admin_id"].map(totals).fillna(0).astype(np.int64)
+        s = df["admin_id"].map(wsums).astype(np.int64)
+        num = (t * df["w"].to_numpy()).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            df["alloc"] = num / s.to_numpy().astype(np.float64)
+        return df
+
+    return cells.map_batches(alloc, batch_format="pandas").sort(
+        ["cell_row", "cell_col"]
+    )
+
+
 def tile_pyramid(sf_dir: str, res: int = 10, n_levels: int = 4) -> rd.Dataset:
     """Multi-resolution tile pyramid over the events table (the north_star
     tiling surface): aggregate to GGrid cells at ``res`` and roll up

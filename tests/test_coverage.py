@@ -184,3 +184,24 @@ def test_coverage_join_path_matches_broadcast_exactly():
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         assert av.dtype == bv.dtype, c
         assert np.array_equal(av, bv, equal_nan=av.dtype.kind == "f"), c
+
+
+def test_dasymetric_conserves_admin_totals(ray_session):
+    """Dasymetric allocation is mass-preserving: per admin with nonzero
+    ancillary mass, the cell allocations sum back to the admin's event
+    count (up to the one rounded division per cell)."""
+    import numpy as np
+
+    from geoglue_ray.pipelines.queries import dasymetric_events
+
+    df = dasymetric_events("/root/testdata/sf0.001").to_pandas()
+    got = df.dropna(subset=["alloc"]).groupby("admin_id")["alloc"].sum()
+    # recompute admin totals independently of the allocation path
+    from geoglue_ray.pipelines.queries import events_zonal
+
+    tot = events_zonal("/root/testdata/sf0.001").to_pandas().set_index("admin_id")["count"]
+    joined = got.to_frame("alloc_sum").join(tot.rename("total"), how="inner")
+    # only admins fully covered by >=1 cell can conserve; every admin in
+    # the allocation output is such an admin
+    assert len(joined) > 0
+    assert np.allclose(joined["alloc_sum"], joined["total"], rtol=1e-12)
