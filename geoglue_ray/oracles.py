@@ -1624,6 +1624,39 @@ ORDER BY 1, 2
 """
 
 
+def od_matrix() -> str:
+    """OD twin: lag() over (ts, event_id) within user for the origin
+    admin, integer trip counts and exact DISTINCT movers per pair."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat,
+         event_id % {fx.OUT_MOD} = 0 AS is_outside
+  FROM events),
+cen AS ({fx.SQL_CENTROIDS}),
+asg AS (
+  SELECT e.user_id, e.event_id, e.ts,
+         CASE WHEN e.is_outside
+              THEN (SELECT cen.a2 FROM cen
+                    ORDER BY (e.lon-cen.gx)*(e.lon-cen.gx) + (e.lat-cen.gy)*(e.lat-cen.gy), cen.a2
+                    LIMIT 1)
+              ELSE {fx.sql_admin2_inside('e.lon', 'e.lat')} END AS a2
+  FROM e),
+p AS (
+  SELECT user_id,
+         lag(a2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS o,
+         a2 AS d
+  FROM asg)
+SELECT {fx.sql_admin2_name('o')} AS o_admin,
+       {fx.sql_admin2_name('d')} AS d_admin,
+       CAST(count(*) AS BIGINT) AS n_trips,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM p WHERE o IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_contingency() -> str:
     """Chi-square contingency twin: the events_zonal admin assignment
     with event_type carried, window totals cast back to BIGINT (exact

@@ -1313,6 +1313,145 @@ def events_contingency(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def od_matrix(sf_dir: str, n_shards: int = 64, n_shards2: int = 32) -> rd.Dataset:
+    """Origin-destination flow matrix from per-user event trajectories —
+    the movement-analytics aggregate over the admin lattice: every
+    consecutive event pair of a user is one trip from the origin's admin
+    unit to the destination's; emit trip counts and DISTINCT mover
+    counts per (o_admin, d_admin).
+
+    Scale shape: admin assignment streams through the broadcast PIP pool
+    (integer ``admin_idx`` hot path, names attached at the end); pairs
+    form inside FIXED user-hash shards (all of a user's rows co-locate,
+    one lexsort + run pass); per-shard partials are (o, d)-cardinality
+    with per-shard distinct-user counts — VALID to sum globally because
+    each user lives in exactly one shard — then a second fixed-shard
+    merge.  All-integer outputs, bit-exact vs the SQL lag() twin."""
+    import pandas as pd
+    import ray
+
+    from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+
+    admin_tbl = build_admin_table()
+    names = admin_tbl["admin_id"].combine_chunks()
+    index_ref = ray.put(AdminIndex.build(admin_tbl))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    ds = ds.map_batches(encode_cells, batch_format="pyarrow")
+    ds = spatial_join(ds, index_ref=index_ref, emit_names=False)
+
+    def shard(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        s = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "_us": pa.array(s),
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "a": pc.cast(b["admin_idx"], pa.int64()),
+            }
+        )
+
+    _PEMPTY = {
+        "_s2": np.array([], dtype=np.int64),
+        "o": np.array([], dtype=np.int64),
+        "d": np.array([], dtype=np.int64),
+        "n_trips": np.array([], dtype=np.int64),
+        "n_users": np.array([], dtype=np.int64),
+    }
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_PEMPTY)
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        a = g["a"].to_numpy()
+        o_ = np.lexsort((eid, t, uid))
+        uid, a = uid[o_], a[o_]
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return pd.DataFrame(_PEMPTY)
+        pack = (a[:-1][same] << np.int64(20)) | a[1:][same]
+        u = uid[1:][same]
+        o2 = np.lexsort((u, pack))
+        p2, u2 = pack[o2], u[o2]
+        newp = np.r_[True, p2[1:] != p2[:-1]]
+        starts = np.flatnonzero(newp)
+        trips = np.diff(np.r_[starts, len(p2)]).astype(np.int64)
+        newu = newp | np.r_[True, u2[1:] != u2[:-1]]
+        users = np.add.reduceat(newu.astype(np.int64), starts)
+        pk = p2[starts]
+        return pd.DataFrame(
+            {
+                "_s2": (pk % np.int64(n_shards2)).astype(np.int64),
+                "o": pk >> np.int64(20),
+                "d": pk & np.int64((1 << 20) - 1),
+                "n_trips": trips,
+                "n_users": users,
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "o_admin": pa.array([], pa.string()),
+                    "d_admin": pa.array([], pa.string()),
+                    "n_trips": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        pk = (g["o"].to_numpy() << np.int64(20)) | g["d"].to_numpy()
+        o_ = np.argsort(pk, kind="stable")
+        pk = pk[o_]
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        return pa.table(
+            {
+                "o_admin": names.take(pa.array((pk >> np.int64(20))[starts])),
+                "d_admin": names.take(
+                    pa.array((pk & np.int64((1 << 20) - 1))[starts])
+                ),
+                "n_trips": pa.array(
+                    np.add.reduceat(g["n_trips"].to_numpy()[o_], starts)
+                ),
+                "n_users": pa.array(
+                    np.add.reduceat(g["n_users"].to_numpy()[o_], starts)
+                ),
+            }
+        )
+
+    partials = (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_us")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return (
+        partials.groupby("_s2")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["o_admin", "d_admin"])
+    )
+
+
 def user_trajectories(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
     """Per-user movement trajectories — each user's events in time order
     with the planar step distance from the previous location (the
