@@ -1890,6 +1890,19 @@ FROM h GROUP BY 1 ORDER BY 1
 """
 
 
+def host_cap_docs(k: int = 25) -> str:
+    """Per-host cap twin: row_number over (n_chars DESC, doc_id) per
+    source — the same total order as the engine's offset sort key."""
+    return f"""
+SELECT source, doc_id, n_chars,
+       CAST(row_number() OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+FROM documents
+QUALIFY rank <= {k}
+ORDER BY source, rank
+"""
+
+
 def stratified_sample(k: int = 20) -> str:
     """k-per-language hash-ordered sample; ordering on the unsigned
     HUGEINT hash matches the engine's uint64 sort, the emitted

@@ -1752,6 +1752,20 @@ def stratified_sample(sf_dir: str, k: int = 20) -> rd.Dataset:
     return strat(ds, "lang", "doc_id", k).sort(["lang", "rank"])
 
 
+def host_cap_docs(sf_dir: str, k: int = 25) -> rd.Dataset:
+    """Per-host document cap — the web-curation throttle that stops any
+    single source dominating a training corpus: keep only the k LONGEST
+    documents per source (ties to the smallest doc_id), with their rank.
+    Exact two-level top-k (stages/sample.measure_topk), no corpus
+    shuffle; all-integer, bit-exact vs the row_number() twin."""
+    from geoglue_ray.stages.sample import measure_topk
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "source", "n_chars"])
+    return measure_topk(ds, "source", "doc_id", "n_chars", k).sort(
+        ["source", "rank"]
+    )
+
+
 PLANT_OFFSET = 10_000_000
 PLANT_EPS = 0.05
 PLANT_THRESHOLD = 0.99

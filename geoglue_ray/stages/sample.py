@@ -260,3 +260,47 @@ def greedy_pack(
         .groupby("_pk")
         .map_groups(pack, batch_format="pandas")
     )
+
+
+def measure_topk(
+    ds: rd.Dataset,
+    group_col: str,
+    id_col: str,
+    measure_col: str,
+    k: int,
+    largest: bool = True,
+) -> rd.Dataset:
+    """Per-group top-k by an INTEGER measure (largest-first by default,
+    ties broken by smallest id) — the per-host document cap of web-scale
+    curation: keep the k longest/highest-quality docs per source so no
+    single host dominates the corpus.
+
+    Same two-level exact top-k shape as :func:`stratified_sample`
+    (per-batch prune -> one final task over the bounded partial union);
+    the sort key is an order-preserving offset of the measure, so the
+    shared :func:`_prune_topk` kernel applies unchanged."""
+    OFF = np.int64(1) << np.int64(62)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        m = b[measure_col].to_numpy().astype(np.int64)
+        key = (OFF - m) if largest else (OFF + m)
+        df = pd.DataFrame(
+            {
+                group_col: b[group_col].to_numpy(zero_copy_only=False),
+                "_id": b[id_col].to_numpy(),
+                "sample_key": key,
+                measure_col: m,
+            }
+        )
+        return _prune_topk(df, group_col, k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = _prune_topk(df.drop(columns=["rank"]), group_col, k)
+        out = out.rename(columns={"_id": id_col})
+        return out[[group_col, id_col, measure_col, "rank"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
