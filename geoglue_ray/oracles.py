@@ -980,6 +980,57 @@ FROM cells ORDER BY 2, 3, 1
 """
 
 
+def raster_moran_bv() -> str:
+    """Bivariate Moran twin: x-cells joined to rook y-neighbour integer
+    sums, per-slice moments of both fields, and the identical chain
+    zx = x - mean_x; lag = nsy - k*mean_y;
+    I = (zx*lag)/(sqrt(m2x)*sqrt(m2y))."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+vx AS (
+  SELECT t, r, c, valid_time, CAST(value AS BIGINT) AS x
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+vy AS (
+  SELECT t, r, c, CAST(value AS BIGINT) AS y
+  FROM rast WHERE variable = 'tp' AND value IS NOT NULL AND t < 48),
+momx AS (
+  SELECT t,
+         CAST(SUM(x) AS DOUBLE) / count(*) AS mean_x,
+         CAST(SUM(x*x) AS DOUBLE) / count(*)
+           - (CAST(SUM(x) AS DOUBLE) / count(*))
+             * (CAST(SUM(x) AS DOUBLE) / count(*)) AS m2x
+  FROM vx GROUP BY t),
+momy AS (
+  SELECT t,
+         CAST(SUM(y) AS DOUBLE) / count(*) AS mean_y,
+         CAST(SUM(y*y) AS DOUBLE) / count(*)
+           - (CAST(SUM(y) AS DOUBLE) / count(*))
+             * (CAST(SUM(y) AS DOUBLE) / count(*)) AS m2y
+  FROM vy GROUP BY t),
+nb AS (
+  SELECT a.t, a.r, a.c, a.valid_time, a.x,
+         count(b.y) AS k, COALESCE(SUM(b.y), 0) AS nsy
+  FROM vx a LEFT JOIN vy b
+    ON b.t = a.t
+   AND b.r BETWEEN a.r - 1 AND a.r + 1
+   AND b.c BETWEEN a.c - 1 AND a.c + 1
+   AND abs(b.r - a.r) + abs(b.c - a.c) = 1
+  GROUP BY 1, 2, 3, 4, 5),
+cells AS (
+  SELECT nb.valid_time, nb.r AS cell_row, nb.c AS cell_col,
+         CAST(nb.k AS BIGINT) AS n_nb,
+         CAST(nb.x AS DOUBLE) - mx.mean_x AS zx,
+         CAST(nb.nsy AS DOUBLE) - CAST(nb.k AS DOUBLE) * my.mean_y AS lag_y,
+         mx.m2x, my.m2y
+  FROM nb JOIN momx mx ON mx.t = nb.t JOIN momy my ON my.t = nb.t)
+SELECT valid_time, cell_row, cell_col, n_nb, zx, lag_y,
+       (zx * lag_y) / (sqrt(m2x) * sqrt(m2y)) AS local_ixy
+FROM cells ORDER BY 2, 3, 1
+"""
+
+
 def raster_joincount() -> str:
     """Join-count twin: rook edges enumerated once as right- and
     down-neighbour pairs, endpoint-color sums in CASE pivots — all

@@ -2465,6 +2465,27 @@ def raster_geary(sf_dir: str) -> rd.Dataset:
     )
 
 
+def raster_moran_bv(sf_dir: str) -> rd.Dataset:
+    """Bivariate local Moran's I between t2m and tp per cell over two
+    days — does high temperature sit amid high precipitation
+    (stages/stencil.local_moran_bivariate).  Exact integer aggregates,
+    single-op IEEE chains and two correctly-rounded sqrts, mirrored
+    term-for-term by the SQL twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import local_moran_bivariate
+
+    vars_ = pa.array(["t2m", "tp"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["variable"], value_set=vars_))
+
+    # consumed three times (two moment passes + stencil): materialize
+    ds = read_raster(n_days=2).map_batches(prune, batch_format="pyarrow").materialize()
+    return local_moran_bivariate(ds, var_x="t2m", var_y="tp").sort(
+        ["cell_row", "cell_col", "valid_time"]
+    )
+
+
 def raster_joincount(sf_dir: str) -> rd.Dataset:
     """Join-count statistics per time slice (Cliff & Ord binary-map
     autocorrelation): black/white classification at the value midpoint,

@@ -423,6 +423,149 @@ def local_geary(
     )
 
 
+def local_moran_bivariate(
+    ds: rd.Dataset,
+    var_x: str = "t2m",
+    var_y: str = "tp",
+    band_rows: int = 8,
+    hour_chunk: int = 24,
+    n_cols: int | None = None,
+) -> rd.Dataset:
+    """Bivariate local Moran's I (Anselin; the cross-variable LISA): per
+    valid x-cell, ``I_i = z_x,i * (rook lag of z_y)_i / (s_x * s_y)``
+    with per-slice standardization of BOTH fields.  Measures whether
+    high x sits amid high y — e.g. temperature vs precipitation.
+
+    The float chain is single IEEE ops on exact integer aggregates plus
+    two correctly-rounded sqrts (the getis_ord discipline — sqrt is
+    exact-input-deterministic, unlike ln/exp), so the SQL twin spelling
+    the same expressions is bit-exact.  One halo stencil pass builds
+    both fields' dense blocks; moments are two bounded passes.  NOTE:
+    consumes ``ds`` three times — materialize a pruned slice first."""
+    T0 = np.datetime64(fx.T0, "us")
+    H = int(band_rows)
+    momx = slice_moments(ds, variable=var_x)
+    momy = slice_moments(ds, variable=var_y)
+
+    def _chain(m):
+        nd = m["n"].astype(np.float64)
+        mean = m["sx"].astype(np.float64) / nd
+        m2 = m["sxx"].astype(np.float64) / nd - mean * mean
+        return m["hours"], mean, m2
+
+    hx, mean_x, m2x = _chain(momx)
+    hy, mean_y, m2y = _chain(momy)
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(
+            pc.or_(pc.equal(b["variable"], var_x), pc.equal(b["variable"], var_y))
+        )
+        hour = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        )
+        r = b["cell_row"].to_numpy().astype(np.int64)
+        c = b["cell_col"].to_numpy().astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        isx = pa.compute.equal(b["variable"], var_x).to_numpy(zero_copy_only=False)
+        band = r // H
+        tch = hour // hour_chunk
+        parts = []
+        for off, sel in (
+            (0, np.ones(len(r), dtype=bool)),
+            (-1, r % H == 0),
+            (1, r % H == H - 1),
+        ):
+            bb = band[sel] + off
+            ok = bb >= 0
+            parts.append(
+                pa.table(
+                    {
+                        "_fb": pa.array((tch[sel][ok] << np.int64(20)) | bb[ok]),
+                        "hour": pa.array(hour[sel][ok]),
+                        "r": pa.array(r[sel][ok]),
+                        "c": pa.array(c[sel][ok]),
+                        "value": pa.array(v[sel][ok]),
+                        "_isx": pa.array(isx[sel][ok]),
+                        "_own": pa.array(np.full(int(ok.sum()), off == 0)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def stencil(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "valid_time": pa.array([], pa.timestamp("us")),
+                "cell_row": pa.array([], pa.int64()),
+                "cell_col": pa.array([], pa.int64()),
+                "n_nb": pa.array([], pa.int64()),
+                "zx": pa.array([], pa.float64()),
+                "lag_y": pa.array([], pa.float64()),
+                "local_ixy": pa.array([], pa.float64()),
+            }
+        )
+        hour = g["hour"].to_numpy().astype(np.int64)
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        isx = g["_isx"].to_numpy().astype(bool)
+        own = g["_own"].to_numpy().astype(bool)
+        if not own.any():
+            return empty
+        t0, r0 = hour.min(), r.min()
+        nt = int(hour.max() - t0 + 1)
+        nr = int(r.max() - r0 + 1)
+        nc = int(c.max()) + 1 if n_cols is None else int(n_cols)
+        shape = (nt, nr + 2, nc + 2)
+        Vy = np.zeros(shape)
+        My = np.zeros(shape, dtype=np.int64)
+        ti, ri, ci = hour - t0, r - r0 + 1, c + 1
+        fin = np.isfinite(v)
+        ysel = fin & ~isx
+        Vy[ti[ysel], ri[ysel], ci[ysel]] = v[ysel]
+        My[ti[ysel], ri[ysel], ci[ysel]] = 1
+        NSy = np.zeros(shape)
+        Ky = np.zeros(shape, dtype=np.int64)
+        inner = (slice(None), slice(1, -1), slice(1, -1))
+        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):  # rook, no self
+            sh = (slice(None), slice(1 + dr, nr + 1 + dr), slice(1 + dc, nc + 1 + dc))
+            NSy[inner] += Vy[sh]  # exact: integer-valued doubles
+            Ky[inner] += My[sh]
+        sel = own & fin & isx  # defined at valid x cells
+        if not sel.any():
+            return empty
+        to, ro, co = ti[sel], ri[sel], ci[sel]
+        hix = np.searchsorted(hx, to + t0)
+        hiy = np.searchsorted(hy, to + t0)
+        zx = v[sel] - mean_x[hix]
+        k = Ky[to, ro, co]
+        lag = NSy[to, ro, co] - k * mean_y[hiy]
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    T0 + ((to + t0) * 3_600_000_000).astype("timedelta64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "cell_row": pa.array(ro - 1 + r0),
+                "cell_col": pa.array(co - 1),
+                "n_nb": pa.array(k),
+                "zx": pa.array(zx),
+                "lag_y": pa.array(lag),
+                "local_ixy": pa.array(
+                    (zx * lag) / (np.sqrt(m2x[hix]) * np.sqrt(m2y[hiy]))
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(stencil, batch_format="pandas")
+    )
+
+
 def join_counts(
     ds: rd.Dataset,
     variable: str = "t2m",
