@@ -1031,6 +1031,27 @@ FROM cells ORDER BY 2, 3, 1
 """
 
 
+def raster_anomaly() -> str:
+    """Anomaly twin: per-cell period mean from exact sums (SUM of
+    integer-valued doubles is order-free), then the same subtraction and
+    single division per row."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, valid_time, value FROM rast
+  WHERE variable = 't2m' AND value IS NOT NULL AND t < 144),
+m AS (
+  SELECT r, c, SUM(value) / count(*) AS cell_mean FROM v GROUP BY 1, 2)
+SELECT v.valid_time, CAST(v.r AS BIGINT) AS cell_row,
+       CAST(v.c AS BIGINT) AS cell_col, v.value, m.cell_mean,
+       v.value - m.cell_mean AS anom, v.value / m.cell_mean AS ratio
+FROM v JOIN m ON m.r = v.r AND m.c = v.c
+ORDER BY 2, 3, 1
+"""
+
+
 def raster_joincount() -> str:
     """Join-count twin: rook edges enumerated once as right- and
     down-neighbour pairs, endpoint-color sums in CASE pivots — all

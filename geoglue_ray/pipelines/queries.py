@@ -2486,6 +2486,61 @@ def raster_moran_bv(sf_dir: str) -> rd.Dataset:
     )
 
 
+def raster_anomaly(sf_dir: str) -> rd.Dataset:
+    """Per-cell climatology anomaly over six days of the hourly raster —
+    the deseasonalization move of climate pipelines: each (cell, hour)
+    t2m value minus that CELL's period mean, plus the value/mean ratio.  The
+    cell-mean table is a lattice-cardinality small side (one bounded
+    sum/count pass, broadcast as a dict into a second streaming pass —
+    at 100 TB the raster is re-read from storage, never materialized).
+    mean = CAST(sum)/count, anom = x - mean, ratio = x / mean — each a
+    single IEEE op mirrored by the SQL window twin."""
+    import pandas as pd
+
+    from geoglue_ray.sources.raster import RXSIZE, read_raster
+
+    t2m = pa.scalar("t2m")
+
+    def prune(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["variable"], t2m))
+        # ocean holes are float NaN (not Arrow nulls) — drop by finiteness
+        b = b.filter(pa.array(np.isfinite(b["value"].to_numpy(zero_copy_only=False))))
+        return pa.table(
+            {
+                "valid_time": b["valid_time"],
+                "cell_row": pc.cast(b["cell_row"], pa.int64()),
+                "cell_col": pc.cast(b["cell_col"], pa.int64()),
+                "value": b["value"],
+            }
+        )
+
+    ds = read_raster(n_days=6).map_batches(prune, batch_format="pyarrow")
+    mom = zonal_aggregate(
+        ds, ["sum", "count"], keys=["cell_row", "cell_col"]
+    ).to_pandas()  # lattice-cardinality, bounded
+    key = mom["cell_row"].to_numpy().astype(np.int64) * RXSIZE + mom[
+        "cell_col"
+    ].to_numpy().astype(np.int64)
+    means = dict(
+        zip(key, mom["sum"].to_numpy() / mom["count"].to_numpy())
+    )
+
+    def anom(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["cell_row"].to_numpy() * RXSIZE + df["cell_col"].to_numpy()
+        m = pd.Series(k).map(means).to_numpy()
+        df["cell_mean"] = m
+        df["anom"] = df["value"].to_numpy() - m
+        df["ratio"] = df["value"].to_numpy() / m
+        return df
+
+    return (
+        read_raster(n_days=6)
+        .map_batches(prune, batch_format="pyarrow")
+        .map_batches(anom, batch_format="pandas")
+        .sort(["cell_row", "cell_col", "valid_time"])
+    )
+
+
 def raster_joincount(sf_dir: str) -> rd.Dataset:
     """Join-count statistics per time slice (Cliff & Ord binary-map
     autocorrelation): black/white classification at the value midpoint,
