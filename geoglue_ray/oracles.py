@@ -1864,6 +1864,50 @@ ORDER BY 1
 """
 
 
+def colocation_quotient() -> str:
+    """CLQ twin: the events_nn nearest-neighbour construction with types
+    joined back, exact pair counts, and the engine's three-division
+    chain (C/n_a) / (n_b'/(N-1))."""
+    return f"""
+WITH e AS (
+  SELECT event_id, event_type,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+p AS (
+  SELECT a.event_id, b.event_id AS nb,
+         (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS d2
+  FROM e a JOIN e b
+    ON b.event_id <> a.event_id
+   AND b.lon BETWEEN a.lon - 0.0625 AND a.lon + 0.0625
+   AND b.lat BETWEEN a.lat - 0.0625 AND a.lat + 0.0625
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= 0.0625 * 0.0625),
+r AS (
+  SELECT event_id, nb,
+         row_number() OVER (PARTITION BY event_id ORDER BY d2, nb) AS rn
+  FROM p),
+x AS (
+  SELECT ea.event_type AS type_a, eb.event_type AS type_b
+  FROM r JOIN e ea ON ea.event_id = r.event_id
+         JOIN e eb ON eb.event_id = r.nb
+  WHERE r.rn = 1),
+c AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM x GROUP BY 1, 2)
+SELECT c.type_a, c.type_b, c.n_pairs,
+       (CAST(c.n_pairs AS DOUBLE) / CAST(ta.n AS DOUBLE))
+         / (CAST(tb.n - (CASE WHEN c.type_a = c.type_b THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+            / CAST(tot.n - 1 AS DOUBLE)) AS clq
+FROM c JOIN tc ta ON ta.event_type = c.type_a
+       JOIN tc tb ON tb.event_type = c.type_b
+       CROSS JOIN tot
+ORDER BY 1, 2
+"""
+
+
 def user_trajectories() -> str:
     """Trajectory twin: row_number / lag windows over (ts, event_id)
     order per user; step distance via the engine's exact chain

@@ -1549,6 +1549,75 @@ def events_nn(sf_dir: str) -> rd.Dataset:
     return radius_nn_join(ds, radius=0.0625, id_col="event_id").sort("event_id")
 
 
+def colocation_quotient(sf_dir: str) -> rd.Dataset:
+    """Colocation quotient (CLQ, Leslie & Kronenfeld) over event types —
+    which categories cluster NEAR each other: for every event with an
+    in-radius nearest neighbour, tally (own type -> neighbour type)
+    pairs and normalize by the types' global shares,
+    ``CLQ = (C_ab/n_a) / (n_b'/(N-1))`` with ``n_b' = n_b - 1`` on the
+    diagonal.  Composition of three engine operators: the grid-bucket
+    radius NN join, TWO co-shuffled hash equijoins attaching own and
+    neighbour types (type lookups are corpus-sized — never broadcast),
+    and the bounded (|types|^2) aggregate.  Integer counts + a
+    three-division chain mirrored by the SQL twin."""
+    import pandas as pd
+
+    from geoglue_ray.stages.join import hash_equijoin
+    from geoglue_ray.stages.spatial import radius_nn_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    tc = zonal_aggregate(
+        ev, ["count"], keys=["event_type"], value_col="event_id"
+    ).to_pandas()  # |types| rows, bounded
+    n_by = dict(zip(tc["event_type"], tc["count"].astype(np.int64)))
+    n_total = int(sum(n_by.values()))
+
+    def derive(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {"event_id": b["event_id"], "lon": pa.array(lon), "lat": pa.array(lat)}
+        )
+
+    nn = radius_nn_join(
+        ev.select_columns(["event_id"]).map_batches(derive, batch_format="pyarrow"),
+        radius=0.0625,
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["nn_id"]))
+        return b.select(["event_id", "nn_id"])
+
+    nn = nn.map_batches(keep, batch_format="pyarrow")
+
+    def t_a(b: pa.Table) -> pa.Table:
+        return pa.table({"eid_a": b["event_id"], "type_a": b["event_type"]})
+
+    def t_b(b: pa.Table) -> pa.Table:
+        return pa.table({"eid_b": b["event_id"], "type_b": b["event_type"]})
+
+    j = hash_equijoin(nn, ev.map_batches(t_a, batch_format="pyarrow"), "event_id", "eid_a")
+    j = hash_equijoin(j, ev.map_batches(t_b, batch_format="pyarrow"), "nn_id", "eid_b")
+    c = zonal_aggregate(j, ["count"], keys=["type_a", "type_b"], value_col="nn_id")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        na = df["type_a"].map(n_by).to_numpy().astype(np.float64)
+        nb = df["type_b"].map(n_by).to_numpy().astype(np.int64)
+        nbp = (nb - (df["type_a"] == df["type_b"]).to_numpy()).astype(np.float64)
+        cnt = df["count"].to_numpy()
+        return pd.DataFrame(
+            {
+                "type_a": df["type_a"],
+                "type_b": df["type_b"],
+                "n_pairs": cnt.astype(np.int64),
+                "clq": (cnt / na) / (nbp / np.float64(n_total - 1)),
+            }
+        )
+
+    return c.map_batches(final, batch_format="pandas").sort(["type_a", "type_b"])
+
+
 def events_ripley(sf_dir: str) -> pa.Table:
     """Ripley's K / L point-pattern statistics of the in-bbox events at
     four dyadic radii (naive estimator, no edge correction) — clustered
