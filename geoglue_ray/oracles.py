@@ -1864,6 +1864,43 @@ ORDER BY 1
 """
 
 
+def cell_nearest_event() -> str:
+    """Two-table NN twin: raster cell centers joined to events inside the
+    per-axis radius box, exact d2 chain, nearest by (d2, event id), LEFT
+    JOIN for empty neighbourhoods."""
+    from geoglue_ray.sources.raster import RINC, RXFIRST, RXSIZE, RYFIRST, RYSIZE
+
+    return f"""
+WITH cells AS (
+  SELECT r.range AS cr, c.range AS cc,
+         {RXFIRST} + c.range*{RINC} AS lon,
+         {RYFIRST} - r.range*{RINC} AS lat
+  FROM range({RYSIZE}) r, range({RXSIZE}) c),
+e AS (
+  SELECT event_id,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+p AS (
+  SELECT cells.cr, cells.cc, e.event_id,
+         (cells.lon-e.lon)*(cells.lon-e.lon)
+           + (cells.lat-e.lat)*(cells.lat-e.lat) AS d2
+  FROM cells JOIN e
+    ON e.lon BETWEEN cells.lon - 0.25 AND cells.lon + 0.25
+   AND e.lat BETWEEN cells.lat - 0.25 AND cells.lat + 0.25
+  WHERE (cells.lon-e.lon)*(cells.lon-e.lon)
+          + (cells.lat-e.lat)*(cells.lat-e.lat) <= 0.25 * 0.25),
+r AS (
+  SELECT cr, cc, event_id, sqrt(d2) AS dist,
+         row_number() OVER (PARTITION BY cr, cc ORDER BY d2, event_id) AS rn
+  FROM p)
+SELECT CAST(cells.cr AS BIGINT) AS cell_row, CAST(cells.cc AS BIGINT) AS cell_col,
+       r.event_id AS nn_event, r.dist AS nn_dist
+FROM cells LEFT JOIN r ON r.cr = cells.cr AND r.cc = cells.cc AND r.rn = 1
+ORDER BY 1, 2
+"""
+
+
 def colocation_quotient() -> str:
     """CLQ twin: the events_nn nearest-neighbour construction with types
     joined back, exact pair counts, and the engine's three-division

@@ -1618,6 +1618,59 @@ def colocation_quotient(sf_dir: str) -> rd.Dataset:
     return c.map_batches(final, batch_format="pandas").sort(["type_a", "type_b"])
 
 
+def cell_nearest_event(sf_dir: str) -> rd.Dataset:
+    """Distance to the nearest event per raster cell (bounded radius
+    0.25 deg) — the distance-to-nearest-facility surface: the two-table
+    grid-bucket NN lookup (stages/spatial.radius_nn_lookup) with cell
+    centers as queries and the event corpus as candidates; NULL for
+    cells with no event in range.  The radius_nn_join exactness chain;
+    bit-exact vs the SQL pre-filtered self-join twin."""
+    from geoglue_ray.sources.raster import RINC, RXFIRST, RXSIZE, RYFIRST, RYSIZE
+    from geoglue_ray.stages.spatial import radius_nn_lookup
+
+    rr, cc = np.meshgrid(np.arange(RYSIZE), np.arange(RXSIZE), indexing="ij")
+    rr, cc = rr.ravel(), cc.ravel()
+    cells = rd.from_arrow(
+        pa.table(
+            {
+                "q_id": pa.array(rr * RXSIZE + cc),
+                "lon": pa.array(RXFIRST + cc * RINC),
+                "lat": pa.array(RYFIRST - rr * RINC),
+            }
+        )
+    )
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {"c_id": b["event_id"], "lon": pa.array(lon), "lat": pa.array(lat)}
+        )
+
+    nn = radius_nn_lookup(
+        cells,
+        ev.map_batches(derive, batch_format="pyarrow"),
+        radius=0.25,
+        q_id="q_id",
+        c_id="c_id",
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        q = b["q_id"].to_numpy()
+        return pa.table(
+            {
+                "cell_row": pa.array(q // RXSIZE),
+                "cell_col": pa.array(q % RXSIZE),
+                "nn_event": b["nn_id"],
+                "nn_dist": b["nn_dist"],
+            }
+        )
+
+    return nn.map_batches(project, batch_format="pyarrow").sort(
+        ["cell_row", "cell_col"]
+    )
+
+
 def events_ripley(sf_dir: str) -> pa.Table:
     """Ripley's K / L point-pattern statistics of the in-bbox events at
     four dyadic radii (naive estimator, no edge correction) — clustered

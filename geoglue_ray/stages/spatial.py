@@ -217,6 +217,151 @@ def radius_nn_join(
     )
 
 
+def radius_nn_lookup(
+    queries: rd.Dataset,
+    candidates: rd.Dataset,
+    radius: float = 0.25,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    n_shards: int = 64,
+):
+    """Bounded-radius nearest-neighbour LOOKUP between two point tables:
+    for every query point, the nearest candidate within ``radius``
+    (planar Euclidean; ties to the smallest candidate id), NULL when
+    isolated — distance-to-nearest-facility / nearest-station
+    assignment, the two-table sibling of :func:`radius_nn_join`.
+
+    Same distribution: grid-bucket at cell size == ``radius`` (query
+    rows ship once to their own cell; candidate rows ship to the 3x3
+    ring, a bounded 9x fan-out of the candidate table only), FIXED
+    ``hash(cell) % n_shards`` co-shuffle, vectorized per-cell distance
+    blocks with candidates pre-sorted by id.  Exactness: the
+    radius_nn_join chain (dyadic coords, d2 = dx*dx + dy*dy, power-of-two
+    radius, correctly-rounded sqrt)."""
+    import pandas as pd
+
+    r2 = radius * radius
+    inv = 1.0 / radius  # radius is a power of two: exact
+
+    def _cells(lon, lat):
+        cx = np.floor(lon * inv).astype(np.int64)
+        cy = np.floor(lat * inv).astype(np.int64)
+        return cx, cy
+
+    def _shard(cell):
+        return (
+            (cell.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+
+    def prep_q(b: pa.Table) -> pa.Table:
+        ids = b[q_id].to_numpy()
+        lon, lat = b["lon"].to_numpy(), b["lat"].to_numpy()
+        cx, cy = _cells(lon, lat)
+        cell = cx * np.int64(1 << 21) + cy
+        return pa.table(
+            {
+                "_s": pa.array(_shard(cell)),
+                "_cell": pa.array(cell),
+                "_id": pa.array(ids.astype(np.int64)),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "_q": pa.array(np.ones(len(ids), dtype=bool)),
+            }
+        )
+
+    def prep_c(b: pa.Table) -> pa.Table:
+        ids = b[c_id].to_numpy()
+        lon, lat = b["lon"].to_numpy(), b["lat"].to_numpy()
+        cx, cy = _cells(lon, lat)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cell = (cx + dx) * np.int64(1 << 21) + (cy + dy)
+                parts.append(
+                    pa.table(
+                        {
+                            "_s": pa.array(_shard(cell)),
+                            "_cell": pa.array(cell),
+                            "_id": pa.array(ids.astype(np.int64)),
+                            "lon": pa.array(lon),
+                            "lat": pa.array(lat),
+                            "_q": pa.array(np.zeros(len(ids), dtype=bool)),
+                        }
+                    )
+                )
+        return pa.concat_tables(parts)
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                q_id: pa.array([], pa.int64()),
+                "nn_id": pa.array([], pa.int64()),
+                "nn_dist": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cell = g["_cell"].to_numpy().astype(np.int64)
+        ids = g["_id"].to_numpy().astype(np.int64)
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        isq = g["_q"].to_numpy().astype(bool)
+        o = np.lexsort((ids, cell))
+        cell, ids, lon, lat, isq = cell[o], ids[o], lon[o], lat[o], isq[o]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        out_id, out_nn, out_d = [], [], []
+        CHUNK = 1024
+        for s, e in zip(starts, ends):
+            qs = isq[s:e]
+            if not qs.any():
+                continue
+            cs = ~qs
+            qi_all = ids[s:e][qs]
+            qlon_all, qlat_all = lon[s:e][qs], lat[s:e][qs]
+            if not cs.any():
+                out_id.append(qi_all)
+                out_nn.append(np.full(len(qi_all), -1, dtype=np.int64))
+                out_d.append(np.full(len(qi_all), np.nan))
+                continue
+            ci = ids[s:e][cs]
+            clon, clat = lon[s:e][cs], lat[s:e][cs]
+            for c0 in range(0, len(qi_all), CHUNK):
+                qi = qi_all[c0 : c0 + CHUNK]
+                qlon = qlon_all[c0 : c0 + CHUNK]
+                qlat = qlat_all[c0 : c0 + CHUNK]
+                dxm = qlon[:, None] - clon[None, :]
+                dym = qlat[:, None] - clat[None, :]
+                d2 = dxm * dxm + dym * dym
+                d2 = np.where(d2 > r2, np.inf, d2)
+                j = np.argmin(d2, axis=1)
+                dmin = d2[np.arange(len(qi)), j]
+                hit = np.isfinite(dmin)
+                out_id.append(qi)
+                out_nn.append(np.where(hit, ci[j], -1))
+                out_d.append(np.where(hit, np.sqrt(dmin), np.nan))
+        if not out_id:
+            return empty
+        qi = np.concatenate(out_id)
+        nn = np.concatenate(out_nn)
+        d = np.concatenate(out_d)
+        return pa.table(
+            {
+                q_id: pa.array(qi),
+                "nn_id": pa.array(
+                    np.where(nn >= 0, nn, 0), mask=(nn < 0), type=pa.int64()
+                ),
+                "nn_dist": pa.array(d),
+            }
+        )
+
+    both = queries.map_batches(prep_q, batch_format="pyarrow").union(
+        candidates.map_batches(prep_c, batch_format="pyarrow")
+    )
+    return both.groupby("_s").map_groups(resolve, batch_format="pandas")
+
+
 def ripley_k(
     ds,
     radii: tuple[float, ...] = (1 / 64, 2 / 64, 3 / 64, 4 / 64),
