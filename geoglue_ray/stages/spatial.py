@@ -362,6 +362,244 @@ def radius_nn_lookup(
     return both.groupby("_s").map_groups(resolve, batch_format="pandas")
 
 
+def dbscan(
+    points: rd.Dataset,
+    eps: float = 0.03125,
+    min_pts: int = 5,
+    id_col: str = "event_id",
+    n_shards: int = 64,
+):
+    """Grid-bucketed DBSCAN over a point table -> ``(id, role,
+    cluster_id)`` with role in {core, border, noise} and ``cluster_id`` =
+    the lowest core id of the density-connected component (NULL for
+    noise).  Deterministic variant: a point is core when it has >=
+    ``min_pts`` OTHER points within ``eps``; border points attach to
+    their NEAREST core (ties to the smallest core id) — unlike textbook
+    DBSCAN's scan-order-dependent border assignment, every rerun and the
+    SQL twin reproduce the same labels.
+
+    Distribution (all bounded, never all-pairs): neighbour COUNTS by the
+    radius_nn_join grid-bucket ring co-shuffle; core-core EDGES emitted
+    once from the smaller id's own cell; components via
+    :func:`geoglue_ray.stages.dedup.duplicate_clusters` (distributed
+    min-label propagation); border assignment via
+    :func:`radius_nn_lookup` + a co-shuffled hash equijoin to the core
+    label table (core-cardinality — never broadcast).  The counts table
+    (one row per point) has three consumers and is materialized into the
+    object store; at 100 TB checkpoint it to parquet instead."""
+    import pandas as pd
+    import ray.data as rd  # noqa: F401
+
+    from geoglue_ray.stages.dedup import duplicate_clusters
+    from geoglue_ray.stages.join import hash_equijoin
+
+    r2 = eps * eps
+    inv = 1.0 / eps  # eps is a power of two: exact
+
+    def _shard(cell):
+        return (
+            (cell.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        cx = np.floor(lon * inv).astype(np.int64)
+        cy = np.floor(lat * inv).astype(np.int64)
+        n = len(ids)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                own = dx == 0 and dy == 0
+                cell = (cx + dx) * np.int64(1 << 21) + (cy + dy)
+                parts.append(
+                    pa.table(
+                        {
+                            "_s": pa.array(_shard(cell)),
+                            "_cell": pa.array(cell),
+                            "_id": pa.array(ids),
+                            "lon": pa.array(lon),
+                            "lat": pa.array(lat),
+                            "_own": pa.array(np.full(n, own)),
+                        }
+                    )
+                )
+        return pa.concat_tables(parts)
+
+    CHUNK = 1024
+
+    def _cell_blocks(g: pd.DataFrame):
+        cell = g["_cell"].to_numpy().astype(np.int64)
+        ids = g["_id"].to_numpy().astype(np.int64)
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        own = g["_own"].to_numpy().astype(bool)
+        o = np.lexsort((ids, cell))
+        cell, ids, lon, lat, own = cell[o], ids[o], lon[o], lat[o], own[o]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        for s, e in zip(starts, ends):
+            yield ids[s:e], lon[s:e], lat[s:e], own[s:e]
+
+    def count_nb(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "lon": pa.array([], pa.float64()),
+                    "lat": pa.array([], pa.float64()),
+                    "n_nb": pa.array([], pa.int64()),
+                }
+            )
+        oi, olon, olat, on = [], [], [], []
+        for ids, lon, lat, own in _cell_blocks(g):
+            if not own.any():
+                continue
+            qi, qlon, qlat = ids[own], lon[own], lat[own]
+            for c0 in range(0, len(qi), CHUNK):
+                qs = slice(c0, c0 + CHUNK)
+                dxm = qlon[qs][:, None] - lon[None, :]
+                dym = qlat[qs][:, None] - lat[None, :]
+                d2 = dxm * dxm + dym * dym
+                hit = (d2 <= r2) & (qi[qs][:, None] != ids[None, :])
+                oi.append(qi[qs])
+                olon.append(qlon[qs])
+                olat.append(qlat[qs])
+                on.append(hit.sum(axis=1).astype(np.int64))
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(oi)),
+                "lon": pa.array(np.concatenate(olon)),
+                "lat": pa.array(np.concatenate(olat)),
+                "n_nb": pa.array(np.concatenate(on)),
+            }
+        )
+
+    def core_pairs(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        pa_, pb_ = [], []
+        for ids, lon, lat, own in _cell_blocks(g):
+            if not own.any():
+                continue
+            qi, qlon, qlat = ids[own], lon[own], lat[own]
+            for c0 in range(0, len(qi), CHUNK):
+                qs = slice(c0, c0 + CHUNK)
+                dxm = qlon[qs][:, None] - lon[None, :]
+                dym = qlat[qs][:, None] - lat[None, :]
+                d2 = dxm * dxm + dym * dym
+                # each unordered pair emitted exactly once: from the
+                # smaller id's OWN cell row
+                hit = (d2 <= r2) & (qi[qs][:, None] < ids[None, :])
+                a_idx, b_idx = np.nonzero(hit)
+                pa_.append(qi[qs][a_idx])
+                pb_.append(ids[b_idx])
+        if not pa_:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(pa_)),
+                "doc_b": pa.array(np.concatenate(pb_)),
+            }
+        )
+
+    counts = (
+        points.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(count_nb, batch_format="pandas")
+        .materialize()
+    )
+
+    def only_cores(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["n_nb"].to_numpy() >= min_pts))
+
+    def only_noncores(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["n_nb"].to_numpy() < min_pts))
+
+    cores = counts.map_batches(only_cores, batch_format="pyarrow")
+    edges = (
+        cores.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(core_pairs, batch_format="pandas")
+    )
+    # self-pairs keep singleton cores (no core neighbour) in the label set
+    selfp = cores.map_batches(
+        lambda b: pa.table({"doc_a": b[id_col], "doc_b": b[id_col]}),
+        batch_format="pyarrow",
+    )
+    labels = duplicate_clusters(edges.union(selfp), sort=False).materialize()
+
+    def core_out(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                id_col: b["doc_id"],
+                "role": pa.array(np.repeat("core", n)),
+                "cluster_id": b["cluster_id"],
+            }
+        )
+
+    nn = radius_nn_lookup(
+        counts.map_batches(only_noncores, batch_format="pyarrow").map_batches(
+            lambda b: pa.table({"q_id": b[id_col], "lon": b["lon"], "lat": b["lat"]}),
+            batch_format="pyarrow",
+        ),
+        cores.map_batches(
+            lambda b: pa.table({"c_id": b[id_col], "lon": b["lon"], "lat": b["lat"]}),
+            batch_format="pyarrow",
+        ),
+        radius=eps,
+        q_id="q_id",
+        c_id="c_id",
+    )
+
+    def split_border(b: pa.Table) -> pa.Table:
+        return b.filter(pa.compute.is_valid(b["nn_id"])).select(["q_id", "nn_id"])
+
+    def split_noise(b: pa.Table) -> pa.Table:
+        b = b.filter(pa.compute.is_null(b["nn_id"]))
+        n = len(b)
+        return pa.table(
+            {
+                id_col: b["q_id"],
+                "role": pa.array(np.repeat("noise", n)),
+                "cluster_id": pa.array([None] * n, pa.int64()),
+            }
+        )
+
+    nn = nn.materialize()  # consumed twice (border + noise split)
+    lab2 = labels.map_batches(
+        lambda b: pa.table({"core_id": b["doc_id"], "cluster_id": b["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+    border = hash_equijoin(
+        nn.map_batches(split_border, batch_format="pyarrow"), lab2, "nn_id", "core_id"
+    )
+
+    def border_out(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                id_col: b["q_id"],
+                "role": pa.array(np.repeat("border", n)),
+                "cluster_id": b["cluster_id"],
+            }
+        )
+
+    out = (
+        labels.map_batches(core_out, batch_format="pyarrow")
+        .union(border.map_batches(border_out, batch_format="pyarrow"))
+        .union(nn.map_batches(split_noise, batch_format="pyarrow"))
+    )
+    return out
+
+
 def ripley_k(
     ds,
     radii: tuple[float, ...] = (1 / 64, 2 / 64, 3 / 64, 4 / 64),

@@ -1,0 +1,84 @@
+"""Brute-force equivalence tests for stages/spatial.dbscan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from geoglue_ray.stages.spatial import dbscan
+
+
+def _brute_dbscan(ids: np.ndarray, lon: np.ndarray, lat: np.ndarray,
+                  eps: float, min_pts: int) -> pd.DataFrame:
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    hit = d2 <= eps * eps
+    np.fill_diagonal(hit, False)
+    core = hit.sum(1) >= min_pts
+    ci = np.flatnonzero(core)
+    lab = ids[ci].copy()
+    adj = hit[np.ix_(ci, ci)].copy()
+    np.fill_diagonal(adj, True)
+    while True:
+        new = np.where(adj, lab[None, :], np.iinfo(np.int64).max).min(1)
+        if (new == lab).all():
+            break
+        lab = new
+    rows = [(int(i), "core", int(l)) for i, l in zip(ids[ci], lab)]
+    for j in np.flatnonzero(~core):
+        cand = ci[hit[j, ci]]
+        if len(cand):
+            # nearest core, ties to the smallest core id
+            order = np.lexsort((ids[cand], d2[j, cand]))
+            k = cand[order[0]]
+            comp = int(lab[np.flatnonzero(ci == k)[0]])
+            rows.append((int(ids[j]), "border", comp))
+        else:
+            rows.append((int(ids[j]), "noise", None))
+    return (
+        pd.DataFrame(rows, columns=["event_id", "role", "cluster_id"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def _points(n: int, seed: int):
+    rng = np.random.default_rng(seed)
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    rng.shuffle(ids)
+    # a few dense pockets + a diffuse background so all three roles occur
+    centers = rng.uniform(0, 4, size=(6, 2))
+    which = rng.integers(0, 7, n)
+    lon = np.where(which < 6, centers[which % 6, 0] + rng.normal(0, 0.08, n),
+                   rng.uniform(0, 4, n))
+    lat = np.where(which < 6, centers[which % 6, 1] + rng.normal(0, 0.08, n),
+                   rng.uniform(0, 4, n))
+    return ids, lon, lat
+
+
+# two (seed, min_pts, n_shards) cells: both compare against the exact
+# brute force, so shard-count invariance (1 vs 8) is implied transitively
+# without extra pipeline executions (each run costs ~1 min of Ray stage
+# constants at the 4-CPU test session)
+@pytest.mark.parametrize("seed,min_pts,n_shards", [(7, 3, 8), (11, 5, 1)])
+def test_dbscan_matches_bruteforce(seed, min_pts, n_shards):
+    ids, lon, lat = _points(400, seed)
+    eps = 0.0625
+    ref = _brute_dbscan(ids, lon, lat, eps, min_pts)
+    assert set(ref["role"]) == {"core", "border", "noise"}, "degenerate fixture"
+    ds = rd.from_arrow(
+        pa.table({"event_id": ids, "lon": lon, "lat": lat})
+    ).repartition(5)
+    got = (
+        dbscan(ds, eps=eps, min_pts=min_pts, n_shards=n_shards)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == ref["event_id"].tolist()
+    assert got["role"].tolist() == ref["role"].tolist()
+    a = got["cluster_id"].astype("float64").to_numpy()
+    b = ref["cluster_id"].astype("float64").to_numpy()
+    assert np.array_equal(a, b, equal_nan=True)
