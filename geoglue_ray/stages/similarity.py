@@ -26,6 +26,69 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(len(batch), -1)
 
 
+def rademacher_signs(dim: int, nbits: int, seed: int = 23) -> np.ndarray:
+    """Deterministic ±1 hyperplane entries (splitmix64 bit of the plane
+    index) — the SQL-twin contract for the sign-LSH family: the SAME
+    Python call generates the engine's planes and the literal ± terms in
+    the oracle's projection chains (oracles.embed_knn_lsh /
+    embed_neardup), so nothing RNG-stateful crosses the engine/SQL
+    boundary.  Rademacher planes are a standard sign-random-projection
+    family (the hyperplane LSH guarantee needs only symmetric
+    zero-mean entries)."""
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the point
+        idx = (
+            np.arange(dim * nbits, dtype=np.uint64)
+            + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+        )
+        z = (idx + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return np.where(z & np.uint64(1), 1.0, -1.0).reshape(dim, nbits)
+
+
+def _chain_project(mat: np.ndarray, signs: np.ndarray) -> np.ndarray:
+    """Left-to-right ordered projection ``acc_j = ((s_0j*x_0) + s_1j*x_1)
+    + ...`` — bit-identical to the left-associative SQL sum chain (numpy
+    matmul's pairwise summation is NOT).  64 vectorized adds, not a
+    per-row loop."""
+    acc = np.zeros((mat.shape[0], signs.shape[1]))
+    for d in range(mat.shape[1]):
+        acc += mat[:, d : d + 1] * signs[d][None, :]
+    return acc
+
+
+def chain_bucket(mat_raw: np.ndarray, signs: np.ndarray) -> np.ndarray:
+    """Sign-LSH bucket from the RAW (unnormalized) float64 matrix.  Raw
+    on purpose: sign(sum ±x_d) is scale-invariant mathematically but NOT
+    in float once x is divided by its norm — bucketing before any
+    normalization keeps the SQL twin bit-exact."""
+    bits = _chain_project(mat_raw, signs) > 0
+    return bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
+
+
+def _chain_norm(mat: np.ndarray) -> np.ndarray:
+    """sqrt of the left-to-right sum of squares (one correctly-rounded
+    sqrt — SQL-mirrorable, unlike np.linalg.norm's pairwise sum)."""
+    acc = np.zeros(mat.shape[0])
+    for d in range(mat.shape[1]):
+        acc += mat[:, d] * mat[:, d]
+    return np.sqrt(acc)
+
+
+def _chain_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    acc = np.zeros(a.shape[0])
+    for d in range(a.shape[1]):
+        acc += a[:, d] * b[:, d]
+    return acc
+
+
+def chain_cosine(a: np.ndarray, b: np.ndarray, na: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """cosine = chain_dot / (na * nb): every op a single IEEE instruction
+    mirrored term-for-term by the generated SQL expression, so a
+    threshold test on the result is bit-exact across engines."""
+    return _chain_dot(a, b) / (na * nb)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -154,18 +217,6 @@ def _global_topk(local: rd.Dataset, k: int, n_shards: int = 64) -> rd.Dataset:
     )
 
 
-class HyperplaneLSH:
-    """Random-hyperplane signatures: ``nbits`` sign bits -> int64 bucket."""
-
-    def __init__(self, dim: int, nbits: int = 12, seed: int = 11):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, nbits))
-
-    def bucket(self, mat: np.ndarray) -> np.ndarray:
-        bits = (mat @ self.planes) > 0
-        return bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
-
-
 def _hamming_ball(b: int, nbits: int, radius: int) -> set[int]:
     out = {b}
     frontier = {b}
@@ -185,32 +236,37 @@ def knn_lsh(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> rd.Dataset:
-    """Approximate top-k: bucket by hyperplane signature, exact search within
-    the query's bucket plus all Hamming<=``probe_hamming`` probes
-    (multi-probe LSH).  Recall/pruning trade off via (nbits, probe_hamming);
-    the defaults are tuned for weakly-structured embeddings — clustered
-    corpora can raise nbits substantially (tested in test_training_ops)."""
+    """Approximate top-k: bucket by deterministic Rademacher sign-LSH
+    signature, exact search within the query's bucket plus all
+    Hamming<=``probe_hamming`` probes (multi-probe LSH).  Recall/pruning
+    trade off via (nbits, probe_hamming); the defaults are tuned for
+    weakly-structured embeddings — clustered corpora can raise nbits
+    substantially (tested in test_training_ops).  Buckets are computed
+    from the RAW vectors via the ordered projection chain, so the bucket
+    ids (and hence the candidate set) are bit-identical to the SQL twin
+    (oracles.embed_knn_lsh); only the final cosine RANKING crosses
+    engines as a float comparison (the embed_knn rank-only contract)."""
     first = ds.take(1)[0]
     dim = len(first[emb_col])
-    lsh = HyperplaneLSH(dim, nbits)
+    signs = rademacher_signs(dim, nbits)
     qtab = ds.map_batches(
         lambda b: b.filter(pa.compute.is_in(b[id_col], value_set=pa.array(query_ids))),
         batch_format="pyarrow",
     ).take_all()
     qids = np.array([r[id_col] for r in qtab])
-    qmat = _normalize(np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in qtab]))
-    qbuckets = lsh.bucket(qmat)
+    qraw = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in qtab])
+    qbuckets = chain_bucket(qraw, signs)
+    qmat = _normalize(qraw)
     accept = set().union(
         *[_hamming_ball(int(b), nbits, probe_hamming) for b in qbuckets]
     )
-    lsh_ref = ray.put(lsh)
+    signs_ref = ray.put(signs)
     accept_ref = ray.put(accept)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        l = ray.get(lsh_ref)
+        s = ray.get(signs_ref)
         acc = ray.get(accept_ref)
-        mat = _normalize(_emb_matrix(batch, emb_col))
-        bk = l.bucket(mat)
+        bk = chain_bucket(_emb_matrix(batch, emb_col), s)
         mask = np.isin(bk, np.fromiter(acc, dtype=np.int64))
         return batch.filter(pa.array(mask)).append_column(
             "bucket", pa.array(bk[mask])
@@ -325,6 +381,7 @@ def knn_ivf(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     concurrency=(1, 4),
+    quantizer: str = "kmeans",
 ) -> rd.Dataset:
     """Approximate top-k via an inverted-file (IVF) coarse quantizer.
 
@@ -338,10 +395,30 @@ def knn_ivf(
     corpora small nprobe/nlist gives high recall at ~nprobe/nlist of
     brute-force work (tested); on unstructured embeddings recall tends
     to nprobe/nlist, hence the generous defaults for the near-random
-    fixture corpus (driver-gated by ``embed_ivf_recall``)."""
-    sample = ds.limit(sample_size).to_pandas()
-    smat = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
-    cent = _spherical_kmeans(smat, nlist)
+    fixture corpus (driver-gated by ``embed_ivf_recall``).
+
+    ``quantizer="head"`` replaces the k-means training with a FIXED
+    coarse quantizer — the ``nlist`` lowest-id vectors themselves (the
+    FAISS pattern of supplying a pre-trained quantizer): every index
+    decision (assignment argmax, probe ranking) is then a pure cosine
+    ORDER over table rows, which a SQL twin can replicate row-for-row
+    (oracles.embed_knn_ivf) — k-means' iterative float averaging is
+    not SQL-expressible."""
+    if quantizer == "head":
+        head = ds.map_batches(
+            lambda b: b.filter(
+                pa.compute.less(b[id_col], pa.scalar(nlist))
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        head.sort(key=lambda r: r[id_col])
+        cent = _normalize(
+            np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in head])
+        )
+    else:
+        sample = ds.limit(sample_size).to_pandas()
+        smat = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+        cent = _spherical_kmeans(smat, nlist)
 
     qtab = ds.map_batches(
         lambda b: b.filter(pa.compute.is_in(b[id_col], value_set=pa.array(query_ids))),
@@ -351,7 +428,13 @@ def knn_ivf(
     qmat = _normalize(np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in qtab]))
     nprobe = min(nprobe, len(cent))
     qsims = qmat @ cent.T
-    probes = np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe].astype(np.int64)
+    # deterministic probe set: full (sim desc, centroid asc) order — an
+    # argpartition boundary tie would be resolved arbitrarily and the
+    # SQL twin could not mirror it
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(cent.shape[0]), qsims.shape), -qsims), axis=1
+    )
+    probes = order[:, :nprobe].astype(np.int64)
 
     local = ds.map_batches(
         IVFTopK,
@@ -380,8 +463,13 @@ def embedding_neardup(
     n_shards: int = 256,
 ) -> rd.Dataset:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed blocking:
-    bucket by hyperplane signature, exact pairwise cosine within buckets
-    (near-identical vectors collide w.h.p.), canonical (a < b) pairs.
+    bucket by deterministic Rademacher sign signature, exact pairwise
+    cosine within buckets (near-identical vectors collide w.h.p.),
+    canonical (a < b) pairs.  Buckets AND cosines use the ordered
+    projection / dot chains (:func:`chain_bucket`,
+    :func:`chain_cosine`), so for a fixed ``nbits`` the full output —
+    pair set, threshold verdicts, the float cosine column itself — is
+    bit-identical to the generated SQL twin (oracles.embed_neardup).
 
     Scale behaviour (derived, not fixed — the LSH banding-from-threshold
     lesson): when ``nbits`` is None it is sized from the corpus count so
@@ -410,30 +498,32 @@ def embedding_neardup(
         nbits = int(np.clip(np.ceil(np.log2(max(n, 2) / target_bucket_rows)), 4, 24))
     if split_above is None:
         split_above = 32 * target_bucket_rows
-    lsh_ref = ray.put(HyperplaneLSH(dim, nbits, seed=23))
+    signs_ref = ray.put(rademacher_signs(dim, nbits, seed=23))
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        l = ray.get(lsh_ref)
-        mat = _normalize(_emb_matrix(batch, emb_col))
-        bk = l.bucket(mat)
+        s = ray.get(signs_ref)
+        bk = chain_bucket(_emb_matrix(batch, emb_col), s)
         batch = batch.append_column("bucket", pa.array(bk))
         return batch.append_column(
             "shard", pa.array(_shard_of(np.zeros(len(bk), dtype=np.int64), bk, n_shards))
         )
 
-    def _split_run(ids, mat, bucket_val):
+    def _split_run(ids, mat, norms, bucket_val):
         """Second-level split of one oversized bucket: extra sign bits
         sized to target occupancy, deterministic per bucket; within-run
-        pairs only (skipped cross-pairs logged on the counters actor)."""
+        pairs only (skipped cross-pairs logged on the counters actor).
+        This skew path keeps RNG sub-planes — it only triggers above
+        ``split_above`` rows per bucket, which the SQL-twin fixture never
+        reaches (the skip counter makes any capped work visible)."""
         n = len(ids)
         extra = max(1, int(np.ceil(np.log2(n / target_bucket_rows))))
         rng = np.random.default_rng((23, int(bucket_val) & 0x7FFFFFFF))
         planes = rng.standard_normal((mat.shape[1], extra))
         sub = ((mat @ planes) > 0) @ (1 << np.arange(extra, dtype=np.int64))
         o2 = np.argsort(sub, kind="stable")  # id order preserved per sub
-        sub_s, ids, mat = sub[o2], ids[o2], mat[o2]
+        sub_s, ids, mat, norms = sub[o2], ids[o2], mat[o2], norms[o2]
         ia, ib = _run_pairs(sub_s)
-        s = np.einsum("ij,ij->i", mat[ia], mat[ib])
+        s = chain_cosine(mat[ia], mat[ib], norms[ia], norms[ib])
         bump("embed_neardup_split_buckets", 1)
         bump("embed_neardup_pairs_skipped", n * (n - 1) // 2 - len(ia))
         return ids[ia], ids[ib], s
@@ -458,7 +548,8 @@ def embedding_neardup(
         buckets = g["bucket"].to_numpy()
         order = np.lexsort((ids, buckets))  # ids ascending within bucket
         ids, buckets = ids[order], buckets[order]
-        mat = _normalize(np.stack(g[emb_col].to_numpy()[order]).astype(np.float64))
+        mat = np.stack(g[emb_col].to_numpy()[order]).astype(np.float64)
+        norms = _chain_norm(mat)
         boundary = np.concatenate(([True], buckets[1:] != buckets[:-1]))
         starts = np.nonzero(boundary)[0]
         lengths = np.diff(np.concatenate([starts, [len(ids)]]))
@@ -472,7 +563,10 @@ def embedding_neardup(
                 s0, L = starts[r], lengths[r]
                 key[s0 : s0 + L] = -(np.arange(L) + s0 + 1)
                 a, b, s = _split_run(
-                    ids[s0 : s0 + L], mat[s0 : s0 + L], buckets[s0]
+                    ids[s0 : s0 + L],
+                    mat[s0 : s0 + L],
+                    norms[s0 : s0 + L],
+                    buckets[s0],
                 )
                 out_a.append(a)
                 out_b.append(b)
@@ -481,7 +575,7 @@ def embedding_neardup(
         if len(ia):
             out_a.append(ids[ia])
             out_b.append(ids[ib])
-            out_s.append(np.einsum("ij,ij->i", mat[ia], mat[ib]))
+            out_s.append(chain_cosine(mat[ia], mat[ib], norms[ia], norms[ib]))
         if not out_a:
             return _empty()
         a = np.concatenate(out_a)

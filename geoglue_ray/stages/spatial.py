@@ -726,6 +726,185 @@ def ripley_k(
     )
 
 
+def knox_counts(
+    ds: rd.Dataset,
+    eps: float = 0.03125,
+    tau_us: int = 2 * 3_600_000_000,
+    id_col: str = "event_id",
+    n_shards: int = 64,
+) -> pa.Table:
+    """Knox space-time interaction statistic over a point-event table —
+    the epidemiological clustering test (are events close in space ALSO
+    close in time?).  Exact integer pair counts:
+
+    - ``pairs_space``: unordered pairs with planar d <= eps (grid-bucket
+      ring co-shuffle, cell size == eps, each pair counted once from the
+      smaller id's own-cell row — the ripley_k topology),
+    - ``pairs_time``: unordered pairs with \\|dt\\| <= tau (the SAME
+      exactly-once trick in 1D: time buckets of width tau, ring +-1),
+    - ``pairs_st``: both, counted inside the spatial pass (ts rides the
+      spatial co-shuffle),
+    - ``knox_ratio = pairs_st / (pairs_space * pairs_time / C(n,2))``,
+      evaluated as the single division CAST(st * total) / CAST(S * T) so
+      the SQL twin is bit-exact (expected_st is one more single
+      division).
+
+    Shuffle payload is the bucketed point table (x9 spatial / x3
+    temporal replicas); the driver only holds per-task integer partials
+    (<= 2 x n_shards tiny rows).  int64 products hold to ~10^9 close
+    pairs x C(n,2) ~ 10^9 — beyond that switch the two ratio products to
+    Python ints driver-side (the partials stay int64)."""
+    inv = 1.0 / eps  # power-of-two eps: exact
+
+    def prep_space(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        ts = b["ts_us"].to_numpy().astype(np.int64)
+        cx = np.floor(lon * inv).astype(np.int64)
+        cy = np.floor(lat * inv).astype(np.int64)
+        n = len(ids)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                own = dx == 0 and dy == 0
+                cell = (cx + dx) * np.int64(1 << 21) + (cy + dy)
+                parts.append(
+                    pa.table(
+                        {
+                            "_cell": pa.array(cell),
+                            "_id": pa.array(ids),
+                            "lon": pa.array(lon),
+                            "lat": pa.array(lat),
+                            "_ts": pa.array(ts),
+                            "_own": pa.array(np.full(n, own)),
+                        }
+                    )
+                )
+        out = pa.concat_tables(parts)
+        shard = (
+            (out["_cell"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return out.append_column("_s", pa.array(shard))
+
+    def prep_time(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        ts = b["ts_us"].to_numpy().astype(np.int64)
+        tb = ts // np.int64(tau_us)
+        n = len(ids)
+        parts = []
+        for d in (-1, 0, 1):
+            parts.append(
+                pa.table(
+                    {
+                        "_cell": pa.array(tb + d),
+                        "_id": pa.array(ids),
+                        "_ts": pa.array(ts),
+                        "_own": pa.array(np.full(n, d == 0)),
+                    }
+                )
+            )
+        out = pa.concat_tables(parts)
+        shard = (
+            (out["_cell"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return out.append_column("_s", pa.array(shard))
+
+    CHUNK = 1024
+    r2 = eps * eps
+
+    def _partial(space: bool):
+        def count(g) -> pa.Table:
+            empty = pa.table(
+                {
+                    "pairs": pa.array([], pa.int64()),
+                    "pairs_st": pa.array([], pa.int64()),
+                    "n_own": pa.array([], pa.int64()),
+                }
+            )
+            if len(g) == 0:
+                return empty
+            cell = g["_cell"].to_numpy().astype(np.int64)
+            ids = g["_id"].to_numpy().astype(np.int64)
+            ts = g["_ts"].to_numpy().astype(np.int64)
+            own = g["_own"].to_numpy().astype(bool)
+            if space:
+                lon = g["lon"].to_numpy()
+                lat = g["lat"].to_numpy()
+            o = np.argsort(cell, kind="stable")
+            cell, ids, ts, own = cell[o], ids[o], ts[o], own[o]
+            if space:
+                lon, lat = lon[o], lat[o]
+            starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+            ends = np.r_[starts[1:], len(cell)]
+            pairs = 0
+            pairs_st = 0
+            n_own = 0
+            for s, e in zip(starts, ends):
+                osel = own[s:e]
+                if not osel.any():
+                    continue
+                n_own += int(osel.sum())
+                oid = ids[s:e][osel]
+                ots = ts[s:e][osel]
+                if space:
+                    olon, olat = lon[s:e][osel], lat[s:e][osel]
+                for c0 in range(0, len(oid), CHUNK):
+                    sl = slice(c0, c0 + CHUNK)
+                    lower = oid[sl][:, None] < ids[s:e][None, :]
+                    dtm = np.abs(ots[sl][:, None] - ts[s:e][None, :])
+                    close_t = dtm <= tau_us
+                    if space:
+                        dxm = olon[sl][:, None] - lon[s:e][None, :]
+                        dym = olat[sl][:, None] - lat[s:e][None, :]
+                        hit = (dxm * dxm + dym * dym <= r2) & lower
+                        pairs += int(hit.sum())
+                        pairs_st += int((hit & close_t).sum())
+                    else:
+                        pairs += int((close_t & lower).sum())
+            return pa.table(
+                {
+                    "pairs": pa.array([np.int64(pairs)]),
+                    "pairs_st": pa.array([np.int64(pairs_st)]),
+                    "n_own": pa.array([np.int64(n_own)]),
+                }
+            )
+
+        return count
+
+    sp = (
+        ds.map_batches(prep_space, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(_partial(True), batch_format="pandas")
+        .take_all()
+    )
+    tm = (
+        ds.map_batches(prep_time, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(_partial(False), batch_format="pandas")
+        .take_all()
+    )
+    pairs_space = sum(int(r["pairs"]) for r in sp)
+    pairs_st = sum(int(r["pairs_st"]) for r in sp)
+    pairs_time = sum(int(r["pairs"]) for r in tm)
+    n = sum(int(r["n_own"]) for r in sp)
+    total = n * (n - 1) // 2
+    expected = np.float64(pairs_space * pairs_time) / np.float64(total)
+    ratio = np.float64(pairs_st * total) / np.float64(pairs_space * pairs_time)
+    return pa.table(
+        {
+            "n_events": pa.array([np.int64(n)]),
+            "pairs_space": pa.array([np.int64(pairs_space)]),
+            "pairs_time": pa.array([np.int64(pairs_time)]),
+            "pairs_st": pa.array([np.int64(pairs_st)]),
+            "expected_st": pa.array([expected]),
+            "knox_ratio": pa.array([ratio]),
+        }
+    )
+
+
 def spatial_join(
     ds: rd.Dataset,
     index: AdminIndex | None = None,

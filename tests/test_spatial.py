@@ -1,4 +1,4 @@
-"""Brute-force equivalence tests for stages/spatial.dbscan."""
+"""Brute-force equivalence tests for stages/spatial.dbscan and knox_counts."""
 
 from __future__ import annotations
 
@@ -82,3 +82,35 @@ def test_dbscan_matches_bruteforce(seed, min_pts, n_shards):
     a = got["cluster_id"].astype("float64").to_numpy()
     b = ref["cluster_id"].astype("float64").to_numpy()
     assert np.array_equal(a, b, equal_nan=True)
+
+
+def test_knox_counts_matches_bruteforce():
+    from geoglue_ray.stages.spatial import knox_counts
+
+    rng = np.random.default_rng(19)
+    n = 300
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    lon = rng.uniform(0, 2, n)
+    lat = rng.uniform(0, 2, n)
+    ts = rng.integers(0, 100 * 3_600_000_000, n)  # 100 h span, us
+    eps, tau = 0.25, 5 * 3_600_000_000
+
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    dt = np.abs(ts[:, None] - ts[None, :])
+    upper = ids[:, None] < ids[None, :]
+    S = int(((d2 <= eps * eps) & upper).sum())
+    T = int(((dt <= tau) & upper).sum())
+    ST = int(((d2 <= eps * eps) & (dt <= tau) & upper).sum())
+    assert S > 0 and T > 0 and ST > 0, "degenerate fixture"
+
+    ds = rd.from_arrow(
+        pa.table({"event_id": ids, "lon": lon, "lat": lat, "ts_us": ts})
+    ).repartition(4)
+    got = knox_counts(ds, eps=eps, tau_us=tau, n_shards=8).to_pandas()
+    assert got["n_events"][0] == n
+    assert got["pairs_space"][0] == S
+    assert got["pairs_time"][0] == T
+    assert got["pairs_st"][0] == ST
+    total = n * (n - 1) // 2
+    assert got["expected_st"][0] == np.float64(S * T) / np.float64(total)
+    assert got["knox_ratio"][0] == np.float64(ST * total) / np.float64(S * T)

@@ -373,7 +373,13 @@ def test_embed_neardup_shard_keying_preserves_pairs():
     import pyarrow as pa
     import ray.data as rd
 
-    from geoglue_ray.stages.similarity import HyperplaneLSH, _normalize, embedding_neardup
+    from geoglue_ray.stages.similarity import (
+        _chain_norm,
+        chain_bucket,
+        chain_cosine,
+        embedding_neardup,
+        rademacher_signs,
+    )
 
     rng = np.random.default_rng(17)
     base = rng.standard_normal((600, 16))
@@ -396,15 +402,23 @@ def test_embed_neardup_shard_keying_preserves_pairs():
 
     # reference: per-bucket exact pairs, same arithmetic
     m32 = mat.astype(np.float32)  # engine reads float32 from the table
-    nm = _normalize(np.asarray(m32, dtype=np.float64))
-    bk = HyperplaneLSH(16, nbits, seed=23).bucket(nm)
+    raw = np.asarray(m32, dtype=np.float64)
+    norms = _chain_norm(raw)
+    bk = chain_bucket(raw, rademacher_signs(16, nbits, seed=23))
     expect = []
     for b in np.unique(bk):
         sel = np.nonzero(bk == b)[0]
         sel = sel[np.argsort(ids[sel])]
         for i in range(len(sel)):
             for j in range(i + 1, len(sel)):
-                c = float(np.einsum("i,i->", nm[sel[i]], nm[sel[j]]))
+                c = float(
+                    chain_cosine(
+                        raw[sel[i] : sel[i] + 1],
+                        raw[sel[j] : sel[j] + 1],
+                        norms[sel[i] : sel[i] + 1],
+                        norms[sel[j] : sel[j] + 1],
+                    )[0]
+                )
                 if c >= 0.98:
                     expect.append((int(ids[sel[i]]), int(ids[sel[j]])))
     assert got == sorted(expect)
