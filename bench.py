@@ -162,6 +162,15 @@ def _run_queries() -> dict:
         ("raster_moran", q.raster_moran),
         ("events_ripley", lambda sf: _as_ds(q.events_ripley(sf))),
         ("trend_admin1", q.trend_admin1),
+        # round-4 continuation: movement analytics (gaps-and-islands),
+        # space-time interaction, graph traversal, sequential statistics.
+        # events_dbscan is NOT here: at sf0.1 the diffuse points percolate
+        # into giant components and plain min-label propagation needs
+        # ~diameter rounds (see stages/spatial.dbscan docstring).
+        ("user_stops", q.user_stops),
+        ("events_knox", lambda sf: _as_ds(q.events_knox(sf))),
+        ("bfs_parts", lambda sf: _as_ds(q.bfs_parts(sf))),
+        ("raster_cusum", q.raster_cusum),
     ]
     extra_reps = int(os.environ.get("GRAFT_EXTRA_REPEATS", "2"))
     for name, fn in extra:

@@ -895,6 +895,27 @@ SELECT node AS part_key, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY 1
     )
 
 
+def bfs_parts() -> str:
+    """BFS twin: depth-guarded recursive closure with UNION dedup (the
+    accumulated (src, node, d) set is bounded by sources x nodes x
+    depth, so the CTE never path-explodes), min(d) = hop distance."""
+    return """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+srcs AS (SELECT DISTINCT src FROM e ORDER BY 1 LIMIT 4),
+reach(s, node, d) AS (
+  SELECT src, src, 0 FROM srcs
+  UNION
+  SELECT r.s, e.dst, r.d + 1
+  FROM reach r JOIN e ON e.src = r.node
+  WHERE r.d < 4)
+SELECT s AS src_id, node, CAST(min(d) AS BIGINT) AS hops
+FROM reach GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def raster_focal_mean() -> str:
     """Focal-mean twin by 3x3 lattice self-join: values are
     integer-valued doubles so the <=9-term sum is order-free exact, and
@@ -1224,6 +1245,42 @@ p AS (
 SELECT h AS lag_hours, count(*) AS n_pairs,
        CAST(SUM(d2) AS DOUBLE) / (2 * count(*)) AS gamma
 FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
+def raster_cusum() -> str:
+    """CUSUM drawup twin: running sum / row_number windows build the
+    cleared-denominator D_k (HUGEINT-safe, CAST back exact), exclusive
+    running min with LEAST(0, ...) for the empty prefix, QUALIFY
+    first-max on the (drawup DESC, hour ASC) total order."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t AS hour, r, c, CAST(value AS BIGINT) AS x
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+st AS (
+  SELECT r, c, hour,
+         CAST(count(*) OVER cw AS BIGINT) AS n,
+         SUM(x) OVER w AS s_k,
+         CAST(row_number() OVER w AS BIGINT) AS k,
+         SUM(x) OVER cw AS tot
+  FROM v
+  WINDOW w AS (PARTITION BY r, c ORDER BY hour ROWS UNBOUNDED PRECEDING),
+         cw AS (PARTITION BY r, c)),
+d AS (SELECT r, c, hour, n, CAST(n * s_k - k * tot AS BIGINT) AS dk FROM st),
+dr AS (
+  SELECT r, c, hour, n,
+         dk - LEAST(0, COALESCE(MIN(dk) OVER (
+             PARTITION BY r, c ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS dr
+  FROM d)
+SELECT CAST(r AS BIGINT) AS cell_row, CAST(c AS BIGINT) AS cell_col,
+       n AS n_obs, dr AS drawup, hour AS t_at_max
+FROM dr
+QUALIFY row_number() OVER (PARTITION BY r, c ORDER BY dr DESC, hour) = 1
+ORDER BY 1, 2
 """
 
 
@@ -1618,6 +1675,139 @@ FROM x GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _sign_chain(alias: str, signs_col) -> str:
+    """One plane's ordered projection: ``s0*e[1] + s1*e[2] + ...`` written
+    as a left-associative ±CAST chain — SQL's left-to-right evaluation is
+    bit-identical to the engine's ordered accumulation
+    (stages/similarity._chain_project); a - x IS a + (-x) in IEEE."""
+    parts = []
+    for d, s in enumerate(signs_col):
+        t = f"CAST({alias}[{d + 1}] AS DOUBLE)"
+        if d == 0:
+            parts.append(t if s > 0 else f"(- {t})")
+        else:
+            parts.append(("+ " if s > 0 else "- ") + t)
+    return " ".join(parts)
+
+
+def _bucket_expr(alias: str, signs) -> str:
+    """Sign-LSH bucket id from the RAW vector (scale-invariant signs are
+    NOT float-invariant under normalization — the engine buckets raw
+    vectors for the same reason, similarity.chain_bucket)."""
+    bits = [
+        f"(CASE WHEN ({_sign_chain(alias, signs[:, j])}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(signs.shape[1])
+    ]
+    return " + ".join(bits)
+
+
+def _normsq_chain(alias: str, dim: int) -> str:
+    return " + ".join(
+        f"CAST({alias}[{d + 1}] AS DOUBLE) * CAST({alias}[{d + 1}] AS DOUBLE)"
+        for d in range(dim)
+    )
+
+
+def _dot_chain(a: str, b: str, dim: int) -> str:
+    return " + ".join(
+        f"CAST({a}[{d + 1}] AS DOUBLE) * CAST({b}[{d + 1}] AS DOUBLE)"
+        for d in range(dim)
+    )
+
+
+_EMB_DIM = 64  # the embeddings fixture's dimensionality (TESTDATA.md)
+
+
+def embed_knn_lsh() -> str:
+    """Sign-LSH kNN twin: the bucket ids are bit-exact (Rademacher ±
+    chains over raw vectors), so candidate membership — Hamming<=2
+    multi-probe around each query's bucket, accept-set union across
+    queries, exactly the engine's pruning — is exact set equality; the
+    final top-10 is the embed_knn rank-only cosine-order contract."""
+    from geoglue_ray.stages.similarity import rademacher_signs
+
+    signs = rademacher_signs(_EMB_DIM, 4, seed=23)
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         CAST({_bucket_expr('embedding', signs)} AS BIGINT) AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb
+      FROM sig WHERE vec_id IN (0, 1, 2, 3)),
+cand AS (
+  SELECT s.vec_id, s.embedding FROM sig s
+  WHERE EXISTS (SELECT 1 FROM q WHERE bit_count(xor(s.bucket, q.qb)) <= 2))
+SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+       row_number() OVER (
+         PARTITION BY q.qid
+         ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC, c.vec_id
+       ) AS rank
+FROM q, cand c
+WHERE c.vec_id <> q.qid
+QUALIFY rank <= 10
+ORDER BY 1, 3
+"""
+
+
+def embed_knn_ivf() -> str:
+    """IVF kNN twin (head coarse quantizer = the 16 lowest-id vectors):
+    assignment and probe selection are pure cosine orders with
+    (sim DESC, centroid ASC) total order, mirroring the engine's argmax
+    / deterministic lexsort probe set; inverted-file semantics — a row
+    is a candidate for a query only via the query's 12 probed lists."""
+    return """
+WITH cents AS (SELECT vec_id AS c, embedding AS ce FROM embeddings WHERE vec_id < 16),
+asg AS (
+  SELECT v.vec_id, v.embedding, cents.c AS lst
+  FROM embeddings v, cents
+  QUALIFY row_number() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY list_cosine_similarity(v.embedding, ce) DESC, cents.c) = 1),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id IN (0, 1, 2, 3)),
+probes AS (
+  SELECT qid, cents.c FROM q, cents
+  QUALIFY row_number() OVER (
+      PARTITION BY qid
+      ORDER BY list_cosine_similarity(qe, ce) DESC, cents.c) <= 12)
+SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
+       row_number() OVER (
+         PARTITION BY q.qid
+         ORDER BY list_cosine_similarity(q.qe, a.embedding) DESC, a.vec_id
+       ) AS rank
+FROM q
+JOIN probes p ON p.qid = q.qid
+JOIN asg a ON a.lst = p.c AND a.vec_id <> q.qid
+QUALIFY rank <= 10
+ORDER BY 1, 3
+"""
+
+
+def embed_neardup() -> str:
+    """Embedding near-dup twin: bit-exact END TO END — bucket ids from
+    the ± chains, norms from the ordered square chains + one
+    correctly-rounded sqrt, pair cosine = ordered dot chain / (na*nb);
+    every term mirrors one engine IEEE op (similarity.chain_cosine), so
+    the threshold verdict AND the float cosine column hash-match."""
+    from geoglue_ray.stages.similarity import rademacher_signs
+
+    signs = rademacher_signs(_EMB_DIM, 4, seed=23)
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         CAST({_bucket_expr('embedding', signs)} AS BIGINT) AS bucket,
+         sqrt({_normsq_chain('embedding', _EMB_DIM)}) AS nrm
+  FROM embeddings)
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ({_dot_chain('a.embedding', 'b.embedding', _EMB_DIM)})
+           / (a.nrm * b.nrm) AS cosine
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE cosine >= 0.3
+ORDER BY 1, 2
+"""
+
+
 def embed_knn() -> str:
     return """
 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -1958,6 +2148,92 @@ FROM pts p
 WHERE p.n_nb < {min_pts}
   AND p.event_id NOT IN (SELECT event_id FROM bj)
 ORDER BY 1
+"""
+
+
+def user_stops() -> str:
+    """Stay-point twin: lag() step over the (ts, event_id) order, island
+    ids by cumulative break sum, centroids via the exact 2^-21 integer
+    lattice (SUM of exact int64 lattice units, one rounded division, one
+    exact power-of-two division)."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+s AS (
+  SELECT *,
+         lag(lon) OVER w AS plon,
+         lag(lat) OVER w AS plat
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+f AS (
+  SELECT *,
+         CASE WHEN plon IS NULL
+                OR (lon-plon)*(lon-plon) + (lat-plat)*(lat-plat) > 0.140625
+              THEN 1 ELSE 0 END AS brk
+  FROM s),
+g AS (
+  SELECT *,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f)
+SELECT user_id,
+       CAST(sid AS BIGINT) AS stop_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       min(ts) AS t_start,
+       max(ts) AS t_end,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell_us,
+       CAST(SUM(CAST(lon * 2097152.0 AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) / 2097152.0 AS centroid_lon,
+       CAST(SUM(CAST(lat * 2097152.0 AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) / 2097152.0 AS centroid_lat
+FROM g
+GROUP BY 1, 2
+HAVING count(*) >= 3
+ORDER BY 1, 2
+"""
+
+
+def events_knox() -> str:
+    """Knox twin: exactly-once unordered pairs via b.id > a.id, the
+    box-prefiltered spatial self-join and the banded temporal self-join;
+    integer counts, then the engine's two single divisions (expected =
+    S*T/C, ratio = st*C/(S*T)) with the int64 products cast once."""
+    eps = 0.03125
+    tau = 2 * 3_600_000_000
+    d2 = "(a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)"
+    return f"""
+WITH e AS (
+  SELECT event_id AS id,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat,
+         epoch_us(ts) AS tu
+  FROM events),
+sp AS (
+  SELECT CAST(count(*) AS BIGINT) AS pairs_space,
+         CAST(count(*) FILTER (WHERE abs(a.tu - b.tu) <= {tau}) AS BIGINT)
+           AS pairs_st
+  FROM e a JOIN e b
+    ON b.id > a.id
+   AND b.lon BETWEEN a.lon - {eps} AND a.lon + {eps}
+   AND b.lat BETWEEN a.lat - {eps} AND a.lat + {eps}
+  WHERE {d2} <= {eps} * {eps}),
+tm AS (
+  SELECT CAST(count(*) AS BIGINT) AS pairs_time
+  FROM e a JOIN e b
+    ON b.id > a.id AND b.tu BETWEEN a.tu - {tau} AND a.tu + {tau}),
+nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS total
+  FROM e)
+SELECT nn.n_events, sp.pairs_space, tm.pairs_time, sp.pairs_st,
+       CAST(sp.pairs_space * tm.pairs_time AS DOUBLE)
+         / CAST(nn.total AS DOUBLE) AS expected_st,
+       CAST(sp.pairs_st * nn.total AS DOUBLE)
+         / CAST(sp.pairs_space * tm.pairs_time AS DOUBLE) AS knox_ratio
+FROM nn, sp, tm
 """
 
 

@@ -1112,6 +1112,11 @@ def embed_knn(sf_dir: str) -> rd.Dataset:
 
 
 def embed_knn_lsh(sf_dir: str) -> rd.Dataset:
+    """Multi-probe sign-LSH approximate kNN.  Oracle-backed: buckets are
+    bit-exact across engines (deterministic Rademacher planes + ordered
+    projection chains, stages/similarity.chain_bucket), so the SQL twin
+    reproduces the exact candidate set; the final ranking is the
+    embed_knn rank-only cosine-order contract."""
     from geoglue_ray.stages.similarity import knn_lsh
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -1119,10 +1124,17 @@ def embed_knn_lsh(sf_dir: str) -> rd.Dataset:
 
 
 def embed_knn_ivf(sf_dir: str) -> rd.Dataset:
+    """IVF approximate kNN with the FIXED head coarse quantizer (the
+    nlist lowest-id vectors), so assignment and probe selection are pure
+    cosine orders a SQL twin replicates row-for-row; the k-means-trained
+    quantizer stays available as knn_ivf(quantizer="kmeans") (recall
+    behaviour tested on clustered corpora in test_training_ops)."""
     from geoglue_ray.stages.similarity import knn_ivf
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return knn_ivf(ds, query_ids=[0, 1, 2, 3], k=10).sort(["query_id", "rank"])
+    return knn_ivf(
+        ds, query_ids=[0, 1, 2, 3], k=10, quantizer="head"
+    ).sort(["query_id", "rank"])
 
 
 def embed_ivf_recall(sf_dir: str) -> rd.Dataset:
@@ -1153,8 +1165,11 @@ def embed_neardup(sf_dir: str) -> rd.Dataset:
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     # sf embeddings are near-random (top cosine ~0.37): 0.3 keeps the
-    # output non-empty while still selecting the closest pairs
-    return embedding_neardup(ds, threshold=0.3).sort(["vec_a", "vec_b"])
+    # output non-empty while still selecting the closest pairs.  nbits
+    # pinned to 4 so the SQL twin's projection chains are a fixed set
+    # (the corpus-size-derived nbits stays the library default); the
+    # cosine column itself is bit-exact (ordered dot/norm chains).
+    return embedding_neardup(ds, threshold=0.3, nbits=4).sort(["vec_a", "vec_b"])
 
 
 def media_explode(sf_dir: str) -> rd.Dataset:
@@ -1696,6 +1711,136 @@ def events_dbscan(sf_dir: str) -> rd.Dataset:
 
     ds = ds.map_batches(derive, batch_format="pyarrow")
     return dbscan(ds, eps=0.0625, min_pts=2).sort("event_id")
+
+
+def user_stops(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Trajectory stop detection (stay-points): per user, maximal runs of
+    CONSECUTIVE events whose step distance stays within 3/8 deg, kept
+    when the run has >= 3 points — the movement-analytics "dwell"
+    operator downstream of user_trajectories.  Gaps-and-islands on the
+    (ts, event_id) total order: user-hash co-location, one lexsort +
+    boundary cumsum + reduceat pass per shard.  Exactness: the step test
+    compares SQUARED distance to the dyadic 9/64 (no sqrt); stop
+    centroids go through the exact integer lattice (every fixture lon/lat
+    is a multiple of 2^-21, so lon*2^21 is an exact int64, summed then
+    divided once) — all mirrored by the SQL window twin."""
+    import pandas as pd
+
+    R2 = 0.140625  # (3/8)^2, exact dyadic
+    SCALE = 2097152.0  # 2^21: every fixture coordinate is a multiple of 2^-21
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "_us": pa.array(shard),
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    def stops(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "stop_id": pa.array([], pa.int64()),
+                "n_points": pa.array([], pa.int64()),
+                "t_start": pa.array([], pa.timestamp("us")),
+                "t_end": pa.array([], pa.timestamp("us")),
+                "dwell_us": pa.array([], pa.int64()),
+                "centroid_lon": pa.array([], pa.float64()),
+                "centroid_lat": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        o = np.lexsort((eid, t, uid))
+        uid, lon, lat, t = uid[o], lon[o], lat[o], t[o]
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        step2 = np.zeros(len(uid))
+        dx = lon[1:] - lon[:-1]
+        dy = lat[1:] - lat[:-1]
+        step2[1:] = dx * dx + dy * dy
+        brk = first | (step2 > R2)
+        sid = np.cumsum(brk)  # global island counter within the shard
+        ustarts = np.flatnonzero(first)
+        urun = np.cumsum(first) - 1
+        stop_id = sid - sid[ustarts[urun]] + 1  # per-user 1-based numbering
+        bs = np.flatnonzero(brk)
+        be = np.r_[bs[1:], len(uid)]
+        npts = be - bs
+        ulon = (lon * SCALE).astype(np.int64)  # exact lattice units
+        ulat = (lat * SCALE).astype(np.int64)
+        su = np.add.reduceat(ulon, bs)
+        sv = np.add.reduceat(ulat, bs)
+        keep = npts >= 3
+        if not keep.any():
+            return empty
+        nk = npts[keep].astype(np.float64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[bs][keep]),
+                "stop_id": pa.array(stop_id[bs][keep]),
+                "n_points": pa.array(npts[keep].astype(np.int64)),
+                "t_start": pa.array(t[bs][keep].astype("datetime64[us]")),
+                "t_end": pa.array(t[be - 1][keep].astype("datetime64[us]")),
+                "dwell_us": pa.array(t[be - 1][keep] - t[bs][keep]),
+                "centroid_lon": pa.array(su[keep].astype(np.float64) / nk / SCALE),
+                "centroid_lat": pa.array(sv[keep].astype(np.float64) / nk / SCALE),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_us")
+        .map_groups(stops, batch_format="pandas")
+        .sort(["user_id", "stop_id"])
+    )
+
+
+def events_knox(sf_dir: str) -> pa.Table:
+    """Knox space-time interaction test over the observation points —
+    do spatially close events also cluster in time (the epidemiological
+    outbreak-detection statistic): exact counts of unordered pairs close
+    in space (d <= 1/32 deg), close in time (|dt| <= 2 h), and both,
+    with the expected both-count under independence and the Knox ratio
+    (stages/spatial.knox_counts: grid-bucket + time-bucket exactly-once
+    pair counting, integer partials, two single divisions).  Bit-exact
+    vs the SQL self-join twin."""
+    from geoglue_ray.stages.spatial import knox_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        lon, lat = fx.derive_lonlat(ids)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "ts_us": pa.array(b["ts"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    return knox_counts(ds, eps=0.03125, tau_us=2 * 3_600_000_000)
 
 
 def events_ripley(sf_dir: str) -> pa.Table:
@@ -2527,6 +2672,28 @@ def pagerank_parts(sf_dir: str) -> pa.Table:
     return t.rename_columns(["part_key", "rank"])
 
 
+def bfs_parts(sf_dir: str) -> pa.Table:
+    """Multi-source BFS hop distances (capped at 4) over the symmetric
+    part co-purchase graph, from the 4 smallest part ids — the graph
+    TRAVERSAL operator alongside pagerank (value propagation) and
+    triangle counting (pattern matching).  stages/graph.bfs_hops:
+    bounded rounds, per-round broadcast of the node-cardinality hop
+    matrix, edges streamed and never collected.  Bit-exact vs the
+    depth-guarded recursive-CTE twin."""
+    from geoglue_ray.stages.graph import basket_edges, bfs_hops
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    t = bfs_hops(basket_edges(li, "l_orderkey", "l_partkey"), n_sources=4, max_hops=4)
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        t, sort_keys=[("src_id", "ascending"), ("node", "ascending")]
+    )
+    return t.take(idx)
+
+
 def raster_focal_mean(sf_dir: str) -> rd.Dataset:
     """3x3 focal (moving-window) mean over two days of the hourly raster
     — the stencil operator: row-band x hour-chunk partitioning with a
@@ -2783,6 +2950,22 @@ def raster_mannkendall(sf_dir: str) -> rd.Dataset:
     from geoglue_ray.stages.stencil import mann_kendall
 
     return mann_kendall(read_raster(n_days=2), variable="t2m").sort(
+        ["cell_row", "cell_col"]
+    )
+
+
+def raster_cusum(sf_dir: str) -> rd.Dataset:
+    """CUSUM max-drawup change-point statistic per raster cell over two
+    days of hourly t2m — when did the series shift upward
+    (stages/stencil.cusum_drawup): cleared-denominator prefix deviations
+    D_k = n*S_k - k*Tot in pure int64, running-min-with-resets vectorized
+    by ragged-to-dense padding + one np.minimum.accumulate per task,
+    FIRST hour attaining the max.  Bit-exact vs the window-function SQL
+    twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import cusum_drawup
+
+    return cusum_drawup(read_raster(n_days=2), variable="t2m").sort(
         ["cell_row", "cell_col"]
     )
 

@@ -237,6 +237,144 @@ def pagerank_fixedpoint(
     return pa.table({"node": pa.array(nodes), "rank": pa.array(rank)})
 
 
+def bfs_hops(
+    edges: rd.Dataset,
+    n_sources: int = 4,
+    max_hops: int = 4,
+    n_merge: int = 32,
+) -> pa.Table:
+    """Multi-source BFS hop distances over distinct directed ``(src,
+    dst)`` edges, capped at ``max_hops`` — the graph-TRAVERSAL operator
+    (pagerank = iterative value propagation, triangle_counts = pattern
+    counting; this is frontier expansion).  Sources are the ``n_sources``
+    smallest node ids (deterministic, SQL-selectable).
+
+    Per round the driver broadcasts the (sources x nodes) hop matrix
+    (node-cardinality state, the pagerank rule) and the edge set streams
+    once through ``map_batches``: each batch emits the distinct (source,
+    dst) pairs newly reachable from its frontier rows, a fixed-shard
+    merge dedupes, and the driver stamps still-unreached entries.  Rounds
+    are BOUNDED by ``max_hops`` (never run BFS to convergence on an
+    unknown graph at scale); edges are never collected.  Output: one row
+    per (src_id, node) reached within the cap, hops = the true minimum
+    (a node is stamped in the first round that reaches it)."""
+    import pandas as pd
+
+    edges = edges.materialize()  # one pass per round + the node scan
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {"_m": pa.array([], pa.int64()), "node": pa.array([], pa.int64())}
+            )
+        src = np.unique(b["src"].to_numpy().astype(np.int64))
+        return pa.table(
+            {
+                "_m": pa.array(
+                    (int_hash64(src) % np.uint64(n_merge)).astype(np.int64)
+                ),
+                "node": pa.array(src),
+            }
+        )
+
+    def node_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": np.unique(g["node"].to_numpy().astype(np.int64))}
+        )
+
+    nodes = np.sort(
+        edges.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("_m")
+        .map_groups(node_merge, batch_format="pandas")
+        .to_pandas()["node"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    assert len(nodes) and 0 <= nodes[0] and nodes[-1] < (1 << 40), (
+        "packed (source, node) dedup key assumes non-negative node ids < 2^40"
+    )
+    sources = nodes[:n_sources]
+    hops = np.full((len(sources), len(nodes)), -1, dtype=np.int64)
+    hops[np.arange(len(sources)), np.searchsorted(nodes, sources)] = 0
+
+    def _empty_pairs() -> pa.Table:
+        return pa.table(
+            {
+                "_m": pa.array([], pa.int64()),
+                "si": pa.array([], pa.int64()),
+                "node": pa.array([], pa.int64()),
+            }
+        )
+
+    for r in range(max_hops):
+        state_ref = ray.put({"nodes": nodes, "frontier": hops == r})
+
+        def reach_partial(b: pa.Table, *, ref=state_ref) -> pa.Table:
+            if len(b) == 0:
+                return _empty_pairs()
+            st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            src = b["src"].to_numpy().astype(np.int64)
+            dst = b["dst"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(st["nodes"], src)
+            out_si, out_nd = [], []
+            for si in range(st["frontier"].shape[0]):
+                sel = st["frontier"][si][pos]
+                if sel.any():
+                    out_si.append(np.full(int(sel.sum()), si, dtype=np.int64))
+                    out_nd.append(dst[sel])
+            if not out_si:
+                return _empty_pairs()
+            si = np.concatenate(out_si)
+            nd = np.concatenate(out_nd)
+            key = si * np.int64(1 << 40) + nd  # distinct within batch
+            key = np.unique(key)
+            si, nd = key >> np.int64(40), key & np.int64((1 << 40) - 1)
+            return pa.table(
+                {
+                    "_m": pa.array(
+                        (int_hash64(nd) % np.uint64(n_merge)).astype(np.int64)
+                    ),
+                    "si": pa.array(si),
+                    "node": pa.array(nd),
+                }
+            )
+
+        def pair_merge(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0:
+                return pd.DataFrame(
+                    {"si": np.array([], np.int64), "node": np.array([], np.int64)}
+                )
+            key = g["si"].to_numpy().astype(np.int64) * np.int64(
+                1 << 40
+            ) + g["node"].to_numpy().astype(np.int64)
+            key = np.unique(key)
+            return pd.DataFrame(
+                {"si": key >> np.int64(40), "node": key & np.int64((1 << 40) - 1)}
+            )
+
+        reached = (
+            edges.map_batches(reach_partial, batch_format="pyarrow")
+            .groupby("_m")
+            .map_groups(pair_merge, batch_format="pandas")
+            .to_pandas()
+        )
+        if len(reached) == 0:
+            break
+        si = reached["si"].to_numpy().astype(np.int64)
+        ni = np.searchsorted(nodes, reached["node"].to_numpy().astype(np.int64))
+        fresh = hops[si, ni] == -1
+        hops[si[fresh], ni[fresh]] = r + 1
+
+    sidx, nidx = np.nonzero(hops >= 0)
+    return pa.table(
+        {
+            "src_id": pa.array(sources[sidx]),
+            "node": pa.array(nodes[nidx]),
+            "hops": pa.array(hops[sidx, nidx]),
+        }
+    )
+
+
 def triangle_counts(
     edges: rd.Dataset,
     n_shards: int = 64,

@@ -362,6 +362,186 @@ def radius_nn_lookup(
     return both.groupby("_s").map_groups(resolve, batch_format="pandas")
 
 
+def _minid_labels(node_ids: np.ndarray, ea: np.ndarray, eb: np.ndarray):
+    """Union-find (path halving) -> min-id component label per node.
+    ``node_ids`` need not be sorted; edges reference ids in the set."""
+    order = np.argsort(node_ids)
+    nodes = node_ids[order]  # sorted: smaller index == smaller id
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for x, y in zip(
+        np.searchsorted(nodes, ea), np.searchsorted(nodes, eb)
+    ):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx  # root stays the smallest index = smallest id
+            else:
+                parent[rx] = ry
+    lab = nodes[[find(i) for i in range(len(nodes))]]
+    return nodes, lab
+
+
+def spatial_components(
+    cores: rd.Dataset,
+    edges: rd.Dataset,
+    id_col: str,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Connected components of a SPATIAL proximity graph -> ``(doc_id,
+    cluster_id)`` with min-id labels, in O(1) propagation rounds — the
+    scale path for percolated components whose graph diameter makes
+    plain min-label propagation (rounds ~ diameter,
+    stages/dedup.duplicate_clusters) unusable: a 10-degree-wide
+    percolated region at eps = 1/16 has diameter ~160.
+
+    Tile contraction: nodes and INTRA-tile edges co-shuffle on
+    ``hash(tile)`` (``cores`` carries a ``tile`` column; ``edges`` carry
+    ``ta``/``tb``); each task solves its tiles exactly with union-find
+    (one O(E a) pass, no rounds).  CROSS-tile edges are rewritten to
+    their endpoints' local labels via two co-shuffled hash equijoins;
+    the resulting QUOTIENT graph is tile-boundary-cardinality (not
+    point-cardinality) and is finished in one driver step, then the
+    root relabeling broadcasts back through the mapping.  Partitioning
+    assumption (documented per the custom-operator rule): the deduped
+    quotient edge set fits one task — it scales with the number of
+    adjacent-tile component pairs, not with points; planet-scale inputs
+    add a second contraction level before the driver step."""
+    import pandas as pd
+
+    from geoglue_ray.stages.join import hash_equijoin
+
+    def tag_nodes(b: pa.Table) -> pa.Table:
+        t = b["tile"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "_ts": pa.array(
+                    (
+                        (t.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+                        % np.uint64(n_shards)
+                    ).astype(np.int64)
+                ),
+                "a": b[id_col],
+                "b": pa.array(np.full(len(b), -1, dtype=np.int64)),
+            }
+        )
+
+    def tag_intra(b: pa.Table) -> pa.Table:
+        ta = b["ta"].to_numpy().astype(np.int64)
+        same = ta == b["tb"].to_numpy().astype(np.int64)
+        b = b.filter(pa.array(same))
+        ta = ta[same]
+        return pa.table(
+            {
+                "_ts": pa.array(
+                    (
+                        (ta.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+                        % np.uint64(n_shards)
+                    ).astype(np.int64)
+                ),
+                "a": b["doc_a"],
+                "b": b["doc_b"],
+            }
+        )
+
+    def local(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()), "r": pa.array([], pa.int64())}
+        )
+        if len(g) == 0:
+            return empty
+        a = g["a"].to_numpy().astype(np.int64)
+        b = g["b"].to_numpy().astype(np.int64)
+        is_node = b == -1
+        nodes = a[is_node]
+        if len(nodes) == 0:
+            return empty
+        nodes_s, lab = _minid_labels(nodes, a[~is_node], b[~is_node])
+        return pa.table({"node": pa.array(nodes_s), "r": pa.array(lab)})
+
+    mapping = (
+        cores.map_batches(tag_nodes, batch_format="pyarrow")
+        .union(edges.map_batches(tag_intra, batch_format="pyarrow"))
+        .groupby("_ts")
+        .map_groups(local, batch_format="pandas")
+        .materialize()  # consumed by two joins + the final relabel
+    )
+
+    def only_cross(b: pa.Table) -> pa.Table:
+        keep = b["ta"].to_numpy().astype(np.int64) != b["tb"].to_numpy().astype(
+            np.int64
+        )
+        return b.filter(pa.array(keep)).select(["doc_a", "doc_b"])
+
+    cross = edges.map_batches(only_cross, batch_format="pyarrow")
+    j1 = hash_equijoin(
+        cross,
+        mapping.map_batches(
+            lambda b: pa.table({"na": b["node"], "ra": b["r"]}),
+            batch_format="pyarrow",
+        ),
+        "doc_a",
+        "na",
+    ).map_batches(
+        # explicit typed projection: select_columns' Project is not
+        # reflected by Dataset.schema() here, and the downstream join
+        # captures its left column list from that schema
+        lambda b: pa.table({"ra": b["ra"], "doc_b": b["doc_b"]}),
+        batch_format="pyarrow",
+    )
+    j2 = hash_equijoin(
+        j1,
+        mapping.map_batches(
+            lambda b: pa.table({"nb": b["node"], "rb": b["r"]}),
+            batch_format="pyarrow",
+        ),
+        "doc_b",
+        "nb",
+    )
+
+    def q_dedup(b: pa.Table) -> pa.Table:
+        ra = b["ra"].to_numpy().astype(np.int64)
+        rb = b["rb"].to_numpy().astype(np.int64)
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        key = np.unique(lo * np.int64(1 << 40) + hi)
+        return pa.table(
+            {
+                "ra": pa.array(key >> np.int64(40)),
+                "rb": pa.array(key & np.int64((1 << 40) - 1)),
+            }
+        )
+
+    # quotient: tile-boundary-component cardinality — one driver step
+    q = j2.map_batches(q_dedup, batch_format="pyarrow").take_all()
+    if q:
+        qa = np.array([r["ra"] for r in q], dtype=np.int64)
+        qb = np.array([r["rb"] for r in q], dtype=np.int64)
+        roots = np.unique(np.concatenate([qa, qb]))
+        rs, rl = _minid_labels(roots, qa, qb)
+        rmap = {int(k): int(v) for k, v in zip(rs, rl) if k != v}
+    else:
+        rmap = {}
+    rmap_ref = ray.put(rmap)
+
+    def relabel(b: pa.Table, *, ref=rmap_ref) -> pa.Table:
+        m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        r = b["r"].to_numpy().astype(np.int64)
+        if m:
+            out = np.array([m.get(int(x), int(x)) for x in r], dtype=np.int64)
+        else:
+            out = r
+        return pa.table({"doc_id": b["node"], "cluster_id": pa.array(out)})
+
+    return mapping.map_batches(relabel, batch_format="pyarrow")
+
+
 def dbscan(
     points: rd.Dataset,
     eps: float = 0.03125,
@@ -381,16 +561,17 @@ def dbscan(
     Distribution (all bounded, never all-pairs): neighbour COUNTS by the
     radius_nn_join grid-bucket ring co-shuffle; core-core EDGES emitted
     once from the smaller id's own cell; components via
-    :func:`geoglue_ray.stages.dedup.duplicate_clusters` (distributed
-    min-label propagation); border assignment via
-    :func:`radius_nn_lookup` + a co-shuffled hash equijoin to the core
-    label table (core-cardinality — never broadcast).  The counts table
-    (one row per point) has three consumers and is materialized into the
-    object store; at 100 TB checkpoint it to parquet instead."""
+    :func:`spatial_components` (tile-contracted union-find — O(1)
+    propagation rounds even for percolated components, whose graph
+    diameter makes round-per-hop min-label propagation unusable at
+    density x10); border assignment via :func:`radius_nn_lookup` + a
+    co-shuffled hash equijoin to the core label table (core-cardinality
+    — never broadcast).  The counts table (one row per point) has three
+    consumers and is materialized into the object store; at 100 TB
+    checkpoint it to parquet instead."""
     import pandas as pd
     import ray.data as rd  # noqa: F401
 
-    from geoglue_ray.stages.dedup import duplicate_clusters
     from geoglue_ray.stages.join import hash_equijoin
 
     r2 = eps * eps
@@ -444,15 +625,16 @@ def dbscan(
             yield ids[s:e], lon[s:e], lat[s:e], own[s:e]
 
     def count_nb(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "lon": pa.array([], pa.float64()),
+                "lat": pa.array([], pa.float64()),
+                "n_nb": pa.array([], pa.int64()),
+            }
+        )
         if len(g) == 0:
-            return pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    "lon": pa.array([], pa.float64()),
-                    "lat": pa.array([], pa.float64()),
-                    "n_nb": pa.array([], pa.int64()),
-                }
-            )
+            return empty
         oi, olon, olat, on = [], [], [], []
         for ids, lon, lat, own in _cell_blocks(g):
             if not own.any():
@@ -468,6 +650,8 @@ def dbscan(
                 olon.append(qlon[qs])
                 olat.append(qlat[qs])
                 on.append(hit.sum(axis=1).astype(np.int64))
+        if not oi:  # a group holding only neighbour-replica rows
+            return empty
         return pa.table(
             {
                 id_col: pa.array(np.concatenate(oi)),
@@ -477,12 +661,25 @@ def dbscan(
             }
         )
 
+    TILE_CELLS = 64  # tile side in eps-cells (spatial_components contraction)
+
+    def _tile(lon, lat):
+        tx = np.floor(lon * inv).astype(np.int64) // TILE_CELLS
+        ty = np.floor(lat * inv).astype(np.int64) // TILE_CELLS
+        return tx * np.int64(1 << 21) + ty
+
     def core_pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "ta": pa.array([], pa.int64()),
+                "tb": pa.array([], pa.int64()),
+            }
+        )
         if len(g) == 0:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-            )
-        pa_, pb_ = [], []
+            return empty
+        pa_, pb_, ta_, tb_ = [], [], [], []
         for ids, lon, lat, own in _cell_blocks(g):
             if not own.any():
                 continue
@@ -498,14 +695,16 @@ def dbscan(
                 a_idx, b_idx = np.nonzero(hit)
                 pa_.append(qi[qs][a_idx])
                 pb_.append(ids[b_idx])
+                ta_.append(_tile(qlon[qs][a_idx], qlat[qs][a_idx]))
+                tb_.append(_tile(lon[b_idx], lat[b_idx]))
         if not pa_:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-            )
+            return empty
         return pa.table(
             {
                 "doc_a": pa.array(np.concatenate(pa_)),
                 "doc_b": pa.array(np.concatenate(pb_)),
+                "ta": pa.array(np.concatenate(ta_)),
+                "tb": pa.array(np.concatenate(tb_)),
             }
         )
 
@@ -527,13 +726,20 @@ def dbscan(
         cores.map_batches(prep, batch_format="pyarrow")
         .groupby("_s")
         .map_groups(core_pairs, batch_format="pandas")
+        .materialize()  # consumed twice inside spatial_components
     )
-    # self-pairs keep singleton cores (no core neighbour) in the label set
-    selfp = cores.map_batches(
-        lambda b: pa.table({"doc_a": b[id_col], "doc_b": b[id_col]}),
+    # components via tile contraction (O(1) rounds even when the graph
+    # percolates — plain min-label propagation needs ~diameter rounds;
+    # singleton cores are covered by the node side of the mapping pass)
+    tiled_cores = cores.map_batches(
+        lambda b: pa.table(
+            {id_col: b[id_col], "tile": pa.array(_tile(b["lon"].to_numpy(), b["lat"].to_numpy()))}
+        ),
         batch_format="pyarrow",
     )
-    labels = duplicate_clusters(edges.union(selfp), sort=False).materialize()
+    labels = spatial_components(
+        tiled_cores, edges, id_col=id_col, n_shards=n_shards
+    ).materialize()
 
     def core_out(b: pa.Table) -> pa.Table:
         n = len(b)

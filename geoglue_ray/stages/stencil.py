@@ -1564,3 +1564,119 @@ def clump_regions(
         .groupby("_ms")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def cusum_drawup(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """Per-cell CUSUM max-drawup change-point statistic over the time
+    axis — the sequential-analysis operator (did this cell's series shift
+    upward, and when?): with cleared denominators ``D_k = n * S_k - k *
+    Tot`` (prefix sums of the mean-centered series scaled by n, pure
+    int64), the statistic is ``max_k (D_k - min_{j<k} D_j)`` with the
+    empty-prefix minimum 0, and ``t_at_max`` = the FIRST hour attaining
+    it (total order: drawup desc, hour asc).
+
+    Distribution: the mann_kendall shard idiom (cells co-shuffle on
+    ``hash(cell) % n_shards``, each task resolves many cells in one
+    lexsort pass); the per-cell recurrence (running min with resets)
+    vectorizes by padding the ragged cell series into ONE dense
+    (cells x T_max) matrix per task and running ``np.minimum.accumulate``
+    along axis 1 — no per-cell Python loop.  All-integer statistics, so
+    the SQL window twin (running sum / running min / QUALIFY first-max)
+    is bit-exact."""
+    import pandas as pd
+
+    T0 = np.datetime64(fx.T0, "us")
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        hour = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        )[fin]
+        r = b["cell_row"].to_numpy().astype(np.int64)[fin]
+        c = b["cell_col"].to_numpy().astype(np.int64)[fin]
+        cell = r * np.int64(1 << 20) + c
+        shard = (
+            (cell.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_s": pa.array(shard),
+                "cell": pa.array(cell),
+                "hour": pa.array(hour),
+                "x": pa.array(v[fin].astype(np.int64)),
+            }
+        )
+
+    BIG = np.int64(1) << np.int64(62)
+
+    def drawup(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell_row": pa.array([], pa.int64()),
+                "cell_col": pa.array([], pa.int64()),
+                "n_obs": pa.array([], pa.int64()),
+                "drawup": pa.array([], pa.int64()),
+                "t_at_max": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cell = g["cell"].to_numpy().astype(np.int64)
+        hour = g["hour"].to_numpy().astype(np.int64)
+        x = g["x"].to_numpy().astype(np.int64)
+        o = np.lexsort((hour, cell))
+        cell, hour, x = cell[o], hour[o], x[o]
+        first = np.r_[True, cell[1:] != cell[:-1]]
+        starts = np.flatnonzero(first)
+        run = np.cumsum(first) - 1
+        pos = np.arange(len(cell), dtype=np.int64) - starts[run]
+        ncell = len(starts)
+        nlen = np.diff(np.r_[starts, len(cell)]).astype(np.int64)
+        tmax = int(nlen.max())
+        # per-cell prefix sums S_k via global cumsum minus the offset at
+        # each cell start; D_k = n*S_k - k*Tot (mean-centered, scaled by n)
+        cs = np.cumsum(x)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        s_k = cs - base[run]
+        tot = s_k[np.r_[starts[1:], len(cell)] - 1]
+        d_k = nlen[run] * s_k - (pos + 1) * tot[run]
+        # pad ragged rows into one dense matrix; +BIG filler never wins a
+        # running MIN, -BIG filler never wins the final MAX
+        m = np.full((ncell, tmax), BIG, dtype=np.int64)
+        m[run, pos] = d_k
+        runmin = np.minimum.accumulate(m, axis=1)
+        # exclusive prefix min with the empty prefix contributing 0
+        excl = np.concatenate(
+            [np.full((ncell, 1), BIG, dtype=np.int64), runmin[:, :-1]], axis=1
+        )
+        excl = np.minimum(excl, 0)
+        dr = np.full((ncell, tmax), -BIG, dtype=np.int64)
+        dr[run, pos] = d_k - excl[run, pos]
+        best = dr.argmax(axis=1)  # first max = smallest hour (ties)
+        hmat = np.zeros((ncell, tmax), dtype=np.int64)
+        hmat[run, pos] = hour
+        rows = np.arange(ncell)
+        return pa.table(
+            {
+                "cell_row": pa.array(cell[starts] >> np.int64(20)),
+                "cell_col": pa.array(cell[starts] & np.int64((1 << 20) - 1)),
+                "n_obs": pa.array(nlen),
+                "drawup": pa.array(dr[rows, best]),
+                "t_at_max": pa.array(hmat[rows, best]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(drawup, batch_format="pandas")
+    )

@@ -231,3 +231,54 @@ def test_triangle_counts_modes_identical(ray_session):
         edges, n_shards=8, n_merge=4, broadcast_edges_below=0
     ).to_pandas()
     assert bc.equals(ship)
+
+
+def test_bfs_hops_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from geoglue_ray.stages.graph import bfs_hops
+
+    rng = np.random.default_rng(13)
+    n = 60
+    und = set()
+    while len(und) < 90:
+        a, b = sorted(rng.integers(1, n + 1, 2))
+        if a != b:
+            und.add((int(a), int(b)))
+    und = sorted(und)
+    edges = pa.table(
+        {
+            "src": pa.array([a for a, b in und] + [b for a, b in und], pa.int64()),
+            "dst": pa.array([b for a, b in und] + [a for a, b in und], pa.int64()),
+        }
+    )
+    got = (
+        bfs_hops(rd.from_arrow(edges).repartition(4), n_sources=3, max_hops=4)
+        .to_pandas()
+        .sort_values(["src_id", "node"])
+        .reset_index(drop=True)
+    )
+
+    # brute reference: per-source frontier BFS over an adjacency dict
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    expect = []
+    for s in nodes[:3]:
+        dist = {s: 0}
+        frontier = {s}
+        for d in range(1, 5):
+            frontier = {
+                m for x in frontier for m in adj[x] if m not in dist
+            }
+            for m in frontier:
+                dist[m] = d
+        expect += [(s, m, d) for m, d in dist.items()]
+    exp = (
+        pd.DataFrame(expect, columns=["src_id", "node", "hops"])
+        .sort_values(["src_id", "node"])
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("list") == exp.to_dict("list")

@@ -114,3 +114,44 @@ def test_knox_counts_matches_bruteforce():
     total = n * (n - 1) // 2
     assert got["expected_st"][0] == np.float64(S * T) / np.float64(total)
     assert got["knox_ratio"][0] == np.float64(ST * total) / np.float64(S * T)
+
+
+def test_dbscan_long_chain_crosses_tiles():
+    """A single chain component spanning multiple contraction tiles and
+    ~100 graph-diameter hops: tile-contracted components must label it
+    exactly (plain min-label propagation would need ~diameter rounds).
+    eps = 1/16 -> tile width 4 deg; the chain spans ~6 deg."""
+    eps = 0.0625
+    step = eps * 0.9
+    n = 110
+    ids = np.arange(1, n + 1, dtype=np.int64)[::-1].copy()  # ids not in pos order
+    lon = 0.03 + np.arange(n) * step
+    lat = np.full(n, 0.5)
+    # plus an isolated far blob of 4 mutually-close points
+    ids2 = np.array([500, 501, 502, 503], dtype=np.int64)
+    lon2 = np.array([20.0, 20.01, 20.02, 20.03])
+    lat2 = np.full(4, 7.0)
+    all_ids = np.concatenate([ids, ids2])
+    all_lon = np.concatenate([lon, lon2])
+    all_lat = np.concatenate([lat, lat2])
+    ref = _brute_dbscan(all_ids, all_lon, all_lat, eps, 2)
+    ds = rd.from_arrow(
+        pa.table({"event_id": all_ids, "lon": all_lon, "lat": all_lat})
+    ).repartition(6)
+    got = (
+        dbscan(ds, eps=eps, min_pts=2, n_shards=8)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == ref["event_id"].tolist()
+    assert got["role"].tolist() == ref["role"].tolist()
+    a = got["cluster_id"].astype("float64").to_numpy()
+    b = ref["cluster_id"].astype("float64").to_numpy()
+    assert np.array_equal(a, b, equal_nan=True)
+    # the chain really is ONE cluster labeled by its minimum CORE id
+    # (the two chain ENDPOINTS have a single neighbour each, so at
+    # min_pts=2 they are borders — id 1 sits at an endpoint, hence 2)
+    chain = got[got["event_id"] <= n]
+    assert chain["cluster_id"].nunique() == 1
+    assert chain["cluster_id"].iloc[0] == 2

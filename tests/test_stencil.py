@@ -296,3 +296,68 @@ def test_join_counts_band_invariance_and_totals(ray_session):
         assert row["bb"] == int((s == 2).sum())
         assert row["ww"] == int((s == 0).sum())
         assert row["bw"] == int((s == 1).sum())
+
+
+def test_cusum_drawup_matches_bruteforce(ray_session):
+    """Ragged per-cell series (random NaN holes): the dense-padded
+    minimum.accumulate path must equal a plain per-cell Python replay of
+    the recurrence, at two shard counts."""
+    import ray.data as rd
+
+    from geoglue_ray.stages.stencil import cusum_drawup
+
+    rng = np.random.default_rng(23)
+    nr, nc, nt = 6, 5, 20
+    rows = []
+    for r in range(nr):
+        for c in range(nc):
+            for t in range(nt):
+                if rng.random() < 0.15:
+                    continue  # ragged holes
+                rows.append((t, r, c, float(rng.integers(0, 500))))
+    t_arr = np.array([x[0] for x in rows], dtype=np.int64)
+    tbl = pa.table(
+        {
+            "valid_time": pa.array(
+                (np.datetime64(fx.T0, "us") + t_arr * np.timedelta64(1, "h"))
+            ),
+            "cell_row": pa.array(np.array([x[1] for x in rows], np.int32)),
+            "cell_col": pa.array(np.array([x[2] for x in rows], np.int32)),
+            "variable": pa.array(["t2m"] * len(rows)),
+            "value": pa.array(np.array([x[3] for x in rows])),
+        }
+    )
+
+    expect = {}
+    for r in range(nr):
+        for c in range(nc):
+            xs = [
+                (t, v)
+                for (t, rr, cc, v) in rows
+                if rr == r and cc == c
+            ]
+            n = len(xs)
+            if n == 0:
+                continue
+            tot = int(sum(v for _, v in xs))
+            s, best, best_t, runmin = 0, None, None, 0
+            for k, (t, v) in enumerate(xs, start=1):
+                s += int(v)
+                dk = n * s - k * tot
+                drk = dk - runmin
+                if best is None or drk > best:
+                    best, best_t = drk, t
+                runmin = min(runmin, dk)
+            expect[(r, c)] = (n, best, best_t)
+
+    for shards in (1, 7):
+        got = (
+            cusum_drawup(rd.from_arrow(tbl).repartition(3), n_shards=shards)
+            .to_pandas()
+            .sort_values(["cell_row", "cell_col"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(expect)
+        for _, row in got.iterrows():
+            n, dr, th = expect[(row["cell_row"], row["cell_col"])]
+            assert (row["n_obs"], row["drawup"], row["t_at_max"]) == (n, dr, th)
