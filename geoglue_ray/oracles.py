@@ -1227,6 +1227,67 @@ ORDER BY 2, 3, 1
 """
 
 
+def emerging_hotspots() -> str:
+    """Emerging-hotspot twin: the raster_hotspots Gi* construction as a
+    CTE, Mann-Kendall S over the per-cell z series by time self-join,
+    |z| >= 1.96 slice counts, and the engine's integer CASE ladder."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, CAST(value AS BIGINT) AS x
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+mom AS (
+  SELECT t, count(*) AS n,
+         CAST(SUM(x) AS DOUBLE) / count(*) AS mean,
+         sqrt(CAST(SUM(x*x) AS DOUBLE) / count(*)
+              - (CAST(SUM(x) AS DOUBLE) / count(*))
+                * (CAST(SUM(x) AS DOUBLE) / count(*))) AS s
+  FROM v GROUP BY t),
+nb AS (
+  SELECT a.t, a.r, a.c, count(b.x) AS w, SUM(b.x) AS ns
+  FROM v a JOIN v b
+    ON b.t = a.t
+   AND b.r BETWEEN a.r - 1 AND a.r + 1
+   AND b.c BETWEEN a.c - 1 AND a.c + 1
+  GROUP BY 1, 2, 3),
+gi AS (
+  SELECT nb.t, nb.r, nb.c,
+         (CAST(nb.ns AS DOUBLE) - CAST(nb.w AS DOUBLE) * m.mean)
+           / (m.s * sqrt(CAST(m.n * nb.w - nb.w * nb.w AS DOUBLE) / (m.n - 1)))
+           AS z
+  FROM nb JOIN mom m ON m.t = nb.t),
+mk AS (
+  SELECT a.r, a.c,
+         CAST(SUM(CASE WHEN b.z > a.z THEN 1
+                       WHEN b.z < a.z THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM gi a JOIN gi b ON b.r = a.r AND b.c = a.c AND b.t > a.t
+  GROUP BY 1, 2),
+cnt AS (
+  SELECT r, c, CAST(count(*) AS BIGINT) AS n_slices,
+         CAST(count(*) FILTER (WHERE z >= 1.96) AS BIGINT) AS hot_count,
+         CAST(count(*) FILTER (WHERE z <= -1.96) AS BIGINT) AS cold_count
+  FROM gi GROUP BY 1, 2)
+SELECT CAST(cnt.r AS BIGINT) AS cell_row, CAST(cnt.c AS BIGINT) AS cell_col,
+       cnt.n_slices, cnt.hot_count, cnt.cold_count, mk.s_stat,
+       CASE
+         WHEN cnt.hot_count = 0 AND cnt.cold_count = 0 THEN 'none'
+         WHEN cnt.hot_count > cnt.cold_count THEN
+           CASE WHEN mk.s_stat > 0 THEN 'intensifying hot'
+                WHEN mk.s_stat < 0 THEN 'waning hot'
+                ELSE 'persistent hot' END
+         WHEN cnt.cold_count > cnt.hot_count THEN
+           CASE WHEN mk.s_stat < 0 THEN 'intensifying cold'
+                WHEN mk.s_stat > 0 THEN 'waning cold'
+                ELSE 'persistent cold' END
+         ELSE 'mixed'
+       END AS category
+FROM cnt JOIN mk ON mk.r = cnt.r AND mk.c = cnt.c
+ORDER BY 1, 2
+"""
+
+
 def raster_temporal_variogram() -> str:
     """Temporal-semivariogram twin: same-cell (t, t+h) pairs by
     self-join, exact integer squared-difference sums, one division."""
@@ -2192,6 +2253,39 @@ SELECT user_id,
 FROM g
 GROUP BY 1, 2
 HAVING count(*) >= 3
+ORDER BY 1, 2
+"""
+
+
+def trajectory_hausdorff() -> str:
+    """Hausdorff twin: point-pair d2 by join, the two directed maxima of
+    per-point minima by nested GROUP BY, GREATEST for the symmetric
+    distance — min/max of bit-exact d2 chains are order-free."""
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id AS u,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+qs AS (SELECT DISTINCT u FROM e ORDER BY 1 LIMIT 4),
+qp AS (SELECT e.u AS qu, e.event_id AS qe, e.lon AS qlon, e.lat AS qlat
+       FROM e JOIN qs ON qs.u = e.u),
+pp AS (
+  SELECT qp.qu, qp.qe, e.u AS cu, e.event_id AS ce,
+         (qp.qlon - e.lon) * (qp.qlon - e.lon)
+           + (qp.qlat - e.lat) * (qp.qlat - e.lat) AS d2
+  FROM qp JOIN e ON e.u <> qp.qu),
+ab AS (
+  SELECT qu, cu, max(mn) AS h1
+  FROM (SELECT qu, cu, qe, min(d2) AS mn FROM pp GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+ba AS (
+  SELECT qu, cu, max(mn) AS h2
+  FROM (SELECT qu, cu, ce, min(d2) AS mn FROM pp GROUP BY 1, 2, 3)
+  GROUP BY 1, 2)
+SELECT ab.qu AS query_user, ab.cu AS other_user,
+       GREATEST(ab.h1, ba.h2) AS hausdorff_d2
+FROM ab JOIN ba ON ba.qu = ab.qu AND ba.cu = ab.cu
 ORDER BY 1, 2
 """
 

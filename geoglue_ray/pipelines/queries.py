@@ -1814,6 +1814,187 @@ def user_stops(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
     )
 
 
+def trajectory_hausdorff(sf_dir: str, n_shards: int = 32) -> rd.Dataset:
+    """Discrete Hausdorff distance (squared, planar) between each of the
+    4 lowest-id users' trajectories and EVERY other user's — the
+    trajectory-similarity operator of movement analytics.  Scale shape =
+    knn_bruteforce's broadcast-vs-stream: the bounded query trajectories
+    ship once via ray.put, the corpus streams through one map_batches
+    (per batch: one (Q_pts x B) distance block per query user; the
+    A->B direction emits per-(query-point, user) partial MINs, the B->A
+    direction per-user partial MAXes of in-batch-complete minima), and a
+    fixed-shard merge on hash(other_user) resolves both directions —
+    shuffle payload is (query-traj size + 1) x user cardinality, never
+    the corpus.  min/max of bit-exact single-op d2 chains are
+    order-free, so the SQL twin matches bit-for-bit."""
+    import pandas as pd
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+
+    # user-cardinality distinct scan -> the 4 smallest ids (deterministic)
+    def uniq_users(b: pa.Table) -> pa.Table:
+        return pa.table({"u": pa.array(np.unique(b["user_id"].to_numpy()))})
+
+    users = np.unique(
+        np.concatenate(
+            [
+                b["u"].to_numpy()
+                for b in pts.map_batches(uniq_users, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            ]
+        )
+    )
+    qset = users[:4].astype(np.int64)
+
+    qrows = pts.map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(b["user_id"], value_set=pa.array(qset))
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    qtraj = {}
+    for r in qrows:
+        qtraj.setdefault(int(r["user_id"]), []).append((r["lon"], r["lat"]))
+    qref = ray.put(
+        {
+            int(u): (
+                np.array([p[0] for p in v]),
+                np.array([p[1] for p in v]),
+            )
+            for u, v in qtraj.items()
+        }
+    )
+
+    def partials(b: pa.Table, *, ref=qref) -> pa.Table:
+        empty = pa.table(
+            {
+                "_s": pa.array([], pa.int64()),
+                "_t": pa.array([], pa.int8()),
+                "qu": pa.array([], pa.int64()),
+                "qp": pa.array([], pa.int64()),
+                "cu": pa.array([], pa.int64()),
+                "v": pa.array([], pa.float64()),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        q = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        cu = b["user_id"].to_numpy().astype(np.int64)
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        o = np.argsort(cu, kind="stable")
+        cu, lon, lat = cu[o], lon[o], lat[o]
+        out = {k: [] for k in ("_t", "qu", "qp", "cu", "v")}
+        for uq, (qlon, qlat) in q.items():
+            keep = cu != uq  # a trajectory is not compared with itself
+            if not keep.any():
+                continue
+            klon, klat, kcu = lon[keep], lat[keep], cu[keep]
+            kstarts = np.flatnonzero(np.r_[True, kcu[1:] != kcu[:-1]])
+            dx = qlon[:, None] - klon[None, :]
+            dy = qlat[:, None] - klat[None, :]
+            d2 = dx * dx + dy * dy
+            # A->B: per (query point, corpus user) min over this batch
+            mins = np.minimum.reduceat(d2, kstarts, axis=1)  # (Qp, U)
+            nq, nu = mins.shape
+            out["_t"].append(np.zeros(nq * nu, np.int8))
+            out["qu"].append(np.full(nq * nu, uq, np.int64))
+            out["qp"].append(np.repeat(np.arange(nq, dtype=np.int64), nu))
+            out["cu"].append(np.tile(kcu[kstarts], nq))
+            out["v"].append(mins.reshape(-1))
+            # B->A: per corpus point the min over ALL query points is
+            # complete within the batch; emit per-user partial max
+            minb = d2.min(axis=0)
+            maxs = np.maximum.reduceat(minb, kstarts)
+            out["_t"].append(np.ones(len(kstarts), np.int8))
+            out["qu"].append(np.full(len(kstarts), uq, np.int64))
+            out["qp"].append(np.full(len(kstarts), -1, np.int64))
+            out["cu"].append(kcu[kstarts])
+            out["v"].append(maxs)
+        if not out["_t"]:
+            return empty
+        cu_all = np.concatenate(out["cu"])
+        shard = (
+            (cu_all.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_s": pa.array(shard),
+                "_t": pa.array(np.concatenate(out["_t"])),
+                "qu": pa.array(np.concatenate(out["qu"])),
+                "qp": pa.array(np.concatenate(out["qp"])),
+                "cu": pa.array(cu_all),
+                "v": pa.array(np.concatenate(out["v"])),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_user": pa.array([], pa.int64()),
+                "other_user": pa.array([], pa.int64()),
+                "hausdorff_d2": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        t = g["_t"].to_numpy().astype(np.int8)
+        qu = g["qu"].to_numpy().astype(np.int64)
+        qp = g["qp"].to_numpy().astype(np.int64)
+        cu = g["cu"].to_numpy().astype(np.int64)
+        v = g["v"].to_numpy()
+        # A->B: min per (qu, cu, qp) across batches, then max per (qu, cu)
+        a = t == 0
+        key_full = np.lexsort((qp[a], cu[a], qu[a]))
+        aq, ac, ap, av = qu[a][key_full], cu[a][key_full], qp[a][key_full], v[a][key_full]
+        brk = np.r_[True, (aq[1:] != aq[:-1]) | (ac[1:] != ac[:-1]) | (ap[1:] != ap[:-1])]
+        st = np.flatnonzero(brk)
+        mn = np.minimum.reduceat(av, st)
+        gq, gc = aq[st], ac[st]
+        brk2 = np.r_[True, (gq[1:] != gq[:-1]) | (gc[1:] != gc[:-1])]
+        st2 = np.flatnonzero(brk2)
+        h1 = np.maximum.reduceat(mn, st2)
+        pq, pc = gq[st2], gc[st2]
+        # B->A: max per (qu, cu)
+        bsel = ~a
+        o2 = np.lexsort((cu[bsel], qu[bsel]))
+        bq, bc, bv = qu[bsel][o2], cu[bsel][o2], v[bsel][o2]
+        brk3 = np.r_[True, (bq[1:] != bq[:-1]) | (bc[1:] != bc[:-1])]
+        st3 = np.flatnonzero(brk3)
+        h2 = np.maximum.reduceat(bv, st3)
+        # the two directions cover the same (qu, cu) set within a shard
+        assert len(st2) == len(st3) and np.array_equal(pq, bq[st3]) and np.array_equal(pc, bc[st3])
+        return pa.table(
+            {
+                "query_user": pa.array(pq),
+                "other_user": pa.array(pc),
+                "hausdorff_d2": pa.array(np.maximum(h1, h2)),
+            }
+        )
+
+    return (
+        pts.map_batches(partials, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["query_user", "other_user"])
+    )
+
+
 def events_knox(sf_dir: str) -> pa.Table:
     """Knox space-time interaction test over the observation points —
     do spatially close events also cluster in time (the epidemiological
@@ -2951,6 +3132,111 @@ def raster_mannkendall(sf_dir: str) -> rd.Dataset:
 
     return mann_kendall(read_raster(n_days=2), variable="t2m").sort(
         ["cell_row", "cell_col"]
+    )
+
+
+def emerging_hotspots(sf_dir: str, n_shards: int = 32) -> rd.Dataset:
+    """Emerging hot-spot analysis (the ArcGIS space-time pattern tool):
+    Getis-Ord Gi* per (cell, hour) over two days, then per cell the
+    Mann-Kendall S trend of the z series, hot/cold slice counts at
+    |z| >= 1.96, and a categorical verdict (intensifying / waning /
+    persistent hot or cold) — a pure composition of two bit-exact
+    operators plus integer CASE logic, so the composed SQL twin matches
+    bit-for-bit (float sign/threshold comparisons act on z values that
+    are themselves bit-identical across engines)."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import getis_ord
+
+    gi = getis_ord(read_raster(n_days=2), variable="t2m")
+    T0 = np.datetime64(fx.T0, "us")
+
+    def prep(b: pa.Table) -> pa.Table:
+        r = b["cell_row"].to_numpy().astype(np.int64)
+        c = b["cell_col"].to_numpy().astype(np.int64)
+        cell = r * np.int64(1 << 20) + c
+        shard = (
+            (cell.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        hour = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "_s": pa.array(shard),
+                "cell": pa.array(cell),
+                "hour": pa.array(hour),
+                "z": b["g_star"],
+            }
+        )
+
+    def classify(g) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell_row": pa.array([], pa.int64()),
+                "cell_col": pa.array([], pa.int64()),
+                "n_slices": pa.array([], pa.int64()),
+                "hot_count": pa.array([], pa.int64()),
+                "cold_count": pa.array([], pa.int64()),
+                "s_stat": pa.array([], pa.int64()),
+                "category": pa.array([], pa.string()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cell = g["cell"].to_numpy().astype(np.int64)
+        hour = g["hour"].to_numpy().astype(np.int64)
+        z = g["z"].to_numpy()
+        o = np.lexsort((hour, cell))
+        cell, z = cell[o], z[o]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        out = {k: [] for k in ("cell", "n", "hot", "cold", "s")}
+        for s0, e0 in zip(starts, ends):
+            zs = z[s0:e0]
+            d = zs[None, :] - zs[:, None]
+            iu = np.triu_indices(len(zs), k=1)
+            out["cell"].append(cell[s0])
+            out["n"].append(e0 - s0)
+            out["hot"].append(int((zs >= 1.96).sum()))
+            out["cold"].append(int((zs <= -1.96).sum()))
+            out["s"].append(int(np.sign(d[iu]).sum()))
+        cc = np.asarray(out["cell"], np.int64)
+        hot = np.asarray(out["hot"], np.int64)
+        cold = np.asarray(out["cold"], np.int64)
+        s = np.asarray(out["s"], np.int64)
+        cat = np.where(
+            (hot == 0) & (cold == 0),
+            "none",
+            np.where(
+                hot > cold,
+                np.where(s > 0, "intensifying hot",
+                         np.where(s < 0, "waning hot", "persistent hot")),
+                np.where(
+                    cold > hot,
+                    np.where(s < 0, "intensifying cold",
+                             np.where(s > 0, "waning cold", "persistent cold")),
+                    "mixed",
+                ),
+            ),
+        )
+        return pa.table(
+            {
+                "cell_row": pa.array(cc >> np.int64(20)),
+                "cell_col": pa.array(cc & np.int64((1 << 20) - 1)),
+                "n_slices": pa.array(np.asarray(out["n"], np.int64)),
+                "hot_count": pa.array(hot),
+                "cold_count": pa.array(cold),
+                "s_stat": pa.array(s),
+                "category": pa.array(cat),
+            }
+        )
+
+    return (
+        gi.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(classify, batch_format="pandas")
+        .sort(["cell_row", "cell_col"])
     )
 
 

@@ -155,3 +155,63 @@ def test_dbscan_long_chain_crosses_tiles():
     chain = got[got["event_id"] <= n]
     assert chain["cluster_id"].nunique() == 1
     assert chain["cluster_id"].iloc[0] == 2
+
+
+def test_trajectory_hausdorff_matches_bruteforce(tmp_path):
+    """Random multi-user point sets written to a parquet events table:
+    the broadcast-vs-stream two-direction merge must equal the O(n^2)
+    definition.  Uses the real fixture lon/lat derivation (ids map to
+    coordinates), so the brute force derives identically."""
+    import pyarrow.parquet as pq
+
+    from geoglue_ray import fixtures as fx
+    from geoglue_ray.pipelines.queries import trajectory_hausdorff
+
+    rng = np.random.default_rng(31)
+    n = 400
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    users = rng.integers(0, 12, n).astype(np.int64)
+    t = pa.table(
+        {
+            "event_id": ids,
+            "ts": pa.array(
+                np.full(n, np.datetime64("2020-01-06", "us"))
+            ),
+            "user_id": users,
+            "event_type": pa.array(["x"] * n),
+            "value": pa.array(np.zeros(n)),
+            "props": pa.array([""] * n),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (
+        trajectory_hausdorff(str(tmp_path), n_shards=8)
+        .to_pandas()
+        .sort_values(["query_user", "other_user"])
+        .reset_index(drop=True)
+    )
+
+    lon, lat = fx.derive_lonlat(ids)
+    qs = np.unique(users)[:4]
+    expect = []
+    for qu in qs:
+        qa = users == qu
+        for cu in np.unique(users):
+            if cu == qu:
+                continue
+            ca = users == cu
+            dx = lon[qa][:, None] - lon[ca][None, :]
+            dy = lat[qa][:, None] - lat[ca][None, :]
+            d2 = dx * dx + dy * dy
+            h = max(d2.min(axis=1).max(), d2.min(axis=0).max())
+            expect.append((int(qu), int(cu), float(h)))
+    exp = (
+        pd.DataFrame(expect, columns=["query_user", "other_user", "hausdorff_d2"])
+        .sort_values(["query_user", "other_user"])
+        .reset_index(drop=True)
+    )
+    assert got["query_user"].tolist() == exp["query_user"].tolist()
+    assert got["other_user"].tolist() == exp["other_user"].tolist()
+    assert np.array_equal(
+        got["hausdorff_d2"].to_numpy(), exp["hausdorff_d2"].to_numpy()
+    )
