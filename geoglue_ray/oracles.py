@@ -2257,6 +2257,50 @@ ORDER BY 1, 2
 """
 
 
+def retention_matrix() -> str:
+    """Retention twin: min-day cohorts, DISTINCT (user, day) activity,
+    the diagonal as cohort size, one division."""
+    return """
+WITH w AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 86400000000 AS day
+  FROM events),
+fw AS (SELECT user_id, min(day) AS cohort_day FROM w GROUP BY 1),
+act AS (SELECT DISTINCT w.user_id, fw.cohort_day, w.day
+        FROM w JOIN fw USING (user_id)),
+m AS (SELECT cohort_day, day, CAST(count(*) AS BIGINT) AS n_users
+      FROM act GROUP BY 1, 2),
+cs AS (SELECT cohort_day, n_users AS cohort_size FROM m WHERE day = cohort_day)
+SELECT m.cohort_day, m.day, m.n_users, cs.cohort_size,
+       CAST(m.n_users AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE)
+         AS retention_rate
+FROM m JOIN cs USING (cohort_day)
+ORDER BY 1, 2
+"""
+
+
+def event_transitions() -> str:
+    """Transition-matrix twin: lead() over the (ts, event_id) order,
+    exact counts, window row totals, one division."""
+    return """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+m AS (SELECT event_type AS from_type, nxt AS to_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n_transitions,
+       CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+         AS row_total,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+         AS p
+FROM m ORDER BY 1, 2
+"""
+
+
 def trajectory_hausdorff() -> str:
     """Hausdorff twin: point-pair d2 by join, the two directed maxima of
     per-point minima by nested GROUP BY, GREATEST for the symmetric

@@ -3937,6 +3937,173 @@ def user_growth(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
     return out.sort("day")
 
 
+_EV_EPOCH = np.datetime64("2024-01-01T00:00:00", "us")  # events-table epoch
+_DAY_US = 86_400_000_000
+
+
+def retention_matrix(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by their FIRST activity day, then for every (cohort day,
+    activity day) the distinct returning users, the cohort size and the
+    retention rate (one division of exact integer counts; day grain —
+    week grain is degenerate on this corpus, every user starts in week
+    0 and stays active).
+
+    Scale shape: users co-locate on ``hash(user) % n_shards``, so each
+    shard computes its users' first weeks and distinct (user, week)
+    pairs exactly in one lexsort pass and emits (cohort, week)-
+    cardinality integer partials — VALID to sum globally because each
+    user lives in exactly one shard (the od_matrix rule).  The matrix
+    itself is weeks^2 tiny; the corpus is never shuffled by raw key."""
+    import pandas as pd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        day = (
+            (b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+             - _EV_EPOCH.astype(np.int64))
+            // _DAY_US
+        )
+        return pa.table(
+            {
+                "_us": pa.array(shard),
+                "user_id": b["user_id"],
+                "day": pa.array(day),
+            }
+        )
+
+    def partial(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_day": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        wk = g["day"].to_numpy().astype(np.int64)
+        o = np.lexsort((wk, uid))
+        uid, wk = uid[o], wk[o]
+        ufirst = np.r_[True, uid[1:] != uid[:-1]]
+        ustarts = np.flatnonzero(ufirst)
+        cohort_of = wk[ustarts][np.cumsum(ufirst) - 1]  # per row: user's min day
+        # distinct (user, week) rows
+        dk = np.r_[True, (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])]
+        key = cohort_of[dk] * np.int64(1 << 20) + wk[dk]
+        ks, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day": pa.array(ks >> np.int64(20)),
+                "day": pa.array(ks & np.int64((1 << 20) - 1)),
+                "n_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_us")
+        .map_groups(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = rows.groupby(["cohort_day", "day"], as_index=False)["n_users"].sum()
+    sizes = agg[agg["day"] == agg["cohort_day"]].set_index("cohort_day")[
+        "n_users"
+    ]  # day 0 of a cohort contains every member by construction
+    cs = sizes.loc[agg["cohort_day"]].to_numpy().astype(np.int64)
+    out = pa.table(
+        {
+            "cohort_day": pa.array(agg["cohort_day"].to_numpy().astype(np.int64)),
+            "day": pa.array(agg["day"].to_numpy().astype(np.int64)),
+            "n_users": pa.array(agg["n_users"].to_numpy().astype(np.int64)),
+            "cohort_size": pa.array(cs),
+            "retention_rate": pa.array(
+                agg["n_users"].to_numpy().astype(np.float64) / cs.astype(np.float64)
+            ),
+        }
+    )
+    idx = pc.sort_indices(
+        out, sort_keys=[("cohort_day", "ascending"), ("day", "ascending")]
+    )
+    return rd.from_arrow(out.take(idx))
+
+
+def event_transitions(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """First-order Markov transition matrix over event types: for every
+    consecutive event pair of a user (the (ts, event_id) total order),
+    count (from_type -> to_type) and the row-conditional probability
+    P(to|from) — one division of exact integer counts.  Same user-hash
+    co-location as user_trajectories; partials collapse to the bounded
+    |types|^2 matrix per shard before the driver-side exact sum."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return b.append_column("_us", pa.array(shard))
+
+    def partial(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et, codes = np.unique(g["event_type"].to_numpy(), return_inverse=True)
+        o = np.lexsort((eid, t, uid))
+        uid, codes = uid[o], codes[o]
+        same = uid[1:] == uid[:-1]
+        pair = codes[:-1][same] * np.int64(1 << 20) + codes[1:][same]
+        ks, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "from_type": pa.array(et[(ks >> np.int64(20)).astype(np.int64)]),
+                "to_type": pa.array(et[(ks & np.int64((1 << 20) - 1)).astype(np.int64)]),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_us")
+        .map_groups(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = rows.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    tot = agg.groupby("from_type")["n"].transform("sum").to_numpy().astype(np.int64)
+    out = pa.table(
+        {
+            "from_type": pa.array(agg["from_type"]),
+            "to_type": pa.array(agg["to_type"]),
+            "n_transitions": pa.array(agg["n"].to_numpy().astype(np.int64)),
+            "row_total": pa.array(tot),
+            "p": pa.array(agg["n"].to_numpy().astype(np.float64) / tot.astype(np.float64)),
+        }
+    )
+    idx = pc.sort_indices(
+        out, sort_keys=[("from_type", "ascending"), ("to_type", "ascending")]
+    )
+    return rd.from_arrow(out.take(idx))
+
+
 def cohort_growth(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
     """Per-event-type cohort growth curves — the non-degenerate variant of
     :func:`user_growth` (whose fixture collapses to 2 days because every
