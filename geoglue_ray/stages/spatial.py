@@ -812,6 +812,7 @@ def ripley_k(
     area: float = 128.0,
     id_col: str = "event_id",
     n_shards: int = 64,
+    hot_cap: int = 256,
 ):
     """Ripley's K point-pattern statistic (naive estimator, no edge
     correction — documented): ``K(r) = area * #ordered pairs with d <= r
@@ -826,12 +827,61 @@ def ripley_k(
     — the driver only ever holds ``shards x |radii|`` tiny rows.  All
     counts exact; K is one multiply + one divide, L one divide + sqrt
     (pi is the same IEEE double literal on both sides), so the SQL twin
-    is bit-exact.  Returns a bounded in-memory table (|radii| rows)."""
+    is bit-exact.  Returns a bounded in-memory table (|radii| rows).
+
+    Hot-cell salting: a dense blob puts its whole ``|own| x |ring|``
+    quadratic block in ONE task (the statistic is inherently quadratic
+    in local density — the work can only be spread, not skipped).  A
+    cheap pre-count pass (partials bounded by occupied-cell
+    cardinality; the input lineage is a column-pruned read, so the
+    double consumption is the bloom-pre-filter precedent) finds cells
+    with more than ``hot_cap`` own points; their own rows partition
+    into ``ceil(cnt/hot_cap)`` sub-shards by id hash while every ring
+    candidate row replicates to all sub-shards (the join salting rule:
+    probe splits, build replicates — pair counting can't pre-collapse).
+    Each own row is flagged ``_own`` in exactly one sub-shard, so every
+    ordered pair is still counted exactly once."""
     import math
 
     rmax = max(radii)
     inv = 1.0 / rmax  # power-of-two radius: exact
     r2s = np.array([r * r for r in radii])
+    r2max = float(r2s.max())
+    GOLD = np.uint64(0x9E3779B185EBCA87)
+    MAXSPLIT = 64
+
+    def pack_cell(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+        return cx * np.int64(1 << 21) + cy
+
+    # ---- pass 1: per-cell own counts (partials bounded by occupied
+    # cells per block; at planet scale this collapses through a small
+    # cell-keyed groupby and only counts > hot_cap reach the driver).
+    def cell_counts(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        cell = pack_cell(
+            np.floor(lon * inv).astype(np.int64), np.floor(lat * inv).astype(np.int64)
+        )
+        ks, cnt = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(ks), "cnt": pa.array(cnt.astype(np.int64))})
+
+    cc = ds.map_batches(cell_counts, batch_format="pyarrow").to_pandas()
+    tot = cc.groupby("cell")["cnt"].sum() if len(cc) else cc.set_index("cell")["cnt"]
+    hot = tot[tot > hot_cap]
+    hot_cells = hot.index.to_numpy().astype(np.int64)  # groupby index: sorted
+    hot_split = np.minimum(
+        -(-hot.to_numpy().astype(np.int64) // hot_cap), MAXSPLIT
+    ).astype(np.int64)
+
+    def splits_of(cell: np.ndarray) -> np.ndarray:
+        s = np.ones(len(cell), dtype=np.int64)
+        if len(hot_cells):
+            idx = np.minimum(
+                np.searchsorted(hot_cells, cell), len(hot_cells) - 1
+            )
+            m = hot_cells[idx] == cell
+            s[m] = hot_split[idx[m]]
+        return s
 
     def prep(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy()
@@ -839,27 +889,37 @@ def ripley_k(
         lat = b["lat"].to_numpy()
         cx = np.floor(lon * inv).astype(np.int64)
         cy = np.floor(lat * inv).astype(np.int64)
-        n = len(ids)
+        home_sub = ids.astype(np.uint64) * GOLD  # per-point salt source
         parts = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 own = dx == 0 and dy == 0
-                cell = (cx + dx) * np.int64(1 << 21) + (cy + dy)
+                cell = pack_cell(cx + dx, cy + dy)
+                s = splits_of(cell)
+                rep = np.repeat(np.arange(len(cell)), s)
+                sub = np.arange(len(rep), dtype=np.int64) - np.repeat(
+                    np.cumsum(s) - s, s
+                )
+                if own:
+                    ownflag = sub == (
+                        home_sub[rep] % s[rep].astype(np.uint64)
+                    ).astype(np.int64)
+                else:
+                    ownflag = np.zeros(len(rep), dtype=bool)
                 parts.append(
                     pa.table(
                         {
-                            "_cell": pa.array(cell),
-                            id_col: pa.array(ids),
-                            "lon": pa.array(lon),
-                            "lat": pa.array(lat),
-                            "_own": pa.array(np.full(n, own)),
+                            "_cell": pa.array(cell[rep] * np.int64(MAXSPLIT) + sub),
+                            id_col: pa.array(ids[rep]),
+                            "lon": pa.array(lon[rep]),
+                            "lat": pa.array(lat[rep]),
+                            "_own": pa.array(ownflag),
                         }
                     )
                 )
         out = pa.concat_tables(parts)
         shard = (
-            (out["_cell"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
-            % np.uint64(n_shards)
+            (out["_cell"].to_numpy().astype(np.uint64) * GOLD) % np.uint64(n_shards)
         ).astype(np.int64)
         return out.append_column("_s", pa.array(shard))
 
@@ -884,21 +944,32 @@ def ripley_k(
         ends = np.r_[starts[1:], len(cell)]
         counts = np.zeros(len(radii), dtype=np.int64)
         n_own = 0
-        CHUNK = 1024  # cap hot-cell |own| x |cand| blocks (radius_nn_join)
         for s, e in zip(starts, ends):
             osel = own[s:e]
-            if not osel.any():
+            no = int(osel.sum())
+            if no == 0:
                 continue
-            n_own += int(osel.sum())
-            olon_all, olat_all = lon[s:e][osel], lat[s:e][osel]
-            oid_all = ids[s:e][osel]
-            for c0 in range(0, len(oid_all), CHUNK):
-                dxm = olon_all[c0 : c0 + CHUNK][:, None] - lon[s:e][None, :]
-                dym = olat_all[c0 : c0 + CHUNK][:, None] - lat[s:e][None, :]
+            n_own += no
+            clon, clat, cids = lon[s:e], lat[s:e], ids[s:e]
+            olon_all, olat_all = clon[osel], clat[osel]
+            oid_all = cids[osel]
+            # adaptive chunk: keep each |chunk| x |cand| float64 block
+            # ~32 MB so the three temporaries stay cache/heap-friendly
+            width = len(clon)
+            chunk = max(16, (1 << 22) // max(width, 1))
+            for c0 in range(0, no, chunk):
+                dxm = olon_all[c0 : c0 + chunk][:, None] - clon[None, :]
+                dym = olat_all[c0 : c0 + chunk][:, None] - clat[None, :]
                 d2 = dxm * dxm + dym * dym
-                ne = oid_all[c0 : c0 + CHUNK][:, None] != ids[s:e][None, :]
+                # one full-matrix mask at r_max, then the smaller radii
+                # count on the compressed (~pi/9 dense) vector
+                m = d2 <= r2max
+                m &= oid_all[c0 : c0 + chunk][:, None] != cids[None, :]
+                d2v = d2[m]
                 for k, r2 in enumerate(r2s):
-                    counts[k] += int((ne & (d2 <= r2)).sum())
+                    counts[k] += (
+                        int(d2v.size) if r2 == r2max else int((d2v <= r2).sum())
+                    )
         return pa.table(
             {
                 "ri": pa.array(np.arange(len(radii), dtype=np.int64)),

@@ -215,3 +215,31 @@ def test_trajectory_hausdorff_matches_bruteforce(tmp_path):
     assert np.array_equal(
         got["hausdorff_d2"].to_numpy(), exp["hausdorff_d2"].to_numpy()
     )
+
+
+def test_ripley_salted_matches_unsalted():
+    """Hot-cell salting must not change any pair count: a dense blob plus
+    scattered points, multi-batch input, hot_cap small enough that the
+    blob cell splits into many sub-shards."""
+    from geoglue_ray.stages.spatial import ripley_k
+
+    rng = np.random.default_rng(7)
+    n_blob, n_bg = 900, 300
+    lon = np.r_[0.51 + 0.02 * rng.random(n_blob), 8.0 * rng.random(n_bg)]
+    lat = np.r_[0.52 + 0.02 * rng.random(n_blob), 8.0 * rng.random(n_bg)]
+    ids = np.arange(n_blob + n_bg, dtype=np.int64)
+    tbl = pa.table({"event_id": pa.array(ids), "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    def load():
+        return rd.from_arrow(tbl).repartition(7)
+
+    base = ripley_k(load(), area=64.0, hot_cap=10**9)  # never salts
+    salted = ripley_k(load(), area=64.0, hot_cap=50)  # blob splits ~18-way
+    bp, sp = base.to_pandas(), salted.to_pandas()
+    assert (bp["n_pairs"].to_numpy() == sp["n_pairs"].to_numpy()).all()
+    assert np.array_equal(bp["k_est"].to_numpy(), sp["k_est"].to_numpy())
+    assert np.array_equal(bp["l_est"].to_numpy(), sp["l_est"].to_numpy())
+    # sanity vs brute force at r_max
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    assert int(bp["n_pairs"].iloc[3]) == int((d2 <= (4 / 64) ** 2).sum())
