@@ -393,6 +393,8 @@ def spatial_components(
     edges: rd.Dataset,
     id_col: str,
     n_shards: int = 64,
+    levels: int = 1,
+    super_shift: int = 3,
 ) -> rd.Dataset:
     """Connected components of a SPATIAL proximity graph -> ``(doc_id,
     cluster_id)`` with min-id labels, in O(1) propagation rounds — the
@@ -411,8 +413,21 @@ def spatial_components(
     root relabeling broadcasts back through the mapping.  Partitioning
     assumption (documented per the custom-operator rule): the deduped
     quotient edge set fits one task — it scales with the number of
-    adjacent-tile component pairs, not with points; planet-scale inputs
-    add a second contraction level before the driver step."""
+    adjacent-tile component pairs, not with points.
+
+    ``levels=2`` is the planet-scale path: before the driver step the
+    quotient graph itself is contracted once more on ``2**super_shift``
+    x coarser SUPER-tiles (a level-1 root's home tile rides along on
+    every quotient edge, since a tile-local component lives in exactly
+    one tile).  Intra-super quotient edges co-shuffle on
+    ``hash(super)`` and solve by union-find exactly as level 1; only
+    the cross-SUPER quotient — boundary length another ``2**
+    super_shift`` shorter — reaches the driver.  The final labels
+    compose DISTRIBUTED: point-cardinality ``mapping`` left-joins the
+    boundary-cardinality level-2 mapping (never a point-scale
+    broadcast), then the tiny level-2 root map broadcasts.  Output is
+    identical to ``levels=1`` (labels are min node ids either way —
+    tested)."""
     import pandas as pd
 
     from geoglue_ray.stages.join import hash_equijoin
@@ -459,7 +474,9 @@ def spatial_components(
         a = g["a"].to_numpy().astype(np.int64)
         b = g["b"].to_numpy().astype(np.int64)
         is_node = b == -1
-        nodes = a[is_node]
+        # unique: level-2 node rows arrive once per quotient-edge
+        # endpoint occurrence (level-1 cores are already distinct)
+        nodes = np.unique(a[is_node])
         if len(nodes) == 0:
             return empty
         nodes_s, lab = _minid_labels(nodes, a[~is_node], b[~is_node])
@@ -477,7 +494,9 @@ def spatial_components(
         keep = b["ta"].to_numpy().astype(np.int64) != b["tb"].to_numpy().astype(
             np.int64
         )
-        return b.filter(pa.array(keep)).select(["doc_a", "doc_b"])
+        # ta/tb ride along: a level-1 root's home tile (its component
+        # lives in exactly one tile) keys the level-2 super contraction
+        return b.filter(pa.array(keep)).select(["doc_a", "doc_b", "ta", "tb"])
 
     cross = edges.map_batches(only_cross, batch_format="pyarrow")
     j1 = hash_equijoin(
@@ -488,11 +507,17 @@ def spatial_components(
         ),
         "doc_a",
         "na",
+        left_schema=pa.schema(
+            [(c, pa.int64()) for c in ("doc_a", "doc_b", "ta", "tb")]
+        ),
+        right_schema=pa.schema([("na", pa.int64()), ("ra", pa.int64())]),
     ).map_batches(
         # explicit typed projection: select_columns' Project is not
         # reflected by Dataset.schema() here, and the downstream join
         # captures its left column list from that schema
-        lambda b: pa.table({"ra": b["ra"], "doc_b": b["doc_b"]}),
+        lambda b: pa.table(
+            {"ra": b["ra"], "doc_b": b["doc_b"], "ta": b["ta"], "tb": b["tb"]}
+        ),
         batch_format="pyarrow",
     )
     j2 = hash_equijoin(
@@ -503,14 +528,158 @@ def spatial_components(
         ),
         "doc_b",
         "nb",
+        left_schema=pa.schema(
+            [(c, pa.int64()) for c in ("ra", "doc_b", "ta", "tb")]
+        ),
+        right_schema=pa.schema([("nb", pa.int64()), ("rb", pa.int64())]),
     )
 
     def q_dedup(b: pa.Table) -> pa.Table:
         ra = b["ra"].to_numpy().astype(np.int64)
         rb = b["rb"].to_numpy().astype(np.int64)
-        lo = np.minimum(ra, rb)
-        hi = np.maximum(ra, rb)
-        key = np.unique(lo * np.int64(1 << 40) + hi)
+        ta = b["ta"].to_numpy().astype(np.int64)
+        tb = b["tb"].to_numpy().astype(np.int64)
+        swap = rb < ra
+        lo = np.where(swap, rb, ra)
+        hi = np.where(swap, ra, rb)
+        tlo = np.where(swap, tb, ta)
+        thi = np.where(swap, ta, tb)
+        key = lo * np.int64(1 << 40) + hi
+        uk, ui = np.unique(key, return_index=True)
+        return pa.table(
+            {
+                "ra": pa.array(uk >> np.int64(40)),
+                "rb": pa.array(uk & np.int64((1 << 40) - 1)),
+                "ta": pa.array(tlo[ui]),
+                "tb": pa.array(thi[ui]),
+            }
+        )
+
+    def _drive_roots(qa: np.ndarray, qb: np.ndarray) -> dict[int, int]:
+        if len(qa) == 0:
+            return {}
+        roots = np.unique(np.concatenate([qa, qb]))
+        rs, rl = _minid_labels(roots, qa, qb)
+        return {int(k): int(v) for k, v in zip(rs, rl) if k != v}
+
+    qds = j2.map_batches(q_dedup, batch_format="pyarrow")
+
+    if levels < 2:
+        # quotient: tile-boundary-component cardinality — one driver step
+        q = qds.take_all()
+        rmap = _drive_roots(
+            np.array([r["ra"] for r in q], dtype=np.int64),
+            np.array([r["rb"] for r in q], dtype=np.int64),
+        )
+        rmap_ref = ray.put(rmap)
+
+        def relabel(b: pa.Table, *, ref=rmap_ref) -> pa.Table:
+            m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            r = b["r"].to_numpy().astype(np.int64)
+            if m:
+                out = np.array([m.get(int(x), int(x)) for x in r], dtype=np.int64)
+            else:
+                out = r
+            return pa.table({"doc_id": b["node"], "cluster_id": pa.array(out)})
+
+        return mapping.map_batches(relabel, batch_format="pyarrow")
+
+    # ---- level 2: contract the quotient on 2**super_shift coarser
+    # super-tiles.  Supers need not be spatially coherent for
+    # correctness (any deterministic partition of roots works — only
+    # the residual boundary length depends on coherence).
+    SHIFT = np.int64(super_shift)
+    P = np.int64(1 << 21)
+    GOLD = np.uint64(0x9E3779B185EBCA87)
+
+    def _super(t: np.ndarray) -> np.ndarray:
+        tx, ty = np.divmod(t, P)  # tile packing: tx * 2^21 + ty
+        return (tx >> SHIFT) * P + (ty >> SHIFT)
+
+    def _ts_of(sup: np.ndarray) -> pa.Array:
+        return pa.array(
+            ((sup.astype(np.uint64) * GOLD) % np.uint64(n_shards)).astype(np.int64)
+        )
+
+    qds = qds.materialize()  # consumed 3x; quotient cardinality, cheap
+
+    def tag_nodes2(b: pa.Table) -> pa.Table:
+        ra = b["ra"].to_numpy().astype(np.int64)
+        rb = b["rb"].to_numpy().astype(np.int64)
+        sup = np.concatenate(
+            [
+                _super(b["ta"].to_numpy().astype(np.int64)),
+                _super(b["tb"].to_numpy().astype(np.int64)),
+            ]
+        )
+        node = np.concatenate([ra, rb])
+        return pa.table(
+            {
+                "_ts": _ts_of(sup),
+                "a": pa.array(node),
+                "b": pa.array(np.full(len(node), -1, dtype=np.int64)),
+            }
+        )
+
+    def tag_intra2(b: pa.Table) -> pa.Table:
+        sa = _super(b["ta"].to_numpy().astype(np.int64))
+        sb = _super(b["tb"].to_numpy().astype(np.int64))
+        same = sa == sb
+        return pa.table(
+            {
+                "_ts": _ts_of(sa[same]),
+                "a": pa.array(b["ra"].to_numpy().astype(np.int64)[same]),
+                "b": pa.array(b["rb"].to_numpy().astype(np.int64)[same]),
+            }
+        )
+
+    mapping2 = (
+        qds.map_batches(tag_nodes2, batch_format="pyarrow")
+        .union(qds.map_batches(tag_intra2, batch_format="pyarrow"))
+        .groupby("_ts")
+        .map_groups(local, batch_format="pandas")
+        .materialize()  # two cross2 joins + the compose join
+    )
+    def only_cross2(b: pa.Table) -> pa.Table:
+        sa = _super(b["ta"].to_numpy().astype(np.int64))
+        sb = _super(b["tb"].to_numpy().astype(np.int64))
+        keep = pa.array(sa != sb)
+        return pa.table({"ra": b["ra"].filter(keep), "rb": b["rb"].filter(keep)})
+
+    cross2 = qds.map_batches(only_cross2, batch_format="pyarrow")
+    ee = pa.schema([("ra", pa.int64()), ("rb", pa.int64())])
+    k1 = hash_equijoin(
+        cross2,
+        mapping2.map_batches(
+            lambda b: pa.table({"n2a": b["node"], "r2a": b["r"]}),
+            batch_format="pyarrow",
+        ),
+        "ra",
+        "n2a",
+        left_schema=ee,
+        right_schema=pa.schema([("n2a", pa.int64()), ("r2a", pa.int64())]),
+    ).map_batches(
+        lambda b: pa.table({"r2a": b["r2a"], "rb": b["rb"]}),
+        batch_format="pyarrow",
+    )
+    k2 = hash_equijoin(
+        k1,
+        mapping2.map_batches(
+            lambda b: pa.table({"n2b": b["node"], "r2b": b["r"]}),
+            batch_format="pyarrow",
+        ),
+        "rb",
+        "n2b",
+        left_schema=pa.schema([("r2a", pa.int64()), ("rb", pa.int64())]),
+        right_schema=pa.schema([("n2b", pa.int64()), ("r2b", pa.int64())]),
+    )
+
+    def q_dedup2(b: pa.Table) -> pa.Table:
+        x = b["r2a"].to_numpy().astype(np.int64)
+        y = b["r2b"].to_numpy().astype(np.int64)
+        key = np.unique(
+            np.minimum(x, y) * np.int64(1 << 40) + np.maximum(x, y)
+        )
         return pa.table(
             {
                 "ra": pa.array(key >> np.int64(40)),
@@ -518,28 +687,50 @@ def spatial_components(
             }
         )
 
-    # quotient: tile-boundary-component cardinality — one driver step
-    q = j2.map_batches(q_dedup, batch_format="pyarrow").take_all()
-    if q:
-        qa = np.array([r["ra"] for r in q], dtype=np.int64)
-        qb = np.array([r["rb"] for r in q], dtype=np.int64)
-        roots = np.unique(np.concatenate([qa, qb]))
-        rs, rl = _minid_labels(roots, qa, qb)
-        rmap = {int(k): int(v) for k, v in zip(rs, rl) if k != v}
-    else:
-        rmap = {}
-    rmap_ref = ray.put(rmap)
+    # residual quotient: cross-SUPER boundary cardinality — driver step
+    q2 = k2.map_batches(q_dedup2, batch_format="pyarrow").take_all()
+    rmap2 = _drive_roots(
+        np.array([r["ra"] for r in q2], dtype=np.int64),
+        np.array([r["rb"] for r in q2], dtype=np.int64),
+    )
+    rmap2_ref = ray.put(rmap2)
 
-    def relabel(b: pa.Table, *, ref=rmap_ref) -> pa.Table:
+    # compose labels DISTRIBUTED: point-cardinality mapping left-joins
+    # the boundary-cardinality level-2 mapping (typed-null fill for
+    # roots no cross-tile edge ever touched), then the tiny level-2
+    # root map broadcasts.
+    lab = hash_equijoin(
+        mapping,
+        mapping2.map_batches(
+            lambda b: pa.table({"m2n": b["node"], "m2r": b["r"]}),
+            batch_format="pyarrow",
+        ),
+        "r",
+        "m2n",
+        how="left",
+        right_schema=pa.schema([("m2n", pa.int64()), ("m2r", pa.int64())]),
+    )
+
+    def relabel2(b: pa.Table, *, ref=rmap2_ref) -> pa.Table:
+        import pyarrow.compute as pc_
+
         m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        r = b["r"].to_numpy().astype(np.int64)
+        r = (
+            pc_.coalesce(b["m2r"], b["r"])
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         if m:
-            out = np.array([m.get(int(x), int(x)) for x in r], dtype=np.int64)
+            mk = np.array(sorted(m), dtype=np.int64)
+            mv = np.array([m[int(k)] for k in mk], dtype=np.int64)
+            idx = np.minimum(np.searchsorted(mk, r), len(mk) - 1)
+            hit = mk[idx] == r
+            out = np.where(hit, mv[idx], r)
         else:
             out = r
         return pa.table({"doc_id": b["node"], "cluster_id": pa.array(out)})
 
-    return mapping.map_batches(relabel, batch_format="pyarrow")
+    return lab.map_batches(relabel2, batch_format="pyarrow")
 
 
 def dbscan(
@@ -548,6 +739,7 @@ def dbscan(
     min_pts: int = 5,
     id_col: str = "event_id",
     n_shards: int = 64,
+    cc_levels: int = 1,
 ):
     """Grid-bucketed DBSCAN over a point table -> ``(id, role,
     cluster_id)`` with role in {core, border, noise} and ``cluster_id`` =
@@ -738,7 +930,7 @@ def dbscan(
         batch_format="pyarrow",
     )
     labels = spatial_components(
-        tiled_cores, edges, id_col=id_col, n_shards=n_shards
+        tiled_cores, edges, id_col=id_col, n_shards=n_shards, levels=cc_levels
     ).materialize()
 
     def core_out(b: pa.Table) -> pa.Table:
@@ -785,7 +977,15 @@ def dbscan(
         batch_format="pyarrow",
     )
     border = hash_equijoin(
-        nn.map_batches(split_border, batch_format="pyarrow"), lab2, "nn_id", "core_id"
+        nn.map_batches(split_border, batch_format="pyarrow"),
+        lab2,
+        "nn_id",
+        "core_id",
+        # either side can legitimately be empty (no borders / no cores)
+        left_schema=pa.schema([("q_id", pa.int64()), ("nn_id", pa.int64())]),
+        right_schema=pa.schema(
+            [("core_id", pa.int64()), ("cluster_id", pa.int64())]
+        ),
     )
 
     def border_out(b: pa.Table) -> pa.Table:

@@ -243,3 +243,62 @@ def test_ripley_salted_matches_unsalted():
     d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
     np.fill_diagonal(d2, np.inf)
     assert int(bp["n_pairs"].iloc[3]) == int((d2 <= (4 / 64) ** 2).sum())
+
+
+def test_dbscan_second_contraction_level_matches():
+    """levels=2 (super-tile contraction + distributed label compose) must
+    be label-identical to levels=1 and to brute force.  The chain spans
+    ~34 deg: tiles are 4 deg (eps=1/16), supers 32 deg (super_shift=3),
+    so the quotient has real intra-super merges AND a surviving
+    cross-super residual at the lon=32 boundary."""
+    eps = 0.0625
+    step = eps * 0.9
+    n = 600
+    ids = np.arange(1, n + 1, dtype=np.int64)[::-1].copy()
+    lon = 0.03 + np.arange(n) * step
+    lat = np.full(n, 0.5)
+    ids2 = np.array([900, 901, 902, 903], dtype=np.int64)
+    lon2 = np.array([20.0, 20.01, 20.02, 20.03])
+    lat2 = np.full(4, 7.0)
+    all_ids = np.concatenate([ids, ids2])
+    all_lon = np.concatenate([lon, lon2])
+    all_lat = np.concatenate([lat, lat2])
+    ref = _brute_dbscan(all_ids, all_lon, all_lat, eps, 2)
+    ds = rd.from_arrow(
+        pa.table({"event_id": all_ids, "lon": all_lon, "lat": all_lat})
+    ).repartition(6)
+    g1 = (
+        dbscan(ds, eps=eps, min_pts=2, n_shards=8)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    g2 = (
+        dbscan(ds, eps=eps, min_pts=2, n_shards=8, cc_levels=2)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(g1, g2)
+    assert g2["event_id"].tolist() == ref["event_id"].tolist()
+    a = g2["cluster_id"].astype("float64").to_numpy()
+    b = ref["cluster_id"].astype("float64").to_numpy()
+    assert np.array_equal(a, b, equal_nan=True)
+    # the whole chain contracted to ONE label across both supers
+    assert g2[g2["event_id"] <= n]["cluster_id"].nunique() == 1
+
+
+def test_dbscan_levels2_no_cross_edges():
+    """levels=2 degenerate case: every point in one tile — the quotient
+    is EMPTY end to end (empty mapping2, empty residual), and the
+    left-join compose must fall back to the level-1 labels."""
+    ids = np.array([7, 3, 11, 5], dtype=np.int64)
+    lon = np.array([0.10, 0.11, 0.12, 0.13])
+    lat = np.full(4, 0.2)
+    ds = rd.from_arrow(pa.table({"event_id": ids, "lon": lon, "lat": lat}))
+    g1 = (
+        dbscan(ds, eps=0.0625, min_pts=2, n_shards=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    g2 = (
+        dbscan(ds, eps=0.0625, min_pts=2, n_shards=4, cc_levels=2)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(g1, g2)
+    assert (g2["cluster_id"] == 3).all()
