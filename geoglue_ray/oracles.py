@@ -1381,6 +1381,39 @@ FROM f ORDER BY 1, 2
 """
 
 
+def raster_sen_slope() -> str:
+    """Theil-Sen twin: time-ordered pair slopes by self-join (one
+    division each), per-cell median (DuckDB's even-count median is the
+    same two-middle average as np.median — measured), intercept =
+    median(x - slope*t) with the multiply-then-subtract chain
+    mirrored."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, CAST(value AS BIGINT) AS x
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+sl AS (
+  SELECT a.r, a.c,
+         CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s
+  FROM v a JOIN v b ON b.r = a.r AND b.c = a.c AND b.t > a.t),
+m AS (SELECT r, c, median(s) AS sen_slope FROM sl GROUP BY 1, 2),
+n AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n_obs FROM v GROUP BY 1, 2),
+b AS (
+  SELECT v.r, v.c,
+         median(CAST(v.x AS DOUBLE) - m.sen_slope * CAST(v.t AS DOUBLE))
+           AS sen_intercept
+  FROM v JOIN m ON m.r = v.r AND m.c = v.c
+  GROUP BY 1, 2)
+SELECT n.r AS cell_row, n.c AS cell_col, n.n_obs, m.sen_slope,
+       b.sen_intercept
+FROM n JOIN m ON m.r = n.r AND m.c = n.c
+      JOIN b ON b.r = n.r AND b.c = n.c
+ORDER BY 1, 2
+"""
+
+
 def raster_variogram() -> str:
     """Semivariogram twin: axis-aligned lag-h pairs by self-join, exact
     integer squared-difference sums, one division — order-free."""
@@ -2334,6 +2367,43 @@ ORDER BY 1, 2
 """
 
 
+def events_quadrat() -> str:
+    """Quadrat-test twin: zero-filled 16x32 grid via range() cross join
+    LEFT JOIN the binned counts; cleared-integer sample variance, then
+    the engine's exact division chain (var/mean, (Q-1)*vmr)."""
+    return f"""
+WITH e AS (
+  SELECT {fx.sql_lon('event_id')} AS lon, {fx.sql_lat('event_id')} AS lat
+  FROM events),
+b AS (
+  SELECT CAST(floor((lat - 8.0) / 0.5) AS BIGINT) * 16
+           + CAST(floor((lon - 102.0) / 0.5) AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM e
+  WHERE lon >= 102.0 AND lon < 110.0 AND lat >= 8.0 AND lat < 24.0
+  GROUP BY 1),
+g AS (SELECT range AS q FROM range(512)),
+c AS (
+  SELECT g.q, COALESCE(b.cnt, 0) AS cnt
+  FROM g LEFT JOIN b ON b.q = g.q),
+s AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS s,
+         CAST(SUM(cnt*cnt) AS BIGINT) AS ss,
+         CAST(MAX(cnt) AS BIGINT) AS mx
+  FROM c),
+p AS (
+  SELECT s, ss, mx,
+         CAST(s AS DOUBLE) / CAST(512 AS DOUBLE) AS mean_count,
+         CAST(512 * ss - s * s AS DOUBLE)
+           / CAST(512 * 511 AS DOUBLE) AS var_count
+  FROM s)
+SELECT s AS n_events, CAST(512 AS BIGINT) AS n_quadrats, mx AS max_count,
+       mean_count, var_count, var_count / mean_count AS vmr,
+       CAST(511 AS DOUBLE) * (var_count / mean_count) AS chi2
+FROM p
+"""
+
+
 def events_knox() -> str:
     """Knox twin: exactly-once unordered pairs via b.id > a.id, the
     box-prefiltered spatial self-join and the banded temporal self-join;
@@ -2417,6 +2487,58 @@ FROM c JOIN tc ta ON ta.event_type = c.type_a
        CROSS JOIN tot
 ORDER BY 1, 2
 """
+
+
+def _dispersion_sql(table: str, key: str, key_out: str) -> str:
+    """Shared twin of stages/sketch.dispersion_stats: exact integer-
+    scaled coordinate sums (HUGEINT, cast once), scaled means, float
+    products, exact power-of-two descales — every op mirrored."""
+    return f"""
+WITH e AS (
+  SELECT {key} AS k,
+         CAST(({fx.sql_lon('event_id')} - 102.0) * 1048576.0 AS BIGINT) AS ix,
+         CAST(({fx.sql_lat('event_id')} - 8.0) * 1048576.0 AS BIGINT) AS iy
+  FROM {table}),
+s AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(ix) AS BIGINT) AS sx, CAST(SUM(iy) AS BIGINT) AS sy,
+         CAST(SUM(ix*ix) AS BIGINT) AS sxx, CAST(SUM(iy*iy) AS BIGINT) AS syy,
+         CAST(SUM(ix*iy) AS BIGINT) AS sxy
+  FROM e GROUP BY 1),
+p AS (
+  SELECT k, n,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mxs,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mys,
+         (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+           / 1099511627776.0 AS var_x,
+         (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+           / 1099511627776.0 AS var_y,
+         (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+           / 1099511627776.0 AS cov_xy
+  FROM s)
+SELECT k AS {key_out}, n AS n_obs,
+       102.0 + mxs / 1048576.0 AS mean_lon,
+       8.0 + mys / 1048576.0 AS mean_lat,
+       var_x, var_y, cov_xy,
+       sqrt(GREATEST(var_x + var_y, 0.0)) AS rog
+FROM p ORDER BY 1
+"""
+
+
+def user_gyration() -> str:
+    """Radius-of-gyration twin — see _dispersion_sql."""
+    return _dispersion_sql("events", "user_id", "user_id")
+
+
+def events_sde() -> str:
+    """Standard-deviational-ellipse twin — see _dispersion_sql."""
+    return _dispersion_sql("events", "event_type", "event_type")
 
 
 def user_trajectories() -> str:

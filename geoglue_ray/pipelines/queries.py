@@ -1995,6 +1995,99 @@ def trajectory_hausdorff(sf_dir: str, n_shards: int = 32) -> rd.Dataset:
     )
 
 
+def _scaled_coords(b: pa.Table, key: str) -> pa.Table:
+    """(key, ix, iy) with ix = (lon-102)*2^20, iy = (lat-8)*2^20 — exact
+    integers because fixture coordinates are dyadic on a >= 2^-20 grid
+    (fixtures.derive_lonlat; the 102/8 shifts are exact)."""
+    ids = b["event_id"].to_numpy()
+    lon, lat = fx.derive_lonlat(ids)
+    return pa.table(
+        {
+            key: b[key],
+            "ix": pa.array(((lon - 102.0) * 1048576.0).astype(np.int64)),
+            "iy": pa.array(((lat - 8.0) * 1048576.0).astype(np.int64)),
+        }
+    )
+
+
+def user_gyration(sf_dir: str) -> rd.Dataset:
+    """Radius of gyration + mean center per user over their event
+    locations — the canonical human-mobility dispersion statistic
+    (rog = sqrt of the mean squared distance to the centroid =
+    sqrt(var_x + var_y)); stages/sketch.dispersion_stats over exact
+    integer-scaled coordinates, bit-exact vs the SQL sum twin."""
+    from geoglue_ray.stages.sketch import dispersion_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    ds = ds.map_batches(lambda b: _scaled_coords(b, "user_id"), batch_format="pyarrow")
+    return dispersion_stats(ds, "user_id", "ix", "iy").sort("user_id")
+
+
+def events_sde(sf_dir: str) -> rd.Dataset:
+    """Standard-deviational-ellipse second moments + mean center per
+    event type — the ArcGIS "directional distribution" operator (is one
+    event type's footprint stretched along an axis?): population var_x /
+    var_y / cov_xy in degrees^2 via the same exact integer-scaled sums
+    as user_gyration (orientation angle deliberately absent — atan2
+    doesn't reproduce across engines)."""
+    from geoglue_ray.stages.sketch import dispersion_stats
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    ds = ds.map_batches(
+        lambda b: _scaled_coords(b, "event_type"), batch_format="pyarrow"
+    )
+    return dispersion_stats(ds, "event_type", "ix", "iy").sort("event_type")
+
+
+def events_quadrat(sf_dir: str) -> pa.Table:
+    """Quadrat-count test for complete spatial randomness over the
+    in-bbox events — the classic point-pattern first test: counts per
+    half-degree quadrat (the FULL 16x32 grid including empties), sample
+    variance-mean ratio and the chi-square index of dispersion
+    ``(Q-1) * VMR`` (VMR >> 1 = clustered).  Per-batch bincount partials
+    collapse to the 512-quadrat cardinality before the driver sees
+    anything (the ripley_k bounded-result shape); cleared-denominator
+    integer variance, so the SQL zero-filled-grid twin is bit-exact."""
+    NQX, NQY = 16, 32
+    Q = NQX * NQY
+
+    def partial(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        ok = (lon >= 102.0) & (lon < 110.0) & (lat >= 8.0) & (lat < 24.0)
+        qx = np.floor((lon[ok] - 102.0) / 0.5).astype(np.int64)
+        qy = np.floor((lat[ok] - 8.0) / 0.5).astype(np.int64)
+        cnt = np.bincount(qy * NQX + qx, minlength=Q).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"q": pa.array(nz), "cnt": pa.array(cnt[nz])})
+
+    rows = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: <= 512 rows per input block, merged here
+    cnt = np.zeros(Q, dtype=np.int64)
+    for r in rows:
+        cnt[int(r["q"])] += int(r["cnt"])
+    s = int(cnt.sum())
+    ss = int((cnt * cnt).sum())
+    mean = np.float64(s) / np.float64(Q)
+    var = np.float64(Q * ss - s * s) / np.float64(Q * (Q - 1))
+    vmr = var / mean
+    return pa.table(
+        {
+            "n_events": pa.array([np.int64(s)]),
+            "n_quadrats": pa.array([np.int64(Q)]),
+            "max_count": pa.array([np.int64(cnt.max())]),
+            "mean_count": pa.array([mean]),
+            "var_count": pa.array([var]),
+            "vmr": pa.array([vmr]),
+            "chi2": pa.array([np.float64(Q - 1) * vmr]),
+        }
+    )
+
+
 def events_knox(sf_dir: str) -> pa.Table:
     """Knox space-time interaction test over the observation points —
     do spatially close events also cluster in time (the epidemiological
@@ -3131,6 +3224,23 @@ def raster_mannkendall(sf_dir: str) -> rd.Dataset:
     from geoglue_ray.stages.stencil import mann_kendall
 
     return mann_kendall(read_raster(n_days=2), variable="t2m").sort(
+        ["cell_row", "cell_col"]
+    )
+
+
+def raster_sen_slope(sf_dir: str) -> rd.Dataset:
+    """Theil-Sen robust trend per raster cell over two days of hourly
+    t2m — median of pairwise slopes + Conover intercept, the standard
+    robust companion to raster_mannkendall (stages/stencil.theil_sen:
+    the same fixed-shard cell co-shuffle, one vectorized triu slope
+    block per cell).  Integer x/h make each slope ONE division, and
+    DuckDB's even-count median averages the two middle elements exactly
+    like np.median (measured on formula-divergent pairs), so the SQL
+    self-join twin is bit-exact."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import theil_sen
+
+    return theil_sen(read_raster(n_days=2), variable="t2m").sort(
         ["cell_row", "cell_col"]
     )
 

@@ -785,6 +785,66 @@ def trend_stats(
     return _bivariate_sums(ds, key_col, x_col, y_col, n_shards, project, empty)
 
 
+def dispersion_stats(
+    ds: rd.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    x0: float = 102.0,
+    y0: float = 8.0,
+    scale: float = 1048576.0,
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """EXACT per-key spatial dispersion profile over INTEGER-SCALED
+    planar coordinates (``ix = (lon - x0) * scale`` etc., exact because
+    fixture coordinates are dyadic on a grid no finer than ``1/scale``):
+    mean center, the standard-deviational-ellipse second moments
+    (population var_x / var_y / cov_xy in degrees^2) and the radius of
+    gyration ``rog = sqrt(var_x + var_y)`` — the movement-analysis /
+    point-distribution operator pair (ArcGIS "standard distance" +
+    "directional distribution"; mobility radius-of-gyration).
+
+    Shares the :func:`comoment_stats` partial/merge skeleton (shuffle
+    payload = key cardinality x 7 int64s per batch).  Projection keeps
+    products in FLOAT (never the cleared-int form), so the only int64
+    bound is the sums themselves (``Sxx_k <= n_k * (8.4e6)^2`` — holds
+    to ~10^5 points per key); every division/multiply is one mirrored
+    IEEE op and the final ``/ scale`` steps are exact powers of two, so
+    the SQL twin is bit-exact.  The ellipse ORIENTATION (atan2) is
+    deliberately absent — transcendental functions don't reproduce
+    across engines (CLAUDE.md ln() lesson)."""
+    s2 = scale * scale
+
+    def project(keys, sums) -> pd.DataFrame:
+        n = sums["_n"]
+        nf = n.astype(np.float64)
+        sxf = sums["_sx"].astype(np.float64)
+        syf = sums["_sy"].astype(np.float64)
+        mxs = sxf / nf  # scaled means (exact-sum ratios)
+        mys = syf / nf
+        var_x = (sums["_sxx"].astype(np.float64) / nf - mxs * mxs) / s2
+        var_y = (sums["_syy"].astype(np.float64) / nf - mys * mys) / s2
+        cov_xy = (sums["_sxy"].astype(np.float64) / nf - mxs * mys) / s2
+        rog2 = var_x + var_y
+        return pd.DataFrame(
+            {
+                key_col: keys,
+                "n_obs": n,
+                "mean_lon": x0 + mxs / scale,
+                "mean_lat": y0 + mys / scale,
+                "var_x": var_x,
+                "var_y": var_y,
+                "cov_xy": cov_xy,
+                "rog": np.sqrt(np.maximum(rog2, 0.0)),
+            }
+        )
+
+    empty = {"n_obs": np.int64, "mean_lon": np.float64, "mean_lat": np.float64,
+             "var_x": np.float64, "var_y": np.float64, "cov_xy": np.float64,
+             "rog": np.float64}
+    return _bivariate_sums(ds, key_col, x_col, y_col, n_shards, project, empty)
+
+
 def _bivariate_sums(
     ds: rd.Dataset,
     key_col: str,

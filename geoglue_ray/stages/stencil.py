@@ -1680,3 +1680,103 @@ def cusum_drawup(
         .groupby("_s")
         .map_groups(drawup, batch_format="pandas")
     )
+
+def theil_sen(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """Per-cell Theil-Sen robust trend estimator over the time axis — the
+    median-of-pairwise-slopes companion to :func:`mann_kendall` (the
+    standard robust climate-trend pair; reference analogue: the per-cell
+    time reductions of timeagg.py generalized to a rank statistic):
+    ``slope = median over time pairs i<j of (x_j - x_i) / (h_j - h_i)``
+    and the Conover intercept ``median over i of (x_i - slope * h_i)``.
+
+    Distribution: the mann_kendall shard idiom — cells co-shuffle on
+    ``hash(cell) % n_shards`` (fixed group count, each task resolves many
+    cells in one lexsort pass); the per-cell O(T^2) pair slopes are one
+    vectorized triu block.  Exactness: x and h are integers, each slope
+    is ONE float division, and the median of an even count is the mean
+    of the two middle elements — ``(a + b) / 2`` in numpy and DuckDB
+    alike, so the SQL pairwise-self-join twin is bit-exact."""
+
+    T0 = np.datetime64(fx.T0, "us")
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        hour = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        )[fin]
+        r = b["cell_row"].to_numpy().astype(np.int64)[fin]
+        c = b["cell_col"].to_numpy().astype(np.int64)[fin]
+        cell = r * np.int64(1 << 20) + c
+        shard = (
+            (cell.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_s": pa.array(shard),
+                "cell": pa.array(cell),
+                "hour": pa.array(hour),
+                "x": pa.array(v[fin].astype(np.int64)),
+            }
+        )
+
+    def slopes(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell_row": pa.array([], pa.int64()),
+                "cell_col": pa.array([], pa.int64()),
+                "n_obs": pa.array([], pa.int64()),
+                "sen_slope": pa.array([], pa.float64()),
+                "sen_intercept": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cell = g["cell"].to_numpy().astype(np.int64)
+        hour = g["hour"].to_numpy().astype(np.int64)
+        x = g["x"].to_numpy().astype(np.int64)
+        o = np.lexsort((hour, cell))
+        cell, hour, x = cell[o], hour[o], x[o]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        rows = {"cell": [], "n": [], "m": [], "b": []}
+        for s0, e0 in zip(starts, ends):
+            xs = x[s0:e0]
+            hs = hour[s0:e0]
+            n = len(xs)
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            sl = (xs[ju] - xs[iu]).astype(np.float64) / (
+                hs[ju] - hs[iu]
+            ).astype(np.float64)
+            m = float(np.median(sl))
+            b_ = float(np.median(xs.astype(np.float64) - m * hs.astype(np.float64)))
+            rows["cell"].append(cell[s0])
+            rows["n"].append(n)
+            rows["m"].append(m)
+            rows["b"].append(b_)
+        cc = np.asarray(rows["cell"], np.int64)
+        return pa.table(
+            {
+                "cell_row": pa.array(cc >> np.int64(20)),
+                "cell_col": pa.array(cc & np.int64((1 << 20) - 1)),
+                "n_obs": pa.array(np.asarray(rows["n"], np.int64)),
+                "sen_slope": pa.array(np.asarray(rows["m"], np.float64)),
+                "sen_intercept": pa.array(np.asarray(rows["b"], np.float64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(slopes, batch_format="pandas")
+    )
