@@ -2054,6 +2054,43 @@ FROM cells ORDER BY 1, 2
 """
 
 
+def events_lq() -> str:
+    """Location-quotient twin: the contingency admin assignment on the
+    admin-1 name, window totals, and the engine's two-ratio division
+    chain (obs/rt) / (ct/tot)."""
+    return f"""
+WITH c AS (
+  SELECT event_id AS id, event_type,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat,
+         event_id % {fx.OUT_MOD} = 0 AS is_outside
+  FROM events),
+cen AS ({fx.SQL_CENTROIDS}),
+asg AS (
+  SELECT c.*,
+         CASE WHEN c.is_outside
+              THEN (SELECT cen.a2 FROM cen
+                    ORDER BY (c.lon-cen.gx)*(c.lon-cen.gx) + (c.lat-cen.gy)*(c.lat-cen.gy), cen.a2
+                    LIMIT 1)
+              ELSE {fx.sql_admin2_inside('c.lon', 'c.lat')} END AS a2
+  FROM c),
+counts AS (
+  SELECT {fx.sql_admin1_name('a2')} AS admin1_id, event_type,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM asg GROUP BY 1, 2),
+tots AS (
+  SELECT admin1_id, event_type, obs,
+         CAST(SUM(obs) OVER (PARTITION BY admin1_id) AS BIGINT) AS zone_total,
+         CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS type_total,
+         CAST(SUM(obs) OVER () AS BIGINT) AS tot
+  FROM counts)
+SELECT admin1_id, event_type, obs, zone_total, type_total,
+       (CAST(obs AS DOUBLE) / CAST(zone_total AS DOUBLE))
+         / (CAST(type_total AS DOUBLE) / CAST(tot AS DOUBLE)) AS lq
+FROM tots ORDER BY 1, 2
+"""
+
+
 def events_ripley() -> str:
     """Ripley K/L twin: per-radius pair counts by prefiltered self-join,
     (area * pairs) / (n*(n-1)) in the engine's exact op order, L via
@@ -2445,6 +2482,51 @@ FROM nn, sp, tm
 """
 
 
+def events_mantel() -> str:
+    """Mantel twin: box-prefiltered spatial self-join with the |dt|
+    seconds sum riding it; all-pairs |dt| sum via the sorted rank
+    identity sum(t*(2*rn - n - 1)) in one window pass (HUGEINT product,
+    cast once); the engine's three mirrored divisions."""
+    eps = 0.03125
+    d2 = "(a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)"
+    t0 = f"epoch_us({fx.T0_SQL})"
+    return f"""
+WITH e AS (
+  SELECT event_id AS id,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat,
+         (epoch_us(ts) - {t0}) // 1000000 AS tsec
+  FROM events),
+sp AS (
+  SELECT CAST(count(*) AS BIGINT) AS pairs_space,
+         CAST(SUM(abs(a.tsec - b.tsec)) AS BIGINT) AS sum_dt_close
+  FROM e a JOIN e b
+    ON b.id > a.id
+   AND b.lon BETWEEN a.lon - {eps} AND a.lon + {eps}
+   AND b.lat BETWEEN a.lat - {eps} AND a.lat + {eps}
+  WHERE {d2} <= {eps} * {eps}),
+rk AS (
+  SELECT tsec, row_number() OVER (ORDER BY tsec) AS rn,
+         count(*) OVER () AS n
+  FROM e),
+al AS (
+  SELECT CAST(SUM(CAST(tsec AS HUGEINT) * (2*rn - n - 1)) AS BIGINT)
+           AS sum_dt_all,
+         CAST(MAX(n) AS BIGINT) AS n_events,
+         CAST(MAX(n) * (MAX(n) - 1) // 2 AS BIGINT) AS total
+  FROM rk)
+SELECT al.n_events, sp.pairs_space, sp.sum_dt_close, al.sum_dt_all,
+       CAST(sp.sum_dt_close AS DOUBLE) / CAST(sp.pairs_space AS DOUBLE)
+         AS mean_dt_close,
+       CAST(al.sum_dt_all AS DOUBLE) / CAST(al.total AS DOUBLE)
+         AS mean_dt_all,
+       (CAST(sp.sum_dt_close AS DOUBLE) / CAST(sp.pairs_space AS DOUBLE))
+         / (CAST(al.sum_dt_all AS DOUBLE) / CAST(al.total AS DOUBLE))
+         AS mantel_ratio
+FROM sp, al
+"""
+
+
 def colocation_quotient() -> str:
     """CLQ twin: the events_nn nearest-neighbour construction with types
     joined back, exact pair counts, and the engine's three-division
@@ -2539,6 +2621,32 @@ def user_gyration() -> str:
 def events_sde() -> str:
     """Standard-deviational-ellipse twin — see _dispersion_sql."""
     return _dispersion_sql("events", "event_type", "event_type")
+
+
+def skyline_orders() -> str:
+    """Skyline twin: per-date max price, exclusive running max over
+    earlier dates, dominance by window comparison (strictly-earlier
+    cover >= price, or same-date strictly greater) — identical
+    comparison semantics to stages/sample.skyline_2d."""
+    return """
+WITH o AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders),
+g AS (
+  SELECT o_orderdate AS d, max(o_totalprice) AS gm
+  FROM o GROUP BY 1),
+gp AS (
+  SELECT d, gm,
+         max(gm) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS m1
+  FROM g)
+SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+FROM o JOIN gp ON gp.d = o.o_orderdate
+WHERE NOT (
+  (gp.m1 IS NOT NULL AND gp.m1 >= o.o_totalprice)
+  OR gp.gm > o.o_totalprice)
+ORDER BY o.o_orderkey
+"""
 
 
 def user_trajectories() -> str:

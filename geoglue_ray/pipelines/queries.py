@@ -1328,6 +1328,91 @@ def events_contingency(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def events_lq(sf_dir: str) -> pa.Table:
+    """Location quotient per (admin-1, event type) — the regional-
+    concentration index (LQ > 1: the type is over-represented in that
+    zone relative to its global share): ``(obs/row_total) /
+    (col_total/grand_total)``, the events_contingency count machinery
+    on the coarser admin-1 key with the two-ratio division chain
+    mirrored in SQL.  Counts partial-collapse per batch to (32 x types)
+    cardinality before the driver."""
+    import pandas as pd
+    import ray
+
+    from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    ds = ds.map_batches(encode_cells, batch_format="pyarrow")
+    index = AdminIndex.build(build_admin_table())
+    ds = spatial_join(ds, index_ref=ray.put(index))
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = b["admin1_id"].to_numpy(zero_copy_only=False)
+        t = b["event_type"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table(
+                {
+                    "admin1_id": pa.array([], pa.string()),
+                    "event_type": pa.array([], pa.string()),
+                    "obs": pa.array([], pa.int64()),
+                }
+            )
+        ca, ua = pd.factorize(a)
+        ct_, ut = pd.factorize(t)
+        packed = ca.astype(np.int64) * len(ut) + ct_
+        cnt = np.bincount(packed, minlength=len(ua) * len(ut))
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "admin1_id": pa.array(ua[nz // len(ut)].astype(object)),
+                "event_type": pa.array(ut[nz % len(ut)].astype(object)),
+                "obs": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["admin1_id", "event_type"], as_index=False, sort=True)[
+        "obs"
+    ].sum()
+    admin = g["admin1_id"].to_numpy()
+    typ = g["event_type"].to_numpy()
+    obs = g["obs"].to_numpy().astype(np.int64)
+    ca, _ = pd.factorize(admin)
+    ctc, _ = pd.factorize(typ)
+    rt = np.bincount(ca, weights=obs).astype(np.int64)[ca]
+    ct2 = np.bincount(ctc, weights=obs).astype(np.int64)[ctc]
+    tot = int(obs.sum())
+    lq = (obs.astype(np.float64) / rt.astype(np.float64)) / (
+        ct2.astype(np.float64) / np.float64(tot)
+    )
+    out = pd.DataFrame(
+        {
+            "admin1_id": admin,
+            "event_type": typ,
+            "obs": obs,
+            "zone_total": rt,
+            "type_total": ct2,
+            "lq": lq,
+        }
+    ).sort_values(["admin1_id", "event_type"])
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def od_matrix(sf_dir: str, n_shards: int = 64, n_shards2: int = 32) -> rd.Dataset:
     """Origin-destination flow matrix from per-user event trajectories —
     the movement-analytics aggregate over the admin lattice: every
@@ -2117,6 +2202,34 @@ def events_knox(sf_dir: str) -> pa.Table:
     return knox_counts(ds, eps=0.03125, tau_us=2 * 3_600_000_000)
 
 
+def events_mantel(sf_dir: str) -> pa.Table:
+    """Mantel-type space-time interaction statistic — the continuous
+    companion of events_knox: mean |dt| (seconds) among spatially close
+    pairs (d <= 1/32 deg) vs mean |dt| over ALL pairs, ratio < 1 =
+    interaction (stages/spatial.mantel_counts: the knox grid-bucket
+    pass with an int64 |dt| accumulator + an hour-bucket rank-identity
+    pass that never enumerates the C(n,2) pairs).  Bit-exact vs the SQL
+    box-self-join + window rank-identity twin."""
+    from geoglue_ray.stages.spatial import mantel_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        lon, lat = fx.derive_lonlat(ids)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "ts_us": pa.array(b["ts"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    return mantel_counts(ds, eps=0.03125)
+
+
 def events_ripley(sf_dir: str) -> pa.Table:
     """Ripley's K / L point-pattern statistics of the in-bbox events at
     four dyadic radii (naive estimator, no edge correction) — clustered
@@ -2688,6 +2801,24 @@ def tfidf_top_token(sf_dir: str) -> rd.Dataset:
 
     ds = read_documents_cols(sf_dir, ["doc_id", "text"])
     return tt(ds).sort("doc_id")
+
+
+def skyline_orders(sf_dir: str) -> rd.Dataset:
+    """Pareto-frontier (skyline) of orders — maximize o_totalprice,
+    minimize o_orderdate ("highest value, earliest"): no order with an
+    earlier-or-equal date and a higher-or-equal price (one strict)
+    exists (stages/sample.skyline_2d: local block skylines union +
+    one bounded final pass).  Pure comparisons — bit-exact vs the SQL
+    window-dominance twin."""
+    from geoglue_ray.stages.sample import skyline_2d
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    return skyline_2d(ds, max_col="o_totalprice", min_col="o_orderdate").sort(
+        "o_orderkey"
+    )
 
 
 def dormant_customers(sf_dir: str) -> rd.Dataset:

@@ -304,3 +304,48 @@ def measure_topk(
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def skyline_2d(
+    ds: rd.Dataset,
+    max_col: str,
+    min_col: str,
+) -> rd.Dataset:
+    """2-D skyline (Pareto frontier): rows for which no other row is at
+    least as good on BOTH axes (``max_col`` maximized, ``min_col``
+    minimized) and strictly better on one — the multi-criteria "best
+    offers" operator.  Duplicated (min_col, max_col) points dominate
+    each other in neither direction and are ALL kept (matching the SQL
+    NOT-EXISTS dominance definition).
+
+    Distribution: the classic local/global decomposition — a local
+    skyline per block (any global-skyline row survives every subset's
+    skyline, so the union of local skylines is a superset), then one
+    final skyline over the union (bounded: frontier-cardinality per
+    block).  Each pass is a vectorized sort + exclusive group cummax —
+    dominated iff the best ``max_col`` over strictly-smaller ``min_col``
+    groups >= x, or a same-``min_col`` row has a strictly larger x.
+    Pure comparisons, so the SQL window twin is bit-exact."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        y = df[min_col].to_numpy()
+        x = df[max_col].to_numpy()
+        o = np.lexsort((-x, y))  # y asc, x desc
+        ys, xs = y[o], x[o]
+        first = np.r_[True, ys[1:] != ys[:-1]]
+        starts = np.flatnonzero(first)
+        run = np.cumsum(first) - 1
+        gmax = xs[starts]  # per-y-group max (sorted desc within group)
+        prev = np.r_[-np.inf, np.maximum.accumulate(gmax)[:-1]]
+        dominated = (prev[run] >= xs) | (gmax[run] > xs)
+        keep = np.empty(len(df), dtype=bool)
+        keep[o] = ~dominated
+        return df[keep]
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .repartition(1)
+        .map_batches(local, batch_format="pandas", batch_size=None)
+    )

@@ -1382,6 +1382,211 @@ def knox_counts(
     )
 
 
+def mantel_counts(
+    ds: rd.Dataset,
+    eps: float = 0.03125,
+    id_col: str = "event_id",
+    n_shards: int = 64,
+) -> pa.Table:
+    """Mantel-type space-time interaction statistic — the continuous-
+    response companion of :func:`knox_counts` (epidemiology: are events
+    that are close in SPACE also close in TIME, measured on the full
+    |dt| scale instead of a tau cutoff?).  The standardized cross-
+    product with indicator space kernel ``a_ij = 1[d <= eps]`` and
+    response ``b_ij = |dt|`` in integer seconds:
+
+    - ``sum_dt_close``: exact ``sum of |dt_sec|`` over unordered pairs
+      with planar d <= eps — the knox grid-bucket ring co-shuffle, one
+      extra int64 accumulator riding the same distance mask,
+    - ``sum_dt_all``: exact ``sum of |dt_sec|`` over ALL C(n,2) pairs —
+      never enumerated: hour buckets (3600-s bins) reduce the stream to
+      per-bucket ``(n, sum_t, within)`` rows where ``within`` is the
+      bucket's internal pairwise sum via the sorted rank identity
+      ``sum_k t_(k) * (2k - n - 1)`` on bucket-relative offsets (< 3600,
+      so int64-safe); the cross-bucket part closes in the driver over
+      the <= bucket-count rows with Python-int prefix sums,
+    - ``mantel_ratio = mean_dt_close / mean_dt_all`` (< 1 = interaction:
+      spatially close pairs are also temporally closer), each mean ONE
+      division — the SQL twin (box self-join + window rank identity) is
+      bit-exact.
+
+    int64 bound: ``sum_dt_all <= C(n,2) * 2.6e6 s`` holds to n ~ 2.6M
+    events (beyond that the driver's Python ints are exact but the
+    output column and the SQL BIGINT cast saturate — widen to the
+    HUGEINT split-cast idiom then).  Shuffle payload: the x9 bucketed
+    point table (close pass) + one narrow (hour, t) stream (all pass)."""
+    from geoglue_ray import fixtures as fx
+
+    inv = 1.0 / eps  # power-of-two eps: exact
+    T0_US = np.int64(np.datetime64(fx.T0, "us").astype(np.int64))
+    GOLD = np.uint64(0x9E3779B185EBCA87)
+
+    def prep_space(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        tsec = (b["ts_us"].to_numpy().astype(np.int64) - T0_US) // np.int64(1_000_000)
+        cx = np.floor(lon * inv).astype(np.int64)
+        cy = np.floor(lat * inv).astype(np.int64)
+        n = len(ids)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                own = dx == 0 and dy == 0
+                cell = (cx + dx) * np.int64(1 << 21) + (cy + dy)
+                parts.append(
+                    pa.table(
+                        {
+                            "_cell": pa.array(cell),
+                            "_id": pa.array(ids),
+                            "lon": pa.array(lon),
+                            "lat": pa.array(lat),
+                            "_ts": pa.array(tsec),
+                            "_own": pa.array(np.full(n, own)),
+                        }
+                    )
+                )
+        out = pa.concat_tables(parts)
+        shard = (
+            (out["_cell"].to_numpy().astype(np.uint64) * GOLD) % np.uint64(n_shards)
+        ).astype(np.int64)
+        return out.append_column("_s", pa.array(shard))
+
+    CHUNK = 1024
+    r2 = eps * eps
+
+    def close_pairs(g) -> pa.Table:
+        empty = pa.table(
+            {
+                "pairs": pa.array([], pa.int64()),
+                "sum_dt": pa.array([], pa.int64()),
+                "n_own": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cell = g["_cell"].to_numpy().astype(np.int64)
+        ids = g["_id"].to_numpy().astype(np.int64)
+        ts = g["_ts"].to_numpy().astype(np.int64)
+        own = g["_own"].to_numpy().astype(bool)
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        o = np.argsort(cell, kind="stable")
+        cell, ids, ts, own, lon, lat = (
+            cell[o], ids[o], ts[o], own[o], lon[o], lat[o]
+        )
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        pairs = 0
+        sum_dt = 0
+        n_own = 0
+        for s, e in zip(starts, ends):
+            osel = own[s:e]
+            if not osel.any():
+                continue
+            n_own += int(osel.sum())
+            oid, ots = ids[s:e][osel], ts[s:e][osel]
+            olon, olat = lon[s:e][osel], lat[s:e][osel]
+            for c0 in range(0, len(oid), CHUNK):
+                sl = slice(c0, c0 + CHUNK)
+                dxm = olon[sl][:, None] - lon[s:e][None, :]
+                dym = olat[sl][:, None] - lat[s:e][None, :]
+                hit = (dxm * dxm + dym * dym <= r2) & (
+                    oid[sl][:, None] < ids[s:e][None, :]
+                )
+                if hit.any():
+                    dtm = np.abs(ots[sl][:, None] - ts[s:e][None, :])
+                    pairs += int(hit.sum())
+                    sum_dt += int(dtm[hit].sum())
+        return pa.table(
+            {
+                "pairs": pa.array([np.int64(pairs)]),
+                "sum_dt": pa.array([np.int64(sum_dt)]),
+                "n_own": pa.array([np.int64(n_own)]),
+            }
+        )
+
+    def prep_time(b: pa.Table) -> pa.Table:
+        tsec = (b["ts_us"].to_numpy().astype(np.int64) - T0_US) // np.int64(1_000_000)
+        hb = tsec // np.int64(3600)
+        shard = ((hb.astype(np.uint64) * GOLD) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table(
+            {"_s": pa.array(shard), "hb": pa.array(hb), "t": pa.array(tsec)}
+        )
+
+    def bucket_stats(g) -> pa.Table:
+        empty = pa.table(
+            {
+                "hb": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sum_t": pa.array([], pa.int64()),
+                "within": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        hb = g["hb"].to_numpy().astype(np.int64)
+        t = g["t"].to_numpy().astype(np.int64)
+        o = np.lexsort((t, hb))
+        hb, t = hb[o], t[o]
+        first = np.r_[True, hb[1:] != hb[:-1]]
+        starts = np.flatnonzero(first)
+        run = np.cumsum(first) - 1
+        pos = np.arange(len(hb), dtype=np.int64) - starts[run]
+        nlen = np.diff(np.r_[starts, len(hb)]).astype(np.int64)
+        # bucket-relative offsets keep the rank identity terms < 3600*n
+        trel = t - hb * np.int64(3600)
+        contrib = trel * (2 * (pos + 1) - nlen[run] - 1)
+        within = np.add.reduceat(contrib, starts)
+        return pa.table(
+            {
+                "hb": pa.array(hb[starts]),
+                "n": pa.array(nlen),
+                "sum_t": pa.array(np.add.reduceat(t, starts)),
+                "within": pa.array(within),
+            }
+        )
+
+    sp = (
+        ds.map_batches(prep_space, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(close_pairs, batch_format="pandas")
+        .take_all()
+    )
+    bk = (
+        ds.map_batches(prep_time, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .take_all()
+    )  # bounded: one row per occupied hour bucket
+    pairs = sum(int(r["pairs"]) for r in sp)
+    sum_close = sum(int(r["sum_dt"]) for r in sp)
+    n = sum(int(r["n_own"]) for r in sp)
+    bk.sort(key=lambda r: int(r["hb"]))
+    sum_all = 0
+    cnt_before = 0
+    sum_before = 0
+    for r in bk:  # Python ints: exact beyond int64
+        nb, sb = int(r["n"]), int(r["sum_t"])
+        sum_all += int(r["within"]) + sb * cnt_before - nb * sum_before
+        cnt_before += nb
+        sum_before += sb
+    total = n * (n - 1) // 2
+    mean_close = np.float64(sum_close) / np.float64(pairs)
+    mean_all = np.float64(sum_all) / np.float64(total)
+    return pa.table(
+        {
+            "n_events": pa.array([np.int64(n)]),
+            "pairs_space": pa.array([np.int64(pairs)]),
+            "sum_dt_close": pa.array([np.int64(sum_close)]),
+            "sum_dt_all": pa.array([np.int64(sum_all)]),
+            "mean_dt_close": pa.array([mean_close]),
+            "mean_dt_all": pa.array([mean_all]),
+            "mantel_ratio": pa.array([mean_close / mean_all]),
+        }
+    )
+
+
 def spatial_join(
     ds: rd.Dataset,
     index: AdminIndex | None = None,
