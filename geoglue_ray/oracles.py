@@ -1381,6 +1381,40 @@ FROM f ORDER BY 1, 2
 """
 
 
+def raster_flowdir() -> str:
+    """D8 twin: 8-direction neighbor self-join (the offsets table), per
+    (t, cell) max drop with min-dir tie-break via row_number, pit when
+    the best drop <= 0 — pure integer comparisons."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, value
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+dirs AS (
+  SELECT * FROM (VALUES (0, 0, 1), (1, 1, 1), (2, 1, 0), (3, 1, -1),
+                        (4, 0, -1), (5, -1, -1), (6, -1, 0), (7, -1, 1))
+    AS d(dir, dr, dc)),
+drops AS (
+  SELECT a.t, a.r, a.c, d.dir, a.value - b.value AS drop
+  FROM v a CROSS JOIN dirs d
+  JOIN v b ON b.t = a.t AND b.r = a.r + d.dr AND b.c = a.c + d.dc),
+pick AS (
+  SELECT t, r, c, dir, drop,
+         row_number() OVER (PARTITION BY t, r, c
+                            ORDER BY drop DESC, dir ASC) AS rn
+  FROM drops)
+SELECT {fx.T0_SQL} + INTERVAL 1 HOUR * t AS valid_time,
+       r AS cell_row, c AS cell_col,
+       CASE WHEN drop > 0.0 THEN CAST(dir AS BIGINT)
+            ELSE CAST(-1 AS BIGINT) END AS flow_dir,
+       drop AS best_drop
+FROM pick WHERE rn = 1
+ORDER BY 1, 2, 3
+"""
+
+
 def raster_sen_slope() -> str:
     """Theil-Sen twin: time-ordered pair slopes by self-join (one
     division each), per-cell median (DuckDB's even-count median is the
@@ -2120,6 +2154,40 @@ SELECT p.r AS radius, p.n_pairs,
        {k} AS k_est,
        sqrt(({k}) / 3.141592653589793) AS l_est
 FROM p, n ORDER BY 1
+"""
+
+
+def events_cross_k() -> str:
+    """Cross-K twin: prefiltered A-x-B join per radius, (area * pairs) /
+    (n_a * n_b) in the engine's op order, L via the identical pi
+    literal."""
+    k = "(128.0 * CAST(p.n_pairs AS DOUBLE)) / CAST(na.n * nb.n AS DOUBLE)"
+    return f"""
+WITH e AS (
+  SELECT event_id, event_type,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+f AS (SELECT * FROM e
+      WHERE lon >= 102.0 AND lon < 110.0 AND lat >= 8.0 AND lat < 24.0),
+fa AS (SELECT * FROM f WHERE event_type = 'purchase'),
+fb AS (SELECT * FROM f WHERE event_type = 'view'),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fa),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fb),
+rs AS (SELECT * FROM (VALUES (0.015625), (0.03125), (0.046875), (0.0625))
+       t(r)),
+p AS (
+  SELECT rs.r, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM rs JOIN fa a ON TRUE JOIN fb b
+    ON b.lon BETWEEN a.lon - rs.r AND a.lon + rs.r
+   AND b.lat BETWEEN a.lat - rs.r AND a.lat + rs.r
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= rs.r * rs.r
+  GROUP BY 1)
+SELECT p.r AS radius, p.n_pairs,
+       {k} AS k_ab,
+       sqrt(({k}) / 3.141592653589793) AS l_ab
+FROM p, na, nb ORDER BY 1
 """
 
 

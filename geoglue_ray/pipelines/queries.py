@@ -2256,6 +2256,40 @@ def events_ripley(sf_dir: str) -> pa.Table:
     )
 
 
+def events_cross_k(sf_dir: str) -> pa.Table:
+    """Bivariate Ripley cross-K / cross-L between purchase and view
+    events (in-bbox) at four dyadic radii — are purchases clustered
+    around views beyond density (stages/spatial.cross_k: the ripley_k
+    ring co-shuffle counting ordered A->B pairs once from the A point's
+    own cell)?  Integer pair counts, single-division K — bit-exact vs
+    the SQL prefiltered A-x-B join twin."""
+    from geoglue_ray.stages.spatial import cross_k
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        ok = (lon >= 102.0) & (lon < 110.0) & (lat >= 8.0) & (lat < 24.0)
+        return pa.table(
+            {
+                "event_id": b["event_id"].filter(pa.array(ok)),
+                "event_type": b["event_type"].filter(pa.array(ok)),
+                "lon": pa.array(lon[ok]),
+                "lat": pa.array(lat[ok]),
+            }
+        )
+
+    return cross_k(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        type_col="event_type",
+        type_a="purchase",
+        type_b="view",
+        area=128.0,
+    )
+
+
 def events_density(sf_dir: str) -> rd.Dataset:
     """Smoothed point-density surface — events binned to the ERA5 grid
     (edge-aligned floor bins, exact dyadic arithmetic), zero-filled to
@@ -3356,6 +3390,21 @@ def raster_mannkendall(sf_dir: str) -> rd.Dataset:
 
     return mann_kendall(read_raster(n_days=2), variable="t2m").sort(
         ["cell_row", "cell_col"]
+    )
+
+
+def raster_flowdir(sf_dir: str) -> rd.Dataset:
+    """D8 steepest-descent flow direction per (cell, hour) over two days
+    of the integer-valued field — the hydrology raster operator
+    (stages/stencil.flow_direction: halo-exchange banding, vectorized
+    8-neighbor drop argmax, ties to the smallest direction, pits = -1).
+    Pure integer comparisons — bit-exact vs the SQL 8-neighbor
+    self-join twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import flow_direction
+
+    return flow_direction(read_raster(n_days=2), variable="t2m").sort(
+        ["valid_time", "cell_row", "cell_col"]
     )
 
 

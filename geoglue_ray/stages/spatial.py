@@ -1203,6 +1203,149 @@ def ripley_k(
     )
 
 
+def cross_k(
+    ds: rd.Dataset,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    radii: tuple[float, ...] = (1 / 64, 2 / 64, 3 / 64, 4 / 64),
+    area: float = 128.0,
+    id_col: str = "event_id",
+    n_shards: int = 64,
+) -> pa.Table:
+    """Bivariate Ripley cross-K between two point types — the
+    colocation-at-distance statistic (are purchases clustered AROUND
+    views beyond what density predicts?): ``K_ab(r) = area * #(ordered
+    pairs a in A, b in B with d <= r) / (n_a * n_b)`` plus the
+    variance-stabilized L.
+
+    The :func:`ripley_k` grid-bucket ring co-shuffle with cell size ==
+    max(radii); every A point's own-cell row counts its B candidates in
+    the 3x3 ring once (A and B are disjoint type classes, so no self
+    pair exists).  Integer pair counts, single-division K, sqrt L —
+    the SQL prefiltered A-x-B self-join twin is bit-exact."""
+    import math
+
+    rmax = max(radii)
+    inv = 1.0 / rmax
+    r2s = np.array([r * r for r in radii])
+    r2max = float(r2s.max())
+    GOLD = np.uint64(0x9E3779B185EBCA87)
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b[type_col].to_numpy(zero_copy_only=False)
+        is_a = t == type_a
+        is_b = t == type_b
+        keep = is_a | is_b
+        lon = b["lon"].to_numpy()[keep]
+        lat = b["lat"].to_numpy()[keep]
+        a_flag = is_a[keep]
+        cx = np.floor(lon * inv).astype(np.int64)
+        cy = np.floor(lat * inv).astype(np.int64)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                own = dx == 0 and dy == 0
+                cell = (cx + dx) * np.int64(1 << 21) + (cy + dy)
+                parts.append(
+                    pa.table(
+                        {
+                            "_cell": pa.array(cell),
+                            "lon": pa.array(lon),
+                            "lat": pa.array(lat),
+                            # own A rows count; B rows are candidates in
+                            # every ring replica (incl. their own cell)
+                            "_own_a": pa.array(a_flag & own),
+                            "_is_b": pa.array(~a_flag),
+                            "_ca": pa.array(a_flag & own),
+                            "_cb": pa.array((~a_flag) & own),
+                        }
+                    )
+                )
+        out = pa.concat_tables(parts)
+        shard = (
+            (out["_cell"].to_numpy().astype(np.uint64) * GOLD) % np.uint64(n_shards)
+        ).astype(np.int64)
+        return out.append_column("_s", pa.array(shard))
+
+    def count_pairs(g) -> pa.Table:
+        empty = pa.table(
+            {
+                "ri": pa.array([], pa.int64()),
+                "pairs": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cell = g["_cell"].to_numpy().astype(np.int64)
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        own_a = g["_own_a"].to_numpy().astype(bool)
+        isb = g["_is_b"].to_numpy().astype(bool)
+        n_a = int(g["_ca"].to_numpy().astype(bool).sum())
+        n_b = int(g["_cb"].to_numpy().astype(bool).sum())
+        o = np.argsort(cell, kind="stable")
+        cell, lon, lat, own_a, isb = cell[o], lon[o], lat[o], own_a[o], isb[o]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        counts = np.zeros(len(radii), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            osel = own_a[s:e]
+            bsel = isb[s:e]
+            no, nb = int(osel.sum()), int(bsel.sum())
+            if no == 0 or nb == 0:
+                continue
+            olon, olat = lon[s:e][osel], lat[s:e][osel]
+            blon, blat = lon[s:e][bsel], lat[s:e][bsel]
+            chunk = max(16, (1 << 22) // max(nb, 1))
+            for c0 in range(0, no, chunk):
+                dxm = olon[c0 : c0 + chunk][:, None] - blon[None, :]
+                dym = olat[c0 : c0 + chunk][:, None] - blat[None, :]
+                d2 = dxm * dxm + dym * dym
+                m = d2 <= r2max
+                d2v = d2[m]
+                for k, r2 in enumerate(r2s):
+                    counts[k] += (
+                        int(d2v.size) if r2 == r2max else int((d2v <= r2).sum())
+                    )
+        return pa.table(
+            {
+                "ri": pa.array(np.arange(len(radii), dtype=np.int64)),
+                "pairs": pa.array(counts),
+                "n_a": pa.array(
+                    np.r_[np.int64(n_a), np.zeros(len(radii) - 1, np.int64)]
+                ),
+                "n_b": pa.array(
+                    np.r_[np.int64(n_b), np.zeros(len(radii) - 1, np.int64)]
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(count_pairs, batch_format="pandas")
+        .take_all()
+    )
+    pairs = np.zeros(len(radii), dtype=np.int64)
+    n_a = n_b = 0
+    for row in rows:
+        pairs[int(row["ri"])] += int(row["pairs"])
+        n_a += int(row["n_a"])
+        n_b += int(row["n_b"])
+    k_est = (area * pairs.astype(np.float64)) / np.float64(n_a * n_b)
+    return pa.table(
+        {
+            "radius": pa.array(np.array(radii)),
+            "n_pairs": pa.array(pairs),
+            "k_ab": pa.array(k_est),
+            "l_ab": pa.array(np.sqrt(k_est / math.pi)),
+        }
+    )
+
+
 def knox_counts(
     ds: rd.Dataset,
     eps: float = 0.03125,

@@ -1780,3 +1780,93 @@ def theil_sen(
         .groupby("_s")
         .map_groups(slopes, batch_format="pandas")
     )
+
+def flow_direction(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    band_rows: int = 8,
+    hour_chunk: int = 24,
+    n_cols: int | None = None,
+) -> rd.Dataset:
+    """D8 flow direction (hydrology's steepest-descent operator) per
+    cell and hour over the integer-valued field: among the up-to-8
+    existing (in-grid, non-null) neighbors, the direction of the
+    LARGEST drop ``v(center) - v(neighbor)``; ties break to the
+    smallest direction index, and a cell whose best drop is <= 0 is a
+    pit/flat (``flow_dir = -1``).  Cells with a null center or no
+    existing neighbor are absent (mirroring the SQL join semantics).
+
+    Direction indices (grid coordinates, row grows southward):
+    0=E(0,+1) 1=SE(+1,+1) 2=S(+1,0) 3=SW(+1,-1) 4=W(0,-1) 5=NW(-1,-1)
+    6=N(-1,0) 7=NE(-1,+1).
+
+    Same halo-exchange partitioning as :func:`focal_stats` (diagonals
+    live inside the one-row halo because groups span the full column
+    extent); drops are exact integer-valued differences and the argmax
+    is pure comparisons, so the SQL 8-neighbor self-join twin is
+    bit-exact."""
+    T0 = np.datetime64(fx.T0, "us")
+    prep = _halo_prep(variable, band_rows, hour_chunk)
+    DIRS = ((0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1))
+
+    def stencil(g: pd.DataFrame) -> pa.Table:
+        hour = g["hour"].to_numpy().astype(np.int64)
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        own = g["_own"].to_numpy().astype(bool)
+        empty = {
+            "valid_time": pa.array([], pa.timestamp("us")),
+            "cell_row": pa.array([], pa.int64()),
+            "cell_col": pa.array([], pa.int64()),
+            "flow_dir": pa.array([], pa.int64()),
+            "best_drop": pa.array([], pa.float64()),
+        }
+        if not own.any():
+            return pa.table(empty)
+        t0, r0 = hour.min(), r.min()
+        nt = int(hour.max() - t0 + 1)
+        nr = int(r.max() - r0 + 1)
+        nc = int(c.max()) + 1 if n_cols is None else int(n_cols)
+        shape = (nt, nr + 2, nc + 2)
+        V = np.zeros(shape, dtype=np.float64)
+        M = np.zeros(shape, dtype=bool)
+        ti, ri, ci = hour - t0, r - r0 + 1, c + 1
+        fin = np.isfinite(v)
+        V[ti[fin], ri[fin], ci[fin]] = v[fin]
+        M[ti[fin], ri[fin], ci[fin]] = True
+        sel = own & np.isfinite(v)
+        to, ro, co = ti[sel], ri[sel], ci[sel]
+        vc = v[sel]
+        drops = np.full((len(to), 8), -np.inf)
+        exists = np.zeros((len(to), 8), dtype=bool)
+        for k, (dr, dc) in enumerate(DIRS):
+            m = M[to, ro + dr, co + dc]
+            drops[m, k] = vc[m] - V[to, ro + dr, co + dc][m]
+            exists[:, k] = m
+        any_nb = exists.any(axis=1)
+        if not any_nb.any():
+            return pa.table(empty)
+        to, ro, co = to[any_nb], ro[any_nb], co[any_nb]
+        drops = drops[any_nb]
+        best = drops.argmax(axis=1)  # first max = smallest dir index
+        bd = drops[np.arange(len(best)), best]
+        fdir = np.where(bd > 0.0, best.astype(np.int64), np.int64(-1))
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    T0 + ((to + t0) * 3_600_000_000).astype("timedelta64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "cell_row": pa.array(ro - 1 + r0),
+                "cell_col": pa.array(co - 1),
+                "flow_dir": pa.array(fdir),
+                "best_drop": pa.array(bd),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(stencil, batch_format="pandas")
+    )
