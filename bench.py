@@ -169,6 +169,9 @@ def _run_queries() -> dict:
         # ~diameter rounds (see stages/spatial.dbscan docstring).
         ("user_stops", q.user_stops),
         ("events_knox", lambda sf: _as_ds(q.events_knox(sf))),
+        # round-4 continuation: continuous space-time interaction (knox
+        # pass + the never-enumerated all-pairs |dt| rank identity)
+        ("events_mantel", lambda sf: _as_ds(q.events_mantel(sf))),
         ("bfs_parts", lambda sf: _as_ds(q.bfs_parts(sf))),
         ("raster_cusum", q.raster_cusum),
     ]

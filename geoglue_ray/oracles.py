@@ -1148,6 +1148,26 @@ GROUP BY 1, 2, 3 ORDER BY 2, 3, 1
 """
 
 
+def raster_focal_median() -> str:
+    """Focal median twin: DuckDB median over the 3x3 self-join group —
+    measured bit-identical to np.nanmedian's even-count average."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()})
+SELECT a.valid_time, a.r AS cell_row, a.c AS cell_col,
+       count(b.value) AS n_nb,
+       median(b.value) AS focal_median
+FROM rast a JOIN rast b
+  ON b.t = a.t AND b.variable = a.variable
+ AND b.r BETWEEN a.r - 1 AND a.r + 1
+ AND b.c BETWEEN a.c - 1 AND a.c + 1
+ AND b.value IS NOT NULL
+WHERE a.variable = 't2m' AND a.t < 24
+GROUP BY 1, 2, 3 ORDER BY 2, 3, 1
+"""
+
+
 def raster_moran() -> str:
     """Local Moran's I twin: rook-neighbour integer sums by lattice
     self-join, per-slice moments from exact BIGINT aggregates, and the
@@ -1342,6 +1362,45 @@ SELECT CAST(r AS BIGINT) AS cell_row, CAST(c AS BIGINT) AS cell_col,
 FROM dr
 QUALIFY row_number() OVER (PARTITION BY r, c ORDER BY dr DESC, hour) = 1
 ORDER BY 1, 2
+"""
+
+
+def raster_spearman() -> str:
+    """Spearman twin: doubled average ranks as integer window
+    expressions (2*(rank()-1) + tie count + 1), exact BIGINT sums per
+    slice, the engine's mirrored rho chain."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, variable, valid_time, value
+  FROM rast
+  WHERE value IS NOT NULL AND t < 48 AND variable IN ('t2m', 'tp')),
+rk AS (
+  SELECT t, r, c, variable, valid_time,
+         CAST(2 * (rank() OVER (PARTITION BY t, variable ORDER BY value)
+                   - 1)
+              + count(*) OVER (PARTITION BY t, variable, value)
+              + 1 AS BIGINT) AS r2
+  FROM v),
+xy AS (
+  SELECT x.t, x.valid_time, x.r2 AS rx, y.r2 AS ry
+  FROM rk x JOIN rk y
+    ON y.t = x.t AND y.r = x.r AND y.c = x.c AND y.variable = 'tp'
+  WHERE x.variable = 't2m'),
+s AS (
+  SELECT t, valid_time, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         CAST(SUM(rx*rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry*ry) AS BIGINT) AS syy,
+         CAST(SUM(rx*ry) AS BIGINT) AS sxy
+  FROM xy GROUP BY 1, 2)
+SELECT valid_time, n AS n_cells,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+            * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS rho
+FROM s ORDER BY 1
 """
 
 

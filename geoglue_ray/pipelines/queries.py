@@ -3174,6 +3174,20 @@ def raster_focal_range(sf_dir: str) -> rd.Dataset:
     ).sort(["cell_row", "cell_col", "valid_time"])
 
 
+def raster_focal_median(sf_dir: str) -> rd.Dataset:
+    """3x3 focal median over one day — the rank-order smoothing filter
+    (salt-and-pepper noise removal; stages/stencil.focal_stats op
+    "median": NaN-padded (cells x 9) gather + nanmedian, whose
+    even-count two-middle average is measured bit-identical to DuckDB
+    median)."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import focal_stats
+
+    return focal_stats(
+        read_raster(n_days=1), ops=("median",), variable="t2m"
+    ).sort(["cell_row", "cell_col", "valid_time"])
+
+
 def raster_moran(sf_dir: str) -> rd.Dataset:
     """Local Moran's I (Anselin LISA, binary rook weights) per cell over
     two days of the hourly raster — spatial hot/cold-spot detection, the
@@ -3377,6 +3391,18 @@ def raster_temporal_variogram(sf_dir: str) -> pa.Table:
     from geoglue_ray.stages.stencil import temporal_variogram
 
     return temporal_variogram(read_raster(n_days=2), variable="t2m", max_lag_hours=6)
+
+
+def raster_spearman(sf_dir: str) -> rd.Dataset:
+    """Spearman rank correlation between t2m and tp per hour slice over
+    two days — monotone cross-variable association without linearity
+    (stages/stencil.spearman_slices: doubled average ranks are exact
+    integers, slices co-shuffled fixed-shard, one mirrored rho chain).
+    Bit-exact vs the SQL window-rank twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import spearman_slices
+
+    return spearman_slices(read_raster(n_days=2)).sort("valid_time")
 
 
 def raster_mannkendall(sf_dir: str) -> rd.Dataset:

@@ -66,9 +66,12 @@ def focal_stats(
     Ops: ``mean`` (single-division, exact for integer-valued doubles),
     ``sum``, ``min``, ``max``, ``range`` (max - min, exact integers) —
     all computed in the SAME nine-shifted-adds pass over the dense halo
-    block, so requesting several ops costs one traversal.
+    block, so requesting several ops costs one traversal — plus
+    ``median`` (one vectorized (cells x 9) NaN-padded gather +
+    ``np.nanmedian``; the even-count two-middle average is bit-identical
+    to DuckDB's ``median`` — measured on formula-divergent pairs).
     """
-    allowed = {"mean", "sum", "min", "max", "range"}
+    allowed = {"mean", "sum", "min", "max", "range", "median"}
     bad = set(ops) - allowed
     if bad:
         raise ValueError(f"unknown focal ops: {sorted(bad)}")
@@ -175,6 +178,15 @@ def focal_stats(
             "cell_col": pa.array(co - 1),
             "n_nb": pa.array(cnt),
         }
+        if "median" in ops:
+            stack = np.full((len(to), 9), np.nan)
+            k = 0
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    m9 = M[to, ro + dr, co + dc] == 1
+                    stack[m9, k] = V[to, ro + dr, co + dc][m9]
+                    k += 1
+            med = np.nanmedian(stack, axis=1)
         for op in ops:
             if op == "mean":
                 out = S[to, ro, co] / cnt
@@ -184,6 +196,8 @@ def focal_stats(
                 out = Mn[to, ro, co]
             elif op == "max":
                 out = Mx[to, ro, co]
+            elif op == "median":
+                out = med
             else:  # range
                 out = Mx[to, ro, co] - Mn[to, ro, co]
             cols[f"focal_{op}"] = pa.array(out)
@@ -1869,4 +1883,129 @@ def flow_direction(
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("_fb")
         .map_groups(stencil, batch_format="pandas")
+    )
+
+def spearman_slices(
+    ds: rd.Dataset,
+    var_x: str = "t2m",
+    var_y: str = "tp",
+    n_shards: int = 16,
+) -> rd.Dataset:
+    """Spearman rank correlation between two raster variables per hour
+    slice — the monotone-association companion to the moment-based
+    local stats (does tp rise with t2m, without assuming linearity?).
+
+    Each slice's (x, y) pairs co-shuffle on ``hash(hour) % n_shards``
+    (a slice is lattice-cardinality, many slices per task); ranks are
+    DOUBLED average ranks — for a tie run of ``c`` values after ``k``
+    predecessors the average rank ``(2k + c + 1) / 2`` doubles to the
+    exact INTEGER ``2k + c + 1`` — so every Spearman sum is exact int64
+    and rho is the one mirrored chain ``(n*Sxy - Sx*Sy) /
+    (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))`` (two correctly-rounded
+    sqrts, one multiply, one divide), bit-exact vs the SQL
+    window-rank twin."""
+    T0 = np.datetime64(fx.T0, "us")
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hour = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        )
+        r = b["cell_row"].to_numpy().astype(np.int64)
+        c = b["cell_col"].to_numpy().astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        var = b["variable"].to_numpy(zero_copy_only=False)
+        cell = r * np.int64(1 << 20) + c
+        out = {}
+        for name in (var_x, var_y):
+            m = (var == name) & np.isfinite(v)
+            out[name] = pa.table(
+                {
+                    "hour": pa.array(hour[m]),
+                    "cell": pa.array(cell[m]),
+                    "val": pa.array(v[m]),
+                    "is_x": pa.array(np.full(int(m.sum()), name == var_x)),
+                }
+            )
+        t = pa.concat_tables([out[var_x], out[var_y]])
+        shard = (
+            (t["hour"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return t.append_column("_s", pa.array(shard))
+
+    def rho(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "valid_time": pa.array([], pa.timestamp("us")),
+                "n_cells": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        hour = g["hour"].to_numpy().astype(np.int64)
+        cell = g["cell"].to_numpy().astype(np.int64)
+        val = g["val"].to_numpy()
+        isx = g["is_x"].to_numpy().astype(bool)
+
+        def rank2_of(sel: np.ndarray) -> dict[tuple[int, int], np.ndarray]:
+            # doubled average ranks per (hour) partition, keyed back to cell
+            h, cl, v = hour[sel], cell[sel], val[sel]
+            o = np.lexsort((v, h))
+            h, cl, v = h[o], cl[o], v[o]
+            newh = np.r_[True, h[1:] != h[:-1]]
+            hstart = np.flatnonzero(newh)
+            hrun = np.cumsum(newh) - 1
+            pos = np.arange(len(h), dtype=np.int64) - hstart[hrun]
+            newv = newh | np.r_[True, v[1:] != v[:-1]]
+            vstart = np.flatnonzero(newv)
+            vrun = np.cumsum(newv) - 1
+            vlen = np.diff(np.r_[vstart, len(h)]).astype(np.int64)
+            k = pos[vstart[vrun]]  # predecessors within the hour slice
+            r2 = 2 * k + vlen[vrun] + 1
+            return h, cl, r2
+
+        hx, cx, r2x = rank2_of(isx)
+        hy, cy, r2y = rank2_of(~isx)
+        # align x and y rows on (hour, cell): both sides complete (holes
+        # are per-cell for every variable) — lexsort both identically
+        ox = np.lexsort((cx, hx))
+        oy = np.lexsort((cy, hy))
+        if not (
+            len(ox) == len(oy)
+            and np.array_equal(hx[ox], hy[oy])
+            and np.array_equal(cx[ox], cy[oy])
+        ):
+            raise ValueError("spearman_slices: x/y slices misaligned")
+        h = hx[ox]
+        x = r2x[ox]
+        y = r2y[oy]
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        n = np.diff(np.r_[starts, len(h)]).astype(np.int64)
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(y, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        syy = np.add.reduceat(y * y, starts)
+        sxy = np.add.reduceat(x * y, starts)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        den = np.sqrt((n * sxx - sx * sx).astype(np.float64)) * np.sqrt(
+            (n * syy - sy * sy).astype(np.float64)
+        )
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    T0 + (h[starts] * 3_600_000_000).astype("timedelta64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "n_cells": pa.array(n),
+                "rho": pa.array(num / den),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(rho, batch_format="pandas")
     )
