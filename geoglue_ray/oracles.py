@@ -2250,6 +2250,81 @@ FROM p, na, nb ORDER BY 1
 """
 
 
+def events_ripley_env() -> str:
+    """CSR-envelope twin: the ripley observed pair counts, 8 simulated
+    patterns regenerated from the same (sim, event_id) kmv_hash64
+    HUGEINT chain (odd-numerator dyadic coordinates), per-(sim, radius)
+    zero-filled pair counts, and the mirrored K / envelope / inside
+    chain."""
+    from geoglue_ray.functions import texthash as th
+    k_obs = "(128.0 * CAST(p.n_pairs AS DOUBLE)) / CAST(n.n * (n.n - 1) AS DOUBLE)"
+    return f"""
+WITH e AS (
+  SELECT event_id,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+f AS (SELECT * FROM e
+      WHERE lon >= 102.0 AND lon < 110.0 AND lat >= 8.0 AND lat < 24.0),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+rs AS (SELECT * FROM (VALUES (0.015625), (0.03125), (0.046875), (0.0625))
+       t(r)),
+p AS (
+  SELECT rs.r, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM rs JOIN f a ON TRUE JOIN f b
+    ON b.event_id <> a.event_id
+   AND b.lon BETWEEN a.lon - rs.r AND a.lon + rs.r
+   AND b.lat BETWEEN a.lat - rs.r AND a.lat + rs.r
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= rs.r * rs.r
+  GROUP BY 1),
+hh AS (
+  SELECT s.range AS s, f.event_id AS id,
+         {th.sql_kmv_hash('s.range*4294967296 + f.event_id')} AS h
+  FROM f CROSS JOIN range(8) s),
+sims AS (
+  SELECT s, id,
+         102.0 + (2*CAST(h % 131072 AS BIGINT) + 1) * (8.0/262144.0) AS lon,
+         8.0 + (2*CAST((h // 131072) % 32768 AS BIGINT) + 1)
+           * (16.0/65536.0) AS lat
+  FROM hh),
+spd AS (
+  SELECT a.s,
+         (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS d2
+  FROM sims a JOIN sims b
+    ON b.s = a.s AND b.id <> a.id
+   AND b.lon BETWEEN a.lon - 0.0625 AND a.lon + 0.0625
+   AND b.lat BETWEEN a.lat - 0.0625 AND a.lat + 0.0625
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= 0.0625 * 0.0625),
+spw AS (
+  SELECT spd.s,
+         CAST(count(*) FILTER (WHERE d2 <= 0.015625*0.015625) AS BIGINT) AS p1,
+         CAST(count(*) FILTER (WHERE d2 <= 0.03125*0.03125) AS BIGINT) AS p2,
+         CAST(count(*) FILTER (WHERE d2 <= 0.046875*0.046875) AS BIGINT) AS p3,
+         CAST(count(*) AS BIGINT) AS p4
+  FROM spd GROUP BY 1),
+spz AS (
+  SELECT g.range AS s, rs.r,
+         CASE rs.r WHEN 0.015625 THEN COALESCE(spw.p1, 0)
+                   WHEN 0.03125 THEN COALESCE(spw.p2, 0)
+                   WHEN 0.046875 THEN COALESCE(spw.p3, 0)
+                   ELSE COALESCE(spw.p4, 0) END AS n_pairs
+  FROM range(8) g CROSS JOIN rs LEFT JOIN spw ON spw.s = g.range),
+ks AS (
+  SELECT spz.r,
+         (128.0 * CAST(spz.n_pairs AS DOUBLE)) / CAST(n.n * (n.n - 1) AS DOUBLE)
+           AS k_sim
+  FROM spz, n),
+env AS (SELECT r, min(k_sim) AS k_lo, max(k_sim) AS k_hi FROM ks GROUP BY 1)
+SELECT p.r AS radius, p.n_pairs,
+       {k_obs} AS k_obs, env.k_lo, env.k_hi,
+       env.k_lo <= {k_obs} AND {k_obs} <= env.k_hi AS inside_env
+FROM p JOIN env ON env.r = p.r, n
+ORDER BY 1
+"""
+
+
 def events_density() -> str:
     """Density-surface twin: edge-aligned floor bins, zero-filled full
     lattice by LEFT JOIN, 3x3 self-join smoothing with integer sums and

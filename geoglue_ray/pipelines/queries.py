@@ -2290,6 +2290,81 @@ def events_cross_k(sf_dir: str) -> pa.Table:
     )
 
 
+def events_ripley_env(sf_dir: str, n_sims: int = 8) -> pa.Table:
+    """Ripley K with a complete-spatial-randomness SIMULATION ENVELOPE —
+    the publication-grade point-pattern test: observed K per radius
+    (salted stages/spatial.ripley_k) against the min/max K of ``n_sims``
+    deterministic CSR patterns of the SAME point count, all simulated
+    patterns resolved in ONE extra co-shuffle (stages/spatial.
+    ripley_multi keys the ring pass on (pattern, cell)).  Simulated
+    coordinates are odd-numerator dyadic fractions from the STRONG
+    kmv_hash64 mixer over (sim, event_id) — the light Lehmer map is
+    linear mod 2^17, making every simulation a translate of one pattern
+    (measured: degenerate k_lo == k_hi envelope) — and the mixer has an
+    exact HUGEINT SQL twin; K chains and envelope min/max are
+    mirrored single ops.  ``inside_env`` false = CSR rejected at that
+    radius."""
+    from geoglue_ray.functions.texthash import kmv_hash64
+    from geoglue_ray.stages.spatial import ripley_multi
+
+    radii = (1 / 64, 2 / 64, 3 / 64, 4 / 64)
+    obs = events_ripley(sf_dir).to_pandas()
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def simulate(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy().astype(np.int64)
+        lon, lat = fx.derive_lonlat(ids)
+        ok = (lon >= 102.0) & (lon < 110.0) & (lat >= 8.0) & (lat < 24.0)
+        ids = ids[ok]
+        parts = []
+        for s in range(n_sims):
+            h = kmv_hash64(np.int64(s) * np.int64(1 << 32) + ids)
+            h1 = (h & np.uint64(131071)).astype(np.int64)
+            h2 = ((h >> np.uint64(17)) & np.uint64(32767)).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "event_id": pa.array(ids),
+                        "pattern": pa.array(np.full(len(ids), s, dtype=np.int64)),
+                        "lon": pa.array(
+                            102.0 + (2.0 * h1.astype(np.float64) + 1.0)
+                            * (8.0 / 262144.0)
+                        ),
+                        "lat": pa.array(
+                            8.0 + (2.0 * h2.astype(np.float64) + 1.0)
+                            * (16.0 / 65536.0)
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    sims = ripley_multi(
+        ds.map_batches(simulate, batch_format="pyarrow"),
+        pattern_col="pattern",
+        radii=radii,
+        area=128.0,
+    ).to_pandas()
+    n = int(sims["n_points"].iloc[0]) if len(sims) else 0
+    nf = np.float64(n * (n - 1))
+    sims["k_sim"] = (128.0 * sims["n_pairs"].astype(np.float64)) / nf
+    env = sims.groupby("radius")["k_sim"].agg(["min", "max"])
+    k_obs = obs["k_est"].to_numpy()
+    k_lo = env["min"].to_numpy()
+    k_hi = env["max"].to_numpy()
+    return pa.table(
+        {
+            "radius": pa.array(np.array(radii)),
+            "n_pairs": pa.array(obs["n_pairs"].to_numpy().astype(np.int64)),
+            "k_obs": pa.array(k_obs),
+            "k_lo": pa.array(k_lo),
+            "k_hi": pa.array(k_hi),
+            "inside_env": pa.array((k_lo <= k_obs) & (k_obs <= k_hi)),
+        }
+    )
+
+
 def events_density(sf_dir: str) -> rd.Dataset:
     """Smoothed point-density surface — events binned to the ERA5 grid
     (edge-aligned floor bins, exact dyadic arithmetic), zero-filled to

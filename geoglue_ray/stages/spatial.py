@@ -1203,6 +1203,166 @@ def ripley_k(
     )
 
 
+def ripley_multi(
+    ds: rd.Dataset,
+    pattern_col: str,
+    radii: tuple[float, ...] = (1 / 64, 2 / 64, 3 / 64, 4 / 64),
+    area: float = 128.0,
+    id_col: str = "event_id",
+    n_shards: int = 64,
+) -> "pa.Table":
+    """Ripley K pair counts for MANY point patterns in one co-shuffle —
+    the kernel of CSR simulation envelopes: ``(pattern, cell)`` keys the
+    grid-bucket ring pass, so all patterns resolve in a single shuffle.
+    Unsalted (envelope patterns are uniform by construction — use
+    :func:`ripley_k` for a single skewed observed pattern).  Returns the
+    bounded (patterns x radii) table of ordered pair counts and
+    per-pattern point counts."""
+    rmax = max(radii)
+    inv = 1.0 / rmax
+    r2s = np.array([r * r for r in radii])
+    r2max = float(r2s.max())
+    GOLD = np.uint64(0x9E3779B185EBCA87)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        pat = b[pattern_col].to_numpy().astype(np.int64)
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        cx = np.floor(lon * inv).astype(np.int64)
+        cy = np.floor(lat * inv).astype(np.int64)
+        n = len(ids)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                own = dx == 0 and dy == 0
+                cell = ((cx + dx) * np.int64(1 << 21) + (cy + dy)) * np.int64(
+                    64
+                ) + pat
+                parts.append(
+                    pa.table(
+                        {
+                            "_cell": pa.array(cell),
+                            "_pat": pa.array(pat),
+                            "_id": pa.array(ids),
+                            "lon": pa.array(lon),
+                            "lat": pa.array(lat),
+                            "_own": pa.array(np.full(n, own)),
+                        }
+                    )
+                )
+        out = pa.concat_tables(parts)
+        shard = (
+            (out["_cell"].to_numpy().astype(np.uint64) * GOLD) % np.uint64(n_shards)
+        ).astype(np.int64)
+        return out.append_column("_s", pa.array(shard))
+
+    def count_pairs(g) -> pa.Table:
+        empty = pa.table(
+            {
+                "pattern": pa.array([], pa.int64()),
+                "ri": pa.array([], pa.int64()),
+                "pairs": pa.array([], pa.int64()),
+                "n_own": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cell = g["_cell"].to_numpy().astype(np.int64)
+        pat = g["_pat"].to_numpy().astype(np.int64)
+        ids = g["_id"].to_numpy().astype(np.int64)
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        own = g["_own"].to_numpy().astype(bool)
+        o = np.argsort(cell, kind="stable")
+        cell, pat, ids, lon, lat, own = (
+            cell[o], pat[o], ids[o], lon[o], lat[o], own[o]
+        )
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        acc: dict[int, np.ndarray] = {}
+        nown: dict[int, int] = {}
+        for s, e in zip(starts, ends):
+            osel = own[s:e]
+            no = int(osel.sum())
+            if no == 0:
+                continue
+            p = int(pat[s])
+            nown[p] = nown.get(p, 0) + no
+            cnt = acc.setdefault(p, np.zeros(len(radii), dtype=np.int64))
+            clon, clat, cids = lon[s:e], lat[s:e], ids[s:e]
+            olon, olat = clon[osel], clat[osel]
+            oid = cids[osel]
+            chunk = max(16, (1 << 22) // max(len(clon), 1))
+            for c0 in range(0, no, chunk):
+                dxm = olon[c0 : c0 + chunk][:, None] - clon[None, :]
+                dym = olat[c0 : c0 + chunk][:, None] - clat[None, :]
+                d2 = dxm * dxm + dym * dym
+                m = d2 <= r2max
+                m &= oid[c0 : c0 + chunk][:, None] != cids[None, :]
+                d2v = d2[m]
+                for k, r2 in enumerate(r2s):
+                    cnt[k] += (
+                        int(d2v.size) if r2 == r2max else int((d2v <= r2).sum())
+                    )
+        pats = sorted(acc)
+        return pa.table(
+            {
+                "pattern": pa.array(
+                    np.repeat(np.array(pats, np.int64), len(radii))
+                ),
+                "ri": pa.array(np.tile(np.arange(len(radii), dtype=np.int64), len(pats))),
+                "pairs": pa.array(
+                    np.concatenate([acc[p] for p in pats])
+                    if pats
+                    else np.array([], np.int64)
+                ),
+                "n_own": pa.array(
+                    np.concatenate(
+                        [
+                            np.r_[np.int64(nown[p]), np.zeros(len(radii) - 1, np.int64)]
+                            for p in pats
+                        ]
+                    )
+                    if pats
+                    else np.array([], np.int64)
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(count_pairs, batch_format="pandas")
+        .take_all()
+    )
+    agg: dict[int, np.ndarray] = {}
+    ns: dict[int, int] = {}
+    for r in rows:
+        p = int(r["pattern"])
+        agg.setdefault(p, np.zeros(len(radii), dtype=np.int64))[int(r["ri"])] += int(
+            r["pairs"]
+        )
+        ns[p] = ns.get(p, 0) + int(r["n_own"])
+    pats = sorted(agg)
+    return pa.table(
+        {
+            "pattern": pa.array(
+                np.repeat(np.array(pats, np.int64), len(radii))
+            ),
+            "radius": pa.array(np.tile(np.array(radii), len(pats))),
+            "n_pairs": pa.array(
+                np.concatenate([agg[p] for p in pats])
+                if pats
+                else np.array([], np.int64)
+            ),
+            "n_points": pa.array(
+                np.repeat(np.array([ns[p] for p in pats], np.int64), len(radii))
+            ),
+        }
+    )
+
+
 def cross_k(
     ds: rd.Dataset,
     type_col: str,
