@@ -1365,6 +1365,42 @@ ORDER BY 1, 2
 """
 
 
+def raster_decompose() -> str:
+    """STL-lite twin: centered window sum + count (interior = full
+    25-hour windows), cleared-denominator d25/s75 integers, the three
+    mirrored single divisions."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, valid_time, CAST(value AS BIGINT) AS x
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 96),
+w AS (
+  SELECT t, r, c, valid_time, x,
+         CAST(SUM(x) OVER (PARTITION BY r, c ORDER BY t
+                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+              AS BIGINT) AS t25,
+         count(*) OVER (PARTITION BY r, c ORDER BY t
+                        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wn
+  FROM v),
+d AS (
+  SELECT t, r, c, valid_time, t25, 25*x - t25 AS d25, t % 24 AS hod
+  FROM w WHERE wn = 25),
+s AS (
+  SELECT r, c, hod, CAST(SUM(d25) AS BIGINT) AS s75,
+         CAST(count(*) AS BIGINT) AS m
+  FROM d GROUP BY 1, 2, 3)
+SELECT d.valid_time, d.r AS cell_row, d.c AS cell_col,
+       CAST(d.t25 AS DOUBLE) / 25.0 AS trend,
+       CAST(s.s75 AS DOUBLE) / CAST(25 * s.m AS DOUBLE) AS seasonal,
+       CAST(s.m * d.d25 - s.s75 AS DOUBLE) / CAST(25 * s.m AS DOUBLE)
+         AS resid
+FROM d JOIN s ON s.r = d.r AND s.c = d.c AND s.hod = d.hod
+ORDER BY 2, 3, 1
+"""
+
+
 def raster_spearman() -> str:
     """Spearman twin: doubled average ranks as integer window
     expressions (2*(rank()-1) + tie count + 1), exact BIGINT sums per
@@ -3564,6 +3600,37 @@ SELECT c.tok1, c.tok2, c.n_pairs, u.n_first,
        CAST(c.n_pairs AS DOUBLE) / CAST(u.n_first AS DOUBLE) AS cond_p
 FROM c JOIN u USING (tok1)
 ORDER BY n_pairs DESC, tok1, tok2 LIMIT {k}
+"""
+
+
+def doc_boilerplate(k: int = 500) -> str:
+    """Boilerplate twin: the bigram positional CTE, the same total-order
+    top-k cutoff, LEFT JOIN membership, one division per doc.  Valid
+    while docs have <= 127 tokens and >= 2 (the bigram CTE caveats)."""
+    return f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, i.range AS i, list_extract(toks, i.range::INTEGER) AS w
+  FROM tl, range(1, 128) i WHERE i.range <= len(toks)),
+bg AS (
+  SELECT a.doc_id, a.w AS tok1, b.w AS tok2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+c AS (SELECT tok1, tok2, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+top AS (SELECT tok1, tok2 FROM c
+        ORDER BY n DESC, tok1, tok2 LIMIT {k}),
+d AS (
+  SELECT bg.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(count(top.tok1) AS BIGINT) AS n_top_hits
+  FROM bg LEFT JOIN top
+    ON top.tok1 = bg.tok1 AND top.tok2 = bg.tok2
+  GROUP BY 1)
+SELECT doc_id, n_bigrams, n_top_hits,
+       CAST(n_top_hits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         AS boilerplate_frac
+FROM d ORDER BY doc_id
 """
 
 

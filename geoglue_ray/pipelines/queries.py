@@ -3123,6 +3123,18 @@ def bigram_stats(sf_dir: str, k: int = 100) -> rd.Dataset:
     return bigram_topk(docs, "text", k=k)
 
 
+def doc_boilerplate(sf_dir: str) -> rd.Dataset:
+    """Per-document boilerplate fraction: share of each doc's bigrams in
+    the corpus's exact top-500 bigram list — templated-text detection,
+    the inter-document repetition signal (stages/text.boilerplate_frac:
+    deterministic total-order cutoff, k-row broadcast, one streamed
+    membership pass, one division per doc)."""
+    from geoglue_ray.stages.text import boilerplate_frac
+
+    docs = read_documents_cols(sf_dir, ["doc_id", "text"])
+    return boilerplate_frac(docs, "text", k=500).sort("doc_id")
+
+
 def decontaminate_docs(sf_dir: str) -> rd.Dataset:
     """Benchmark decontamination over the documents table: every 97th doc
     plays the held-out eval set; each training doc gets its token-
@@ -3466,6 +3478,21 @@ def raster_temporal_variogram(sf_dir: str) -> pa.Table:
     from geoglue_ray.stages.stencil import temporal_variogram
 
     return temporal_variogram(read_raster(n_days=2), variable="t2m", max_lag_hours=6)
+
+
+def raster_decompose(sf_dir: str) -> rd.Dataset:
+    """Classical seasonal-trend decomposition (x = trend + seasonal +
+    residual) per cell over four days of hourly t2m — centered 25-hour
+    moving-average trend, per-hour-of-day seasonal, all in cleared
+    denominators so no float sum ever accumulates in engine-dependent
+    order (stages/stencil.seasonal_decompose).  Bit-exact vs the SQL
+    window twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import seasonal_decompose
+
+    return seasonal_decompose(read_raster(n_days=4), variable="t2m").sort(
+        ["cell_row", "cell_col", "valid_time"]
+    )
 
 
 def raster_spearman(sf_dir: str) -> rd.Dataset:

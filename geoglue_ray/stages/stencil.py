@@ -2009,3 +2009,127 @@ def spearman_slices(
         .groupby("_s")
         .map_groups(rho, batch_format="pandas")
     )
+
+def seasonal_decompose(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    period: int = 24,
+    half: int = 12,
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """Classical seasonal-trend decomposition per cell over the hourly
+    series (the moving-average STL-lite: ``x = trend + seasonal +
+    residual``): trend = centered (2*half+1)-hour moving average,
+    seasonal = per-hour-of-day mean of the detrended interior, residual
+    the rest.  All arithmetic runs in CLEARED DENOMINATORS — ``T25 =
+    sum of the 25-hour window`` (exact int64), ``d25 = 25*x - T25``,
+    per-hod sums ``S75 = sum of d25`` over the interior occurrences —
+    so float sums never accumulate in engine-dependent order; the three
+    emitted columns are single divisions (``/25``, ``/75``, ``(3*d25 -
+    S75)/75``), bit-exact vs the SQL window twin.  Requires the input
+    span to give every hour-of-day the same interior count (e.g. 4 days
+    with period 24, half 12 -> 3 occurrences each — asserted).
+
+    Distribution: the mann_kendall shard idiom — whole cell series
+    co-shuffle on ``hash(cell) % n_shards``; per task one lexsort +
+    cumsum pass, no per-cell Python beyond a bounded loop."""
+
+    T0 = np.datetime64(fx.T0, "us")
+    W = 2 * half + 1
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        hour = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        )[fin]
+        r = b["cell_row"].to_numpy().astype(np.int64)[fin]
+        c = b["cell_col"].to_numpy().astype(np.int64)[fin]
+        cell = r * np.int64(1 << 20) + c
+        shard = (
+            (cell.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_s": pa.array(shard),
+                "cell": pa.array(cell),
+                "hour": pa.array(hour),
+                "x": pa.array(v[fin].astype(np.int64)),
+            }
+        )
+
+    def decompose(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "valid_time": pa.array([], pa.timestamp("us")),
+                "cell_row": pa.array([], pa.int64()),
+                "cell_col": pa.array([], pa.int64()),
+                "trend": pa.array([], pa.float64()),
+                "seasonal": pa.array([], pa.float64()),
+                "resid": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cell = g["cell"].to_numpy().astype(np.int64)
+        hour = g["hour"].to_numpy().astype(np.int64)
+        x = g["x"].to_numpy().astype(np.int64)
+        o = np.lexsort((hour, cell))
+        cell, hour, x = cell[o], hour[o], x[o]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        outs = []
+        for s0, e0 in zip(starts, ends):
+            xs = x[s0:e0]
+            hs = hour[s0:e0]
+            n = len(xs)
+            if n < W:
+                continue
+            cs = np.concatenate(([0], np.cumsum(xs)))
+            t25 = cs[W:] - cs[:-W]  # window sums, positions half..n-1-half
+            ti = np.arange(half, n - half)
+            d25 = W * xs[ti] - t25
+            hod = hs[ti] % period
+            cnt = np.bincount(hod, minlength=period)
+            occ = cnt[cnt > 0]
+            if len(occ) and not np.all(occ == occ[0]):
+                raise ValueError(
+                    "seasonal_decompose: uneven hour-of-day interior counts"
+                )
+            m = int(occ[0]) if len(occ) else 0
+            s75 = np.bincount(hod, weights=d25, minlength=period).astype(np.int64)
+            den = float(W * m)
+            outs.append(
+                pa.table(
+                    {
+                        "valid_time": pa.array(
+                            T0 + (hs[ti] * 3_600_000_000).astype("timedelta64[us]"),
+                            type=pa.timestamp("us"),
+                        ),
+                        "cell_row": pa.array(
+                            np.full(len(ti), cell[s0] >> np.int64(20))
+                        ),
+                        "cell_col": pa.array(
+                            np.full(len(ti), cell[s0] & np.int64((1 << 20) - 1))
+                        ),
+                        "trend": pa.array(t25.astype(np.float64) / float(W)),
+                        "seasonal": pa.array(
+                            s75[hod].astype(np.float64) / den
+                        ),
+                        "resid": pa.array(
+                            (m * d25 - s75[hod]).astype(np.float64) / den
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(outs) if outs else empty
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(decompose, batch_format="pandas")
+    )

@@ -626,3 +626,62 @@ def inverted_index(
         .groupby("_shard")
         .map_groups(postings, batch_format="pyarrow")
     )
+
+
+def boilerplate_frac(
+    ds: rd.Dataset, text_col: str = "text", k: int = 500
+) -> rd.Dataset:
+    """Per-document BOILERPLATE fraction — what share of a doc's
+    adjacent-token bigrams belong to the corpus's top-k bigrams (high
+    fraction = templated/navigational text, the inter-document
+    repetition signal next to doc_repetition's intra-document one).
+
+    Two passes: (1) :func:`bigram_topk` reduces the corpus to the exact
+    top-k bigram list on the (count desc, tok1, tok2) total order —
+    deterministic cutoff, k rows to the driver, broadcast once via
+    ``ray.put``; (2) the corpus streams once more, each batch's bigrams
+    membership-checked with one sorted ``np.isin`` against the
+    broadcast keys.  One exact-integer division per doc (every fixture
+    doc has >= 2 tokens — the bigram/minhash CTE caveat), so the SQL
+    twin (top-k CTE + LEFT JOIN membership) is bit-exact."""
+    import ray
+
+    top = bigram_topk(ds, text_col=text_col, k=k).to_pandas()
+    keys = np.sort(
+        np.char.add(
+            np.char.add(top["tok1"].to_numpy().astype(str), "\x00"),
+            top["tok2"].to_numpy().astype(str),
+        )
+    )
+    keys_ref = ray.put(keys)
+
+    def frac(b: pa.Table, *, ref=keys_ref) -> pa.Table:
+        kk = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        toks = pc.utf8_split_whitespace(b[text_col])
+        n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        tok_off = np.concatenate(([0], np.cumsum(n_tok)))
+        mask = np.zeros(len(flat), dtype=bool)
+        if len(flat):
+            mask[:] = True
+            mask[tok_off[1:] - 1] = False
+        i1 = np.flatnonzero(mask)
+        doc_of = np.searchsorted(tok_off[1:], i1, side="right")
+        bg = np.char.add(
+            np.char.add(flat[i1].astype(str), "\x00"), flat[i1 + 1].astype(str)
+        )
+        hit = np.isin(bg, kk)
+        nb = np.maximum(n_tok - 1, 0)
+        hits = np.bincount(doc_of, weights=hit, minlength=len(b)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_bigrams": pa.array(nb),
+                "n_top_hits": pa.array(hits),
+                "boilerplate_frac": pa.array(
+                    hits.astype(np.float64) / nb.astype(np.float64)
+                ),
+            }
+        )
+
+    return ds.map_batches(frac, batch_format="pyarrow")
