@@ -2423,6 +2423,39 @@ ORDER BY 1
 """
 
 
+def events_g() -> str:
+    """G-function twin: the events_nn min-distance construction, then
+    per-radius threshold counts on the SAME rounded sqrt values the
+    engine compares (mirrored comparison, exact by construction)."""
+    return f"""
+WITH e AS (
+  SELECT event_id,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+p AS (
+  SELECT a.event_id,
+         (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS d2
+  FROM e a JOIN e b
+    ON b.event_id <> a.event_id
+   AND b.lon BETWEEN a.lon - 0.0625 AND a.lon + 0.0625
+   AND b.lat BETWEEN a.lat - 0.0625 AND a.lat + 0.0625
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= 0.0625 * 0.0625),
+mn AS (SELECT event_id, sqrt(min(d2)) AS nn_dist FROM p GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+rs AS (SELECT * FROM (VALUES (0.015625), (0.03125), (0.046875), (0.0625))
+       t(r)),
+c AS (
+  SELECT rs.r,
+         CAST(count(*) FILTER (WHERE mn.nn_dist <= rs.r) AS BIGINT) AS n_le
+  FROM rs CROSS JOIN mn GROUP BY 1)
+SELECT c.r AS radius, c.n_le, nn.n AS n_points,
+       CAST(c.n_le AS DOUBLE) / CAST(nn.n AS DOUBLE) AS g_est
+FROM c, nn ORDER BY 1
+"""
+
+
 def cell_nearest_event() -> str:
     """Two-table NN twin: raster cell centers joined to events inside the
     per-axis radius box, exact d2 chain, nearest by (d2, event id), LEFT

@@ -1649,6 +1649,61 @@ def events_nn(sf_dir: str) -> rd.Dataset:
     return radius_nn_join(ds, radius=0.0625, id_col="event_id").sort("event_id")
 
 
+def events_g(sf_dir: str) -> pa.Table:
+    """Nearest-neighbour distance distribution (Ripley's G function) at
+    four dyadic radii — the third classic point-pattern summary next to
+    K (events_ripley) and the quadrat test: ``G(r) = fraction of points
+    whose NN distance <= r`` (NN bounded at 1/16 deg = max radius, so
+    the ring pass stays exact; isolated points count in the denominator
+    only).  A composition: radius_nn_join -> per-batch threshold counts
+    -> a bounded driver sum; integer counts and single divisions
+    mirrored against the events_nn SQL construction."""
+    from geoglue_ray.stages.spatial import radius_nn_join
+
+    radii = (1 / 64, 2 / 64, 3 / 64, 4 / 64)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {"event_id": b["event_id"], "lon": pa.array(lon), "lat": pa.array(lat)}
+        )
+
+    nn = radius_nn_join(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        radius=0.0625,
+        id_col="event_id",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["nn_dist"].to_numpy(zero_copy_only=False)
+        cnt = np.array(
+            [int((d <= r).sum()) for r in radii] + [len(d)], dtype=np.int64
+        )  # NaN (isolated) compares False; total counts every point
+        return pa.table(
+            {
+                "ri": pa.array(np.arange(len(radii) + 1, dtype=np.int64)),
+                "cnt": pa.array(cnt),
+            }
+        )
+
+    rows = nn.map_batches(partial, batch_format="pyarrow").take_all()
+    acc = np.zeros(len(radii) + 1, dtype=np.int64)
+    for r in rows:
+        acc[int(r["ri"])] += int(r["cnt"])
+    n = acc[-1]
+    return pa.table(
+        {
+            "radius": pa.array(np.array(radii)),
+            "n_le": pa.array(acc[: len(radii)]),
+            "n_points": pa.array(np.full(len(radii), n, dtype=np.int64)),
+            "g_est": pa.array(
+                acc[: len(radii)].astype(np.float64) / np.float64(n)
+            ),
+        }
+    )
+
+
 def colocation_quotient(sf_dir: str) -> rd.Dataset:
     """Colocation quotient (CLQ, Leslie & Kronenfeld) over event types —
     which categories cluster NEAR each other: for every event with an
