@@ -2675,6 +2675,28 @@ ORDER BY 1, 2
 """
 
 
+def events_benford() -> str:
+    """Benford twin: leading digit by VARCHAR first character of the
+    positive BIGINT value, the Python-computed log10 literals (same
+    doubles as the engine), the mirrored expected/chi2 chain."""
+    return """
+WITH v AS (
+  SELECT CAST(value * 100 AS BIGINT) AS v FROM events WHERE value > 0),
+d AS (
+  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM v),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+p AS (SELECT * FROM (VALUES (1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)) t(digit, p))
+SELECT p.digit, COALESCE(c.obs, 0) AS obs,
+       CAST(n.n AS DOUBLE) * p.p AS expected,
+       (COALESCE(c.obs, 0) - CAST(n.n AS DOUBLE) * p.p)
+         * (COALESCE(c.obs, 0) - CAST(n.n AS DOUBLE) * p.p)
+         / (CAST(n.n AS DOUBLE) * p.p) AS chi2_term
+FROM p LEFT JOIN c ON c.digit = p.digit, n
+ORDER BY 1
+"""
+
+
 def events_quadrat() -> str:
     """Quadrat-test twin: zero-filled 16x32 grid via range() cross join
     LEFT JOIN the binned counts; cleared-integer sample variance, then

@@ -2181,6 +2181,56 @@ def events_sde(sf_dir: str) -> rd.Dataset:
     return dispersion_stats(ds, "event_type", "ix", "iy").sort("event_type")
 
 
+def events_benford(sf_dir: str) -> pa.Table:
+    """Benford leading-digit conformance test over the positive event
+    values — the fraud/data-quality screen: observed counts per leading
+    digit 1-9 (pure integer arithmetic: repeated //10), expected
+    ``n * log10(1 + 1/d)`` and per-digit chi-square terms.  The Benford
+    probabilities enter BOTH engines as the same Python-computed double
+    literals (the oracle is built in Python), so the float chain is
+    mirrored exactly.  Per-batch 9-bin partials -> driver sum."""
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        # cents-integer view: value is a 2-decimal measure; *100 lands
+        # within ~1e-10 of an integer, so round-to-nearest matches
+        # DuckDB's CAST(value*100 AS BIGINT) exactly (never a .5 tie),
+        # and scaling by 100 preserves the leading digit
+        vf = b["value"].to_numpy(zero_copy_only=False)
+        v = np.round(vf[vf > 0] * 100.0).astype(np.int64)
+        d = v.copy()
+        for _ in range(6):  # cents < 10^7: six shifts reach 1 digit
+            d = np.where(d >= 10, d // 10, d)
+        cnt = np.bincount(d, minlength=10)[1:10].astype(np.int64)
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "cnt": pa.array(cnt),
+            }
+        )
+
+    rows = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: 9 rows per block
+    obs = np.zeros(9, dtype=np.int64)
+    for r in rows:
+        obs[int(r["digit"]) - 1] += int(r["cnt"])
+    n = int(obs.sum())
+    p = np.array([math.log10(1.0 + 1.0 / d) for d in range(1, 10)])
+    exp = np.float64(n) * p
+    diff = obs.astype(np.float64) - exp
+    return pa.table(
+        {
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "obs": pa.array(obs),
+            "expected": pa.array(exp),
+            "chi2_term": pa.array(diff * diff / exp),
+        }
+    )
+
+
 def events_quadrat(sf_dir: str) -> pa.Table:
     """Quadrat-count test for complete spatial randomness over the
     in-bbox events — the classic point-pattern first test: counts per
