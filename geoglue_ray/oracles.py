@@ -1510,6 +1510,60 @@ ORDER BY 1, 2, 3
 """
 
 
+def raster_flow_acc() -> str:
+    """Hydrology twin: the flowdir pick feeds a recursive-CTE walk
+    (every cell's full downstream path — D8 drops are strictly positive
+    so the walk terminates); flow_acc = count of start cells whose path
+    visits the cell, basin = the path's terminal (pit) cell.  Exact
+    integer counts — order never enters a sum."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH RECURSIVE rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, value
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 24),
+dirs AS (
+  SELECT * FROM (VALUES (0, 0, 1), (1, 1, 1), (2, 1, 0), (3, 1, -1),
+                        (4, 0, -1), (5, -1, -1), (6, -1, 0), (7, -1, 1))
+    AS d(dir, dr, dc)),
+drops AS (
+  SELECT a.t, a.r, a.c, d.dir, a.value - b.value AS drop
+  FROM v a CROSS JOIN dirs d
+  JOIN v b ON b.t = a.t AND b.r = a.r + d.dr AND b.c = a.c + d.dc),
+pick AS (
+  SELECT t, r, c, dir, drop,
+         row_number() OVER (PARTITION BY t, r, c
+                            ORDER BY drop DESC, dir ASC) AS rn
+  FROM drops),
+succ AS (
+  SELECT p.t, p.r, p.c,
+         CASE WHEN p.drop > 0.0 THEN p.r + d.dr END AS nr,
+         CASE WHEN p.drop > 0.0 THEN p.c + d.dc END AS nc
+  FROM pick p JOIN dirs d ON d.dir = p.dir
+  WHERE p.rn = 1),
+walk (t, sr, sc, r, c) AS (
+  SELECT t, r, c, r, c FROM succ
+  UNION ALL
+  SELECT w.t, w.sr, w.sc, s.nr, s.nc
+  FROM walk w JOIN succ s ON s.t = w.t AND s.r = w.r AND s.c = w.c
+  WHERE s.nr IS NOT NULL),
+acc AS (
+  SELECT t, r, c, CAST(count(*) AS BIGINT) AS flow_acc
+  FROM walk GROUP BY 1, 2, 3),
+term AS (
+  SELECT w.t, w.sr, w.sc, w.r AS basin_row, w.c AS basin_col
+  FROM walk w JOIN succ s ON s.t = w.t AND s.r = w.r AND s.c = w.c
+  WHERE s.nr IS NULL)
+SELECT {fx.T0_SQL} + INTERVAL 1 HOUR * a.t AS valid_time,
+       a.r AS cell_row, a.c AS cell_col, a.flow_acc,
+       CAST(m.basin_row AS BIGINT) AS basin_row,
+       CAST(m.basin_col AS BIGINT) AS basin_col
+FROM acc a JOIN term m ON m.t = a.t AND m.sr = a.r AND m.sc = a.c
+ORDER BY 1, 2, 3
+"""
+
+
 def raster_sen_slope() -> str:
     """Theil-Sen twin: time-ordered pair slopes by self-join (one
     division each), per-cell median (DuckDB's even-count median is the

@@ -3641,6 +3641,22 @@ def raster_flowdir(sf_dir: str) -> rd.Dataset:
     )
 
 
+def raster_flow_acc(sf_dir: str) -> rd.Dataset:
+    """D8 flow accumulation + basin label per (cell, hour) over two days
+    — the global-dependency hydrology pair on top of raster_flowdir
+    (stages/hydro.flow_hydrology: row-band contraction, vectorized token
+    walks, perimeter-cardinality solve — the Barnes trillion-cell DEM
+    shape).  Exact integer counts; bit-exact vs the recursive-CTE SQL
+    walk twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.hydro import flow_hydrology
+    from geoglue_ray.stages.stencil import flow_direction
+
+    return flow_hydrology(
+        flow_direction(read_raster(n_days=1), variable="t2m")
+    ).sort(["valid_time", "cell_row", "cell_col"])
+
+
 def raster_sen_slope(sf_dir: str) -> rd.Dataset:
     """Theil-Sen robust trend per raster cell over two days of hourly
     t2m — median of pairwise slopes + Conover intercept, the standard
