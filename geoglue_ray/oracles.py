@@ -3954,3 +3954,92 @@ SELECT event_type, day, new_users,
                             ROWS UNBOUNDED PRECEDING) AS cum_users
 FROM d ORDER BY event_type, day
 """
+
+
+def raster_tri() -> str:
+    """TRI twin: 8-direction neighbor join, per-cell sum/count of exact
+    integer absolute differences (<=8 terms — any summation order is
+    exact in doubles), one final division mirroring the engine."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, valid_time, r, c, value
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+dirs AS (
+  SELECT * FROM (VALUES (0, 1), (1, 1), (1, 0), (1, -1),
+                        (0, -1), (-1, -1), (-1, 0), (-1, 1))
+    AS d(dr, dc)),
+nb AS (
+  SELECT a.valid_time, a.r, a.c, abs(b.value - a.value) AS ad
+  FROM v a CROSS JOIN dirs d
+  JOIN v b ON b.t = a.t AND b.r = a.r + d.dr AND b.c = a.c + d.dc)
+SELECT valid_time, r AS cell_row, c AS cell_col,
+       sum(ad) AS tri_sum,
+       CAST(count(*) AS BIGINT) AS n_nb,
+       sum(ad) / count(*) AS tri
+FROM nb GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def raster_aspect() -> str:
+    """Aspect twin: the gradient 4-join feeding the same ordered
+    45-degree-sector CASE chain the engine's np.select evaluates — the
+    engine's *2.0 gradient scaling cancels in every comparison."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+t2 AS (SELECT t, valid_time, r, c, value FROM rast
+       WHERE variable = 't2m' AND t < 48 AND value IS NOT NULL),
+g AS (
+  SELECT a.valid_time, a.r, a.c,
+         (e.value - w.value) AS gx,
+         (n.value - s.value) AS gy
+  FROM t2 a
+  JOIN t2 e ON e.t = a.t AND e.r = a.r AND e.c = a.c + 1
+  JOIN t2 w ON w.t = a.t AND w.r = a.r AND w.c = a.c - 1
+  JOIN t2 n ON n.t = a.t AND n.r = a.r - 1 AND n.c = a.c
+  JOIN t2 s ON s.t = a.t AND s.r = a.r + 1 AND s.c = a.c)
+SELECT valid_time, r AS cell_row, c AS cell_col,
+       CAST(CASE WHEN gx > 0 AND gy >= 0 AND gx > gy THEN 0
+                 WHEN gx > 0 AND gy >= gx THEN 1
+                 WHEN gx <= 0 AND gy > 0 AND gy > -gx THEN 2
+                 WHEN gy > 0 AND -gx >= gy THEN 3
+                 WHEN gx < 0 AND gy <= 0 AND -gx > -gy THEN 4
+                 WHEN gx < 0 AND -gy >= -gx THEN 5
+                 WHEN gx >= 0 AND gy < 0 AND -gy > gx THEN 6
+                 WHEN gx > 0 AND gy < 0 THEN 7
+                 ELSE -1 END AS BIGINT) AS aspect_oct
+FROM g ORDER BY 1, 2, 3
+"""
+
+
+def raster_viewshed() -> str:
+    """Line-of-sight twin: observer = min existing column per (t, row);
+    a cell is visible iff no intervening existing cell's
+    cross-multiplied sight slope reaches its own (exact integer-valued
+    products; null cells transparent).  The observer cell is visible."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, valid_time, r, c, value
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 24),
+o AS (SELECT t, r, min(c) AS obs FROM v GROUP BY 1, 2),
+vo AS (
+  SELECT o.t, o.r, o.obs, b.value AS v_obs
+  FROM o JOIN v b ON b.t = o.t AND b.r = o.r AND b.c = o.obs)
+SELECT a.valid_time, a.r AS cell_row, a.c AS cell_col,
+       CAST(vo.obs AS BIGINT) AS obs_col,
+       (a.c = vo.obs OR NOT EXISTS (
+          SELECT 1 FROM v m
+          WHERE m.t = a.t AND m.r = a.r AND m.c > vo.obs AND m.c < a.c
+            AND (a.value - vo.v_obs) * (m.c - vo.obs)
+                <= (m.value - vo.v_obs) * (a.c - vo.obs))) AS visible
+FROM v a JOIN vo ON vo.t = a.t AND vo.r = a.r
+ORDER BY 1, 2, 3
+"""

@@ -4712,3 +4712,49 @@ def cohort_growth(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
         batch_format="pyarrow",
     ).groupby("_all").map_groups(cumulate, batch_format="pandas")
     return out.sort(["event_type", "day"])
+
+
+def raster_tri(sf_dir: str) -> rd.Dataset:
+    """Terrain Ruggedness Index per (cell, hour) over two days — sum and
+    mean absolute difference to the up-to-8 existing neighbors
+    (stages/terrain.ruggedness: halo-exchange banding, vectorized
+    8-neighbor abs-diff accumulation, one final division).  The <=8-term
+    integer sum is exact, so the SQL 8-neighbor join twin is
+    bit-exact."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.terrain import ruggedness
+
+    return ruggedness(read_raster(n_days=2), variable="t2m").sort(
+        ["valid_time", "cell_row", "cell_col"]
+    )
+
+
+def raster_aspect(sf_dir: str) -> rd.Dataset:
+    """Aspect octant per (cell, hour) over two days — the 45-degree
+    sector of the central-difference gradient, boundaries only on axes
+    and diagonals so classification is pure sign / magnitude
+    comparisons (stages/terrain.aspect_octant over focal_gradient's
+    halo stencil).  Bit-exact vs the SQL CASE twin on raw
+    differences."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.terrain import aspect_octant
+
+    return aspect_octant(read_raster(n_days=2), variable="t2m").sort(
+        ["valid_time", "cell_row", "cell_col"]
+    )
+
+
+def raster_viewshed(sf_dir: str) -> rd.Dataset:
+    """West-edge line-of-sight visibility per (cell, hour) over one day
+    — per raster row, which cells the row's west-most cell can see over
+    the intervening terrain (stages/terrain.los_visibility: row-band
+    scanline groups, one vectorized column sweep carrying the running
+    best sight slope as an exact rational).  Cross-multiplied integer
+    slope comparisons — bit-exact vs the SQL NOT-EXISTS blocking
+    twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.terrain import los_visibility
+
+    return los_visibility(read_raster(n_days=1), variable="t2m").sort(
+        ["valid_time", "cell_row", "cell_col"]
+    )

@@ -1,0 +1,276 @@
+"""Terrain-analysis raster derivatives: ruggedness (TRI), aspect
+octant, and west-edge line-of-sight visibility (viewshed scanline).
+
+The reference computes per-cell neighbor statistics over the same
+lattice (``zonalstats.py`` zonal cores; ``resample.py:96`` neighbor
+stencils); these are the standard GIS terrain derivatives re-expressed
+Ray-Data-first:
+
+- :func:`ruggedness` and :func:`aspect_octant` are halo-exchange
+  stencils (the :func:`stages.stencil._halo_prep` banding — one linear
+  shuffle, vectorized window math per row-band task).
+- :func:`los_visibility` is a *scanline* operator: visibility from the
+  row's west-most cell needs the whole row but nothing outside it, so
+  groups are row bands x hour chunks with NO halo, and the running
+  sight-line maximum is one vectorized column sweep per task (33-step
+  loop over columns, all (hour, row) scanlines advanced at once).
+
+Partitioning assumption (custom-operator rule): a scanline group must
+hold complete rows — bands split on ``cell_row`` only.  A full 2-D
+viewshed at planet scale would sweep per octant with band contraction
+exactly as stages/hydro.py does for flow accumulation.
+
+All three emit exact integer comparisons / integer-valued sums with at
+most one final division, so the SQL self-join twins are bit-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from geoglue_ray import fixtures as fx
+from geoglue_ray.stages.stencil import _halo_prep, focal_gradient
+
+_DIRS8 = ((0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1))
+
+
+def ruggedness(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    band_rows: int = 8,
+    hour_chunk: int = 24,
+    n_cols: int | None = None,
+) -> rd.Dataset:
+    """Terrain Ruggedness Index per (cell, hour): the sum and mean of
+    ``|v(neighbor) - v(center)|`` over the up-to-8 existing neighbors
+    (Riley's TRI with the mean-absolute variant; on integer-valued
+    doubles the <=8-term sum is exact and ``tri`` is one division).
+    Cells with a null center or no existing neighbor are absent."""
+    T0 = np.datetime64(fx.T0, "us")
+    prep = _halo_prep(variable, band_rows, hour_chunk)
+
+    def stencil(g: pd.DataFrame) -> pa.Table:
+        hour = g["hour"].to_numpy().astype(np.int64)
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        own = g["_own"].to_numpy().astype(bool)
+        empty = {
+            "valid_time": pa.array([], pa.timestamp("us")),
+            "cell_row": pa.array([], pa.int64()),
+            "cell_col": pa.array([], pa.int64()),
+            "tri_sum": pa.array([], pa.float64()),
+            "n_nb": pa.array([], pa.int64()),
+            "tri": pa.array([], pa.float64()),
+        }
+        if not own.any():
+            return pa.table(empty)
+        t0, r0 = hour.min(), r.min()
+        nt = int(hour.max() - t0 + 1)
+        nr = int(r.max() - r0 + 1)
+        nc = int(c.max()) + 1 if n_cols is None else int(n_cols)
+        shape = (nt, nr + 2, nc + 2)
+        V = np.zeros(shape, dtype=np.float64)
+        M = np.zeros(shape, dtype=bool)
+        ti, ri, ci = hour - t0, r - r0 + 1, c + 1
+        fin = np.isfinite(v)
+        V[ti[fin], ri[fin], ci[fin]] = v[fin]
+        M[ti[fin], ri[fin], ci[fin]] = True
+        sel = own & np.isfinite(v)
+        to, ro, co = ti[sel], ri[sel], ci[sel]
+        vc = v[sel]
+        tri_sum = np.zeros(len(to), np.float64)
+        n_nb = np.zeros(len(to), np.int64)
+        for dr, dc in _DIRS8:
+            m = M[to, ro + dr, co + dc]
+            tri_sum[m] += np.abs(V[to, ro + dr, co + dc][m] - vc[m])
+            n_nb += m
+        keep = n_nb > 0
+        if not keep.any():
+            return pa.table(empty)
+        to, ro, co = to[keep], ro[keep], co[keep]
+        tri_sum, n_nb = tri_sum[keep], n_nb[keep]
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    T0 + ((to + t0) * 3_600_000_000).astype("timedelta64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "cell_row": pa.array(ro - 1 + r0),
+                "cell_col": pa.array(co - 1),
+                "tri_sum": pa.array(tri_sum),
+                "n_nb": pa.array(n_nb),
+                "tri": pa.array(tri_sum / n_nb),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(stencil, batch_format="pandas")
+    )
+
+
+def aspect_octant(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    band_rows: int = 8,
+    hour_chunk: int = 24,
+    n_cols: int | None = None,
+) -> rd.Dataset:
+    """Aspect octant per (cell, hour): the 45-degree sector of the
+    central-difference gradient vector (gx eastward, gy northward),
+    sector k covering angles ``[45k, 45k+45)`` so every boundary is an
+    axis or a diagonal — membership is pure sign / |gx| vs |gy|
+    comparisons on exact integer-valued differences (no atan2, no
+    irrational sector bounds).  ``aspect_oct`` in 0..7
+    (0=E 1=NE 2=N 3=NW 4=W 5=SW 6=S 7=SE as angle grows CCW from east);
+    a zero gradient is flat = -1.  Emitted where the center and all
+    four cardinal neighbors exist (the :func:`focal_gradient`
+    domain).  The *2.0 gradient scaling cancels in every comparison, so
+    the SQL CASE twin over raw differences matches bit-exact."""
+    grad = focal_gradient(
+        ds,
+        variable=variable,
+        band_rows=band_rows,
+        hour_chunk=hour_chunk,
+        n_cols=n_cols,
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        gx = b["grad_x"].to_numpy()
+        gy = b["grad_y"].to_numpy()
+        # One condition per 45-degree sector, same order as the SQL CASE.
+        conds = [
+            (gx > 0) & (gy >= 0) & (gx > gy),
+            (gx > 0) & (gy >= gx),
+            (gx <= 0) & (gy > 0) & (gy > -gx),
+            (gy > 0) & (-gx >= gy),
+            (gx < 0) & (gy <= 0) & (-gx > -gy),
+            (gx < 0) & (-gy >= -gx),
+            (gx >= 0) & (gy < 0) & (-gy > gx),
+            (gx > 0) & (gy < 0),
+        ]
+        oct_ = np.select(conds, np.arange(8, dtype=np.int64), np.int64(-1))
+        return pa.table(
+            {
+                "valid_time": b["valid_time"],
+                "cell_row": b["cell_row"],
+                "cell_col": b["cell_col"],
+                "aspect_oct": pa.array(oct_),
+            }
+        )
+
+    return grad.map_batches(classify, batch_format="pyarrow")
+
+
+def los_visibility(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    band_rows: int = 16,
+    hour_chunk: int = 24,
+) -> rd.Dataset:
+    """West-edge line-of-sight visibility per (cell, hour): for each
+    raster row the observer stands on the row's west-most existing
+    cell; a cell is ``visible`` iff its sight-line slope (value rise
+    over column run) STRICTLY exceeds that of every existing cell
+    between it and the observer (null cells are transparent — they
+    neither block nor appear).  The observer cell itself is visible.
+
+    Slope comparisons are cross-multiplied — ``rise_a * run_b >
+    rise_b * run_a`` on exact integer-valued products (|rise| < 997,
+    run <= n_cols) — never divided, so the SQL NOT-EXISTS twin is
+    bit-exact.  One vectorized column sweep advances every (hour, row)
+    scanline in the group at once, carrying the running best slope as
+    an exact (rise, run) rational pair."""
+    H = int(band_rows)
+    T0 = np.datetime64(fx.T0, "us")
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        hour = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        )
+        r = b["cell_row"].to_numpy().astype(np.int64)
+        g = ((hour // hour_chunk) << np.int64(20)) | (r // H)
+        return pa.table(
+            {
+                "_lb": pa.array(g),
+                "hour": pa.array(hour),
+                "r": pa.array(r),
+                "c": pa.array(b["cell_col"].to_numpy().astype(np.int64)),
+                "value": pa.array(
+                    b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+                ),
+            }
+        )
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        empty = {
+            "valid_time": pa.array([], pa.timestamp("us")),
+            "cell_row": pa.array([], pa.int64()),
+            "cell_col": pa.array([], pa.int64()),
+            "obs_col": pa.array([], pa.int64()),
+            "visible": pa.array([], pa.bool_()),
+        }
+        if len(g) == 0:
+            return pa.table(empty)
+        hour = g["hour"].to_numpy().astype(np.int64)
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        fin = np.isfinite(v)
+        hour, r, c, v = hour[fin], r[fin], c[fin], v[fin]
+        if len(hour) == 0:
+            return pa.table(empty)
+        t0, r0 = hour.min(), r.min()
+        nt = int(hour.max() - t0 + 1)
+        nr = int(r.max() - r0 + 1)
+        nc = int(c.max() + 1)
+        V = np.zeros((nt, nr, nc), np.float64)
+        M = np.zeros((nt, nr, nc), bool)
+        ti, ri = hour - t0, r - r0
+        V[ti, ri, c] = v
+        M[ti, ri, c] = True
+        # observer = first existing column per scanline (rows with no
+        # existing cell get obs pointing past the grid, matching nothing)
+        obs = np.where(M.any(axis=2), M.argmax(axis=2), nc)
+        v_obs = np.take_along_axis(
+            V, obs.clip(max=nc - 1)[:, :, None], axis=2
+        )[:, :, 0]
+        best_num = np.full((nt, nr), -1.0)
+        best_den = np.zeros((nt, nr), np.float64)
+        vis = np.zeros((nt, nr, nc), bool)
+        for cc in range(nc):
+            run = np.float64(cc) - obs
+            after = M[:, :, cc] & (run > 0)
+            rise = V[:, :, cc] - v_obs
+            beats = rise * best_den > best_num * run
+            vis[:, :, cc] = after & beats
+            upd = after & beats
+            best_num = np.where(upd, rise, best_num)
+            best_den = np.where(upd, run, best_den)
+        vis[ti, ri, c] |= c == obs[ti, ri]
+        hrs = (ti + t0) * 3_600_000_000
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    T0 + hrs.astype("timedelta64[us]"), type=pa.timestamp("us")
+                ),
+                "cell_row": pa.array(ri + r0),
+                "cell_col": pa.array(c),
+                "obs_col": pa.array(obs[ti, ri].astype(np.int64)),
+                "visible": pa.array(vis[ti, ri, c]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_lb")
+        .map_groups(sweep, batch_format="pandas")
+    )
