@@ -4043,3 +4043,92 @@ SELECT a.valid_time, a.r AS cell_row, a.c AS cell_col,
 FROM v a JOIN vo ON vo.t = a.t AND vo.r = a.r
 ORDER BY 1, 2, 3
 """
+
+
+def events_hull() -> str:
+    """Convex-hull twin by edge witness: (a, b) is a CCW hull edge iff
+    every other distinct point is strictly left of it OR collinear and
+    strictly between the endpoints; vertices = edge sources.  Cross and
+    dot products of dyadic coordinate differences are exact in doubles
+    (<= 50 bits), mirroring the engine's chain tests."""
+    lon = fx.sql_lon("event_id")
+    lat = fx.sql_lat("event_id")
+    cross = "(b.lon - a.lon)*(c.lat - a.lat) - (b.lat - a.lat)*(c.lon - a.lon)"
+    return f"""
+WITH p AS (
+  SELECT DISTINCT event_type, {lon} AS lon, {lat} AS lat
+  FROM events WHERE event_id % 13 = 0),
+e AS (
+  SELECT a.event_type, a.lon AS alon, a.lat AS alat
+  FROM p a JOIN p b
+    ON b.event_type = a.event_type AND (b.lon != a.lon OR b.lat != a.lat)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p c
+    WHERE c.event_type = a.event_type
+      AND (c.lon != a.lon OR c.lat != a.lat)
+      AND (c.lon != b.lon OR c.lat != b.lat)
+      AND NOT ({cross} > 0
+        OR ({cross} = 0
+            AND (c.lon - a.lon)*(b.lon - a.lon)
+                + (c.lat - a.lat)*(b.lat - a.lat) > 0
+            AND (c.lon - b.lon)*(a.lon - b.lon)
+                + (c.lat - b.lat)*(a.lat - b.lat) > 0))))
+SELECT DISTINCT event_type, alon AS lon, alat AS lat FROM e
+ORDER BY 1, 2, 3
+"""
+
+
+def traj_simplify(eps_area: int = 1 << 41) -> str:
+    """Douglas-Peucker twin: recursive-CTE segment splitting at the
+    interior point of largest |cross| (ties to the smallest seq) while
+    it exceeds eps_area; retained vertices = every segment endpoint
+    ever produced plus each user's trajectory bounds.  All arithmetic
+    in BIGINT over the same integer-scaled coordinates."""
+    lon = fx.sql_lon("event_id")
+    lat = fx.sql_lat("event_id")
+
+    def cr(k: str) -> str:
+        return (
+            f"abs((b.x - a.x)*({k}.y - a.y) - (b.y - a.y)*({k}.x - a.x))"
+        )
+
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS seq,
+         CAST({lon} * 1048576.0 AS BIGINT) AS x,
+         CAST({lat} * 262144.0 AS BIGINT) AS y
+  FROM events),
+bounds AS (SELECT user_id, min(seq) AS mn, max(seq) AS mx
+           FROM pts GROUP BY 1),
+seg (user_id, i, j) AS (
+  SELECT user_id, mn, mx FROM bounds WHERE mx > mn
+  UNION ALL
+  SELECT s.user_id,
+         CASE w.side WHEN 0 THEN s.i ELSE k.seq END,
+         CASE w.side WHEN 0 THEN k.seq ELSE s.j END
+  FROM seg s
+  JOIN pts a ON a.user_id = s.user_id AND a.seq = s.i
+  JOIN pts b ON b.user_id = s.user_id AND b.seq = s.j
+  JOIN pts k ON k.user_id = s.user_id AND k.seq > s.i AND k.seq < s.j
+  CROSS JOIN (VALUES (0), (1)) w(side)
+  WHERE {cr('k')} > {eps_area}
+    AND NOT EXISTS (
+      SELECT 1 FROM pts k2
+      WHERE k2.user_id = s.user_id AND k2.seq > s.i AND k2.seq < s.j
+        AND ({cr('k2')} > {cr('k')}
+             OR ({cr('k2')} = {cr('k')} AND k2.seq < k.seq)))),
+kept AS (
+  -- DISTINCT over a UNION ALL: DuckDB's plain UNION fails to dedup
+  -- across two references to a recursive CTE (measured: one duplicate
+  -- per user), so dedup explicitly
+  SELECT DISTINCT user_id, seq FROM (
+    SELECT user_id, i AS seq FROM seg
+    UNION ALL SELECT user_id, j FROM seg
+    UNION ALL SELECT user_id, mn FROM bounds
+    UNION ALL SELECT user_id, mx FROM bounds))
+SELECT p.user_id, CAST(p.seq AS BIGINT) AS seq, p.event_id
+FROM kept kk JOIN pts p ON p.user_id = kk.user_id AND p.seq = kk.seq
+ORDER BY 1, 2
+"""

@@ -4758,3 +4758,64 @@ def raster_viewshed(sf_dir: str) -> rd.Dataset:
     return los_visibility(read_raster(n_days=1), variable="t2m").sort(
         ["valid_time", "cell_row", "cell_col"]
     )
+
+
+def events_hull(sf_dir: str) -> rd.Dataset:
+    """Convex hull per event type over a deterministic 1/13 observation
+    subsample — strict hull vertices only (stages/geometry.convex_hull:
+    per-batch Akl-Toussaint discard + monotone chain partials, exact
+    chain merge per key; cross products over dyadic coordinates are
+    exact in doubles).  The subsample keeps the O(n^3) SQL edge-witness
+    twin tractable; the engine path itself is corpus-scale (partial
+    hulls are mergeable summaries)."""
+    from geoglue_ray.stages.geometry import convex_hull
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pa.array(b["event_id"].to_numpy() % 13 == 0))
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    return convex_hull(
+        ds.map_batches(prep, batch_format="pyarrow"), "event_type"
+    ).sort(["event_type", "lon", "lat"])
+
+
+def traj_simplify(sf_dir: str) -> rd.Dataset:
+    """Douglas-Peucker trajectory simplification per user (exact
+    triangle-area criterion |cross| > 2^41 on integer-scaled dyadic
+    coordinates — area, not distance, so no squared cross product
+    leaves int64 exactness; stages/geometry.simplify_trajectories:
+    fixed-shard user co-shuffle, every frontier segment advanced per
+    round by one lexsort + run-argmax pass).  Returns the retained
+    vertices; bit-exact vs the recursive-CTE split twin."""
+    from geoglue_ray.stages.geometry import simplify_trajectories
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    return simplify_trajectories(
+        ds.map_batches(prep, batch_format="pyarrow"), eps_area=1 << 41
+    ).sort(["user_id", "seq"])

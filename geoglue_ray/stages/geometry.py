@@ -1,0 +1,253 @@
+"""Computational-geometry operators over point sets and trajectories:
+per-key convex hull and recursive trajectory simplification.
+
+The reference's geometry surface is polygon/bbox algebra
+(``geom.py``; ``region.py`` bbox_from_region) — these add the two
+classic derived-geometry operators a movement / point-pattern pipeline
+needs, Ray-Data-first:
+
+- :func:`convex_hull` is a *mergeable-summary* reduction: each batch
+  reduces its points to their hull vertices (an Akl-Toussaint
+  vectorized discard + monotone chain on the few survivors), and the
+  per-key merge runs the same chain over the union of partial hulls —
+  the hull of a union of hulls is the hull of the union, so the final
+  pass sees key-cardinality x hull-size rows, never the corpus.
+- :func:`simplify_trajectories` is Douglas-Peucker recursion with the
+  exact TRIANGLE-AREA criterion (|cross product| of integer-scaled
+  dyadic coordinates): split at the interior point of largest twice-
+  area while it exceeds ``eps_area``.  Area replaces perpendicular
+  distance deliberately — the distance test squares a ~2^51 cross
+  product out of int64/double exactness, while |cross| itself is an
+  exact int64, so engine and SQL twin agree bit-for-bit.  All
+  frontier segments advance together in one lexsort + run-argmax pass
+  per round (rounds = recursion depth, never per-segment Python).
+
+Coordinates are the fixture's dyadic rationals: ``lon * 2^20`` and
+``lat * 2^18`` are exact int64 (geoglue_ray/fixtures.py), so every
+cross product here is exact (|cross| < 2^52).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+XSCALE = float(1 << 20)  # lon -> exact integer
+YSCALE = float(1 << 18)  # lat -> exact integer
+
+
+def _chain(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Strict monotone-chain convex hull: indices of hull VERTICES
+    (collinear boundary points excluded) of the distinct points.
+    Sequential over the few Akl-Toussaint survivors only."""
+    pts = np.unique(np.stack([x, y], axis=1), axis=0)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    def half(p):
+        out: list[np.ndarray] = []
+        for q in p:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (q[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (q[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(q)
+        return out
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def _akl_toussaint(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized discard: drop points strictly inside the quadrilateral
+    of the 4 extreme points (min/max of x+y, x-y).  Keeps every hull
+    vertex; typically discards ~all interior points in O(n)."""
+    if len(x) <= 8:
+        return np.ones(len(x), bool)
+    s, d = x + y, x - y
+    corners = [np.argmin(s), np.argmax(d), np.argmax(s), np.argmin(d)]  # CCW
+    keep = np.zeros(len(x), bool)
+    for i in range(4):
+        ax, ay = x[corners[i]], y[corners[i]]
+        bx, by = x[corners[(i + 1) % 4]], y[corners[(i + 1) % 4]]
+        # outside-or-on this edge's half-plane => cannot be discarded
+        keep |= (bx - ax) * (y - ay) - (by - ay) * (x - ax) <= 0
+    return keep
+
+
+def convex_hull(
+    ds: rd.Dataset,
+    key_col: str,
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> rd.Dataset:
+    """Strict convex-hull vertices per key: rows ``(key, x, y)`` (hull
+    vertices only — collinear boundary points and duplicates excluded),
+    unordered.  Partial hull per batch, exact chain merge per key."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        x = b[x_col].to_numpy()
+        y = b[y_col].to_numpy()
+        codes, uniq = pd.factorize(keys, use_na_sentinel=False)
+        ko, xo, yo = [], [], []
+        for k in range(len(uniq)):
+            m = codes == k
+            xm, ym = x[m], y[m]
+            pre = _akl_toussaint(xm, ym)
+            hull = _chain(xm[pre], ym[pre])
+            ko.append(np.repeat(k, len(hull)))
+            xo.append(hull[:, 0])
+            yo.append(hull[:, 1])
+        kk = np.concatenate(ko) if ko else np.array([], np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(uniq[kk] if len(kk) else uniq[:0]),
+                x_col: pa.array(
+                    np.concatenate(xo) if xo else np.array([], np.float64)
+                ),
+                y_col: pa.array(
+                    np.concatenate(yo) if yo else np.array([], np.float64)
+                ),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        hull = _chain(g[x_col].to_numpy(), g[y_col].to_numpy())
+        return pd.DataFrame(
+            {
+                key_col: np.repeat(g[key_col].iloc[0], len(hull)),
+                x_col: hull[:, 0],
+                y_col: hull[:, 1],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def simplify_trajectories(
+    ds: rd.Dataset,
+    eps_area: int,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Douglas-Peucker-style simplification of every user's
+    (ts, id)-ordered trajectory with the exact triangle-area criterion:
+    keep both endpoints; recursively split at the interior point whose
+    |cross((j - i), (k - i))| over integer-scaled coordinates is
+    largest (ties to the smallest seq) while it exceeds ``eps_area``.
+    Returns the RETAINED vertices ``(user, seq, id)``.
+
+    Users co-locate on ``hash(user) % n_shards``; each round advances
+    every active segment in the shard at once (point->segment
+    assignment by searchsorted on segment starts, per-segment argmax by
+    one lexsort + run pass)."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b[user_col].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "_ts_": pa.array(shard),
+                user_col: b[user_col],
+                id_col: b[id_col],
+                ts_col: b[ts_col],
+                "x": pa.array(
+                    np.rint(b[lon_col].to_numpy() * XSCALE).astype(np.int64)
+                ),
+                "y": pa.array(
+                    np.rint(b[lat_col].to_numpy() * YSCALE).astype(np.int64)
+                ),
+            }
+        )
+
+    def simplify(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                user_col: pa.array([], pa.int64()),
+                "seq": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g[user_col].to_numpy().astype(np.int64)
+        eid = g[id_col].to_numpy().astype(np.int64)
+        t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        x = g["x"].to_numpy().astype(np.int64)
+        y = g["y"].to_numpy().astype(np.int64)
+        o = np.lexsort((eid, t, uid))
+        uid, eid, x, y = uid[o], eid[o], x[o], y[o]
+        n = len(uid)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(first)
+        run = np.cumsum(first) - 1
+        seq = np.arange(n, dtype=np.int64) - starts[run] + 1
+
+        keep = np.zeros(n, bool)
+        keep[starts] = True
+        ends = np.r_[starts[1:], n] - 1
+        keep[ends] = True
+
+        # frontier: segment starts (global indices); each segment spans
+        # [si, sj] where sj = next kept index after si within the user
+        seg_i = starts[ends > starts]
+        seg_j = ends[ends > starts]
+        while len(seg_i):
+            # assign every strictly-interior point to its segment
+            # (segments are disjoint, sorted by seg_i)
+            idx = np.arange(n)
+            s = np.searchsorted(seg_i, idx, side="right") - 1
+            ok = (s >= 0) & (idx > seg_i[s.clip(0)]) & (idx < seg_j[s.clip(0)])
+            pk, sk = idx[ok], s[ok]
+            if len(pk) == 0:
+                break
+            xi, yi = x[seg_i[sk]], y[seg_i[sk]]
+            xj, yj = x[seg_j[sk]], y[seg_j[sk]]
+            cross = np.abs((xj - xi) * (y[pk] - yi) - (yj - yi) * (x[pk] - xi))
+            # per-segment argmax, ties to smallest index: sort by
+            # (segment, -cross, index) and take each run's head
+            o2 = np.lexsort((pk, -cross, sk))
+            head = np.r_[True, sk[o2][1:] != sk[o2][:-1]]
+            best_p = pk[o2][head]
+            best_c = cross[o2][head]
+            split = best_c > eps_area
+            if not split.any():
+                break
+            bp = best_p[split]
+            keep[bp] = True
+            bs = sk[o2][head][split]
+            # the next frontier is ONLY the children of split segments
+            # ([i, bp] and [bp, j]); disjoint intervals sorted by start
+            # have sorted ends, so position-wise pairing is exact
+            seg_i = np.sort(np.r_[seg_i[bs], bp])
+            seg_j = np.sort(np.r_[bp, seg_j[bs]])
+        kept = np.flatnonzero(keep)
+        return pa.table(
+            {
+                user_col: pa.array(uid[kept]),
+                "seq": pa.array(seq[kept]),
+                id_col: pa.array(eid[kept]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_ts_")
+        .map_groups(simplify, batch_format="pandas")
+    )
