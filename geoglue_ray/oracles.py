@@ -4132,3 +4132,76 @@ SELECT p.user_id, CAST(p.seq AS BIGINT) AS seq, p.event_id
 FROM kept kk JOIN pts p ON p.user_id = kk.user_id AND p.seq = kk.seq
 ORDER BY 1, 2
 """
+
+
+def raster_focal_mode() -> str:
+    """Focal mode twin: per-cell 3x3 neighbor group, value counts
+    ranked (count DESC, value ASC) — the engine's exact tie rule."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+nb AS (
+  SELECT a.valid_time, a.r, a.c, b.value
+  FROM rast a JOIN rast b
+    ON b.t = a.t AND b.variable = a.variable
+   AND b.r BETWEEN a.r - 1 AND a.r + 1
+   AND b.c BETWEEN a.c - 1 AND a.c + 1
+   AND b.value IS NOT NULL
+  WHERE a.variable = 't2m' AND a.t < 24),
+cnt AS (
+  SELECT valid_time, r, c, value, count(*) AS k
+  FROM nb GROUP BY 1, 2, 3, 4),
+tot AS (
+  SELECT valid_time, r, c, CAST(sum(k) AS BIGINT) AS n_nb
+  FROM cnt GROUP BY 1, 2, 3),
+pick AS (
+  SELECT valid_time, r, c, value,
+         row_number() OVER (PARTITION BY valid_time, r, c
+                            ORDER BY k DESC, value ASC) AS rn
+  FROM cnt)
+SELECT p.valid_time, p.r AS cell_row, p.c AS cell_col,
+       t.n_nb, p.value AS focal_mode
+FROM pick p JOIN tot t
+  ON t.valid_time = p.valid_time AND t.r = p.r AND t.c = p.c
+WHERE p.rn = 1
+ORDER BY 2, 3, 1
+"""
+
+
+def traj_crossings() -> str:
+    """Segment-crossing twin: per-user city segments by lead() window,
+    all cross-user pairs, four BIGINT orientation tests with the
+    strictly-opposite-signs predicate (touching/collinear excluded)."""
+    lon = fx.sql_lon("event_id")
+    lat = fx.sql_lat("event_id")
+
+    def orient(ax, ay, bx, by, px, py):
+        return (
+            f"(({bx}) - ({ax})) * (({py}) - ({ay}))"
+            f" - (({by}) - ({ay})) * (({px}) - ({ax}))"
+        )
+
+    o1 = orient("a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1")
+    o2 = orient("a.x1", "a.y1", "a.x2", "a.y2", "b.x2", "b.y2")
+    o3 = orient("b.x1", "b.y1", "b.x2", "b.y2", "a.x1", "a.y1")
+    o4 = orient("b.x1", "b.y1", "b.x2", "b.y2", "a.x2", "a.y2")
+    return f"""
+WITH c AS (
+  SELECT user_id, event_id, ts,
+         CAST({lon} * 1048576.0 AS BIGINT) AS x,
+         CAST({lat} * 262144.0 AS BIGINT) AS y
+  FROM events WHERE event_id % 128 != 0 AND event_id % 10 < 3),
+s AS (
+  SELECT user_id, x AS x1, y AS y1,
+         lead(x) OVER w AS x2, lead(y) OVER w AS y2
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+seg AS (SELECT * FROM s WHERE x2 IS NOT NULL)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       count(*) AS n_crossings
+FROM seg a JOIN seg b ON a.user_id < b.user_id
+WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
+  AND ((({o3}) > 0 AND ({o4}) < 0) OR (({o3}) < 0 AND ({o4}) > 0))
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

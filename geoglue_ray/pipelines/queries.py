@@ -4819,3 +4819,50 @@ def traj_simplify(sf_dir: str) -> rd.Dataset:
     return simplify_trajectories(
         ds.map_batches(prep, batch_format="pyarrow"), eps_area=1 << 41
     ).sort(["user_id", "seq"])
+
+
+def raster_focal_mode(sf_dir: str) -> rd.Dataset:
+    """3x3 focal mode (majority filter) over one day — the categorical
+    smoothing filter (stages/stencil.focal_stats op "mode": 81
+    vectorized equality counts over the 9-gather stack, ties to the
+    SMALLEST value).  Exact integer comparisons — bit-exact vs the SQL
+    count-desc/value-asc row_number twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import focal_stats
+
+    return focal_stats(
+        read_raster(n_days=1), ops=("mode",), variable="t2m"
+    ).sort(["cell_row", "cell_col", "valid_time"])
+
+
+def traj_crossings(sf_dir: str) -> rd.Dataset:
+    """Trajectory crossing counts between users over the city cluster —
+    proper segment x segment intersections, the line-geometry spatial
+    join (stages/geometry.segment_crossings: per-user segment build,
+    bbox grid-cell replication, reference-point pair dedup, four exact
+    integer orientation tests per candidate pair).  Bit-exact vs the
+    SQL segment pair-join twin."""
+    from geoglue_ray.stages.geometry import segment_crossings
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        city = (ids % 128 != 0) & (ids % 10 < 3)
+        b = b.filter(pa.array(city))
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    return segment_crossings(
+        ds.map_batches(prep, batch_format="pyarrow"), cell=1.0 / 64.0
+    ).sort(["user_a", "user_b"])

@@ -251,3 +251,196 @@ def simplify_trajectories(
         .groupby("_ts_")
         .map_groups(simplify, batch_format="pandas")
     )
+
+
+def segment_crossings(
+    ds: rd.Dataset,
+    cell: float = 1.0 / 64.0,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Segment x segment spatial join: counts PROPER crossings between
+    different users' trajectory segments (consecutive (ts, id)-ordered
+    points).  Returns ``(user_a, user_b, n_crossings)`` with
+    ``user_a < user_b``.
+
+    Shape: segments are built per user (fixed-shard co-shuffle), then
+    each segment replicates to every grid cell its bounding box
+    overlaps; candidate pairs meet inside one cell and are counted
+    EXACTLY ONCE via the reference-point rule — a pair is evaluated
+    only in the lexicographically-first cell of its bbox-overlap region
+    (``(max(ax0,bx0), max(ay0,by0))``), which both segments provably
+    cover.  The crossing predicate is four exact integer cross-product
+    orientations (strictly opposite on both sides — touching/collinear
+    pairs excluded), mirrored by the SQL pair-join twin.
+
+    Partitioning assumption: duplication factor = bbox cells per
+    segment; pick ``cell`` near the typical segment extent.  Counts are
+    exact integers, so the final per-pair reduction is one small
+    fixed-shard groupby."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b[user_col].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "_sc_": pa.array(shard),
+                user_col: b[user_col],
+                id_col: b[id_col],
+                ts_col: b[ts_col],
+                "x": pa.array(
+                    np.rint(b[lon_col].to_numpy() * XSCALE).astype(np.int64)
+                ),
+                "y": pa.array(
+                    np.rint(b[lat_col].to_numpy() * YSCALE).astype(np.int64)
+                ),
+            }
+        )
+
+    cx_scale = cell * XSCALE  # scaled-int units per grid cell (x)
+    cy_scale = cell * YSCALE
+
+    _seg_schema = {
+        "_cell": pa.int64(),
+        "user_id": pa.int64(),
+        "x1": pa.int64(),
+        "y1": pa.int64(),
+        "x2": pa.int64(),
+        "y2": pa.int64(),
+        "cx0": pa.int64(),
+        "cy0": pa.int64(),
+    }
+
+    def segments(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({k: pa.array([], t) for k, t in _seg_schema.items()})
+        uid = g[user_col].to_numpy().astype(np.int64)
+        eid = g[id_col].to_numpy().astype(np.int64)
+        t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        x = g["x"].to_numpy().astype(np.int64)
+        y = g["y"].to_numpy().astype(np.int64)
+        o = np.lexsort((eid, t, uid))
+        uid, x, y = uid[o], x[o], y[o]
+        same = uid[1:] == uid[:-1]
+        x1, y1, x2, y2 = x[:-1][same], y[:-1][same], x[1:][same], y[1:][same]
+        su = uid[:-1][same]
+        # bbox -> covered cell range (scaled-int grid)
+        cx0 = np.floor(np.minimum(x1, x2) / cx_scale).astype(np.int64)
+        cx1 = np.floor(np.maximum(x1, x2) / cx_scale).astype(np.int64)
+        cy0 = np.floor(np.minimum(y1, y2) / cy_scale).astype(np.int64)
+        cy1 = np.floor(np.maximum(y1, y2) / cy_scale).astype(np.int64)
+        nx = cx1 - cx0 + 1
+        ny = cy1 - cy0 + 1
+        rep = (nx * ny).astype(np.int64)
+        idx = np.repeat(np.arange(len(su)), rep)
+        # per-replica (dx, dy) offsets within each segment's cell range
+        off = np.arange(len(idx)) - np.repeat(np.cumsum(rep) - rep, rep)
+        dy = off % np.repeat(ny, rep)
+        dx = off // np.repeat(ny, rep)
+        ccx = cx0[idx] + dx
+        ccy = cy0[idx] + dy
+        return pa.table(
+            {
+                "_cell": pa.array((ccx << np.int64(22)) | ccy),
+                "user_id": pa.array(su[idx]),
+                "x1": pa.array(x1[idx]),
+                "y1": pa.array(y1[idx]),
+                "x2": pa.array(x2[idx]),
+                "y2": pa.array(y2[idx]),
+                "cx0": pa.array(cx0[idx]),
+                "cy0": pa.array(cy0[idx]),
+            }
+        )
+
+    def cross_in_cell(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_a": pa.array([], pa.int64()),
+                "user_b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        n = len(g)
+        if n < 2:
+            return empty
+        cell_id = int(g["_cell"].iloc[0])
+        ccx, ccy = cell_id >> 22, cell_id & ((1 << 22) - 1)
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        x1 = g["x1"].to_numpy().astype(np.int64)
+        y1 = g["y1"].to_numpy().astype(np.int64)
+        x2 = g["x2"].to_numpy().astype(np.int64)
+        y2 = g["y2"].to_numpy().astype(np.int64)
+        cx0 = g["cx0"].to_numpy().astype(np.int64)
+        cy0 = g["cy0"].to_numpy().astype(np.int64)
+        ii, jj = np.triu_indices(n, k=1)
+        keep = uid[ii] != uid[jj]
+        # reference-point dedup: evaluate only where this cell is the
+        # first cell of the pair's bbox overlap
+        keep &= np.maximum(cx0[ii], cx0[jj]) == ccx
+        keep &= np.maximum(cy0[ii], cy0[jj]) == ccy
+        ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            return empty
+
+        def orient(ax, ay, bx, by, px, py):
+            return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+        o1 = orient(x1[ii], y1[ii], x2[ii], y2[ii], x1[jj], y1[jj])
+        o2 = orient(x1[ii], y1[ii], x2[ii], y2[ii], x2[jj], y2[jj])
+        o3 = orient(x1[jj], y1[jj], x2[jj], y2[jj], x1[ii], y1[ii])
+        o4 = orient(x1[jj], y1[jj], x2[jj], y2[jj], x2[ii], y2[ii])
+        hit = (
+            (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0)))
+            & (((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0)))
+        )
+        if not hit.any():
+            return empty
+        ua = np.minimum(uid[ii[hit]], uid[jj[hit]])
+        ub = np.maximum(uid[ii[hit]], uid[jj[hit]])
+        key = ua * np.int64(1 << 32) + ub
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.zeros(len(uk), np.int64)
+        np.add.at(cnt, inv, 1)
+        return pa.table(
+            {
+                "user_a": pa.array(uk // (1 << 32)),
+                "user_b": pa.array(uk % (1 << 32)),
+                "n": pa.array(cnt),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["user_a", "user_b"], as_index=False, dropna=False)[
+            "n"
+        ].sum()
+        return out.rename(columns={"n": "n_crossings"})
+
+    segs = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_sc_")
+        .map_groups(segments, batch_format="pandas")
+    )
+    partial = segs.groupby("_cell").map_groups(
+        cross_in_cell, batch_format="pandas"
+    )
+
+    def shard_pairs(b: pa.Table) -> pa.Table:
+        k = (
+            b["user_a"].to_numpy().astype(np.uint64)
+            * np.uint64(0x9E3779B185EBCA87)
+        ) % np.uint64(n_shards)
+        return b.append_column("_pm", pa.array(k.astype(np.int64)))
+
+    return (
+        partial.map_batches(shard_pairs, batch_format="pyarrow")
+        .groupby("_pm")
+        .map_groups(
+            lambda g: merge(g.drop(columns=["_pm"])), batch_format="pandas"
+        )
+    )

@@ -69,9 +69,13 @@ def focal_stats(
     block, so requesting several ops costs one traversal — plus
     ``median`` (one vectorized (cells x 9) NaN-padded gather +
     ``np.nanmedian``; the even-count two-middle average is bit-identical
-    to DuckDB's ``median`` — measured on formula-divergent pairs).
+    to DuckDB's ``median`` — measured on formula-divergent pairs) and
+    ``mode`` (majority value, ties to the SMALLEST value: 81 vectorized
+    equality counts over the same 9-gather stack — exact integer
+    comparisons, mirroring the SQL count-desc/value-asc row_number
+    twin).
     """
-    allowed = {"mean", "sum", "min", "max", "range", "median"}
+    allowed = {"mean", "sum", "min", "max", "range", "median", "mode"}
     bad = set(ops) - allowed
     if bad:
         raise ValueError(f"unknown focal ops: {sorted(bad)}")
@@ -178,7 +182,7 @@ def focal_stats(
             "cell_col": pa.array(co - 1),
             "n_nb": pa.array(cnt),
         }
-        if "median" in ops:
+        if {"median", "mode"} & set(ops):
             stack = np.full((len(to), 9), np.nan)
             k = 0
             for dr in (-1, 0, 1):
@@ -186,7 +190,21 @@ def focal_stats(
                     m9 = M[to, ro + dr, co + dc] == 1
                     stack[m9, k] = V[to, ro + dr, co + dc][m9]
                     k += 1
-            med = np.nanmedian(stack, axis=1)
+            if "median" in ops:
+                med = np.nanmedian(stack, axis=1)
+            if "mode" in ops:
+                # count[:, i] = multiplicity of stack[:, i]; NaN never
+                # matches so missing slots score 0.  Maximize count,
+                # break ties to the smallest value (values < 2^16).
+                counts = np.zeros((len(to), 9), np.int64)
+                for i in range(9):
+                    for j in range(9):
+                        counts[:, i] += stack[:, i] == stack[:, j]
+                score = counts * np.int64(1 << 17) + (
+                    np.int64(1 << 16)
+                    - np.nan_to_num(stack, nan=-1.0).astype(np.int64)
+                )
+                mode = stack[np.arange(len(to)), score.argmax(axis=1)]
         for op in ops:
             if op == "mean":
                 out = S[to, ro, co] / cnt
@@ -198,6 +216,8 @@ def focal_stats(
                 out = Mx[to, ro, co]
             elif op == "median":
                 out = med
+            elif op == "mode":
+                out = mode
             else:  # range
                 out = Mx[to, ro, co] - Mn[to, ro, co]
             cols[f"focal_{op}"] = pa.array(out)

@@ -144,3 +144,116 @@ def test_simplify_matches_recursive_dp(ray_session):
         rd.from_arrow(pa.Table.from_pandas(one, preserve_index=False)), eps_area=10
     ).to_pandas()
     assert len(got1) == 1 and got1["seq"].iloc[0] == 1
+
+
+def _brute_crossings(df):
+    """O(S^2) proper-crossing counts between different users."""
+    from collections import Counter
+
+    segs = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        x = np.rint(g["lon"].to_numpy() * (1 << 20)).astype(np.int64)
+        y = np.rint(g["lat"].to_numpy() * (1 << 18)).astype(np.int64)
+        for i in range(len(g) - 1):
+            segs.append((uid, x[i], y[i], x[i + 1], y[i + 1]))
+
+    def orient(ax, ay, bx, by, px, py):
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    cnt = Counter()
+    for i in range(len(segs)):
+        for j in range(i + 1, len(segs)):
+            a, b = segs[i], segs[j]
+            if a[0] == b[0]:
+                continue
+            o1 = orient(a[1], a[2], a[3], a[4], b[1], b[2])
+            o2 = orient(a[1], a[2], a[3], a[4], b[3], b[4])
+            o3 = orient(b[1], b[2], b[3], b[4], a[1], a[2])
+            o4 = orient(b[1], b[2], b[3], b[4], a[3], a[4])
+            if ((o1 > 0) != (o2 > 0) and o1 != 0 and o2 != 0
+                    and (o3 > 0) != (o4 > 0) and o3 != 0 and o4 != 0):
+                cnt[(min(a[0], b[0]), max(a[0], b[0]))] += 1
+    return cnt
+
+
+def test_segment_crossings_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from geoglue_ray.stages.geometry import segment_crossings
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for uid in range(8):
+        n = int(rng.integers(2, 25))
+        # integer lattice: collinear overlaps and shared endpoints occur
+        x = rng.integers(0, 10, n) / 16.0
+        y = rng.integers(0, 10, n) / 16.0
+        for i in range(n):
+            rows.append(
+                (uid, uid * 1000 + i,
+                 np.datetime64("2020-01-06", "us") + np.timedelta64(i, "h"),
+                 x[i], y[i])
+            )
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "lon", "lat"])
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    got = segment_crossings(ds, cell=1.0 / 8.0, n_shards=4).to_pandas()
+    want = _brute_crossings(df)
+    got_map = {
+        (int(r.user_a), int(r.user_b)): int(r.n_crossings)
+        for r in got.itertuples()
+    }
+    assert got_map == dict(want), (got_map, dict(want))
+    assert sum(got_map.values()) > 0  # the fixture actually crosses
+
+
+def test_focal_mode_tie_rule(ray_session):
+    import ray.data as rd
+
+    from geoglue_ray import fixtures as fx
+    from geoglue_ray.stages.stencil import focal_stats
+
+    rng = np.random.default_rng(13)
+    nt, nr, nc = 2, 6, 6
+    t, r, c = np.meshgrid(np.arange(nt), np.arange(nr), np.arange(nc), indexing="ij")
+    t, r, c = t.ravel(), r.ravel(), c.ravel()
+    v = rng.integers(0, 3, len(t)).astype(np.float64)  # tiny range: ties
+    v[rng.random(len(t)) < 0.2] = np.nan
+    T0 = np.datetime64(fx.T0, "us")
+    ds = rd.from_arrow(pa.table({
+        "valid_time": pa.array(T0 + (t * 3_600_000_000).astype("timedelta64[us]"),
+                               type=pa.timestamp("us")),
+        "cell_row": pa.array(r.astype(np.int32)),
+        "cell_col": pa.array(c.astype(np.int32)),
+        "variable": pa.array(np.repeat("t2m", len(t))),
+        "value": pa.array(v),
+    })).repartition(3)
+    got = (
+        focal_stats(ds, ops=("mode",), band_rows=2, hour_chunk=1)
+        .to_pandas()
+        .set_index(["valid_time", "cell_row", "cell_col"])["focal_mode"]
+    )
+    grid = np.full((nt, nr, nc), np.nan)
+    grid[t, r, c] = v
+    n_checked = 0
+    for ti in range(nt):
+        for ri in range(nr):
+            for ci in range(nc):
+                vals = [
+                    grid[ti, ri + dr, ci + dc]
+                    for dr in (-1, 0, 1)
+                    for dc in (-1, 0, 1)
+                    if 0 <= ri + dr < nr and 0 <= ci + dc < nc
+                    and np.isfinite(grid[ti, ri + dr, ci + dc])
+                ]
+                key = (T0 + np.timedelta64(ti * 3600_000_000, "us"), ri, ci)
+                if not vals:
+                    assert key not in got.index
+                    continue
+                from collections import Counter
+
+                cnt = Counter(vals)
+                best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                assert got[key] == best, (key, cnt, got[key])
+                n_checked += 1
+    assert n_checked > 50
