@@ -4205,3 +4205,86 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def raster_gapfill() -> str:
+    """Row gap-fill twin: nearest existing west/east columns by two
+    cumulative windows, then the identical left-associated
+    interpolation chain (exact integer numerator, one division)."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+s AS (
+  SELECT t, valid_time, r, c, value
+  FROM rast WHERE variable = 't2m' AND t < 48),
+w AS (
+  SELECT t, valid_time, r, c, value,
+         max(CASE WHEN value IS NOT NULL THEN c END)
+           OVER (PARTITION BY t, r ORDER BY c) AS cw,
+         min(CASE WHEN value IS NOT NULL THEN c END)
+           OVER (PARTITION BY t, r ORDER BY c DESC) AS ce
+  FROM s)
+SELECT w.valid_time, w.r AS cell_row, w.c AS cell_col,
+       vw.value + (ve.value - vw.value) * (w.c - w.cw) / (w.ce - w.cw)
+         AS filled
+FROM w
+JOIN s vw ON vw.t = w.t AND vw.r = w.r AND vw.c = w.cw
+JOIN s ve ON ve.t = w.t AND ve.r = w.r AND ve.c = w.ce
+WHERE w.value IS NULL AND w.cw IS NOT NULL AND w.ce IS NOT NULL
+ORDER BY 1, 2, 3
+"""
+
+
+def raster_ewma() -> str:
+    """EWMA twin: recursive CTE replaying e_t = (x_t + e_{t-1}) / 2.0
+    step by step — the identical correctly-rounded chain (fixture holes
+    are static, so every surviving cell's series is hour-contiguous)."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH RECURSIVE rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, value
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+b AS (SELECT r, c, min(t) AS t0 FROM v GROUP BY 1, 2),
+e (t, r, c, ew) AS (
+  SELECT b.t0, b.r, b.c, v.value
+  FROM b JOIN v ON v.t = b.t0 AND v.r = b.r AND v.c = b.c
+  UNION ALL
+  SELECT e.t + 1, e.r, e.c, (v.value + e.ew) / 2.0
+  FROM e JOIN v ON v.r = e.r AND v.c = e.c AND v.t = e.t + 1)
+SELECT {fx.T0_SQL} + INTERVAL 1 HOUR * t AS valid_time,
+       r AS cell_row, c AS cell_col, ew AS ewma
+FROM e ORDER BY 2, 3, 1
+"""
+
+
+def raster_isotonic() -> str:
+    """Isotonic twin: interval means from inclusive prefix sums (one
+    division of exact integers), suffix cummin window over k, group max
+    over j — the max-min isotonic formula, op-for-op."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, r, c, value
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 24),
+p AS (
+  SELECT t, r, c, value,
+         sum(value) OVER (PARTITION BY r, c ORDER BY t) AS ps
+  FROM v),
+iv AS (
+  SELECT a.r, a.c, a.t AS j, b.t AS k,
+         (b.ps - a.ps + a.value) / (b.t - a.t + 1) AS m
+  FROM p a JOIN p b ON b.r = a.r AND b.c = a.c AND b.t >= a.t),
+mm AS (
+  SELECT r, c, j, k AS i,
+         min(m) OVER (PARTITION BY r, c, j ORDER BY k DESC) AS mn
+  FROM iv)
+SELECT {fx.T0_SQL} + INTERVAL 1 HOUR * i AS valid_time,
+       r AS cell_row, c AS cell_col, max(mn) AS fitted
+FROM mm GROUP BY i, r, c
+ORDER BY 2, 3, 1
+"""

@@ -4866,3 +4866,48 @@ def traj_crossings(sf_dir: str) -> rd.Dataset:
     return segment_crossings(
         ds.map_batches(prep, batch_format="pyarrow"), cell=1.0 / 64.0
     ).sort(["user_a", "user_b"])
+
+
+def raster_gapfill(sf_dir: str) -> rd.Dataset:
+    """Linear nodata infill along raster rows over two days — every
+    interior null cell interpolated between its nearest existing
+    west/east row neighbors (stages/terrain.gap_fill_rows: scanline
+    bands, forward/backward accumulate for nearest columns, exact
+    integer numerator + one division).  Bit-exact vs the SQL window
+    twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.terrain import gap_fill_rows
+
+    return gap_fill_rows(read_raster(n_days=2), variable="t2m").sort(
+        ["valid_time", "cell_row", "cell_col"]
+    )
+
+
+def raster_ewma(sf_dir: str) -> rd.Dataset:
+    """Per-cell exponential moving average (alpha = 1/2) over two days
+    of hourly values — e_t = (x_t + e_{t-1}) / 2, a fixed sequential
+    chain of correctly-rounded halvings (stages/terrain.ewma_cells:
+    cells fixed-shard co-shuffled, the recurrence advanced for all
+    cells per time step).  Bit-exact vs the recursive-CTE twin
+    replaying the identical chain."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.terrain import ewma_cells
+
+    return ewma_cells(read_raster(n_days=2), variable="t2m").sort(
+        ["cell_row", "cell_col", "valid_time"]
+    )
+
+
+def raster_isotonic(sf_dir: str) -> rd.Dataset:
+    """Isotonic (monotone) regression per cell over one day — the
+    max-min formula fit_i = max_{j<=i} min_{k>=i} mean(x_j..x_k) with
+    every interval mean ONE division of exact integer prefix-sum
+    differences (stages/terrain.isotonic_cells: (cells x T x T)
+    vectorized blocks per shard).  Bit-exact vs the SQL
+    window-cummin/group-max twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.terrain import isotonic_cells
+
+    return isotonic_cells(read_raster(n_days=1), variable="t2m").sort(
+        ["cell_row", "cell_col", "valid_time"]
+    )

@@ -1,5 +1,7 @@
-"""Terrain-analysis raster derivatives: ruggedness (TRI), aspect
-octant, and west-edge line-of-sight visibility (viewshed scanline).
+"""Terrain-analysis and per-cell time-series raster derivatives:
+ruggedness (TRI), aspect octant, west-edge line-of-sight visibility
+(viewshed scanline), row-wise linear gap fill, EWMA (alpha = 1/2), and
+isotonic regression.
 
 The reference computes per-cell neighbor statistics over the same
 lattice (``zonalstats.py`` zonal cores; ``resample.py:96`` neighbor
@@ -273,4 +275,270 @@ def los_visibility(
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("_lb")
         .map_groups(sweep, batch_format="pandas")
+    )
+
+
+def gap_fill_rows(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    band_rows: int = 16,
+    hour_chunk: int = 24,
+) -> rd.Dataset:
+    """Linear nodata infill along raster rows: every null cell with a
+    non-null neighbor on BOTH sides of its row gets
+    ``vw + (ve - vw) * (c - cw) / (ce - cw)`` from the nearest existing
+    west/east cells (edge nulls stay absent).  The numerator product is
+    an exact integer, so the single division + add chain mirrors the
+    SQL twin bit-for-bit.  Scanline groups (row bands x hour chunks, no
+    halo); nearest existing columns via one forward + one backward
+    accumulate over the dense block."""
+    H = int(band_rows)
+    T0 = np.datetime64(fx.T0, "us")
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        hour = (
+            (b["valid_time"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        )
+        r = b["cell_row"].to_numpy().astype(np.int64)
+        g = ((hour // hour_chunk) << np.int64(20)) | (r // H)
+        return pa.table(
+            {
+                "_gf": pa.array(g),
+                "hour": pa.array(hour),
+                "r": pa.array(r),
+                "c": pa.array(b["cell_col"].to_numpy().astype(np.int64)),
+                "value": pa.array(
+                    b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+                ),
+            }
+        )
+
+    def fill(g: pd.DataFrame) -> pa.Table:
+        empty = {
+            "valid_time": pa.array([], pa.timestamp("us")),
+            "cell_row": pa.array([], pa.int64()),
+            "cell_col": pa.array([], pa.int64()),
+            "filled": pa.array([], pa.float64()),
+        }
+        if len(g) == 0:
+            return pa.table(empty)
+        hour = g["hour"].to_numpy().astype(np.int64)
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        t0, r0 = hour.min(), r.min()
+        nt = int(hour.max() - t0 + 1)
+        nr = int(r.max() - r0 + 1)
+        nc = int(c.max() + 1)
+        V = np.full((nt, nr, nc), np.nan)
+        P = np.zeros((nt, nr, nc), bool)  # present (row carried a cell)
+        ti, ri = hour - t0, r - r0
+        V[ti, ri, c] = v
+        P[ti, ri, c] = True
+        M = np.isfinite(V)
+        cols = np.arange(nc, dtype=np.int64)
+        # nearest existing column to the west (inclusive scan), east
+        west = np.where(M, cols, np.int64(-1))
+        np.maximum.accumulate(west, axis=2, out=west)
+        east = np.where(M, cols, nc)
+        east = np.minimum.accumulate(east[:, :, ::-1], axis=2)[:, :, ::-1]
+        tgt = P & ~M & (west >= 0) & (east < nc)
+        if not tgt.any():
+            return pa.table(empty)
+        tt, rr, cc = np.nonzero(tgt)
+        cw, ce = west[tt, rr, cc], east[tt, rr, cc]
+        vw, ve = V[tt, rr, cw], V[tt, rr, ce]
+        filled = vw + (ve - vw) * (cc - cw) / (ce - cw)
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    T0 + ((tt + t0) * 3_600_000_000).astype("timedelta64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "cell_row": pa.array(rr + r0),
+                "cell_col": pa.array(cc),
+                "filled": pa.array(filled),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_gf")
+        .map_groups(fill, batch_format="pandas")
+    )
+
+
+def ewma_cells(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Per-cell exponential moving average with alpha = 1/2:
+    ``e_t = (x_t + e_{t-1}) / 2`` over the cell's hour-ordered non-null
+    series, ``e_first = x_first``.  Each halving is one correctly-
+    rounded float op in a FIXED sequential order, so the recursive-CTE
+    SQL twin (the identical per-step chain) is bit-exact even after the
+    mantissa fills.  Cells co-shuffle on a fixed shard count; the
+    recurrence advances all cells in a shard per time step (T-step loop
+    of vectorized ops, never per-cell Python)."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        # holes are NaN floats (valid, non-null, in Arrow) — filter on
+        # finiteness, mirroring the SQL twin's value IS NOT NULL
+        b = b.filter(
+            pa.array(np.isfinite(b["value"].to_numpy(zero_copy_only=False)))
+        )
+        r = b["cell_row"].to_numpy().astype(np.int64)
+        c = b["cell_col"].to_numpy().astype(np.int64)
+        cell = (r << np.int64(22)) | c
+        shard = (
+            (cell.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_ew": pa.array(shard),
+                "cell": pa.array(cell),
+                "valid_time": b["valid_time"],
+                "value": pa.array(b["value"].to_numpy().astype(np.float64)),
+            }
+        )
+
+    def ewma(g: pd.DataFrame) -> pa.Table:
+        empty = {
+            "valid_time": pa.array([], pa.timestamp("us")),
+            "cell_row": pa.array([], pa.int64()),
+            "cell_col": pa.array([], pa.int64()),
+            "ewma": pa.array([], pa.float64()),
+        }
+        if len(g) == 0:
+            return pa.table(empty)
+        cell = g["cell"].to_numpy().astype(np.int64)
+        t = g["valid_time"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        o = np.lexsort((t, cell))
+        cell, t, v = cell[o], t[o], v[o]
+        first = np.r_[True, cell[1:] != cell[:-1]]
+        e = v.copy()
+        # advance the recurrence one step at a time across ALL series:
+        # rows at per-series position p update from position p-1
+        pos = np.arange(len(v)) - np.repeat(
+            np.flatnonzero(first), np.diff(np.r_[np.flatnonzero(first), len(v)])
+        )
+        maxp = int(pos.max()) if len(pos) else 0
+        for p in range(1, maxp + 1):
+            idx = np.flatnonzero(pos == p)
+            e[idx] = (v[idx] + e[idx - 1]) / 2.0
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    t.astype("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "cell_row": pa.array(cell >> np.int64(22)),
+                "cell_col": pa.array(cell & np.int64((1 << 22) - 1)),
+                "ewma": pa.array(e),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_ew")
+        .map_groups(ewma, batch_format="pandas")
+    )
+
+
+def isotonic_cells(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Isotonic (monotone non-decreasing) regression per cell over its
+    hour-ordered series via the exact max-min formula:
+    ``fit_i = max_{j<=i} min_{k>=i} mean(x_j..x_k)`` — every interval
+    mean is ONE division of exact integer prefix-sum differences, and
+    min/max of identical doubles are order-free, so the SQL
+    window-cummin/group-max twin is bit-exact.  O(T^2) per cell,
+    vectorized as (cells x T x T) blocks per shard."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        # holes are NaN floats (valid, non-null, in Arrow) — filter on
+        # finiteness, mirroring the SQL twin's value IS NOT NULL
+        b = b.filter(
+            pa.array(np.isfinite(b["value"].to_numpy(zero_copy_only=False)))
+        )
+        r = b["cell_row"].to_numpy().astype(np.int64)
+        c = b["cell_col"].to_numpy().astype(np.int64)
+        cell = (r << np.int64(22)) | c
+        shard = (
+            (cell.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_iso": pa.array(shard),
+                "cell": pa.array(cell),
+                "valid_time": b["valid_time"],
+                "value": pa.array(b["value"].to_numpy().astype(np.float64)),
+            }
+        )
+
+    def fit(g: pd.DataFrame) -> pa.Table:
+        empty = {
+            "valid_time": pa.array([], pa.timestamp("us")),
+            "cell_row": pa.array([], pa.int64()),
+            "cell_col": pa.array([], pa.int64()),
+            "fitted": pa.array([], pa.float64()),
+        }
+        if len(g) == 0:
+            return pa.table(empty)
+        cell = g["cell"].to_numpy().astype(np.int64)
+        t = g["valid_time"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        o = np.lexsort((t, cell))
+        cell, t, v = cell[o], t[o], v[o]
+        uc, starts = np.unique(cell, return_index=True)
+        counts = np.diff(np.r_[starts, len(cell)])
+        if len(np.unique(counts)) != 1:
+            raise AssertionError("isotonic_cells expects equal-length series")
+        T = int(counts[0])
+        ncell = len(uc)
+        X = v.reshape(ncell, T)
+        ps = np.zeros((ncell, T + 1))
+        np.cumsum(X, axis=1, out=ps[:, 1:])
+        j = np.arange(T)[None, :, None]
+        k = np.arange(T)[None, None, :]
+        lenjk = (k - j + 1).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # broadcast gives [cell, j, k] = ps[k+1] - ps[j] directly
+            A = (ps[:, 1:][:, None, :] - ps[:, :-1][:, :, None]) / lenjk
+        A = np.where(k >= j, A, np.inf)
+        # M[cell, j, i] = min over k >= i of A[j, k]  (suffix cummin)
+        M = np.minimum.accumulate(A[:, :, ::-1], axis=2)[:, :, ::-1]
+        # fit[cell, i] = max over j <= i of M[j, i]
+        M = np.where(k >= j, M, -np.inf)  # mask j > i lanes
+        fit_v = M.max(axis=1)
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    t.astype("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "cell_row": pa.array(np.repeat(uc >> np.int64(22), T)),
+                "cell_col": pa.array(np.repeat(uc & np.int64((1 << 22) - 1), T)),
+                "fitted": pa.array(fit_v.ravel()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_iso")
+        .map_groups(fit, batch_format="pandas")
     )

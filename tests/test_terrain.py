@@ -180,3 +180,98 @@ def test_los_visibility_matches_brute_force(ray_session):
     # col1 first after obs => visible; col2 slope (2-5)/2 > (1-5)/1 => visible;
     # col3.. increasingly steep => visible
     assert out["visible"].tolist() == [True, True, True, True, True, True]
+
+
+def test_gap_fill_rows_brute(ray_session):
+    from geoglue_ray.stages.terrain import gap_fill_rows
+
+    nt, nr, nc = 2, 5, 14
+    t, r, c, v = _lattice(nt, nr, nc, 0.35, seed=17, lo=0, hi=30)
+    got = (
+        gap_fill_rows(_dataset(t, r, c, v), band_rows=2, hour_chunk=1)
+        .to_pandas()
+        .sort_values(["valid_time", "cell_row", "cell_col"])
+        .reset_index(drop=True)
+    )
+    grid = _grid(t, r, c, v, nt, nr, nc)
+    rows = []
+    for ti in range(nt):
+        for ri in range(nr):
+            for ci in range(nc):
+                if np.isfinite(grid[ti, ri, ci]):
+                    continue
+                ws = [x for x in range(ci) if np.isfinite(grid[ti, ri, x])]
+                es = [x for x in range(ci + 1, nc) if np.isfinite(grid[ti, ri, x])]
+                if not ws or not es:
+                    continue
+                cw, ce = ws[-1], es[0]
+                vw, ve = grid[ti, ri, cw], grid[ti, ri, ce]
+                rows.append((ti, ri, ci, vw + (ve - vw) * (ci - cw) / (ce - cw)))
+    assert len(got) == len(rows)
+    want = pd.DataFrame(rows, columns=["t", "r", "c", "filled"])
+    np.testing.assert_array_equal(got["cell_row"].to_numpy(), want["r"])
+    np.testing.assert_array_equal(got["cell_col"].to_numpy(), want["c"])
+    np.testing.assert_array_equal(got["filled"].to_numpy(), want["filled"])
+
+
+def test_ewma_chain(ray_session):
+    from geoglue_ray.stages.terrain import ewma_cells
+
+    nt, nr, nc = 7, 3, 3
+    t, r, c, v = _lattice(nt, nr, nc, 0.0, seed=29, lo=0, hi=997)
+    got = (
+        ewma_cells(_dataset(t, r, c, v), n_shards=3)
+        .to_pandas()
+        .sort_values(["cell_row", "cell_col", "valid_time"])
+        .reset_index(drop=True)
+    )
+    grid = _grid(t, r, c, v, nt, nr, nc)
+    want = []
+    for ri in range(nr):
+        for ci in range(nc):
+            e = grid[0, ri, ci]
+            want.append(e)
+            for ti in range(1, nt):
+                e = (grid[ti, ri, ci] + e) / 2.0
+                want.append(e)
+    np.testing.assert_array_equal(got["ewma"].to_numpy(), np.array(want))
+
+
+def _pava(x):
+    """Classic pool-adjacent-violators (weighted means as sum/count)."""
+    blocks = [(xi, 1.0) for xi in x]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) >= 2 and out[-2][0] / out[-2][1] >= out[-1][0] / out[-1][1]:
+            s2, w2 = out.pop()
+            s1, w1 = out.pop()
+            out.append((s1 + s2, w1 + w2))
+    fit = []
+    for s, w in out:
+        fit.extend([s / w] * int(w))
+    return np.array(fit)
+
+
+def test_isotonic_matches_pava(ray_session):
+    from geoglue_ray.stages.terrain import isotonic_cells
+
+    nt, nr, nc = 9, 2, 3
+    t, r, c, v = _lattice(nt, nr, nc, 0.0, seed=37, lo=0, hi=10)
+    got = (
+        isotonic_cells(_dataset(t, r, c, v), n_shards=2)
+        .to_pandas()
+        .sort_values(["cell_row", "cell_col", "valid_time"])
+        .reset_index(drop=True)
+    )
+    grid = _grid(t, r, c, v, nt, nr, nc)
+    for ri in range(nr):
+        for ci in range(nc):
+            series = grid[:, ri, ci]
+            fit = _pava(series)
+            g = got[(got.cell_row == ri) & (got.cell_col == ci)]["fitted"].to_numpy()
+            # max-min formula == PAVA (up to float rounding of the
+            # two formulations; the fixture keeps sums exact so the
+            # single-division means agree exactly)
+            np.testing.assert_allclose(g, fit, rtol=0, atol=1e-12)
+            assert (np.diff(g) >= -1e-12).all()
