@@ -4288,3 +4288,62 @@ SELECT {fx.T0_SQL} + INTERVAL 1 HOUR * i AS valid_time,
 FROM mm GROUP BY i, r, c
 ORDER BY 2, 3, 1
 """
+
+
+def raster_rolling_median() -> str:
+    """Rolling-median twin: DuckDB window median over the identical
+    centered shrinking frame."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()})
+SELECT valid_time, r AS cell_row, c AS cell_col,
+       median(value) OVER (PARTITION BY r, c ORDER BY t
+                           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+         AS roll_median
+FROM rast
+WHERE variable = 't2m' AND value IS NOT NULL AND t < 48
+ORDER BY 2, 3, 1
+"""
+
+
+def doc_weighted_sample(k: int = 200) -> str:
+    """Weighted-priority-sample twin: the exact HUGEINT kmv chain >> 11
+    cast to DOUBLE (53 bits, exact), ONE division by the weight, global
+    ORDER BY (priority, id) LIMIT k."""
+    from geoglue_ray.functions.texthash import sql_kmv_hash
+
+    h = sql_kmv_hash("doc_id")
+    return f"""
+SELECT doc_id, n_chars,
+       CAST(({h}) // 2048::HUGEINT AS DOUBLE)
+         / CAST(n_chars AS DOUBLE) AS priority
+FROM documents
+ORDER BY 3, 1 LIMIT {k}
+"""
+
+
+def user_colocation() -> str:
+    """Co-location Jaccard twin: distinct (user, 1/64-degree cell)
+    pairs, shared-cell counts by self-join, set sizes by group, one
+    exact integer division per pair."""
+    lon = fx.sql_lon("event_id")
+    lat = fx.sql_lat("event_id")
+    return f"""
+WITH uc AS (
+  SELECT DISTINCT user_id,
+         CAST(floor({lon} * 64.0) AS BIGINT) * 65536
+           + CAST(floor({lat} * 64.0) AS BIGINT) AS cell
+  FROM events),
+sz AS (SELECT user_id, count(*) AS n FROM uc GROUP BY 1),
+sh AS (
+  SELECT a.user_id AS key_a, b.user_id AS key_b, count(*) AS n_shared
+  FROM uc a JOIN uc b ON b.cell = a.cell AND b.user_id > a.user_id
+  GROUP BY 1, 2)
+SELECT sh.key_a, sh.key_b, sh.n_shared,
+       sh.n_shared / (sa.n + sb.n - sh.n_shared) AS jaccard
+FROM sh
+JOIN sz sa ON sa.user_id = sh.key_a
+JOIN sz sb ON sb.user_id = sh.key_b
+ORDER BY 1, 2
+"""

@@ -4911,3 +4911,63 @@ def raster_isotonic(sf_dir: str) -> rd.Dataset:
     return isotonic_cells(read_raster(n_days=1), variable="t2m").sort(
         ["cell_row", "cell_col", "valid_time"]
     )
+
+
+def raster_rolling_median(sf_dir: str) -> rd.Dataset:
+    """Centered 5-hour rolling median per cell over two days — temporal
+    rank-order smoothing with shrinking edge frames
+    (stages/terrain.rolling_median_cells: one (cells x T x 5) gather +
+    nanmedian per shard).  DuckDB's window median matches nanmedian's
+    two-middle average bit-for-bit (measured)."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.terrain import rolling_median_cells
+
+    return rolling_median_cells(read_raster(n_days=2), window=5).sort(
+        ["cell_row", "cell_col", "valid_time"]
+    )
+
+
+def doc_weighted_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic weight-proportional document sample (k=200,
+    weight = n_chars): priority = 53-bit kmv hash / weight, keep the k
+    smallest (stages/sample.weighted_priority_sample: per-batch top-k
+    partials, one bounded final merge — the corpus never shuffles).
+    Bit-exact vs the SQL ORDER BY twin through the exact HUGEINT hash
+    chain."""
+    from geoglue_ray.stages.sample import weighted_priority_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_priority_sample(ds, "doc_id", "n_chars", k=200).sort(
+        "doc_id"
+    )
+
+
+def user_colocation(sf_dir: str) -> rd.Dataset:
+    """Pairwise Jaccard similarity between users' visited-cell sets
+    (1/64-degree grid) — co-location similarity via an inverted index:
+    only pairs sharing a cell are generated, shared counts and set
+    sizes reduce fixed-shard, one exact division per pair
+    (stages/similarity.pairwise_set_jaccard).  Bit-exact vs the SQL
+    join twin."""
+    from geoglue_ray.stages.similarity import pairwise_set_jaccard
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        cx = np.floor(lon * 64.0).astype(np.int64)
+        cy = np.floor(lat * 64.0).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "cell": pa.array((cx << np.int64(16)) | cy),
+            }
+        )
+
+    return pairwise_set_jaccard(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", "cell"
+    ).sort(["key_a", "key_b"])

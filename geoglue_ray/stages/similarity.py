@@ -586,3 +586,175 @@ def embedding_neardup(
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
     return bucketed.groupby("shard").map_groups(pairs, batch_format="pandas")
+
+
+def pairwise_set_jaccard(
+    ds: rd.Dataset,
+    key_col: str,
+    item_col: str,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Exact pairwise Jaccard similarity between per-key ITEM SETS via
+    an inverted index — only key pairs sharing at least one item are
+    ever generated (never the all-pairs square):
+
+    1. distinct (key, item) pairs + per-key set sizes (fixed-shard
+       dedup, bounded partials);
+    2. invert: per ITEM, emit all key pairs sharing it (vectorized
+       triangle expansion per item group);
+    3. per-pair shared-item counts (fixed-shard sum), sizes joined by
+       sorted lookup against the broadcast-size key-size table;
+    4. ``jaccard = shared / (size_a + size_b - shared)`` — one division
+       of exact integers.
+
+    Partitioning assumption: a single item's key list must fit one task
+    (salt hot items into sub-shards, as stages/dedup.py does for LSH
+    buckets, if an item can be shared by millions of keys)."""
+    import pandas as pd
+
+    def prep(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy().astype(np.int64)
+        it = b[item_col].to_numpy().astype(np.int64)
+        shard = (
+            (it.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_sj": pa.array(shard),
+                "key": pa.array(k),
+                "item": pa.array(it),
+            }
+        )
+
+    def dedup_and_pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "_t": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        k = g["key"].to_numpy().astype(np.int64)
+        it = g["item"].to_numpy().astype(np.int64)
+        ki = np.unique(np.stack([it, k], axis=1), axis=0)
+        it, k = ki[:, 0], ki[:, 1]
+        # per-key size CONTRIBUTION from this item shard (summed later)
+        uk, cnt = np.unique(k, return_counts=True)
+        parts = [
+            pa.table(
+                {
+                    "_t": pa.array(np.zeros(len(uk), np.int64)),
+                    "a": pa.array(uk),
+                    "b": pa.array(np.zeros(len(uk), np.int64)),
+                    "n": pa.array(cnt.astype(np.int64)),
+                }
+            )
+        ]
+        # per-item key-pair expansion (items are grouped: `it` sorted)
+        starts = np.r_[0, np.flatnonzero(it[1:] != it[:-1]) + 1, len(it)]
+        pa_, pb_ = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            pa_.append(k[s + ii])
+            pb_.append(k[s + jj])
+        if pa_:
+            aa = np.concatenate(pa_)
+            bb = np.concatenate(pb_)
+            lo = np.minimum(aa, bb)
+            hi = np.maximum(aa, bb)
+            key = lo * np.int64(1 << 32) + hi
+            ukey, inv = np.unique(key, return_inverse=True)
+            n = np.zeros(len(ukey), np.int64)
+            np.add.at(n, inv, 1)
+            parts.append(
+                pa.table(
+                    {
+                        "_t": pa.array(np.ones(len(ukey), np.int64)),
+                        "a": pa.array(ukey // (1 << 32)),
+                        "b": pa.array(ukey % (1 << 32)),
+                        "n": pa.array(n),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    tagged = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_sj")
+        .map_groups(dedup_and_pairs, batch_format="pandas")
+        .materialize()  # consumed by the size reduce AND the pair reduce
+    )
+
+    # key sizes: bounded by key cardinality x shard count — reduce small
+    def pick_sizes(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["_t"], 0))
+        return pa.table({"a": b["a"], "n": b["n"]})
+
+    sizes = (
+        tagged.map_batches(pick_sizes, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("a", as_index=False)["n"]
+        .sum()
+    )
+    skeys = sizes["a"].to_numpy()
+    ssz = sizes["n"].to_numpy()
+    o = np.argsort(skeys)
+    skeys, ssz = skeys[o], ssz[o]
+
+    def shard_pairs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["_t"], 1))
+        sh = (
+            (b["a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_pj": pa.array(sh),
+                "a": b["a"],
+                "b": b["b"],
+                "n": b["n"],
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "key_a": pa.array([], pa.int64()),
+                "key_b": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        agg = g.groupby(["a", "b"], as_index=False, dropna=False)["n"].sum()
+        a = agg["a"].to_numpy()
+        b = agg["b"].to_numpy()
+        n = agg["n"].to_numpy().astype(np.int64)
+        sa = ssz[np.searchsorted(skeys, a)]
+        sb = ssz[np.searchsorted(skeys, b)]
+        return pa.table(
+            {
+                "key_a": pa.array(a),
+                "key_b": pa.array(b),
+                "n_shared": pa.array(n),
+                "jaccard": pa.array(n / (sa + sb - n)),
+            }
+        )
+
+    return (
+        tagged.map_batches(shard_pairs, batch_format="pyarrow")
+        .groupby("_pj")
+        .map_groups(finish, batch_format="pandas")
+    )

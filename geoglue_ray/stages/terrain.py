@@ -542,3 +542,83 @@ def isotonic_cells(
         .groupby("_iso")
         .map_groups(fit, batch_format="pandas")
     )
+
+
+def rolling_median_cells(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    window: int = 5,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Centered rolling median per cell over its hour-ordered non-null
+    series (window = ``window`` rows, shrinking at the edges — the SQL
+    ``ROWS BETWEEN h PRECEDING AND h FOLLOWING`` frame).  The even-count
+    two-middle average matches DuckDB's ``median`` bit-for-bit
+    (measured); one (cells x T x window) NaN-padded gather +
+    ``np.nanmedian`` per shard."""
+    if window % 2 != 1:
+        raise ValueError("window must be odd (centered frame)")
+    h = window // 2
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        b = b.filter(
+            pa.array(np.isfinite(b["value"].to_numpy(zero_copy_only=False)))
+        )
+        r = b["cell_row"].to_numpy().astype(np.int64)
+        c = b["cell_col"].to_numpy().astype(np.int64)
+        cell = (r << np.int64(22)) | c
+        shard = (
+            (cell.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_rm": pa.array(shard),
+                "cell": pa.array(cell),
+                "valid_time": b["valid_time"],
+                "value": pa.array(b["value"].to_numpy().astype(np.float64)),
+            }
+        )
+
+    def roll(g: pd.DataFrame) -> pa.Table:
+        empty = {
+            "valid_time": pa.array([], pa.timestamp("us")),
+            "cell_row": pa.array([], pa.int64()),
+            "cell_col": pa.array([], pa.int64()),
+            "roll_median": pa.array([], pa.float64()),
+        }
+        if len(g) == 0:
+            return pa.table(empty)
+        cell = g["cell"].to_numpy().astype(np.int64)
+        t = g["valid_time"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        o = np.lexsort((t, cell))
+        cell, t, v = cell[o], t[o], v[o]
+        uc, starts = np.unique(cell, return_index=True)
+        counts = np.diff(np.r_[starts, len(cell)])
+        if len(np.unique(counts)) != 1:
+            raise AssertionError("rolling_median_cells expects equal-length series")
+        T = int(counts[0])
+        X = v.reshape(len(uc), T)
+        pad = np.pad(X, ((0, 0), (h, h)), constant_values=np.nan)
+        stack = np.stack([pad[:, i : i + T] for i in range(window)], axis=2)
+        med = np.nanmedian(stack, axis=2)
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    t.astype("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "cell_row": pa.array(np.repeat(uc >> np.int64(22), T)),
+                "cell_col": pa.array(np.repeat(uc & np.int64((1 << 22) - 1), T)),
+                "roll_median": pa.array(med.ravel()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_rm")
+        .map_groups(roll, batch_format="pandas")
+    )

@@ -257,3 +257,31 @@ def test_focal_mode_tie_rule(ray_session):
                 assert got[key] == best, (key, cnt, got[key])
                 n_checked += 1
     assert n_checked > 50
+
+
+def test_pairwise_set_jaccard_brute(ray_session):
+    import ray.data as rd
+
+    from geoglue_ray.stages.similarity import pairwise_set_jaccard
+
+    rng = np.random.default_rng(23)
+    n = 400
+    key = rng.integers(0, 12, n).astype(np.int64)
+    item = rng.integers(0, 25, n).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"u": pa.array(key), "it": pa.array(item)})
+    ).repartition(5)
+    got = pairwise_set_jaccard(ds, "u", "it", n_shards=4).to_pandas()
+    sets = {k: set(item[key == k]) for k in np.unique(key)}
+    want = {}
+    ks = sorted(sets)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            sh = len(sets[a] & sets[b])
+            if sh:
+                want[(a, b)] = (sh, sh / len(sets[a] | sets[b]))
+    got_map = {
+        (int(r.key_a), int(r.key_b)): (int(r.n_shared), float(r.jaccard))
+        for r in got.itertuples()
+    }
+    assert got_map == want
