@@ -4307,22 +4307,6 @@ ORDER BY 2, 3, 1
 """
 
 
-def doc_weighted_sample(k: int = 200) -> str:
-    """Weighted-priority-sample twin: the exact HUGEINT kmv chain >> 11
-    cast to DOUBLE (53 bits, exact), ONE division by the weight, global
-    ORDER BY (priority, id) LIMIT k."""
-    from geoglue_ray.functions.texthash import sql_kmv_hash
-
-    h = sql_kmv_hash("doc_id")
-    return f"""
-SELECT doc_id, n_chars,
-       CAST(({h}) // 2048::HUGEINT AS DOUBLE)
-         / CAST(n_chars AS DOUBLE) AS priority
-FROM documents
-ORDER BY 3, 1 LIMIT {k}
-"""
-
-
 def user_colocation() -> str:
     """Co-location Jaccard twin: distinct (user, 1/64-degree cell)
     pairs, shared-cell counts by self-join, set sizes by group, one
@@ -4345,5 +4329,52 @@ SELECT sh.key_a, sh.key_b, sh.n_shared,
 FROM sh
 JOIN sz sa ON sa.user_id = sh.key_a
 JOIN sz sb ON sb.user_id = sh.key_b
+ORDER BY 1, 2
+"""
+
+
+def events_funnel_chained() -> str:
+    """Funnel twin: chained min-joins — stage k's reach time is the
+    earliest stage-k event strictly after the stage-(k-1) reach."""
+    return """
+WITH t1 AS (SELECT user_id, min(ts) AS ts FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
+       JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.ts
+       WHERE e.event_type = 'click' GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
+       JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.ts
+       WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS funnel_stage, count(*) AS n_users FROM t1
+  UNION ALL SELECT 2, count(*) FROM t2
+  UNION ALL SELECT 3, count(*) FROM t3)
+ORDER BY 1
+"""
+
+
+def events_ntile(n_tiles: int = 4) -> str:
+    """NTILE twin: the native window function over the identical
+    (ts, id) order."""
+    return f"""
+SELECT user_id, event_id,
+       CAST(ntile({n_tiles}) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS tile
+FROM events ORDER BY 1, 2
+"""
+
+
+def events_dod() -> str:
+    """Day-over-day twin: daily counts, lag window, exact integer delta
+    and one division for the percent change."""
+    return """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day, n AS n_events,
+       n - lag(n) OVER w AS delta,
+       (n - lag(n) OVER w) / lag(n) OVER w AS pct_change
+FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
 ORDER BY 1, 2
 """

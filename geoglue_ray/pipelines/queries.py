@@ -4927,23 +4927,6 @@ def raster_rolling_median(sf_dir: str) -> rd.Dataset:
     )
 
 
-def doc_weighted_sample(sf_dir: str) -> rd.Dataset:
-    """Deterministic weight-proportional document sample (k=200,
-    weight = n_chars): priority = 53-bit kmv hash / weight, keep the k
-    smallest (stages/sample.weighted_priority_sample: per-batch top-k
-    partials, one bounded final merge — the corpus never shuffles).
-    Bit-exact vs the SQL ORDER BY twin through the exact HUGEINT hash
-    chain."""
-    from geoglue_ray.stages.sample import weighted_priority_sample
-
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
-    )
-    return weighted_priority_sample(ds, "doc_id", "n_chars", k=200).sort(
-        "doc_id"
-    )
-
-
 def user_colocation(sf_dir: str) -> rd.Dataset:
     """Pairwise Jaccard similarity between users' visited-cell sets
     (1/64-degree grid) — co-location similarity via an inverted index:
@@ -4971,3 +4954,205 @@ def user_colocation(sf_dir: str) -> rd.Dataset:
     return pairwise_set_jaccard(
         ds.map_batches(prep, batch_format="pyarrow"), "user_id", "cell"
     ).sort(["key_a", "key_b"])
+
+
+def events_funnel_chained(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """CHAINED three-stage funnel (view -> click -> purchase): a user
+    reaches stage k when a stage-k event exists STRICTLY after their
+    earliest stage-(k-1) REACH time (any later click counts, unlike
+    queries.event_funnel's first-touch rule, which compares first
+    timestamps only — the two classic funnel semantics) — the product-analytics ordered-
+    sequence operator.  Users co-shuffle fixed-shard; each shard
+    resolves every stage for all its users in vectorized min-reductions
+    (exact timestamp comparisons); per-shard stage counts sum in one
+    bounded final pass.  Bit-exact vs the chained min-join SQL twin."""
+    import pandas as pd
+
+    STAGES = ("view", "click", "purchase")
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.is_in(b["event_type"], value_set=pa.array(STAGES)))
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "_fu": pa.array(shard),
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+            }
+        )
+
+    def stages_counts(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "funnel_stage": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        codes, uniq = pd.factorize(uid, use_na_sentinel=False)
+        nu = len(uniq)
+        reach = np.full(nu, -(2**62), np.int64)  # stage-0 sentinel
+        alive = np.ones(nu, bool)
+        counts = []
+        for stage in STAGES:
+            m = et == stage
+            nxt = np.full(nu, np.iinfo(np.int64).max, np.int64)
+            sel = m & alive[codes] & (ts > reach[codes])
+            np.minimum.at(nxt, codes[sel], ts[sel])
+            alive &= nxt != np.iinfo(np.int64).max
+            reach = nxt
+            counts.append(int(alive.sum()))
+        return pa.table(
+            {
+                "funnel_stage": pa.array(np.arange(1, 4, dtype=np.int64)),
+                "n": pa.array(np.array(counts, np.int64)),
+            }
+        )
+
+    partial = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_fu")
+        .map_groups(stages_counts, batch_format="pandas")
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("funnel_stage", as_index=False)["n"].sum()
+        return out.rename(columns={"n": "n_users"})
+
+    return (
+        partial.repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+        .sort("funnel_stage")
+    )
+
+
+def events_ntile(sf_dir: str, n_tiles: int = 4, n_shards: int = 64) -> rd.Dataset:
+    """NTILE(4) bucket per event within each user's (ts, id)-ordered
+    history — the window-function quartile assignment: the first
+    ``n mod k`` buckets take ``ceil(n/k)`` rows (SQL NTILE semantics,
+    replayed exactly).  Fixed-shard user co-shuffle, one lexsort + run
+    pass per shard."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "_nt": pa.array(shard),
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+            }
+        )
+
+    def tiles(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "tile": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        o = np.lexsort((eid, ts, uid))
+        uid, eid = uid[o], eid[o]
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(first)
+        run = np.cumsum(first) - 1
+        n = np.diff(np.r_[starts, len(uid)])[run]  # user row count
+        i = np.arange(len(uid), dtype=np.int64) - starts[run]  # 0-based pos
+        q, r = n // n_tiles, n % n_tiles
+        big = (q + 1) * r
+        tile = np.where(i < big, i // np.maximum(q + 1, 1), r + (i - big) // np.maximum(q, 1)) + 1
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "tile": pa.array(tile.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_nt")
+        .map_groups(tiles, batch_format="pandas")
+        .sort(["user_id", "event_id"])
+    )
+
+
+def events_dod(sf_dir: str) -> rd.Dataset:
+    """Day-over-day change per event type: daily counts (streamed
+    partial/final), then delta and percent change vs the previous
+    PRESENT day in one bounded final pass — delta is an exact integer,
+    pct_change ONE division.  Bit-exact vs the SQL lag-window twin."""
+    import pandas as pd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = b["ts"].to_numpy().astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table(
+            {
+                "day": pa.array(day),
+                "event_type": b["event_type"],
+                # zonal_aggregate's partial pass reads value_col even
+                # for a count-only op list
+                "value": pa.array(np.zeros(len(b), np.float64)),
+            }
+        )
+
+    from geoglue_ray.stages.zonal import zonal_aggregate
+
+    daily = zonal_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["count"],
+        keys=["event_type", "day"],
+    )
+
+    def lagit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "day"], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = df["count"].to_numpy().astype(np.float64)
+        et, _ = pd.factorize(df["event_type"].to_numpy(), use_na_sentinel=False)
+        prev = np.r_[np.nan, n[:-1]]
+        prev[np.r_[True, et[1:] != et[:-1]]] = np.nan
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "day": df["day"],
+                "n_events": n,
+                "delta": n - prev,
+                "pct_change": (n - prev) / prev,
+            }
+        )
+
+    return (
+        daily.repartition(1)
+        .map_batches(lagit, batch_format="pandas", batch_size=None)
+        .sort(["event_type", "day"])
+    )

@@ -350,43 +350,3 @@ def skyline_2d(
         .map_batches(local, batch_format="pandas", batch_size=None)
     )
 
-
-def weighted_priority_sample(
-    ds: rd.Dataset,
-    id_col: str,
-    weight_col: str,
-    k: int,
-) -> rd.Dataset:
-    """Deterministic weight-proportional sample of ``k`` rows: priority
-    = ``(kmv_hash64(id) >> 11) / weight`` (a 53-bit hash exact in a
-    double, ONE division), keep the k smallest (ties to the smallest
-    id) — heavier rows draw smaller priorities, the hash-keyed
-    priority-sampling shape of Efraimidis-Spirakis with an exactly
-    reproducible key in both numpy and SQL.  Per-batch top-k partials
-    (bounded k x blocks rows) then one final top-k — the corpus is
-    never shuffled."""
-    from geoglue_ray.functions.texthash import kmv_hash64
-
-    def partial(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_numpy()
-        w = b[weight_col].to_numpy().astype(np.float64)
-        h53 = (kmv_hash64(ids) >> np.uint64(11)).astype(np.float64)
-        pr = h53 / w
-        o = np.lexsort((ids, pr))[:k]
-        return pa.table(
-            {
-                id_col: pa.array(ids[o]),
-                weight_col: pa.array(b[weight_col].to_numpy()[o]),
-                "priority": pa.array(pr[o]),
-            }
-        )
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        o = np.lexsort((df[id_col].to_numpy(), df["priority"].to_numpy()))[:k]
-        return df.iloc[o].reset_index(drop=True)
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(final, batch_format="pandas", batch_size=None)
-    )
