@@ -174,6 +174,9 @@ def _run_queries() -> dict:
         ("events_mantel", lambda sf: _as_ds(q.events_mantel(sf))),
         ("bfs_parts", lambda sf: _as_ds(q.bfs_parts(sf))),
         ("raster_cusum", q.raster_cusum),
+        # round-4 continuation 3: the global-dependency hydrology pair
+        # (row-band contraction + perimeter solve + pour pass)
+        ("raster_flow_acc", q.raster_flow_acc),
     ]
     extra_reps = int(os.environ.get("GRAFT_EXTRA_REPEATS", "2"))
     for name, fn in extra:

@@ -4378,3 +4378,18 @@ SELECT event_type, day, n AS n_events,
 FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
 ORDER BY 1, 2
 """
+
+
+def events_debounce(window_s: int = 300) -> str:
+    """Debounce twin: keep an event iff NO same-(user, type) event lies
+    in the preceding window (ts ties break by event_id)."""
+    return f"""
+SELECT user_id, event_id, ts, event_type
+FROM events a
+WHERE NOT EXISTS (
+  SELECT 1 FROM events b
+  WHERE b.user_id = a.user_id AND b.event_type = a.event_type
+    AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))
+    AND date_diff('microsecond', b.ts, a.ts) <= {window_s} * 1000000)
+ORDER BY event_id
+"""

@@ -5156,3 +5156,75 @@ def events_dod(sf_dir: str) -> rd.Dataset:
         .map_batches(lagit, batch_format="pandas", batch_size=None)
         .sort(["event_type", "day"])
     )
+
+
+def events_debounce(
+    sf_dir: str, window_s: int = 300, n_shards: int = 64
+) -> rd.Dataset:
+    """Debounce / throttle dedup: drop an event when ANOTHER event of
+    the same (user, type) exists within the preceding ``window_s``
+    seconds (ties on ts break by event_id) — the streaming noise-
+    suppression operator.  (user, type) series co-shuffle fixed-shard;
+    one lexsort pass computes the gap to the tuple-order predecessor,
+    which is exactly the EXISTS-in-window witness.  Bit-exact vs the
+    SQL NOT-EXISTS twin."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "_db": pa.array(shard),
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+            }
+        )
+
+    win = np.int64(window_s) * 1_000_000  # us
+
+    def keep(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "event_type": pa.array([], pa.string()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et, uniq = pd.factorize(g["event_type"].to_numpy(), use_na_sentinel=False)
+        o = np.lexsort((eid, ts, et, uid))
+        uid, eid, ts, et = uid[o], eid[o], ts[o], et[o]
+        same = np.r_[False, (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])]
+        gap = np.r_[np.int64(0), ts[1:] - ts[:-1]]
+        kept = ~(same & (gap <= win))
+        return pa.table(
+            {
+                "user_id": pa.array(uid[kept]),
+                "event_id": pa.array(eid[kept]),
+                "ts": pa.array(
+                    ts[kept].astype("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "event_type": pa.array(uniq[et[kept]]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_db")
+        .map_groups(keep, batch_format="pandas")
+        .sort("event_id")
+    )
