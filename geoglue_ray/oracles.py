@@ -4393,3 +4393,40 @@ WHERE NOT EXISTS (
     AND date_diff('microsecond', b.ts, a.ts) <= {window_s} * 1000000)
 ORDER BY event_id
 """
+
+
+def orders_cube() -> str:
+    """CUBE twin: native GROUP BY CUBE with the 'ALL' sentinel for
+    rolled key levels; measures are sums of exact floored integers."""
+    return """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(count(*) AS DOUBLE) AS n_orders,
+       CAST(sum(floor(o_totalprice)) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY 1, 2
+"""
+
+
+def raster_histeq() -> str:
+    """Histogram-equalization twin: empirical CDF via a cumulative
+    window over per-value counts (one division per distinct value),
+    joined back to every cell."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT valid_time, r, c, CAST(value AS BIGINT) AS val
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+h AS (SELECT val, count(*) AS cnt FROM v GROUP BY 1),
+cd AS (
+  SELECT val,
+         CAST(sum(cnt) OVER (ORDER BY val) AS DOUBLE)
+           / CAST((SELECT sum(cnt) FROM h) AS DOUBLE) AS cdf
+  FROM h)
+SELECT v.valid_time, v.r AS cell_row, v.c AS cell_col, cd.cdf
+FROM v JOIN cd ON cd.val = v.val
+ORDER BY 1, 2, 3
+"""

@@ -5228,3 +5228,140 @@ def events_debounce(
         .map_groups(keep, batch_format="pandas")
         .sort("event_id")
     )
+
+
+def orders_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority) — all four grouping
+    sets of count + floored-revenue sum.  Batches partial-collapse to
+    the tiny (status x priority) detail grid; every CUBE level is then a
+    bounded re-sum of exact integer detail cells (order-free), with the
+    'ALL' sentinel for rolled keys (typed block schemas, never NULL —
+    the revenue_rollup convention)."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "s": b["o_orderstatus"].to_numpy(zero_copy_only=False),
+                "p": b["o_orderpriority"].to_numpy(zero_copy_only=False),
+                "v": np.floor(b["o_totalprice"].to_numpy()),
+            }
+        )
+        g = df.groupby(["s", "p"], as_index=False, dropna=False).agg(
+            n=("v", "size"), t=("v", "sum")
+        )
+        g["_all"] = np.zeros(len(g), np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def cube(g: pd.DataFrame) -> pd.DataFrame:
+        detail = g.groupby(["s", "p"], as_index=False, dropna=False).agg(
+            n=("n", "sum"), t=("t", "sum")
+        )
+        levels = [detail]
+        by_s = detail.groupby("s", as_index=False).agg(n=("n", "sum"), t=("t", "sum"))
+        by_s["p"] = "ALL"
+        by_p = detail.groupby("p", as_index=False).agg(n=("n", "sum"), t=("t", "sum"))
+        by_p["s"] = "ALL"
+        grand = pd.DataFrame(
+            {"s": ["ALL"], "p": ["ALL"], "n": [detail["n"].sum()], "t": [detail["t"].sum()]}
+        )
+        levels += [by_s, by_p, grand]
+        out = pd.concat(levels, ignore_index=True)[["s", "p", "n", "t"]]
+        return pd.DataFrame(
+            {
+                "o_orderstatus": out["s"],
+                "o_orderpriority": out["p"],
+                "n_orders": out["n"].to_numpy().astype(np.float64),
+                "total": out["t"].to_numpy().astype(np.float64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_all")
+        .map_groups(
+            lambda g: cube(g.drop(columns=["_all"])), batch_format="pandas"
+        )
+        .sort(["o_orderstatus", "o_orderpriority"])
+    )
+
+
+def raster_histeq(sf_dir: str) -> rd.Dataset:
+    """Histogram equalization of the raster field over two days: each
+    cell's value maps to its empirical CDF (count of values <= v over
+    the total, ONE division per distinct value) — the contrast-
+    normalization remap.  Value cardinality is tiny (< 997), so batches
+    partial-collapse to bincounts, the CDF is derived once in a bounded
+    task, broadcast, and gathered per cell."""
+    import ray
+
+    from geoglue_ray.sources.raster import read_raster
+
+    ds = read_raster(n_days=2)
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], "t2m"))
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "valid_time": b["valid_time"],
+                "cell_row": pa.array(b["cell_row"].to_numpy().astype(np.int64)),
+                "cell_col": pa.array(b["cell_col"].to_numpy().astype(np.int64)),
+                "value": pa.array(v),
+            }
+        )
+
+    src = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def counts(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        v = v[np.isfinite(v)].astype(np.int64)
+        cnt = np.bincount(v, minlength=997)
+        return pa.table(
+            {
+                "val": pa.array(np.arange(997, dtype=np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        src.map_batches(counts, batch_format="pyarrow")
+        .groupby("val")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("val")
+    )
+    cnt = np.zeros(997, np.int64)
+    cnt[hist["val"].to_numpy()] = hist["sum(cnt)"].to_numpy()
+    total = int(cnt.sum())
+    cdf = np.cumsum(cnt).astype(np.float64) / np.float64(total)
+    import ray as _ray
+
+    cdf_ref = _ray.put(cdf)
+
+    def remap(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        c = _r.get(cdf_ref)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        fin = np.isfinite(v)
+        b = b.filter(pa.array(fin))
+        return pa.table(
+            {
+                "valid_time": b["valid_time"],
+                "cell_row": b["cell_row"],
+                "cell_col": b["cell_col"],
+                "cdf": pa.array(c[v[fin].astype(np.int64)]),
+            }
+        )
+
+    return src.map_batches(remap, batch_format="pyarrow").sort(
+        ["valid_time", "cell_row", "cell_col"]
+    )
