@@ -2477,6 +2477,36 @@ ORDER BY 1
 """
 
 
+def events_knn() -> str:
+    """k-NN-within-radius twin: the events_nn self-join construction,
+    window rank over (d2, neighbour id) — matching the engine's stable
+    argsort over id-sorted candidates — filtered to rank <= 3, INNER
+    (isolated points emit no rows)."""
+    return f"""
+WITH e AS (
+  SELECT event_id,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+p AS (
+  SELECT a.event_id, b.event_id AS nb,
+         (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS d2
+  FROM e a JOIN e b
+    ON b.event_id <> a.event_id
+   AND b.lon BETWEEN a.lon - 0.0625 AND a.lon + 0.0625
+   AND b.lat BETWEEN a.lat - 0.0625 AND a.lat + 0.0625
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= 0.0625 * 0.0625),
+r AS (
+  SELECT event_id, nb, sqrt(d2) AS dist,
+         row_number() OVER (PARTITION BY event_id ORDER BY d2, nb) AS rn
+  FROM p)
+SELECT event_id, rn AS "rank", nb AS nn_id, dist AS nn_dist
+FROM r WHERE rn <= 3
+ORDER BY 1, 2
+"""
+
+
 def events_g() -> str:
     """G-function twin: the events_nn min-distance construction, then
     per-radius threshold counts on the SAME rounded sqrt values the

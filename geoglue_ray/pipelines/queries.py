@@ -1649,6 +1649,30 @@ def events_nn(sf_dir: str) -> rd.Dataset:
     return radius_nn_join(ds, radius=0.0625, id_col="event_id").sort("event_id")
 
 
+def events_knn(sf_dir: str) -> rd.Dataset:
+    """k-nearest-neighbours-within-radius self-join (k=3) among the
+    observation points — each event's up-to-3 closest other events
+    within 1/16 deg, ranked by (distance, neighbour id)
+    (stages/spatial.radius_knn_join: the radius_nn_join ring-bucket
+    co-shuffle with a stable per-cell top-k instead of argmin).  The
+    k>1 generalization of events_nn; bit-exact vs the window-rank SQL
+    twin."""
+    from geoglue_ray.stages.spatial import radius_knn_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {"event_id": b["event_id"], "lon": pa.array(lon), "lat": pa.array(lat)}
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    return radius_knn_join(ds, radius=0.0625, k=3, id_col="event_id").sort(
+        ["event_id", "rank"]
+    )
+
+
 def events_g(sf_dir: str) -> pa.Table:
     """Nearest-neighbour distance distribution (Ripley's G function) at
     four dyadic radii — the third classic point-pattern summary next to

@@ -217,6 +217,131 @@ def radius_nn_join(
     )
 
 
+def radius_knn_join(
+    ds,
+    radius: float = 0.0625,
+    k: int = 3,
+    id_col: str = "event_id",
+    n_shards: int = 64,
+):
+    """k-nearest-neighbours-within-radius self-join: for every point, its
+    up-to-``k`` nearest OTHER points within ``radius`` as (id, rank,
+    nn_id, nn_dist) rows ordered by (distance, neighbour id) — the k>1
+    generalization of :func:`radius_nn_join` (sensor cross-validation,
+    k-NN density / LOF features).  Points with fewer than ``k``
+    in-radius neighbours emit fewer rows; isolated points emit none
+    (inner semantics — the SQL twin is a plain window-rank filter).
+
+    Same distribution as radius_nn_join: 3x3 ring grid-bucket at cell
+    size == radius (a point's k nearest in-radius neighbours all lie in
+    the ring), FIXED ``hash(cell) % n_shards`` co-shuffle, vectorized
+    per-cell distance blocks.  Rank order: candidates are pre-sorted by
+    id, so a STABLE argsort on d2 yields (d2 asc, id asc) — exactly the
+    twin's ``row_number() OVER (ORDER BY d2, nb)``.  Exactness: the
+    radius_nn_join chain (dyadic coords, exact d2, power-of-two radius,
+    correctly-rounded sqrt)."""
+    import pandas as pd
+
+    r2 = radius * radius
+    inv = 1.0 / radius  # radius is a power of two: exact
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        cx = np.floor(lon * inv).astype(np.int64)
+        cy = np.floor(lat * inv).astype(np.int64)
+        n = len(ids)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                own = dx == 0 and dy == 0
+                cell = (cx + dx) * np.int64(1 << 21) + (cy + dy)
+                parts.append(
+                    pa.table(
+                        {
+                            "_cell": pa.array(cell),
+                            id_col: pa.array(ids),
+                            "lon": pa.array(lon),
+                            "lat": pa.array(lat),
+                            "_own": pa.array(np.full(n, own)),
+                        }
+                    )
+                )
+        out = pa.concat_tables(parts)
+        shard = (
+            (out["_cell"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return out.append_column("_s", pa.array(shard))
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "nn_id": pa.array([], pa.int64()),
+                "nn_dist": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cell = g["_cell"].to_numpy().astype(np.int64)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        own = g["_own"].to_numpy().astype(bool)
+        o = np.lexsort((ids, cell))
+        cell, ids, lon, lat, own = cell[o], ids[o], lon[o], lat[o], own[o]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        out_id, out_rank, out_nn, out_d = [], [], [], []
+        CHUNK = 1024
+        for s, e in zip(starts, ends):
+            osel = own[s:e]
+            if not osel.any():
+                continue
+            cid, clon, clat = ids[s:e], lon[s:e], lat[s:e]
+            oi_all = cid[osel]
+            olon_all, olat_all = clon[osel], clat[osel]
+            kk = min(k, len(cid))
+            for c0 in range(0, len(oi_all), CHUNK):
+                oi = oi_all[c0 : c0 + CHUNK]
+                olon = olon_all[c0 : c0 + CHUNK]
+                olat = olat_all[c0 : c0 + CHUNK]
+                dxm = olon[:, None] - clon[None, :]
+                dym = olat[:, None] - clat[None, :]
+                d2 = dxm * dxm + dym * dym
+                bad = (d2 > r2) | (oi[:, None] == cid[None, :])
+                d2 = np.where(bad, np.inf, d2)
+                # stable sort over id-sorted candidates == (d2, id) order
+                ordc = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+                dsel = np.take_along_axis(d2, ordc, axis=1)
+                rows, cols = np.nonzero(np.isfinite(dsel))
+                if len(rows) == 0:
+                    continue
+                out_id.append(oi[rows])
+                out_rank.append(cols.astype(np.int64) + 1)  # inf sorts last
+                out_nn.append(cid[ordc[rows, cols]])
+                out_d.append(np.sqrt(dsel[rows, cols]))
+        if not out_id:
+            return empty
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "rank": pa.array(np.concatenate(out_rank)),
+                "nn_id": pa.array(np.concatenate(out_nn)),
+                "nn_dist": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
 def radius_nn_lookup(
     queries: rd.Dataset,
     candidates: rd.Dataset,

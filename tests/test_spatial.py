@@ -302,3 +302,37 @@ def test_dbscan_levels2_no_cross_edges():
     )
     pd.testing.assert_frame_equal(g1, g2)
     assert (g2["cluster_id"] == 3).all()
+
+
+def test_radius_knn_join_matches_bruteforce():
+    """radius_knn_join vs an exact all-pairs top-k: same (id, rank,
+    nn_id, nn_dist) rows under (d2, id) ordering, points with < k
+    in-radius neighbours emit short lists, isolated points none."""
+    from geoglue_ray.stages.spatial import radius_knn_join
+
+    ids, lon, lat = _points(300, seed=13)
+    r, k = 0.125, 3
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    d2 = np.where(d2 > r * r, np.inf, d2)
+    rows = []
+    for i in range(len(ids)):
+        order = np.lexsort((ids, d2[i]))
+        for rank, j in enumerate(order[:k], start=1):
+            if np.isfinite(d2[i, j]):
+                rows.append((int(ids[i]), rank, int(ids[j]),
+                             float(np.sqrt(d2[i, j]))))
+    ref = (
+        pd.DataFrame(rows, columns=["event_id", "rank", "nn_id", "nn_dist"])
+        .sort_values(["event_id", "rank"]).reset_index(drop=True)
+    )
+    ds = rd.from_arrow(pa.table({"event_id": ids, "lon": lon, "lat": lat}))
+    got = (
+        radius_knn_join(ds, radius=r, k=k, id_col="event_id", n_shards=8)
+        .to_pandas().sort_values(["event_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) == len(ref)
+    assert np.array_equal(got["event_id"].to_numpy(), ref["event_id"].to_numpy())
+    assert np.array_equal(got["rank"].to_numpy(), ref["rank"].to_numpy())
+    assert np.array_equal(got["nn_id"].to_numpy(), ref["nn_id"].to_numpy())
+    assert np.array_equal(got["nn_dist"].to_numpy(), ref["nn_dist"].to_numpy())
