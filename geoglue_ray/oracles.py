@@ -2507,6 +2507,54 @@ ORDER BY 1, 2
 """
 
 
+def events_triangles() -> str:
+    """Triangle twin: oriented in-radius pair CTE (a < b), degree from
+    both-endpoint counts, triangles by the triple self-join (wedge at
+    the smallest node closed by the (v, w) edge), clustering as the
+    single exact-int division with NULL below degree 2."""
+    return f"""
+WITH e AS (
+  SELECT event_id,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+p AS (
+  SELECT a.event_id AS a, b.event_id AS b
+  FROM e a JOIN e b
+    ON b.event_id > a.event_id
+   AND b.lon BETWEEN a.lon - 0.0625 AND a.lon + 0.0625
+   AND b.lat BETWEEN a.lat - 0.0625 AND a.lat + 0.0625
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= 0.0625 * 0.0625),
+deg AS (
+  SELECT id, count(*) AS degree
+  FROM (SELECT a AS id FROM p UNION ALL SELECT b AS id FROM p)
+  GROUP BY 1),
+tri AS (
+  SELECT p1.a AS u, p1.b AS v, p2.b AS w
+  FROM p p1
+  JOIN p p2 ON p2.a = p1.a AND p2.b > p1.b
+  JOIN p p3 ON p3.a = p1.b AND p3.b = p2.b),
+tc AS (
+  SELECT id, count(*) AS n_tri
+  FROM (SELECT u AS id FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+  GROUP BY 1)
+SELECT e.event_id,
+       COALESCE(deg.degree, 0) AS degree,
+       COALESCE(tc.n_tri, 0) AS n_tri,
+       CASE WHEN COALESCE(deg.degree, 0) >= 2
+            THEN CAST(2 * COALESCE(tc.n_tri, 0) AS DOUBLE)
+                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+            ELSE NULL END AS clustering
+FROM e
+LEFT JOIN deg ON deg.id = e.event_id
+LEFT JOIN tc ON tc.id = e.event_id
+ORDER BY 1
+"""
+
+
 def events_g() -> str:
     """G-function twin: the events_nn min-distance construction, then
     per-radius threshold counts on the SAME rounded sqrt values the

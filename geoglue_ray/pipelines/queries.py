@@ -1673,6 +1673,30 @@ def events_knn(sf_dir: str) -> rd.Dataset:
     )
 
 
+def events_triangles(sf_dir: str) -> rd.Dataset:
+    """Per-node triangle count, degree and local clustering coefficient
+    over the in-radius proximity graph among the observation points
+    (stages/spatial.triangle_stats: radius_edges ring-bucket edge list,
+    wedge generation at the smallest endpoint, one co-shuffled closure
+    join on the packed (v, w) key, fixed-shard count merges, two
+    hash_equijoin(left) attaches).  The distributed node-iterator
+    triangle enumeration; clustering = 2*T/(deg*(deg-1)) is a single
+    division of exact int64s — bit-exact vs the triple self-join SQL
+    twin."""
+    from geoglue_ray.stages.spatial import triangle_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {"event_id": b["event_id"], "lon": pa.array(lon), "lat": pa.array(lat)}
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    return triangle_stats(ds, radius=0.0625, id_col="event_id").sort("event_id")
+
+
 def events_g(sf_dir: str) -> pa.Table:
     """Nearest-neighbour distance distribution (Ripley's G function) at
     four dyadic radii — the third classic point-pattern summary next to

@@ -342,6 +342,335 @@ def radius_knn_join(
     )
 
 
+def radius_edges(
+    ds,
+    radius: float = 0.0625,
+    id_col: str = "event_id",
+    n_shards: int = 64,
+):
+    """Oriented edge list of the in-radius proximity graph: one (a, b)
+    row per unordered point pair with ``a < b`` and planar distance
+    <= ``radius`` — the graph-construction face of the radius-join
+    family.  Same 3x3 ring grid-bucket distribution as
+    :func:`radius_nn_join`; each pair is emitted exactly once, from the
+    smaller id's own-cell row (the larger id is always inside the
+    smaller's ring).  Per-cell cost is |own| x |cand|; ``radius`` is
+    the structural skew knob (it IS the cell size)."""
+    import pandas as pd
+
+    r2 = radius * radius
+    inv = 1.0 / radius
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        cx = np.floor(lon * inv).astype(np.int64)
+        cy = np.floor(lat * inv).astype(np.int64)
+        n = len(ids)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                own = dx == 0 and dy == 0
+                cell = (cx + dx) * np.int64(1 << 21) + (cy + dy)
+                parts.append(
+                    pa.table(
+                        {
+                            "_cell": pa.array(cell),
+                            id_col: pa.array(ids),
+                            "lon": pa.array(lon),
+                            "lat": pa.array(lat),
+                            "_own": pa.array(np.full(n, own)),
+                        }
+                    )
+                )
+        out = pa.concat_tables(parts)
+        shard = (
+            (out["_cell"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return out.append_column("_s", pa.array(shard))
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if len(g) == 0:
+            return empty
+        cell = g["_cell"].to_numpy().astype(np.int64)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        own = g["_own"].to_numpy().astype(bool)
+        o = np.lexsort((ids, cell))
+        cell, ids, lon, lat, own = cell[o], ids[o], lon[o], lat[o], own[o]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        out_a, out_b = [], []
+        CHUNK = 1024
+        for s, e in zip(starts, ends):
+            osel = own[s:e]
+            if not osel.any():
+                continue
+            cid, clon, clat = ids[s:e], lon[s:e], lat[s:e]
+            oi_all = cid[osel]
+            olon_all, olat_all = clon[osel], clat[osel]
+            for c0 in range(0, len(oi_all), CHUNK):
+                oi = oi_all[c0 : c0 + CHUNK]
+                olon = olon_all[c0 : c0 + CHUNK]
+                olat = olat_all[c0 : c0 + CHUNK]
+                dxm = olon[:, None] - clon[None, :]
+                dym = olat[:, None] - clat[None, :]
+                d2 = dxm * dxm + dym * dym
+                hit = (d2 <= r2) & (cid[None, :] > oi[:, None])
+                rows, cols = np.nonzero(hit)
+                if len(rows):
+                    out_a.append(oi[rows])
+                    out_b.append(cid[cols])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def _keyed_count_sum(kv, key_col: str, out_col: str, n_shards: int = 64):
+    """Exact per-key sum of pre-counted (key, n) partials: fixed-shard
+    co-shuffle on ``int_hash64(key) % n_shards`` then one vectorized
+    lexsort+reduceat per shard — never a native high-cardinality
+    groupby (CLAUDE.md round-2 lesson)."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    P = np.uint64(n_shards)
+
+    def shard(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy().astype(np.int64)
+        return b.append_column(
+            "_s", pa.array((int_hash64(k) % P).astype(np.int64))
+        )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {key_col: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())}
+            )
+        k = g[key_col].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        o = np.argsort(k, kind="mergesort")
+        k, n = k[o], n[o]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        sums = np.add.reduceat(n, starts)
+        return pa.table(
+            {key_col: pa.array(k[starts]), out_col: pa.array(sums)}
+        )
+
+    return (
+        kv.map_batches(shard, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def triangle_stats(
+    ds,
+    radius: float = 0.0625,
+    id_col: str = "event_id",
+    n_shards: int = 64,
+):
+    """Per-node triangle count, degree and local clustering coefficient
+    over the in-radius proximity graph — the classic distributed
+    node-iterator triangle enumeration (wedge generation at the
+    smallest endpoint + one co-shuffled closure join against the edge
+    set), composed from engine primitives: :func:`radius_edges`, the
+    fixed-shard partial/final count idiom, and two
+    ``hash_equijoin(how='left')`` attaches back onto the full point
+    table.
+
+    Each triangle (u < v < w) is found exactly once: the wedge (v, w)
+    is generated at pivot u and closed iff edge (v, w) exists.  Wedge
+    cost at a pivot is C(deg, 2) — mega-hub mitigation is the standard
+    degree-ordered orientation (orient edges toward higher degree),
+    documented as the scale path; here edges orient by id and
+    ``radius`` structurally bounds degree.  ``clustering`` =
+    ``2*n_tri / (degree*(degree-1))`` — a single division of exact
+    int64 quantities (NULL below degree 2), so the SQL twin mirrors
+    bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from geoglue_ray.functions.texthash import int_hash64
+    from geoglue_ray.stages.join import hash_equijoin
+
+    P = np.uint64(n_shards)
+    PACK = np.int64(1) << np.int64(32)  # ids < 2^31: exact packed (v, w) key
+
+    # edge list is consumed three times (degree, wedges, closure):
+    # materialize once (CLAUDE.md round-3 rule)
+    edges = radius_edges(ds, radius=radius, id_col=id_col, n_shards=n_shards)
+    edges = edges.materialize()
+
+    # -- degree: both endpoints, pre-counted per batch, fixed-shard final
+    def deg_partial(b: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [b["a"].to_numpy().astype(np.int64), b["b"].to_numpy().astype(np.int64)]
+        )
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({id_col: pa.array(u), "n": pa.array(c)})
+
+    degree = _keyed_count_sum(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        id_col,
+        "degree",
+        n_shards,
+    )
+
+    # -- wedges at the smallest endpoint: group edges by a, enumerate
+    #    neighbour pairs (v < w) vectorized across runs
+    def tag_pivot(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy().astype(np.int64)
+        return b.append_column("_s", pa.array((int_hash64(a) % P).astype(np.int64)))
+
+    def gen_wedges(g) -> pa.Table:
+        empty = pa.table(
+            {
+                "_t": pa.array([], pa.int8()),
+                "u": pa.array([], pa.int64()),
+                "pk": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        a = g["a"].to_numpy().astype(np.int64)
+        b = g["b"].to_numpy().astype(np.int64)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        first = np.r_[True, a[1:] != a[:-1]]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.r_[starts, len(a)])
+        run = np.cumsum(first) - 1
+        pos = np.arange(len(a), dtype=np.int64) - starts[run]  # rank in run
+        # every (v, w) pair within a run, v before w: for each element at
+        # rank p emit it as w against the p elements before it
+        n_pairs = pos  # element contributes `pos` pairs as the w side
+        tot = int(n_pairs.sum())
+        if tot == 0:
+            return empty
+        w_idx = np.repeat(np.arange(len(a), dtype=np.int64), n_pairs)
+        # offset within each element's emitted block = 0..pos-1
+        off = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(n_pairs) - n_pairs, n_pairs
+        )
+        v_idx = starts[run[w_idx]] + off
+        u = a[w_idx]
+        v = b[v_idx]
+        w = b[w_idx]
+        return pa.table(
+            {
+                "_t": pa.array(np.zeros(tot, dtype=np.int8)),
+                "u": pa.array(u),
+                "pk": pa.array(v * PACK + w),
+            }
+        )
+
+    wedges = (
+        edges.map_batches(tag_pivot, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(gen_wedges, batch_format="pandas")
+    )
+
+    # -- closure: co-shuffle wedges with the edge set on the packed
+    #    (v, w) key; matched wedges attribute the triangle to u, v, w
+    def tag_edge_keys(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy().astype(np.int64)
+        bb = b["b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "_t": pa.array(np.ones(len(a), dtype=np.int8)),
+                "u": pa.array(np.zeros(len(a), dtype=np.int64)),
+                "pk": pa.array(a * PACK + bb),
+            }
+        )
+
+    def shard_pk(b: pa.Table) -> pa.Table:
+        pk = b["pk"].to_numpy().astype(np.int64)
+        return b.append_column("_s", pa.array((int_hash64(pk) % P).astype(np.int64)))
+
+    tagged = wedges.union(edges.map_batches(tag_edge_keys, batch_format="pyarrow"))
+
+    def close_tri(g) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        if len(g) == 0:
+            return empty
+        t = g["_t"].to_numpy().astype(np.int8)
+        pk = g["pk"].to_numpy().astype(np.int64)
+        u = g["u"].to_numpy().astype(np.int64)
+        epk = np.sort(pk[t == 1])
+        wsel = t == 0
+        wpk, wu = pk[wsel], u[wsel]
+        pos = np.searchsorted(epk, wpk)
+        pos_c = np.minimum(pos, max(len(epk) - 1, 0))
+        hit = (len(epk) > 0) & (epk[pos_c] == wpk) if len(epk) else np.zeros(len(wpk), bool)
+        if not np.any(hit):
+            return empty
+        tu = wu[hit]
+        tv = (wpk[hit] // PACK).astype(np.int64)
+        tw = (wpk[hit] % PACK).astype(np.int64)
+        nodes = np.concatenate([tu, tv, tw])
+        uq, c = np.unique(nodes, return_counts=True)
+        return pa.table({id_col: pa.array(uq), "n": pa.array(c)})
+
+    tri_partials = (
+        tagged.map_batches(shard_pk, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(close_tri, batch_format="pandas")
+    )
+    n_tri = _keyed_count_sum(tri_partials, id_col, "n_tri", n_shards)
+
+    # -- attach both count tables to the full point set (left joins:
+    #    isolated points keep degree 0 / n_tri 0 / NULL clustering)
+    ids = ds.select_columns([id_col])
+    deg_schema = pa.schema([(id_col, pa.int64()), ("degree", pa.int64())])
+    tri_schema = pa.schema([(id_col, pa.int64()), ("n_tri", pa.int64())])
+    j = hash_equijoin(
+        ids, degree, id_col, id_col, n_shards=n_shards, how="left",
+        right_schema=deg_schema,
+    )
+    j = hash_equijoin(
+        j, n_tri, id_col, id_col, n_shards=n_shards, how="left",
+        right_schema=tri_schema,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        deg = pc.fill_null(b["degree"], 0).to_numpy().astype(np.int64)
+        tri = pc.fill_null(b["n_tri"], 0).to_numpy().astype(np.int64)
+        den = deg * (deg - 1)
+        cl = np.where(
+            deg >= 2,
+            (2 * tri).astype(np.float64) / np.maximum(den, 1).astype(np.float64),
+            np.nan,
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "degree": pa.array(deg),
+                "n_tri": pa.array(tri),
+                "clustering": pa.array(cl),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
 def radius_nn_lookup(
     queries: rd.Dataset,
     candidates: rd.Dataset,

@@ -336,3 +336,29 @@ def test_radius_knn_join_matches_bruteforce():
     assert np.array_equal(got["rank"].to_numpy(), ref["rank"].to_numpy())
     assert np.array_equal(got["nn_id"].to_numpy(), ref["nn_id"].to_numpy())
     assert np.array_equal(got["nn_dist"].to_numpy(), ref["nn_dist"].to_numpy())
+
+
+def test_triangle_stats_matches_bruteforce():
+    """triangle_stats vs the adjacency-matrix count: per-node triangles
+    = diag(A^3)/2, degree = row sums, clustering = 2T/(d(d-1))."""
+    from geoglue_ray.stages.spatial import triangle_stats
+
+    ids, lon, lat = _points(250, seed=5)
+    r = 0.125
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    A = (d2 <= r * r).astype(np.int64)
+    np.fill_diagonal(A, 0)
+    deg = A.sum(1)
+    tri = np.diag(A @ A @ A) // 2
+    cl = np.where(deg >= 2, 2.0 * tri / np.maximum(deg * (deg - 1), 1), np.nan)
+    order = np.argsort(ids)
+    ds = rd.from_arrow(pa.table({"event_id": ids, "lon": lon, "lat": lat}))
+    got = (
+        triangle_stats(ds, radius=r, id_col="event_id", n_shards=8)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert len(got) == len(ids)
+    assert np.array_equal(got["degree"].to_numpy(), deg[order])
+    assert np.array_equal(got["n_tri"].to_numpy(), tri[order])
+    assert np.array_equal(got["clustering"].to_numpy(), cl[order], equal_nan=True)
+    assert tri.sum() > 0  # the fixture actually has triangles
