@@ -2522,10 +2522,10 @@ p AS (
   SELECT a.event_id AS a, b.event_id AS b
   FROM e a JOIN e b
     ON b.event_id > a.event_id
-   AND b.lon BETWEEN a.lon - 0.0625 AND a.lon + 0.0625
-   AND b.lat BETWEEN a.lat - 0.0625 AND a.lat + 0.0625
+   AND b.lon BETWEEN a.lon - 0.03125 AND a.lon + 0.03125
+   AND b.lat BETWEEN a.lat - 0.03125 AND a.lat + 0.03125
   WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
-        <= 0.0625 * 0.0625),
+        <= 0.03125 * 0.03125),
 deg AS (
   SELECT id, count(*) AS degree
   FROM (SELECT a AS id FROM p UNION ALL SELECT b AS id FROM p)

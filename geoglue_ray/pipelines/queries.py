@@ -1694,7 +1694,10 @@ def events_triangles(sf_dir: str) -> rd.Dataset:
         )
 
     ds = ds.map_batches(derive, batch_format="pyarrow")
-    return triangle_stats(ds, radius=0.0625, id_col="event_id").sort("event_id")
+    # radius 1/32 (not the events_nn 1/16): wedge cost is sum C(deg, 2)
+    # and the SQL triple-join twin is quartic-ish in density — 1/32 keeps
+    # the sf0.01 driver check inside single-digit seconds on both sides
+    return triangle_stats(ds, radius=0.03125, id_col="event_id").sort("event_id")
 
 
 def events_g(sf_dir: str) -> pa.Table:
