@@ -118,3 +118,32 @@ def zorder_key(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     spatial range reads prune at 100 TB.  x occupies the even bits, y
     the odd bits; int64 result (fits: 32 bits used)."""
     return (_spread16(x) | (_spread16(y) << np.uint64(1))).astype(np.int64)
+
+
+def hilbert_key(x: np.ndarray, y: np.ndarray, order: int = 16) -> np.ndarray:
+    """Hilbert-curve index of two ``order``-bit grid coordinates — the
+    stronger locality key next to :func:`zorder_key` (a Hilbert walk
+    never jumps, so range reads over sorted output touch ~half the
+    blocks a Morton layout does at the same selectivity).  Classic
+    iterative xy2d, vectorized over the whole column: per bit level
+    ``s`` accumulate ``s*s * ((3*rx) XOR ry)`` and rotate/reflect the
+    undecided low bits into the child quadrant's frame.  Low bits are
+    masked each level (``& (s-1)``), so the reflection is exact integer
+    arithmetic an SQL recursive CTE mirrors bit-for-bit.  int64 result
+    (fits: 2*order <= 32 bits used)."""
+    x = np.asarray(x).astype(np.int64)
+    y = np.asarray(y).astype(np.int64)
+    d = np.zeros(len(x), dtype=np.int64)
+    s = np.int64(1) << np.int64(order - 1)
+    while s > 0:
+        rx = (x & s) > 0
+        ry = (y & s) > 0
+        quad = np.where(rx & ry, 2, np.where(rx, 3, np.where(ry, 1, 0)))
+        d += s * s * quad
+        xl = x & (s - 1)
+        yl = y & (s - 1)
+        nx = np.where(ry, xl, np.where(rx, s - 1 - yl, yl))
+        ny = np.where(ry, yl, np.where(rx, s - 1 - xl, xl))
+        x, y = nx, ny
+        s >>= 1
+    return d

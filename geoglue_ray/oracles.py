@@ -3733,6 +3733,41 @@ FROM pts ORDER BY event_id
 """
 
 
+def hilbert_events() -> str:
+    """Hilbert twin: recursive CTE replaying the iterative xy2d walk —
+    per level accumulate s*s*((3*rx) XOR ry) and reflect/rotate the low
+    bits (engine's ``& (s-1)`` spelled ``% s``); all intermediates are
+    exact BIGINTs."""
+    lvl = 10
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT event_id,
+         LEAST(GREATEST(CAST(floor(({fx.sql_lon('event_id')} + 180.0) / 360.0 * {1 << lvl}) AS BIGINT), 0), {(1 << lvl) - 1}) AS cell_x,
+         LEAST(GREATEST(CAST(floor(({fx.sql_lat('event_id')} + 90.0) / 180.0 * {1 << (lvl - 1)}) AS BIGINT), 0), {(1 << (lvl - 1)) - 1}) AS cell_y
+  FROM events),
+h AS (
+  SELECT event_id, CAST({1 << (lvl - 1)} AS BIGINT) AS s,
+         cell_x AS x, cell_y AS y, CAST(0 AS BIGINT) AS d
+  FROM pts
+  UNION ALL
+  SELECT event_id, s // 2,
+         CASE WHEN (y & s) > 0 THEN x % s
+              WHEN (x & s) > 0 THEN s - 1 - (y % s)
+              ELSE y % s END,
+         CASE WHEN (y & s) > 0 THEN y % s
+              WHEN (x & s) > 0 THEN s - 1 - (x % s)
+              ELSE x % s END,
+         d + s * s * (CASE WHEN (x & s) > 0 AND (y & s) > 0 THEN 2
+                           WHEN (x & s) > 0 THEN 3
+                           WHEN (y & s) > 0 THEN 1
+                           ELSE 0 END)
+  FROM h WHERE s > 0)
+SELECT p.event_id, p.cell_x, p.cell_y, h.d AS hkey
+FROM pts p JOIN h ON h.event_id = p.event_id AND h.s = 0
+ORDER BY 1
+"""
+
+
 def media_ref_parse() -> str:
     """regexp_extract twin over the exploded media spans."""
     return r"""

@@ -4240,6 +4240,36 @@ def zorder_events(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(keyed, batch_format="pyarrow").sort("event_id")
 
 
+def hilbert_events(sf_dir: str) -> rd.Dataset:
+    """Hilbert-curve locality key per event at tile level 10 — the
+    stronger spatial layout key next to zorder_events (a Hilbert walk
+    never jumps, so range reads over hkey-sorted output touch fewer
+    blocks at the same selectivity; cells.hilbert_key).  Exact integer
+    reflect/rotate arithmetic per bit level — bit-exact vs the
+    recursive-CTE SQL twin replaying the same xy2d levels."""
+    from geoglue_ray.cells import hilbert_key
+
+    LEVEL = 10
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        lon, lat = fx.derive_lonlat(ids)
+        n = 1 << LEVEL
+        x = np.clip(((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+        y = np.clip(((lat + 90.0) / 180.0 * (n >> 1)).astype(np.int64), 0, (n >> 1) - 1)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "cell_x": pa.array(x),
+                "cell_y": pa.array(y),
+                "hkey": pa.array(hilbert_key(x, y, order=LEVEL)),
+            }
+        )
+
+    return ds.map_batches(keyed, batch_format="pyarrow").sort("event_id")
+
+
 def media_ref_parse(sf_dir: str) -> rd.Dataset:
     """Compiled-regex actor-pool extraction: parse the media_ref URI into
     typed id columns (pattern compiles once per actor in __init__, the
