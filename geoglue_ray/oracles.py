@@ -2126,6 +2126,42 @@ FROM asg GROUP BY 1 ORDER BY 1
 """
 
 
+def user_od_matrix() -> str:
+    """OD-matrix twin: the events_zonal assignment CTE with user/ts
+    carried through, first/last per user by two window ranks over the
+    mirrored (ts, event_id) total order, integer user counts per
+    (origin, destination)."""
+    return f"""
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat,
+         event_id % {fx.OUT_MOD} = 0 AS is_outside
+  FROM events),
+cen AS ({fx.SQL_CENTROIDS}),
+asg AS (
+  SELECT c.user_id, c.ts, c.event_id,
+         CASE WHEN c.is_outside
+              THEN (SELECT cen.a2 FROM cen
+                    ORDER BY (c.lon-cen.gx)*(c.lon-cen.gx) + (c.lat-cen.gy)*(c.lat-cen.gy), cen.a2
+                    LIMIT 1)
+              ELSE {fx.sql_admin2_inside('c.lon', 'c.lat')} END AS a2
+  FROM c),
+r AS (
+  SELECT user_id, a2,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl
+  FROM asg),
+od AS (
+  SELECT f.a2 AS o, l.a2 AS d
+  FROM r f JOIN r l ON l.user_id = f.user_id AND f.rf = 1 AND l.rl = 1)
+SELECT {fx.sql_admin2_name('o')} AS origin_id,
+       {fx.sql_admin2_name('d')} AS dest_id,
+       count(*) AS n_users
+FROM od GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def dasymetric_events() -> str:
     """Dasymetric twin: the raster-cell admin CTE supplies both the cell
     lattice and (via its cen) the event assignment; per-admin ancillary

@@ -4724,6 +4724,100 @@ def event_transitions(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
     return rd.from_arrow(out.take(idx))
 
 
+def user_od_matrix(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Origin -> destination flow matrix across admin units: each user's
+    FIRST and LAST event (by the (ts, event_id) total order) are
+    assigned to admin-2 units through the broadcast PIP + kNN pool, and
+    user counts aggregate per (origin, destination) pair — the
+    commuting-matrix / migration-flow analysis, composing the spatial
+    join with the user-hash co-location skeleton (all of a user's rows
+    in one shard; one lexsort + run-detection pass per shard).  Partials
+    collapse to the bounded |admin|^2 matrix per shard (integer-index
+    packed) before the driver-side exact sum; names attach from the
+    driver-resident admin pool after aggregation (narrow-shuffle
+    principle)."""
+    import pandas as pd
+    import ray
+
+    from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    index = AdminIndex.build(build_admin_table())
+    ds = ds.map_batches(derive, batch_format="pyarrow").map_batches(
+        encode_cells, batch_format="pyarrow"
+    )
+    ds = spatial_join(ds, index_ref=ray.put(index), emit_names=False)
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "admin_idx": b["admin_idx"],
+                "_us": pa.array(shard),
+            }
+        )
+
+    K = np.int64(1 << 20)
+
+    def od_partial(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"od": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        adm = g["admin_idx"].to_numpy().astype(np.int64)
+        o = np.lexsort((eid, t, uid))
+        uid, adm = uid[o], adm[o]
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        last = np.r_[first[1:], True]
+        od = adm[first] * K + adm[last]
+        ks, cnt = np.unique(od, return_counts=True)
+        return pa.table({"od": pa.array(ks), "n": pa.array(cnt.astype(np.int64))})
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_us")
+        .map_groups(od_partial, batch_format="pandas")
+        .to_pandas()  # bounded: <= n_shards x |admin|^2 partial rows
+    )
+    agg = rows.groupby("od", as_index=False)["n"].sum()
+    od = agg["od"].to_numpy().astype(np.int64)
+    names = np.asarray(index.admin_id)
+    out = pa.table(
+        {
+            "origin_id": pa.array(names[(od // K).astype(np.int64)]),
+            "dest_id": pa.array(names[(od % K).astype(np.int64)]),
+            "n_users": pa.array(agg["n"].to_numpy().astype(np.int64)),
+        }
+    )
+    idx = pc.sort_indices(
+        out, sort_keys=[("origin_id", "ascending"), ("dest_id", "ascending")]
+    )
+    return rd.from_arrow(out.take(idx))
+
+
 def cohort_growth(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
     """Per-event-type cohort growth curves — the non-degenerate variant of
     :func:`user_growth` (whose fixture collapses to 2 days because every
