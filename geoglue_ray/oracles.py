@@ -699,6 +699,49 @@ FROM documents ORDER BY doc_id
 """
 
 
+def text_redact() -> str:
+    """Redaction twin: DuckDB's RE2 regexp_replace with the global flag
+    and regexp_extract_all count — byte-exact against Arrow's RE2
+    kernels."""
+    return r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\b(customer|key|window)\b')) AS n_redacted,
+       regexp_replace(text, '\b(customer|key|window)\b', '[REDACTED]', 'g') AS redacted
+FROM documents ORDER BY doc_id
+"""
+
+
+def contamination_ngram() -> str:
+    """Contamination twin: 5-grams via list_transform over ranges of the
+    token list, the eval set as a DISTINCT unnest, duplicate-instance
+    hits by join, the single exact-int division (NULL under 5 tokens)."""
+    return r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+n AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+              THEN list_transform(range(1, len(toks) - 3),
+                                  i -> array_to_string(array_slice(toks, i, i + 4), ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS ngs
+  FROM t),
+bench AS (
+  SELECT DISTINCT unnest(ngs) AS ng FROM n WHERE doc_id % 97 = 0),
+inst AS (SELECT doc_id, unnest(ngs) AS ng FROM n),
+hits AS (
+  SELECT i.doc_id, count(*) AS n_hit
+  FROM inst i JOIN bench b ON b.ng = i.ng GROUP BY 1)
+SELECT n.doc_id,
+       len(n.ngs) AS n_ngrams,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       CASE WHEN len(n.ngs) > 0
+            THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(len(n.ngs) AS DOUBLE)
+            ELSE NULL END AS contamination
+FROM n LEFT JOIN hits h ON h.doc_id = n.doc_id
+ORDER BY n.doc_id
+"""
+
+
 def text_quality() -> str:
     stop = ", ".join(f"'{s}'" for s in ("the", "a", "of", "and", "to"))
     return rf"""

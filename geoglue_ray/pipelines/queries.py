@@ -963,6 +963,49 @@ def text_quality(sf_dir: str) -> rd.Dataset:
     ).sort("doc_id")
 
 
+def text_redact(sf_dir: str) -> rd.Dataset:
+    """PII-style scrub-and-audit pass over the corpus: redact a word
+    class from every document (actor-pool Redactor — pattern compiled
+    once per actor, vectorized RE2 rewrite per batch) and report the
+    per-doc match count plus the rewritten text.  Byte-exact vs DuckDB's
+    regexp_replace(..., 'g') — both engines are RE2."""
+    from geoglue_ray.stages.text import Redactor
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(
+        Redactor,
+        fn_constructor_kwargs={"pattern": r"\b(customer|key|window)\b"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["doc_id", "n_redacted", "redacted"]).sort("doc_id")
+
+
+def contamination_ngram(sf_dir: str) -> rd.Dataset:
+    """Benchmark-decontamination check — the training-corpus hygiene op:
+    the DISTINCT word 5-grams of a stand-in eval set (docs with
+    ``doc_id % 97 == 0``) are collected once (eval-set-bounded) and
+    broadcast; every document then reports how many of its own 5-gram
+    instances appear in the set and the contaminated fraction (a single
+    exact-int division, NULL under 5 tokens).  Two passes over a
+    column-pruned file read (the acceptable double-consumption class);
+    membership is one hash-probe pass per batch against the per-worker
+    cached broadcast."""
+    import ray
+
+    from geoglue_ray.stages.text import benchmark_ngram_partial, contamination_score
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    bench_rows = ds.map_batches(
+        benchmark_ngram_partial, batch_format="pyarrow"
+    ).to_pandas()  # bounded: distinct-per-batch n-grams of the eval docs
+    ref = ray.put(frozenset(bench_rows["ng"]))
+    out = ds.map_batches(
+        contamination_score, batch_format="pyarrow", fn_kwargs={"bench_ref": ref}
+    )
+    return out.sort("doc_id")
+
+
 def lang_id(sf_dir: str) -> rd.Dataset:
     from geoglue_ray.stages.text import LangId
 

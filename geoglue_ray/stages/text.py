@@ -685,3 +685,116 @@ def boilerplate_frac(
         )
 
     return ds.map_batches(frac, batch_format="pyarrow")
+
+
+class Redactor:
+    """PII-style pattern redaction as an actor-pool stage: the pattern is
+    validated/compiled once per actor in ``__init__`` and ``__call__``
+    rewrites the text column with Arrow's vectorized RE2 kernels
+    (``replace_substring_regex`` + ``count_substring_regex``), appending
+    the per-row match count — the scrub-and-audit shape of a training
+    corpus PII pass.  RE2 both here and in DuckDB's regexp functions, so
+    the SQL twin is byte-exact on the rewritten text."""
+
+    def __init__(self, pattern: str, replacement: str = "[REDACTED]"):
+        import re
+
+        re.compile(pattern)  # fail fast, once per actor
+        self.pattern = pattern
+        self.replacement = replacement
+
+    def __call__(self, batch: pa.Table, col: str = "text") -> pa.Table:
+        n = pc.count_substring_regex(batch[col], pattern=self.pattern)
+        red = pc.replace_substring_regex(
+            batch[col], pattern=self.pattern, replacement=self.replacement
+        )
+        out = batch.remove_column(batch.column_names.index(col))
+        out = out.append_column("n_redacted", pc.cast(n, pa.int64()))
+        return out.append_column("redacted", red)
+
+
+def word_ngrams(col, n: int = 5):
+    """Flat word n-gram strings for a text column: Arrow-vectorized
+    trim + ``\\s+`` split (mirroring the SQL twin's
+    ``string_split_regex(trim(text))``), then n-grams joined by single
+    spaces via shifted views over the flat token buffer — n-grams never
+    cross document boundaries.  Returns (ngrams object-array, doc index
+    per n-gram, per-doc n-gram count)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(col), pattern=r"\s+")
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(offs)
+    cnt = np.maximum(lens - (n - 1), 0)
+    tot = int(cnt.sum())
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), cnt)
+    if tot == 0:
+        return np.array([], dtype=object), doc_idx, cnt
+    starts = np.repeat(offs[:-1], cnt) + (
+        np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    )
+    flat = toks.values.to_numpy(zero_copy_only=False).astype(object)
+    grams = flat[starts]
+    for k in range(1, n):
+        grams = grams + " "
+        grams = grams + flat[starts + k]
+    return grams, doc_idx, cnt
+
+
+# per-worker-process single-slot cache of the broadcast benchmark set,
+# keyed by ObjectRef hex (the fused_zonal_map pattern): plain-task
+# stages reuse warm workers without re-deserializing per batch, and
+# never accumulate stale broadcasts
+_BENCH_CACHE: dict = {}
+
+
+def _bench_set(ref):
+    key = ref.hex()
+    hit = _BENCH_CACHE.get(key)
+    if hit is None:
+        import ray
+
+        _BENCH_CACHE.clear()
+        hit = ray.get(ref)
+        _BENCH_CACHE[key] = hit
+    return hit
+
+
+def benchmark_ngram_partial(batch: pa.Table, *, n: int = 5, mod: int = 97) -> pa.Table:
+    """Per-batch DISTINCT n-grams of the benchmark documents
+    (``doc_id % mod == 0`` — the stand-in eval set).  Output is
+    eval-set-bounded; the driver unions batch partials into the
+    broadcast set."""
+    ids = batch["doc_id"].to_numpy()
+    sel = batch.filter(pa.array(ids % mod == 0))
+    if len(sel) == 0:
+        return pa.table({"ng": pa.array([], pa.string())})
+    grams, _, _ = word_ngrams(sel["text"], n)
+    return pa.table({"ng": pa.array(np.unique(grams.astype(str)))})
+
+
+def contamination_score(batch: pa.Table, *, bench_ref, n: int = 5) -> pa.Table:
+    """Per-document benchmark contamination: the fraction of the doc's
+    word n-grams present in the broadcast benchmark set (duplicate
+    instances count, matching the SQL unnest-join twin).  Membership is
+    one hash-probe pass (pandas ``isin`` over the broadcast set); the
+    fraction is a single division of exact int64 counts (NULL for docs
+    shorter than n tokens)."""
+    bench = _bench_set(bench_ref)
+    grams, doc_idx, cnt = word_ngrams(batch["text"], n)
+    if len(grams):
+        hit = pd.Series(grams).isin(bench).to_numpy()
+        n_hit = np.bincount(doc_idx, weights=hit, minlength=len(batch)).astype(np.int64)
+    else:
+        n_hit = np.zeros(len(batch), dtype=np.int64)
+    frac = np.where(
+        cnt > 0, n_hit.astype(np.float64) / np.maximum(cnt, 1).astype(np.float64), np.nan
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ngrams": pa.array(cnt),
+            "n_hit": pa.array(n_hit),
+            "contamination": pa.array(frac),
+        }
+    )

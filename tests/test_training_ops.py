@@ -964,3 +964,17 @@ def test_chunk_dedup_shard_count_invariance(ray_session):
     a = a.sort_values("doc_id").reset_index(drop=True)
     b = b.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_word_ngrams_boundaries():
+    """n-grams never cross documents; docs shorter than n emit none;
+    whitespace runs collapse like the SQL twin's split."""
+    import pyarrow as pa
+
+    from geoglue_ray.stages.text import word_ngrams
+
+    col = pa.array(["a b c d e f", "x y", "  p  q r s  t  ", ""])
+    grams, doc_idx, cnt = word_ngrams(col, n=5)
+    assert list(cnt) == [2, 0, 1, 0]
+    assert list(doc_idx) == [0, 0, 2]
+    assert list(grams) == ["a b c d e", "b c d e f", "p q r s t"]
