@@ -978,3 +978,26 @@ def test_word_ngrams_boundaries():
     assert list(cnt) == [2, 0, 1, 0]
     assert list(doc_idx) == [0, 0, 2]
     assert list(grams) == ["a b c d e", "b c d e f", "p q r s t"]
+
+
+def test_global_prefix_sum_sparse_ids():
+    """Two-pass distributed scan == serial exclusive cumsum in id order,
+    with sparse non-dense ids spread across many range buckets."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.scan import global_prefix_sum
+
+    rng = np.random.default_rng(11)
+    ids = rng.choice(1_000_000, size=700, replace=False).astype(np.int64)
+    vals = rng.integers(0, 500, size=700).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids), "v": pa.array(vals)}))
+    got = (
+        global_prefix_sum(ds, "doc_id", "v", range_size=4096, n_shards=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    o = np.argsort(ids)
+    expect = np.r_[np.int64(0), np.cumsum(vals[o])[:-1]]
+    assert np.array_equal(got["doc_id"].to_numpy(), ids[o])
+    assert np.array_equal(got["start_offset"].to_numpy(), expect)
+    assert np.array_equal(got["v"].to_numpy(), vals[o])
