@@ -1006,83 +1006,6 @@ def contamination_ngram(sf_dir: str) -> rd.Dataset:
     return out.sort("doc_id")
 
 
-def inverted_index(sf_dir: str, n_shards: int = 32) -> rd.Dataset:
-    """Distributed inverted-index build — the search-engine core op:
-    per-batch DISTINCT (term, doc) pairs (one flat-token pass, packed
-    unique), co-shuffled on ``hash(term) % n_shards`` (FIXED group
-    count), then one lexsort+run pass per shard emits each term's
-    document frequency and its doc-id posting list (comma-joined in
-    ascending order — deterministic, hashable).  Posting lists stay
-    sharded through the pipeline; only the term-cardinality result ever
-    concentrates."""
-    import pandas as pd
-
-    from geoglue_ray.functions.texthash import str_hash64
-
-    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
-
-    def pairs(b: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(b["text"].combine_chunks() if isinstance(b["text"], pa.ChunkedArray) else b["text"]),
-            pattern=r"\s+",
-        )
-        offs = toks.offsets.to_numpy().astype(np.int64)
-        flat = toks.values.to_numpy(zero_copy_only=False)
-        doc = np.repeat(b["doc_id"].to_numpy(), np.diff(offs))
-        terms, codes = np.unique(flat, return_inverse=True)
-        packed = codes.astype(np.int64) * np.int64(1 << 40) + doc
-        uq = np.unique(packed)
-        t_idx = (uq >> np.int64(40)).astype(np.int64)
-        d = (uq & np.int64((1 << 40) - 1)).astype(np.int64)
-        term_u = terms[t_idx]
-        shard = (str_hash64(term_u) % np.uint64(n_shards)).astype(np.int64)
-        return pa.table(
-            {
-                "term": pa.array(term_u),
-                "doc_id": pa.array(d),
-                "_s": pa.array(shard),
-            }
-        )
-
-    def build(g: pd.DataFrame) -> pa.Table:
-        empty = pa.table(
-            {
-                "term": pa.array([], pa.string()),
-                "df": pa.array([], pa.int64()),
-                "postings": pa.array([], pa.string()),
-            }
-        )
-        if len(g) == 0:
-            return empty
-        term = g["term"].to_numpy()
-        doc = g["doc_id"].to_numpy().astype(np.int64)
-        codes, uniq = pd.factorize(term, use_na_sentinel=False)
-        o = np.lexsort((doc, codes))
-        codes, doc = codes[o], doc[o]
-        # cross-batch duplicates of (term, doc) collapse here
-        keep = np.r_[True, (codes[1:] != codes[:-1]) | (doc[1:] != doc[:-1])]
-        codes, doc = codes[keep], doc[keep]
-        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
-        ends = np.r_[starts[1:], len(codes)]
-        df = (ends - starts).astype(np.int64)
-        docs_str = doc.astype(str)
-        postings = [",".join(docs_str[s:e]) for s, e in zip(starts, ends)]
-        return pa.table(
-            {
-                "term": pa.array(np.asarray(uniq)[codes[starts]]),
-                "df": pa.array(df),
-                "postings": pa.array(postings),
-            }
-        )
-
-    return (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby("_s")
-        .map_groups(build, batch_format="pandas")
-        .sort("term")
-    )
-
-
 def pack_offsets(sf_dir: str, context: int = 256) -> rd.Dataset:
     """LM sequence packing — concatenate documents in id order and chunk
     the token stream into fixed training context windows: each doc's
