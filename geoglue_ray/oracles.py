@@ -699,18 +699,6 @@ FROM documents ORDER BY doc_id
 """
 
 
-def text_redact() -> str:
-    """Redaction twin: DuckDB's RE2 regexp_replace with the global flag
-    and regexp_extract_all count — byte-exact against Arrow's RE2
-    kernels."""
-    return r"""
-SELECT doc_id,
-       len(regexp_extract_all(text, '\b(customer|key|window)\b')) AS n_redacted,
-       regexp_replace(text, '\b(customer|key|window)\b', '[REDACTED]', 'g') AS redacted
-FROM documents ORDER BY doc_id
-"""
-
-
 def pack_offsets() -> str:
     """Packing twin: exclusive running window sum in doc-id order (cast
     back to BIGINT — DuckDB window sum widens to HUGEINT), integer
@@ -729,42 +717,6 @@ SELECT doc_id, n_tokens, start_offset,
        start_offset % 256 AS pos_in_bin,
        (start_offset % 256) + n_tokens > 256 AS crosses_boundary
 FROM s ORDER BY doc_id
-"""
-
-
-def pack_offsets() -> str:
-    """Packing twin: exclusive running window sum in doc-id order (cast
-    back to BIGINT — DuckDB window sum widens to HUGEINT), integer
-    div/mod window arithmetic."""
-    return r"""
-WITH t AS (
-  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
-  FROM documents),
-s AS (
-  SELECT doc_id, n_tokens,
-         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-              AS BIGINT) - n_tokens AS start_offset
-  FROM t)
-SELECT doc_id, n_tokens, start_offset,
-       start_offset // 256 AS bin,
-       start_offset % 256 AS pos_in_bin,
-       (start_offset % 256) + n_tokens > 256 AS crosses_boundary
-FROM s ORDER BY doc_id
-"""
-
-
-def inverted_index() -> str:
-    """Inverted-index twin: per-doc DISTINCT terms by unnest of
-    list_distinct, document frequency + ascending comma-joined posting
-    list via ordered string_agg."""
-    return r"""
-WITH t AS (
-  SELECT doc_id,
-         unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
-  FROM documents)
-SELECT term, count(*) AS df,
-       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-FROM t GROUP BY 1 ORDER BY 1
 """
 
 

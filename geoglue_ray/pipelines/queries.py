@@ -963,24 +963,6 @@ def text_quality(sf_dir: str) -> rd.Dataset:
     ).sort("doc_id")
 
 
-def text_redact(sf_dir: str) -> rd.Dataset:
-    """PII-style scrub-and-audit pass over the corpus: redact a word
-    class from every document (actor-pool Redactor — pattern compiled
-    once per actor, vectorized RE2 rewrite per batch) and report the
-    per-doc match count plus the rewritten text.  Byte-exact vs DuckDB's
-    regexp_replace(..., 'g') — both engines are RE2."""
-    from geoglue_ray.stages.text import Redactor
-
-    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(
-        Redactor,
-        fn_constructor_kwargs={"pattern": r"\b(customer|key|window)\b"},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-    return out.select_columns(["doc_id", "n_redacted", "redacted"]).sort("doc_id")
-
-
 def contamination_ngram(sf_dir: str) -> rd.Dataset:
     """Benchmark-decontamination check — the training-corpus hygiene op:
     the DISTINCT word 5-grams of a stand-in eval set (docs with

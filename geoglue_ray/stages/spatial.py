@@ -505,7 +505,13 @@ def triangle_stats(
     ``radius`` structurally bounds degree.  ``clustering`` =
     ``2*n_tri / (degree*(degree-1))`` — a single division of exact
     int64 quantities (NULL below degree 2), so the SQL twin mirrors
-    bit-for-bit."""
+    bit-for-bit.
+
+    Relationship to ``stages/graph.triangle_counts``: that variant adds
+    degree-ordered orientation and a broadcast-edge-set fast mode but
+    returns a driver-resident node table — right for BOUNDED node sets
+    (parts, admin units), wrong here where nodes are corpus-scale; this
+    one keeps counts distributed end to end."""
     import pyarrow.compute as pc
 
     from geoglue_ray.functions.texthash import int_hash64

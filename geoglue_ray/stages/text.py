@@ -687,32 +687,6 @@ def boilerplate_frac(
     return ds.map_batches(frac, batch_format="pyarrow")
 
 
-class Redactor:
-    """PII-style pattern redaction as an actor-pool stage: the pattern is
-    validated/compiled once per actor in ``__init__`` and ``__call__``
-    rewrites the text column with Arrow's vectorized RE2 kernels
-    (``replace_substring_regex`` + ``count_substring_regex``), appending
-    the per-row match count — the scrub-and-audit shape of a training
-    corpus PII pass.  RE2 both here and in DuckDB's regexp functions, so
-    the SQL twin is byte-exact on the rewritten text."""
-
-    def __init__(self, pattern: str, replacement: str = "[REDACTED]"):
-        import re
-
-        re.compile(pattern)  # fail fast, once per actor
-        self.pattern = pattern
-        self.replacement = replacement
-
-    def __call__(self, batch: pa.Table, col: str = "text") -> pa.Table:
-        n = pc.count_substring_regex(batch[col], pattern=self.pattern)
-        red = pc.replace_substring_regex(
-            batch[col], pattern=self.pattern, replacement=self.replacement
-        )
-        out = batch.remove_column(batch.column_names.index(col))
-        out = out.append_column("n_redacted", pc.cast(n, pa.int64()))
-        return out.append_column("redacted", red)
-
-
 def word_ngrams(col, n: int = 5):
     """Flat word n-gram strings for a text column: Arrow-vectorized
     trim + ``\\s+`` split (mirroring the SQL twin's
