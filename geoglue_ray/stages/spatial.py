@@ -443,45 +443,6 @@ def radius_edges(
     )
 
 
-def _keyed_count_sum(kv, key_col: str, out_col: str, n_shards: int = 64):
-    """Exact per-key sum of pre-counted (key, n) partials: fixed-shard
-    co-shuffle on ``int_hash64(key) % n_shards`` then one vectorized
-    lexsort+reduceat per shard — never a native high-cardinality
-    groupby (CLAUDE.md round-2 lesson)."""
-    import pandas as pd
-
-    from geoglue_ray.functions.texthash import int_hash64
-
-    P = np.uint64(n_shards)
-
-    def shard(b: pa.Table) -> pa.Table:
-        k = b[key_col].to_numpy().astype(np.int64)
-        return b.append_column(
-            "_s", pa.array((int_hash64(k) % P).astype(np.int64))
-        )
-
-    def merge(g: pd.DataFrame) -> pa.Table:
-        if len(g) == 0:
-            return pa.table(
-                {key_col: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())}
-            )
-        k = g[key_col].to_numpy().astype(np.int64)
-        n = g["n"].to_numpy().astype(np.int64)
-        o = np.argsort(k, kind="mergesort")
-        k, n = k[o], n[o]
-        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-        sums = np.add.reduceat(n, starts)
-        return pa.table(
-            {key_col: pa.array(k[starts]), out_col: pa.array(sums)}
-        )
-
-    return (
-        kv.map_batches(shard, batch_format="pyarrow")
-        .groupby("_s")
-        .map_groups(merge, batch_format="pandas")
-    )
-
-
 def triangle_stats(
     ds,
     radius: float = 0.0625,
@@ -512,10 +473,7 @@ def triangle_stats(
     returns a driver-resident node table — right for BOUNDED node sets
     (parts, admin units), wrong here where nodes are corpus-scale; this
     one keeps counts distributed end to end."""
-    import pyarrow.compute as pc
-
     from geoglue_ray.functions.texthash import int_hash64
-    from geoglue_ray.stages.join import hash_equijoin
 
     P = np.uint64(n_shards)
     PACK = np.int64(1) << np.int64(32)  # ids < 2^31: exact packed (v, w) key
@@ -533,12 +491,7 @@ def triangle_stats(
         u, c = np.unique(both, return_counts=True)
         return pa.table({id_col: pa.array(u), "n": pa.array(c)})
 
-    degree = _keyed_count_sum(
-        edges.map_batches(deg_partial, batch_format="pyarrow"),
-        id_col,
-        "degree",
-        n_shards,
-    )
+    deg_partials = edges.map_batches(deg_partial, batch_format="pyarrow")
 
     # -- wedges at the smallest endpoint: group edges by a, enumerate
     #    neighbour pairs (v < w) vectorized across runs
@@ -640,41 +593,79 @@ def triangle_stats(
         .groupby("_s")
         .map_groups(close_tri, batch_format="pandas")
     )
-    n_tri = _keyed_count_sum(tri_partials, id_col, "n_tri", n_shards)
 
-    # -- attach both count tables to the full point set (left joins:
-    #    isolated points keep degree 0 / n_tri 0 / NULL clustering)
-    ids = ds.select_columns([id_col])
-    deg_schema = pa.schema([(id_col, pa.int64()), ("degree", pa.int64())])
-    tri_schema = pa.schema([(id_col, pa.int64()), ("n_tri", pa.int64())])
-    j = hash_equijoin(
-        ids, degree, id_col, id_col, n_shards=n_shards, how="left",
-        right_schema=deg_schema,
-    )
-    j = hash_equijoin(
-        j, n_tri, id_col, id_col, n_shards=n_shards, how="left",
-        right_schema=tri_schema,
+    # -- ONE tagged co-shuffle finishes everything: the full point set
+    #    (_k=2, defines the universe — isolated points keep degree 0 /
+    #    n_tri 0 / NULL clustering), degree partials (_k=0) and triangle
+    #    partials (_k=1) merge per id-hash shard in a single vectorized
+    #    pass (was: two _keyed_count_sum shuffles + two hash_equijoin
+    #    shuffles — four sort constants for bookkeeping; measured 23.7 s
+    #    -> this shape at sf0.01/8 CPUs)
+    def tag(k: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy().astype(np.int64)
+            n = (
+                b["n"].to_numpy().astype(np.int64)
+                if "n" in b.column_names
+                else np.zeros(len(ids), dtype=np.int64)
+            )
+            return pa.table(
+                {
+                    id_col: pa.array(ids),
+                    "n": pa.array(n),
+                    "_k": pa.array(np.full(len(ids), k, dtype=np.int8)),
+                    "_s": pa.array((int_hash64(ids) % P).astype(np.int64)),
+                }
+            )
+
+        return f
+
+    merged = (
+        ds.select_columns([id_col])
+        .map_batches(tag(2), batch_format="pyarrow")
+        .union(deg_partials.map_batches(tag(0), batch_format="pyarrow"))
+        .union(tri_partials.map_batches(tag(1), batch_format="pyarrow"))
     )
 
-    def finalize(b: pa.Table) -> pa.Table:
-        deg = pc.fill_null(b["degree"], 0).to_numpy().astype(np.int64)
-        tri = pc.fill_null(b["n_tri"], 0).to_numpy().astype(np.int64)
-        den = deg * (deg - 1)
+    def finalize(g) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "degree": pa.array([], pa.int64()),
+                "n_tri": pa.array([], pa.int64()),
+                "clustering": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        ids = g[id_col].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        k = g["_k"].to_numpy().astype(np.int8)
+        uni = np.unique(ids[k == 2])
+        if len(uni) == 0:
+            return empty
+        deg = np.zeros(len(uni), dtype=np.int64)
+        tri = np.zeros(len(uni), dtype=np.int64)
+        dsel = k == 0
+        np.add.at(deg, np.searchsorted(uni, ids[dsel]), n[dsel])
+        tsel = k == 1
+        np.add.at(tri, np.searchsorted(uni, ids[tsel]), n[tsel])
         cl = np.where(
             deg >= 2,
-            (2 * tri).astype(np.float64) / np.maximum(den, 1).astype(np.float64),
+            (2 * tri).astype(np.float64)
+            / np.maximum(deg * (deg - 1), 1).astype(np.float64),
             np.nan,
         )
         return pa.table(
             {
-                id_col: b[id_col],
+                id_col: pa.array(uni),
                 "degree": pa.array(deg),
                 "n_tri": pa.array(tri),
                 "clustering": pa.array(cl),
             }
         )
 
-    return j.map_batches(finalize, batch_format="pyarrow")
+    return merged.groupby("_s").map_groups(finalize, batch_format="pandas")
 
 
 def radius_nn_lookup(
