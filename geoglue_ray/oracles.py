@@ -4631,3 +4631,63 @@ SELECT v.valid_time, v.r AS cell_row, v.c AS cell_col, cd.cdf
 FROM v JOIN cd ON cd.val = v.val
 ORDER BY 1, 2, 3
 """
+
+
+def traj_density() -> str:
+    """DDA line-raster twin: lag window forms city segments, lateral
+    ``generate_series(0, n)`` walks each segment's n+1 DDA steps with
+    the engine's exact non-negative integer arithmetic (``//`` only on
+    non-negative numerators — DuckDB truncation == numpy floor there)."""
+    lon = fx.sql_lon("event_id")
+    lat = fx.sql_lat("event_id")
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(({lon} - 105.0) * 64.0) AS BIGINT) AS cx,
+         CAST(floor(({lat} - 10.0) * 64.0) AS BIGINT) AS cy
+  FROM events
+  WHERE event_id % 128 <> 0 AND event_id % 10 < 3),
+s AS (
+  SELECT lag(cx) OVER u AS ax, lag(cy) OVER u AS ay, cx AS bx, cy AS by_
+  FROM e WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT ax, ay, bx, by_,
+         greatest(abs(bx - ax), abs(by_ - ay)) AS n
+  FROM s WHERE ax IS NOT NULL),
+v AS (
+  SELECT CASE WHEN n = 0 THEN ax ELSE (ax * (n - k) + bx * k) // n END AS cell_x,
+         CASE WHEN n = 0 THEN ay ELSE (ay * (n - k) + by_ * k) // n END AS cell_y
+  FROM g, unnest(generate_series(0, n)) AS t(k))
+SELECT cell_x, cell_y, count(*) AS n_visits
+FROM v GROUP BY 1, 2 ORDER BY cell_x, cell_y
+"""
+
+
+def cost_distance() -> str:
+    """k=6 chained 3x3 min-join CTEs: entering a cell costs that cell's
+    integer value, sources are value % 89 == 0, null holes excluded
+    from the base — every distance is a sum of <= 6 integers < 997,
+    exact in DOUBLE, mirroring the engine's fmin relaxation."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    step = """
+d{i} AS (
+  SELECT b.r, b.c, b.cost,
+         min(CASE WHEN n.r = b.r AND n.c = b.c THEN n.d
+                  ELSE n.d + b.cost END) AS d
+  FROM d{j} b JOIN d{j} n
+    ON n.r BETWEEN b.r - 1 AND b.r + 1 AND n.c BETWEEN b.c - 1 AND b.c + 1
+  GROUP BY b.r, b.c, b.cost)"""
+    rounds = ",".join(step.format(i=i, j=i - 1) for i in range(1, 7))
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+base AS (
+  SELECT r, c, value AS cost
+  FROM rast WHERE variable = 't2m' AND t = 0 AND value IS NOT NULL),
+d0 AS (
+  SELECT r, c, cost,
+         CASE WHEN CAST(cost AS BIGINT) % 89 = 0 THEN 0.0 END AS d
+  FROM base),{rounds}
+SELECT r AS cell_row, c AS cell_col, CAST(d AS DOUBLE) AS cost_dist
+FROM d6 WHERE d IS NOT NULL ORDER BY cell_row, cell_col
+"""

@@ -5614,3 +5614,56 @@ def raster_histeq(sf_dir: str) -> rd.Dataset:
     return src.map_batches(remap, batch_format="pyarrow").sort(
         ["valid_time", "cell_row", "cell_col"]
     )
+
+
+def traj_density(sf_dir: str) -> rd.Dataset:
+    """Trajectory line-density raster over the city cluster: each
+    user's consecutive (ts, event_id)-ordered city events form
+    segments, walked cell-by-cell with the exact integer DDA
+    (stages/geometry.traj_cell_counts) on a 16x16 grid of 1/64-degree
+    cells — transit counts per cell, events_density's path-based
+    sibling.  Dyadic floor binning + non-negative integer steps keep
+    the SQL generate_series twin bit-exact."""
+    from geoglue_ray.stages.geometry import traj_cell_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        city = (ids % 128 != 0) & (ids % 10 < 3)
+        b = b.filter(pa.array(city))
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    return traj_cell_counts(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        x0=105.0,
+        y0=10.0,
+        inv_cell=64.0,
+        nx=16,
+        ny=16,
+    )
+
+
+def cost_distance(sf_dir: str) -> rd.Dataset:
+    """Accumulated-cost surface on the ERA5 lattice (hour 0, t2m as the
+    integer cost field): 6 min-plus relaxation rounds from the
+    ``value % 89 == 0`` source cells, null holes impassable
+    (stages/terrain.cost_distance — k halo rows shipped once, all k
+    rounds local).  Bit-exact vs the chained 3x3 min-join CTE twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.terrain import cost_distance as cd
+
+    return cd(read_raster(n_days=1), variable="t2m", rounds=6).sort(
+        ["cell_row", "cell_col"]
+    )

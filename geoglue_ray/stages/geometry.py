@@ -444,3 +444,127 @@ def segment_crossings(
             lambda g: merge(g.drop(columns=["_pm"])), batch_format="pandas"
         )
     )
+
+
+def traj_cell_counts(
+    ds: rd.Dataset,
+    x0: float,
+    y0: float,
+    inv_cell: float,
+    nx: int,
+    ny: int,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Trajectory LINE rasterization: every consecutive (ts, id)-ordered
+    segment of a user's track is walked cell by cell with an exact
+    integer DDA, and the result is the per-grid-cell TRANSIT count (the
+    line-density raster — events_density's sibling for movement data:
+    that bins the points, this bins the paths between them).
+
+    DDA: a segment from cell ``(ax, ay)`` to ``(bx, by)`` takes
+    ``n = max(|bx-ax|, |by-ay|)`` steps and visits
+    ``((ax*(n-k) + bx*k) // n, (ay*(n-k) + by*k) // n)`` at step k —
+    the dominant axis advances every step, so the n+1 visited cells are
+    distinct within a segment.  All arithmetic is non-negative int64
+    (grid coords must be >= 0 — DuckDB ``//`` truncates where numpy
+    floors on NEGATIVES, so the twin is exact only on this domain), and
+    cell coords come from ``floor((lon - x0) * inv_cell)`` on the
+    fixture's dyadic coordinates — exact when ``inv_cell`` is a power
+    of two.  Consecutive segments share an endpoint cell and BOTH count
+    it (transit counts, mirrored by the SQL ``generate_series`` twin).
+
+    Shape (100 TB): one fixed-shard co-shuffle on ``hash(user)`` builds
+    segments; each shard task expands its DDA steps vectorized
+    (repeat/arange, no per-segment Python) and collapses them to a
+    grid-cardinality partial bincount, so the driver-side final merge
+    sees at most ``n_shards x nx*ny`` bounded rows — the
+    events_density partial-collapse pattern.  Out-of-grid cells are
+    dropped (callers filter to the grid's domain, as the city-cluster
+    query does by id arithmetic on both sides)."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b[user_col].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "_tc": pa.array(shard),
+                user_col: b[user_col],
+                id_col: b[id_col],
+                ts_col: b[ts_col],
+                "cx": pa.array(
+                    np.floor((b[lon_col].to_numpy() - x0) * inv_cell).astype(np.int64)
+                ),
+                "cy": pa.array(
+                    np.floor((b[lat_col].to_numpy() - y0) * inv_cell).astype(np.int64)
+                ),
+            }
+        )
+
+    def visits(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell_x": pa.array([], pa.int64()),
+                "cell_y": pa.array([], pa.int64()),
+                "n_visits": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g[user_col].to_numpy().astype(np.int64)
+        eid = g[id_col].to_numpy().astype(np.int64)
+        t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cx = g["cx"].to_numpy().astype(np.int64)
+        cy = g["cy"].to_numpy().astype(np.int64)
+        o = np.lexsort((eid, t, uid))
+        uid, cx, cy = uid[o], cx[o], cy[o]
+        same = uid[1:] == uid[:-1]
+        ax, ay = cx[:-1][same], cy[:-1][same]
+        bx, by = cx[1:][same], cy[1:][same]
+        if len(ax) == 0:
+            return empty
+        n = np.maximum(np.abs(bx - ax), np.abs(by - ay))
+        rep = n + 1
+        idx = np.repeat(np.arange(len(ax), dtype=np.int64), rep)
+        k = np.arange(int(rep.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(rep) - rep, rep
+        )
+        nn = n[idx]
+        safe = np.maximum(nn, 1)
+        xs = np.where(nn == 0, ax[idx], (ax[idx] * (nn - k) + bx[idx] * k) // safe)
+        ys = np.where(nn == 0, ay[idx], (ay[idx] * (nn - k) + by[idx] * k) // safe)
+        ok = (xs >= 0) & (xs < nx) & (ys >= 0) & (ys < ny)
+        cnt = np.bincount(ys[ok] * nx + xs[ok], minlength=nx * ny)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "cell_x": pa.array(nz % nx),
+                "cell_y": pa.array(nz // nx),
+                "n_visits": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    parts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_tc")
+        .map_groups(visits, batch_format="pandas")
+        .take_all()  # bounded: <= n_shards x nx*ny partial rows
+    )
+    grid = np.zeros(nx * ny, dtype=np.int64)
+    for row in parts:
+        grid[int(row["cell_y"]) * nx + int(row["cell_x"])] += int(row["n_visits"])
+    nz = np.nonzero(grid)[0]
+    out = pa.table(
+        {
+            "cell_x": pa.array(nz % nx),
+            "cell_y": pa.array(nz // nx),
+            "n_visits": pa.array(grid[nz]),
+        }
+    )
+    return rd.from_arrow(out).sort(["cell_x", "cell_y"])

@@ -285,3 +285,54 @@ def test_pairwise_set_jaccard_brute(ray_session):
         for r in got.itertuples()
     }
     assert got_map == want
+
+
+def _brute_traj_counts(df, x0, y0, inv_cell, nx, ny):
+    from collections import Counter
+
+    cnt = Counter()
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        cx = np.floor((g["lon"].to_numpy() - x0) * inv_cell).astype(int)
+        cy = np.floor((g["lat"].to_numpy() - y0) * inv_cell).astype(int)
+        for i in range(1, len(g)):
+            ax, ay, bx, by = cx[i - 1], cy[i - 1], cx[i], cy[i]
+            n = max(abs(bx - ax), abs(by - ay))
+            for k in range(n + 1):
+                x = ax if n == 0 else (ax * (n - k) + bx * k) // n
+                y = ay if n == 0 else (ay * (n - k) + by * k) // n
+                if 0 <= x < nx and 0 <= y < ny:
+                    cnt[(x, y)] += 1
+    return dict(cnt)
+
+
+def test_traj_cell_counts_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from geoglue_ray.stages.geometry import traj_cell_counts
+
+    rng = np.random.default_rng(47)
+    rows = []
+    for uid in range(10):
+        n = int(rng.integers(2, 30))
+        # cell centers on an 8x8 grid (odd 16ths -> never on a boundary)
+        x = (2 * rng.integers(0, 8, n) + 1) / 16.0
+        y = (2 * rng.integers(0, 8, n) + 1) / 16.0
+        for i in range(n):
+            rows.append(
+                (uid, uid * 1000 + i,
+                 np.datetime64("2020-01-06", "us") + np.timedelta64(i, "h"),
+                 x[i], y[i])
+            )
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "lon", "lat"])
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    got = traj_cell_counts(
+        ds, x0=0.0, y0=0.0, inv_cell=8.0, nx=8, ny=8, n_shards=4
+    ).to_pandas()
+    got_map = {
+        (int(r.cell_x), int(r.cell_y)): int(r.n_visits) for r in got.itertuples()
+    }
+    want = _brute_traj_counts(df, 0.0, 0.0, 8.0, 8, 8)
+    assert got_map == want
+    # long diagonal segments actually expand to >1 visited cell
+    assert sum(got_map.values()) > len(df) - 10

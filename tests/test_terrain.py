@@ -275,3 +275,47 @@ def test_isotonic_matches_pava(ray_session):
             # single-division means agree exactly)
             np.testing.assert_allclose(g, fit, rtol=0, atol=1e-12)
             assert (np.diff(g) >= -1e-12).all()
+
+
+def test_cost_distance_matches_brute_force(ray_session):
+    from geoglue_ray.stages.terrain import cost_distance
+
+    nt, nr, nc = 1, 16, 7
+    t, r, c, v = _lattice(nt, nr, nc, 0.25, seed=11, lo=0, hi=13)
+    K, MOD = 2, 12
+    got = (
+        cost_distance(
+            _dataset(t, r, c, v),
+            rounds=K,
+            band_rows=4,
+            src_mod=MOD,
+            n_cols=nc,
+        )
+        .to_pandas()
+        .sort_values(["cell_row", "cell_col"])
+        .reset_index(drop=True)
+    )
+    cost = _grid(t, r, c, v, nt, nr, nc)[0]
+    src = np.zeros((nr, nc), dtype=bool)
+    fin = np.isfinite(cost)
+    src[fin] = np.mod(cost[fin], MOD) == 0
+    dist = np.where(src, 0.0, np.nan)
+    for _ in range(K):
+        prev = dist.copy()
+        for rr in range(nr):
+            for cc in range(nc):
+                if not np.isfinite(cost[rr, cc]):
+                    continue
+                best = np.nan
+                for dr, dc in DIRS8:
+                    r2, c2 = rr + dr, cc + dc
+                    if 0 <= r2 < nr and 0 <= c2 < nc:
+                        best = np.fmin(best, prev[r2, c2])
+                dist[rr, cc] = np.fmin(prev[rr, cc], best + cost[rr, cc])
+    want_r, want_c = np.nonzero(np.isfinite(dist))
+    assert got["cell_row"].to_numpy().tolist() == want_r.tolist()
+    assert got["cell_col"].to_numpy().tolist() == want_c.tolist()
+    assert np.array_equal(got["cost_dist"].to_numpy(), dist[want_r, want_c])
+    # the horizon actually matters: some non-hole cells are unreached
+    assert len(got) < int(fin.sum())
+    assert len(got) > int(src.sum())  # and propagation actually happened
