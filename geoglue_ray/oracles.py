@@ -4691,3 +4691,35 @@ d0 AS (
 SELECT r AS cell_row, c AS cell_col, CAST(d AS DOUBLE) AS cost_dist
 FROM d6 WHERE d IS NOT NULL ORDER BY cell_row, cell_col
 """
+
+
+def bpe_merges(rounds: int = 4) -> str:
+    """Chained BPE-round CTEs: each round counts adjacent pairs of the
+    current |-delimited token strings (lateral generate_series over the
+    split list), picks the (count desc, tok1, tok2) argmax, and rewrites
+    via replace('|t1|t2|' -> '|t1+t2|') — measured identical
+    left-to-right non-overlapping semantics to Arrow replace_substring."""
+    parts = ["t0 AS (SELECT '|' || replace(text, ' ', '|') || '|' AS s FROM documents)"]
+    sels = []
+    for i in range(1, rounds + 1):
+        j = i - 1
+        parts.append(f"""
+p{i} AS (
+  SELECT t1, t2, count(*) AS n
+  FROM (SELECT l[i] AS t1, l[i + 1] AS t2
+        FROM (SELECT string_split(trim(s, '|'), '|') AS l FROM t{j}),
+             unnest(generate_series(1, len(l) - 1)) AS u(i))
+  GROUP BY 1, 2),
+m{i} AS (SELECT t1, t2, n FROM p{i} ORDER BY n DESC, t1, t2 LIMIT 1)""")
+        if i < rounds:
+            parts.append(f"""
+t{i} AS (
+  SELECT replace(s,
+                 '|' || (SELECT t1 FROM m{i}) || '|' || (SELECT t2 FROM m{i}) || '|',
+                 '|' || (SELECT t1 FROM m{i}) || '+' || (SELECT t2 FROM m{i}) || '|') AS s
+  FROM t{j})""")
+        sels.append(
+            f"SELECT {i} AS round, t1 AS tok1, t2 AS tok2, "
+            f"t1 || '+' || t2 AS merged, n AS n_pairs FROM m{i}"
+        )
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(sels) + "\nORDER BY round"

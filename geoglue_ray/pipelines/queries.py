@@ -5667,3 +5667,13 @@ def cost_distance(sf_dir: str) -> rd.Dataset:
     return cd(read_raster(n_days=1), variable="t2m", rounds=6).sort(
         ["cell_row", "cell_col"]
     )
+
+
+def bpe_merges(sf_dir: str) -> rd.Dataset:
+    """First 4 BPE merge operations over the corpus (word-level pair
+    fusion — the tokenizer-training iteration; stages/text.bpe_merges:
+    one exact-pair-count scan per round with the merges-so-far applied
+    per batch).  Bit-exact vs the chained replace/argmax CTE twin."""
+    from geoglue_ray.stages.text import bpe_merges as bm
+
+    return bm(read_documents_cols(sf_dir, ["text"]), rounds=4)

@@ -772,3 +772,124 @@ def contamination_score(batch: pa.Table, *, bench_ref, n: int = 5) -> pa.Table:
             "contamination": pa.array(frac),
         }
     )
+
+
+def bpe_merges(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    rounds: int = 4,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Tokenizer-induction lite: the first ``rounds`` BPE merge
+    operations over the corpus, word-level (tokens = whitespace words,
+    a merge fuses an adjacent pair into ``tok1+tok2``) — the
+    iterative-merge structure of byte-pair-encoding training, which a
+    training-data pipeline runs to fit a tokenizer to its corpus.
+
+    Each round streams the corpus ONCE with the merges-so-far applied
+    per batch (broadcast state = the tiny merge list; documents are
+    never materialized between rounds), counts adjacent token pairs
+    exactly (per-batch factorize + packed-code collapse, first-token
+    sharded sums — the bigram_topk shape), and takes the global argmax
+    on the (count desc, tok1, tok2) total order.  BPE is inherently
+    iterative: rounds = passes, each a single linear scan.
+
+    Exactness: texts are rewritten as ``|``-delimited token strings and
+    a merge is ``replace('|t1|t2|' -> '|t1+t2|')`` — LEFT-TO-RIGHT
+    NON-OVERLAPPING, with back-to-back occurrences sharing a delimiter
+    resolving to the first (measured identical between Arrow
+    ``replace_substring`` and DuckDB ``replace``, including 'aaaa'
+    chains), so the chained-CTE SQL twin reproduces every round
+    bit-for-bit.  Assumes tokens contain neither ``|`` nor ``+``.
+
+    Returns ``rounds`` rows: (round, tok1, tok2, merged, n_pairs)."""
+    from geoglue_ray.functions.texthash import token_hash64
+
+    def make_partial(merges: tuple[tuple[str, str], ...]):
+        def partial(b: pa.Table) -> pa.Table:
+            s = pc.binary_join_element_wise(
+                pa.scalar("|"),
+                pc.replace_substring(b[text_col], pattern=" ", replacement="|"),
+                pa.scalar("|"),
+                "",
+            )
+            for t1, t2 in merges:
+                s = pc.replace_substring(
+                    s, pattern=f"|{t1}|{t2}|", replacement=f"|{t1}+{t2}|"
+                )
+            toks = pc.split_pattern(pc.utf8_trim(s, "|"), pattern="|")
+            n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+            tok_off = np.concatenate(([0], np.cumsum(n_tok)))
+            mask = np.zeros(len(flat), dtype=bool)
+            if len(flat):
+                mask[:] = True
+                mask[tok_off[1:] - 1] = False
+            i1 = np.flatnonzero(mask)
+            if len(i1) == 0:
+                return pa.table(
+                    {
+                        "tok1": pa.array([], pa.string()),
+                        "tok2": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                        "_shard": pa.array([], pa.int64()),
+                    }
+                )
+            codes, uniq = pd.factorize(
+                np.concatenate([flat[i1], flat[i1 + 1]]), use_na_sentinel=False
+            )
+            c1, c2 = codes[: len(i1)], codes[len(i1):]
+            packed = c1.astype(np.int64) * len(uniq) + c2
+            pu, cnt = np.unique(packed, return_counts=True)
+            t1 = uniq[(pu // len(uniq)).astype(np.int64)]
+            t2 = uniq[(pu % len(uniq)).astype(np.int64)]
+            shard = (token_hash64(t1.astype(str)) % np.uint64(n_shards)).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "tok1": pa.array(t1, pa.string()),
+                    "tok2": pa.array(t2, pa.string()),
+                    "n": pa.array(cnt.astype(np.int64)),
+                    "_shard": pa.array(shard),
+                }
+            )
+
+        return partial
+
+    def shard_best(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["tok1", "tok2"], sort=False, dropna=False)["n"].sum().reset_index()
+        s = s.sort_values(
+            ["n", "tok1", "tok2"], ascending=[False, True, True], kind="mergesort"
+        )
+        return s.head(1)
+
+    merges: list[tuple[str, str]] = []
+    out_rows = []
+    for r in range(rounds):
+        best = (
+            ds.map_batches(make_partial(tuple(merges)), batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(
+                lambda g: shard_best(g.drop(columns=["_shard"])),
+                batch_format="pandas",
+            )
+            .sort(["n", "tok1", "tok2"], descending=[True, False, False])
+            .limit(1)
+            .take_all()  # exactly one row
+        )
+        if not best:
+            break
+        t1, t2, n = best[0]["tok1"], best[0]["tok2"], int(best[0]["n"])
+        merges.append((t1, t2))
+        out_rows.append((r + 1, t1, t2, f"{t1}+{t2}", n))
+    out = pa.table(
+        {
+            "round": pa.array([x[0] for x in out_rows], pa.int64()),
+            "tok1": pa.array([x[1] for x in out_rows], pa.string()),
+            "tok2": pa.array([x[2] for x in out_rows], pa.string()),
+            "merged": pa.array([x[3] for x in out_rows], pa.string()),
+            "n_pairs": pa.array([x[4] for x in out_rows], pa.int64()),
+        }
+    )
+    return rd.from_arrow(out).sort("round")

@@ -1001,3 +1001,52 @@ def test_global_prefix_sum_sparse_ids():
     assert np.array_equal(got["doc_id"].to_numpy(), ids[o])
     assert np.array_equal(got["start_offset"].to_numpy(), expect)
     assert np.array_equal(got["v"].to_numpy(), vals[o])
+
+
+def _brute_bpe(texts, rounds):
+    """Pure-Python BPE replay: str.replace is the same left-to-right
+    non-overlapping semantics as Arrow replace_substring / SQL replace."""
+    from collections import Counter
+
+    docs = ["|" + t.replace(" ", "|") + "|" for t in texts]
+    out = []
+    for r in range(rounds):
+        cnt = Counter()
+        for d in docs:
+            toks = d.strip("|").split("|")
+            for i in range(len(toks) - 1):
+                cnt[(toks[i], toks[i + 1])] += 1
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (t1, t2), n = best
+        docs = [d.replace(f"|{t1}|{t2}|", f"|{t1}+{t2}|") for d in docs]
+        out.append((r + 1, t1, t2, f"{t1}+{t2}", n))
+    return out
+
+
+def test_bpe_merges_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from geoglue_ray.stages.text import bpe_merges
+
+    # adversarial: overlapping runs ('a a a a'), alternating pairs, ties
+    texts = [
+        "a a a a a",
+        "a b a b a b",
+        "b a b a",
+        "c c c c c c",
+        "a b c a b c",
+        "x",
+        "",
+        "c c a a b b",
+    ] * 3
+    ds = rd.from_items([{"text": t} for t in texts]).repartition(4)
+    got = [
+        (int(r["round"]), r["tok1"], r["tok2"], r["merged"], int(r["n_pairs"]))
+        for r in bpe_merges(ds, rounds=3, n_shards=4).take_all()
+    ]
+    want = _brute_bpe(texts, 3)
+    assert got == want, (got, want)
+    # merged tokens actually participate in later rounds
+    assert any("+" in t1 or "+" in t2 for _, t1, t2, _, _ in got[1:]) or len(got) == 3
