@@ -4723,3 +4723,33 @@ t{i} AS (
             f"t1 || '+' || t2 AS merged, n AS n_pairs FROM m{i}"
         )
     return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(sels) + "\nORDER BY round"
+
+
+def returned_revenue() -> str:
+    """Q10-shape twin: floored per-row revenue makes the per-customer
+    sum order-independent; (revenue desc, custkey) total order."""
+    return """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       sum(floor(l.l_extendedprice * (1.0 - l.l_discount))) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+def bulk_orders() -> str:
+    """Q18-shape twin: HAVING on the exact double sum of integer-valued
+    quantities (order-independent), floored totalprice."""
+    return """
+SELECT o.o_orderkey, o.o_custkey, floor(o.o_totalprice) AS totalprice, t.sum_qty
+FROM orders o
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) >= 250.0) t
+  ON t.l_orderkey = o.o_orderkey
+ORDER BY o.o_orderkey
+"""

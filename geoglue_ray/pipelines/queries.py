@@ -5677,3 +5677,99 @@ def bpe_merges(sf_dir: str) -> rd.Dataset:
     from geoglue_ray.stages.text import bpe_merges as bm
 
     return bm(read_documents_cols(sf_dir, ["text"]), rounds=4)
+
+
+def returned_revenue(sf_dir: str) -> rd.Dataset:
+    """Returned-item customer report (TPC-H Q10 shape): revenue from
+    'R'-flag lineitems rolled up per customer through the three-way
+    join chain lineitem -> orders -> customer -> nation, top 20 on the
+    (revenue desc, custkey) total order.  Revenue floors per row, the
+    per-customer collapse runs BEFORE the customer join (shuffle payload
+    = customer cardinality, never lineitems), and every join is the
+    fixed-shard hash_equijoin."""
+    from geoglue_ray.stages.join import hash_equijoin
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        r = np.floor(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        )
+        return pa.table({"l_orderkey": b["l_orderkey"], "revenue": pa.array(r)})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j1 = hash_equijoin(
+        orders,
+        li.map_batches(rev, batch_format="pyarrow"),
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+    )
+    per_cust = zonal_aggregate(
+        j1.select_columns(["o_custkey", "revenue"]),
+        ["sum"],
+        keys=["o_custkey"],
+        value_col="revenue",
+    ).map_batches(
+        lambda b: b.rename_columns(["o_custkey", "revenue"]),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    j2 = hash_equijoin(cust, per_cust, left_on="c_custkey", right_on="o_custkey")
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    j3 = hash_equijoin(j2, nation, left_on="c_nationkey", right_on="n_nationkey")
+    return (
+        j3.select_columns(["c_custkey", "c_name", "n_name", "revenue"])
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def bulk_orders(sf_dir: str) -> rd.Dataset:
+    """Large-volume orders (TPC-H Q18 shape): per-order quantity totals
+    via the partial/final collapse (zonal_aggregate keyed on orderkey —
+    never a native high-cardinality groupby), HAVING-filtered to
+    sum >= 250, then joined back to orders.  The filter runs on the
+    collapsed per-order rows, so the join's right side is the few
+    surviving orders."""
+    from geoglue_ray.stages.join import hash_equijoin
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    per_order = zonal_aggregate(
+        li, ["sum"], keys=["l_orderkey"], value_col="l_quantity"
+    ).map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "sum_qty"]).filter(
+            pc.greater_equal(b.column(1), 250.0)
+        ),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    j = hash_equijoin(
+        orders, per_order, left_on="o_orderkey", right_on="l_orderkey"
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "totalprice": pa.array(np.floor(b["o_totalprice"].to_numpy())),
+                "sum_qty": b["sum_qty"],
+            }
+        )
+
+    return j.map_batches(proj, batch_format="pyarrow").sort("o_orderkey")
