@@ -4753,3 +4753,46 @@ JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
   ON t.l_orderkey = o.o_orderkey
 ORDER BY o.o_orderkey
 """
+
+
+def huff_market_share() -> str:
+    """Gravity-allocation twin: cross join events x hubs, the SAME
+    integer score (A << 50) // d2 on scaled integer coordinates, winner
+    by row_number (score desc, hub_id) — truncating // is identical to
+    numpy's on this non-negative domain; share is one division of
+    exact counts."""
+    from geoglue_ray.pipelines.queries import (
+        _HUFF_HUBS,
+        _HUFF_NUM,
+        _HUFF_XS,
+        _HUFF_YS,
+    )
+
+    vals = ", ".join(
+        f"({h[0]}, {int(round(h[1] * _HUFF_XS))}, {int(round(h[2] * _HUFF_YS))}, {h[3]})"
+        for h in _HUFF_HUBS
+    )
+    lon = fx.sql_lon("event_id")
+    lat = fx.sql_lat("event_id")
+    return f"""
+WITH h(hub_id, hx, hy, a) AS (VALUES {vals}),
+e AS (
+  SELECT event_id, event_type,
+         CAST({lon} * {int(_HUFF_XS)} AS BIGINT) AS x,
+         CAST({lat} * {int(_HUFF_YS)} AS BIGINT) AS y
+  FROM events
+  WHERE event_id % 128 <> 0 AND event_id % 10 < 3),
+s AS (
+  SELECT e.event_id, e.event_type, h.hub_id,
+         (h.a * {_HUFF_NUM}) //
+           ((e.x - h.hx) * (e.x - h.hx) + (e.y - h.hy) * (e.y - h.hy)) AS score
+  FROM e CROSS JOIN h),
+w AS (
+  SELECT event_id, event_type, hub_id,
+         row_number() OVER (PARTITION BY event_id ORDER BY score DESC, hub_id) AS rn
+  FROM s),
+c AS (SELECT hub_id, event_type, count(*) AS n FROM w WHERE rn = 1 GROUP BY 1, 2)
+SELECT hub_id, event_type, n AS n_events,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
+FROM c ORDER BY hub_id, event_type
+"""

@@ -5773,3 +5773,74 @@ def bulk_orders(sf_dir: str) -> rd.Dataset:
         )
 
     return j.map_batches(proj, batch_format="pyarrow").sort("o_orderkey")
+
+
+# Huff gravity-model hubs over the city cluster: (hub_id, lon, lat,
+# attractiveness).  Coordinates are multiples of 1/32 so their scaled
+# integers are exact; event coordinates are odd dyadics strictly finer,
+# so an event NEVER coincides with a hub (d^2 >= 1 in scaled units).
+_HUFF_HUBS = (
+    (0, 105.03125, 10.03125, 5),
+    (1, 105.09375, 10.15625, 8),
+    (2, 105.15625, 10.0625, 3),
+    (3, 105.21875, 10.21875, 6),
+)
+_HUFF_XS = float(1 << 20)
+_HUFF_YS = float(1 << 18)
+_HUFF_NUM = 1 << 50  # attractiveness scale: scores stay < 2^53
+
+
+def huff_market_share(sf_dir: str) -> rd.Dataset:
+    """Huff gravity-model market allocation (spatial-interaction /
+    trade-area analysis): every city event patronizes the hub
+    maximizing attractiveness / distance^2, computed EXACTLY as the
+    integer score ``(A << 50) // d2`` on scaled integer coordinates —
+    identical truncating division on both sides (non-negative domain),
+    ties to the smallest hub id.  Output: winner counts per
+    (hub, event_type) plus each cell's share of all allocated events
+    (one division of exact int64 counts).  The allocation is one
+    vectorized streaming pass (4 score columns, np.argmax row-wise —
+    first-max == smallest-id tie rule); counts collapse per task via
+    zonal_aggregate, so nothing row-scale ever shuffles."""
+    hubs = np.array([[h[1], h[2], h[3]] for h in _HUFF_HUBS])
+    hx = np.rint(hubs[:, 0] * _HUFF_XS).astype(np.int64)
+    hy = np.rint(hubs[:, 1] * _HUFF_YS).astype(np.int64)
+    ha = hubs[:, 2].astype(np.int64)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        city = (ids % 128 != 0) & (ids % 10 < 3)
+        b = b.filter(pa.array(city))
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        x = np.rint(lon * _HUFF_XS).astype(np.int64)
+        y = np.rint(lat * _HUFF_YS).astype(np.int64)
+        scores = np.empty((len(ha), len(x)), dtype=np.int64)
+        for j in range(len(ha)):
+            d2 = (x - hx[j]) ** 2 + (y - hy[j]) ** 2
+            scores[j] = (ha[j] * _HUFF_NUM) // d2
+        win = np.argmax(scores, axis=0).astype(np.int64)  # first max = low id
+        return pa.table({"hub_id": pa.array(win), "event_type": b["event_type"]})
+
+    counts = zonal_aggregate(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["count"],
+        keys=["hub_id", "event_type"],
+        value_col="hub_id",
+    ).take_all()  # bounded: hubs x event types
+    hub = np.array([int(r["hub_id"]) for r in counts], dtype=np.int64)
+    et = np.array([r["event_type"] for r in counts], dtype=object)
+    n = np.array([int(r["count"]) for r in counts], dtype=np.int64)
+    total = int(n.sum())
+    out = pa.table(
+        {
+            "hub_id": pa.array(hub),
+            "event_type": pa.array(et.astype(str)),
+            "n_events": pa.array(n),
+            "share": pa.array(n.astype(np.float64) / np.float64(total)),
+        }
+    )
+    return rd.from_arrow(out).sort(["hub_id", "event_type"])
