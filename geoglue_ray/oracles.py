@@ -4796,3 +4796,25 @@ SELECT hub_id, event_type, n AS n_events,
        CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
 FROM c ORDER BY hub_id, event_type
 """
+
+
+def admin_contiguity() -> str:
+    """Closed-form rook adjacency of the triangle tessellation: every
+    lower-left triangle (even id) borders its cell's upper-right twin
+    on the diagonal, the triangle below on its bottom edge, and the
+    triangle to the west on its left edge — the exact pair set the
+    engine recovers from WKB shared-edge detection."""
+    return f"""
+WITH cells AS (
+  SELECT range AS cell, range % {fx.NX} AS cx, range // {fx.NX} AS cy
+  FROM range({fx.NX * fx.NY})),
+p AS (
+  SELECT 2 * cell AS a, 2 * cell + 1 AS b FROM cells
+  UNION ALL
+  SELECT 2 * cell, 2 * ((cy - 1) * {fx.NX} + cx) + 1 FROM cells WHERE cy >= 1
+  UNION ALL
+  SELECT 2 * cell, 2 * (cy * {fx.NX} + cx - 1) + 1 FROM cells WHERE cx >= 1)
+SELECT least(a, b) AS admin_a, greatest(a, b) AS admin_b,
+       CAST(1 AS DOUBLE) AS n_shared_edges
+FROM p ORDER BY admin_a, admin_b
+"""

@@ -5844,3 +5844,25 @@ def huff_market_share(sf_dir: str) -> rd.Dataset:
         }
     )
     return rd.from_arrow(out).sort(["hub_id", "event_type"])
+
+
+def admin_contiguity(sf_dir: str) -> rd.Dataset:
+    """Rook-contiguity spatial weights over the admin-2 tessellation
+    (the pysal W builder): shared-edge detection by canonical
+    scaled-integer edge keys (stages/geometry.contiguity_pairs), one
+    (admin_a < admin_b) pair per interior edge.  The triangle mesh's
+    adjacency has a closed form, so the SQL twin derives the identical
+    pair set arithmetically."""
+    from geoglue_ray.sources.admin import build_admin_table
+    from geoglue_ray.stages.geometry import contiguity_pairs
+
+    ds = rd.from_arrow(build_admin_table()).repartition(8)
+
+    def prep(b: pa.Table) -> pa.Table:
+        # 'ADM2-0421' -> 421 (the tessellation index the SQL twin uses)
+        fid = pc.cast(pc.utf8_slice_codeunits(b["admin_id"], 5, 99), pa.int64())
+        return pa.table({"fid": fid, "geometry_wkb": b["geometry_wkb"]})
+
+    return contiguity_pairs(
+        ds.map_batches(prep, batch_format="pyarrow"), id_col="fid"
+    )

@@ -568,3 +568,115 @@ def traj_cell_counts(
         }
     )
     return rd.from_arrow(out).sort(["cell_x", "cell_y"])
+
+
+def contiguity_pairs(
+    ds: rd.Dataset,
+    id_col: str = "admin_id",
+    wkb_col: str = "geometry_wkb",
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """ROOK-contiguity spatial weights (the pysal W / GIS neighbor-list
+    builder): two features are neighbors when they share a full boundary
+    edge.  Each batch parses its WKB polygons, explodes boundary edges
+    with CANONICAL endpoints (lexicographically-ordered scaled-integer
+    vertex pairs — dyadic coordinates make the scaling exact), and the
+    edges co-shuffle on an edge-key hash; each shard lexsorts its edges
+    and every exactly-twice edge yields one (admin_a < admin_b) pair.
+    Pair multiplicity (features sharing several edges) collapses to a
+    ``n_shared_edges`` count via the partial/final aggregate.
+
+    Partitioning assumptions: boundaries form a MANIFOLD tessellation —
+    an edge belongs to at most two features (non-manifold edges are
+    ignored); shared edges match exactly (mesh-style tessellations like
+    admin hierarchies; partial-overlap boundaries need a segment-split
+    pass first).  Shuffle payload is one row per polygon edge; output
+    is adjacency-cardinality."""
+    from geoglue_ray.geom import PolygonSet
+    from geoglue_ray.stages.zonal import zonal_aggregate
+
+    _empty = {
+        "_ct": pa.int64(),
+        "ax": pa.int64(),
+        "ay": pa.int64(),
+        "bx": pa.int64(),
+        "by": pa.int64(),
+        "fid": pa.int64(),
+    }
+
+    def edges(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({k: pa.array([], t) for k, t in _empty.items()})
+        ps = PolygonSet.from_wkb(
+            [w.as_py() for w in b[wkb_col]]
+        )
+        ids = b[id_col].to_numpy().astype(np.int64)
+        x = np.rint(ps.xy[:, 0] * XSCALE).astype(np.int64)
+        y = np.rint(ps.xy[:, 1] * YSCALE).astype(np.int64)
+        V = len(x)
+        mask = np.ones(V, dtype=bool)
+        mask[ps.ring_off[1:] - 1] = False  # a ring's closing vertex starts no edge
+        i1 = np.flatnonzero(mask)
+        ring_idx = np.searchsorted(ps.ring_off[1:], i1, side="right")
+        fid = ids[ps.poly_of_ring[ring_idx]]
+        px, py, qx, qy = x[i1], y[i1], x[i1 + 1], y[i1 + 1]
+        lt = (px < qx) | ((px == qx) & (py < qy))
+        ax = np.where(lt, px, qx)
+        ay = np.where(lt, py, qy)
+        bx = np.where(lt, qx, px)
+        by = np.where(lt, qy, py)
+        M = np.uint64(0x9E3779B185EBCA87)
+        k = ax.astype(np.uint64)
+        for part in (ay, bx, by):
+            k = (k * M) + part.astype(np.uint64)
+        shard = (k % np.uint64(n_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "_ct": pa.array(shard),
+                "ax": pa.array(ax),
+                "ay": pa.array(ay),
+                "bx": pa.array(bx),
+                "by": pa.array(by),
+                "fid": pa.array(fid),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "admin_a": pa.array([], pa.int64()),
+                "admin_b": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cols = [g[c].to_numpy().astype(np.int64) for c in ("ax", "ay", "bx", "by")]
+        fid = g["fid"].to_numpy().astype(np.int64)
+        o = np.lexsort((fid, cols[3], cols[2], cols[1], cols[0]))
+        s = [c[o] for c in cols]
+        fid = fid[o]
+        new = np.zeros(len(fid), dtype=bool)
+        new[0] = True
+        for c in s:
+            new |= np.r_[True, c[1:] != c[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, len(fid)])
+        two = starts[lens == 2]  # manifold interior edges only
+        if len(two) == 0:
+            return empty
+        return pa.table(
+            {
+                "admin_a": pa.array(fid[two]),  # run is fid-sorted: a < b
+                "admin_b": pa.array(fid[two + 1]),
+            }
+        )
+
+    edge_ds = ds.map_batches(edges, batch_format="pyarrow")
+    pair_ds = edge_ds.groupby("_ct").map_groups(pairs, batch_format="pandas")
+    out = zonal_aggregate(
+        pair_ds, ["count"], keys=["admin_a", "admin_b"], value_col="admin_a"
+    ).map_batches(
+        lambda t: t.rename_columns(["admin_a", "admin_b", "n_shared_edges"]),
+        batch_format="pyarrow",
+    )
+    return out.sort(["admin_a", "admin_b"])

@@ -336,3 +336,41 @@ def test_traj_cell_counts_matches_brute_force(ray_session):
     assert got_map == want
     # long diagonal segments actually expand to >1 visited cell
     assert sum(got_map.values()) > len(df) - 10
+
+
+def test_contiguity_pairs_brute(ray_session):
+    import ray.data as rd
+
+    from geoglue_ray.geom import polygon_wkb
+    from geoglue_ray.stages.geometry import contiguity_pairs
+
+    def sq(x, y):  # unit square, closed ring
+        return polygon_wkb(
+            [np.array([[x, y], [x + 1, y], [x + 1, y + 1], [x, y + 1], [x, y]], float)]
+        )
+
+    # 2x2 grid of unit squares (ids 0..3, rook pairs (0,1),(0,2),(1,3),(2,3))
+    rows = [(i, sq(i % 2, i // 2)) for i in range(4)]
+    # 10/11 share TWO unit edges: both boundaries split at (11, 0)
+    a = polygon_wkb(
+        [np.array([[10, 0], [11, 0], [12, 0], [12, 1], [10, 1], [10, 0]], float)]
+    )
+    b = polygon_wkb(
+        [np.array([[10, -1], [12, -1], [12, 0], [11, 0], [10, 0], [10, -1]], float)]
+    )
+    rows += [(10, a), (11, b)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "admin_id": pa.array([r[0] for r in rows], pa.int64()),
+                "geometry_wkb": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+    ).repartition(3)
+    got = contiguity_pairs(ds, n_shards=4).to_pandas()
+    want = {(0, 1): 1.0, (0, 2): 1.0, (1, 3): 1.0, (2, 3): 1.0, (10, 11): 2.0}
+    got_map = {
+        (int(r.admin_a), int(r.admin_b)): float(r.n_shared_edges)
+        for r in got.itertuples()
+    }
+    assert got_map == want
