@@ -4818,3 +4818,37 @@ SELECT least(a, b) AS admin_a, greatest(a, b) AS admin_b,
        CAST(1 AS DOUBLE) AS n_shared_edges
 FROM p ORDER BY admin_a, admin_b
 """
+
+
+def admin_spatial_lag() -> str:
+    """Areal Wy twin: closed-form admin-2 assignment for the inside
+    events, range() universe LEFT-joined so empty units are zeros, the
+    closed-form triangle adjacency in both directions, and one exact
+    division per unit (DOUBLE sums of integer-valued counts)."""
+    return f"""
+WITH e AS (
+  SELECT {fx.sql_lon('event_id')} AS lon, {fx.sql_lat('event_id')} AS lat
+  FROM events WHERE event_id % {fx.OUT_MOD} <> 0),
+asg AS (SELECT {fx.sql_admin2_inside('lon', 'lat')} AS fid FROM e),
+c AS (SELECT fid, count(*) AS n FROM asg GROUP BY 1),
+u AS (SELECT range AS fid FROM range({fx.N_ADMIN2})),
+cnt AS (SELECT u.fid, CAST(COALESCE(c.n, 0) AS DOUBLE) AS n
+        FROM u LEFT JOIN c USING (fid)),
+cells AS (
+  SELECT range AS cell, range % {fx.NX} AS cx, range // {fx.NX} AS cy
+  FROM range({fx.NX * fx.NY})),
+p AS (
+  SELECT 2 * cell AS a, 2 * cell + 1 AS b FROM cells
+  UNION ALL
+  SELECT 2 * cell, 2 * ((cy - 1) * {fx.NX} + cx) + 1 FROM cells WHERE cy >= 1
+  UNION ALL
+  SELECT 2 * cell, 2 * (cy * {fx.NX} + cx - 1) + 1 FROM cells WHERE cx >= 1),
+adj AS (SELECT a AS focal, b AS nb FROM p UNION ALL SELECT b, a FROM p),
+l AS (
+  SELECT adj.focal AS fid, sum(cn.n) AS s, count(*) AS k
+  FROM adj JOIN cnt cn ON cn.fid = adj.nb GROUP BY 1)
+SELECT cnt.fid AS admin_fid, cnt.n AS n_events,
+       CAST(l.k AS DOUBLE) AS n_neighbors,
+       l.s / CAST(l.k AS DOUBLE) AS lag_mean
+FROM cnt JOIN l USING (fid) ORDER BY admin_fid
+"""

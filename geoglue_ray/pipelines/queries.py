@@ -5866,3 +5866,112 @@ def admin_contiguity(sf_dir: str) -> rd.Dataset:
     return contiguity_pairs(
         ds.map_batches(prep, batch_format="pyarrow"), id_col="fid"
     )
+
+
+def admin_spatial_lag(sf_dir: str) -> rd.Dataset:
+    """AREAL spatial lag over the admin-2 tessellation — the spatial
+    econometrics Wy step composed from this repo's own operators: event
+    counts per admin unit (real PIP spatial join), the rook W from WKB
+    shared-edge detection (stages/geometry.contiguity_pairs), and
+    lag_mean = (sum of neighbor counts) / n_neighbors, one exact
+    division per unit.  Units without events enter as zeros via a LEFT
+    join against the full range(N_ADMIN2) universe, so the lag is
+    defined everywhere.  Outside points are excluded by id arithmetic
+    on both sides (no kNN fallback in the twin)."""
+    import ray
+
+    from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+    from geoglue_ray.stages.geometry import contiguity_pairs
+    from geoglue_ray.stages.join import hash_equijoin
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        b = b.filter(pa.array(ids % fx.OUT_MOD != 0))
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "value": pa.array(np.zeros(len(b))),
+            }
+        )
+
+    admin = build_admin_table()
+    index = AdminIndex.build(admin)
+    assigned = spatial_join(
+        ds.map_batches(prep, batch_format="pyarrow").map_batches(
+            encode_cells, batch_format="pyarrow"
+        ),
+        index_ref=ray.put(index),
+    )
+
+    def to_fid(b: pa.Table) -> pa.Table:
+        fid = pc.cast(pc.utf8_slice_codeunits(b["admin_id"], 5, 99), pa.int64())
+        return pa.table({"fid": fid})
+
+    counts = zonal_aggregate(
+        assigned.map_batches(to_fid, batch_format="pyarrow"),
+        ["count"],
+        keys=["fid"],
+        value_col="fid",
+    )
+    universe = rd.range(fx.N_ADMIN2).map_batches(
+        lambda b: pa.table({"fid": b["id"]}), batch_format="pyarrow"
+    )
+    cnt_full = hash_equijoin(
+        universe, counts, left_on="fid", right_on="fid", how="left"
+    ).map_batches(
+        lambda b: pa.table(
+            {"fid": b["fid"], "n": pc.fill_null(b["count"], 0.0)}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def adm_prep(b: pa.Table) -> pa.Table:
+        fid = pc.cast(pc.utf8_slice_codeunits(b["admin_id"], 5, 99), pa.int64())
+        return pa.table({"fid": fid, "geometry_wkb": b["geometry_wkb"]})
+
+    pairs = contiguity_pairs(
+        rd.from_arrow(admin)
+        .repartition(8)
+        .map_batches(adm_prep, batch_format="pyarrow"),
+        id_col="fid",
+    )
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b["admin_a"].to_numpy()
+        bb = b["admin_b"].to_numpy()
+        return pa.table(
+            {
+                "focal": pa.array(np.concatenate([a, bb])),
+                "nb": pa.array(np.concatenate([bb, a])),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    lagged = zonal_aggregate(
+        hash_equijoin(edges, cnt_full, left_on="nb", right_on="fid").select_columns(
+            ["focal", "n"]
+        ),
+        ["sum", "count"],
+        keys=["focal"],
+        value_col="n",
+    )
+    out = hash_equijoin(cnt_full, lagged, left_on="fid", right_on="focal")
+
+    def final(b: pa.Table) -> pa.Table:
+        s = b["sum"].to_numpy()
+        k = b["count"].to_numpy()
+        return pa.table(
+            {
+                "admin_fid": b["fid"],
+                "n_events": b["n"],
+                "n_neighbors": b["count"],
+                "lag_mean": pa.array(s / k),
+            }
+        )
+
+    return out.map_batches(final, batch_format="pyarrow").sort("admin_fid")
