@@ -4852,3 +4852,50 @@ SELECT cnt.fid AS admin_fid, cnt.n AS n_events,
        l.s / CAST(l.k AS DOUBLE) AS lag_mean
 FROM cnt JOIN l USING (fid) ORDER BY admin_fid
 """
+
+
+def embed_kmeans(k: int = 4, rounds: int = 2, dim: int = 64) -> str:
+    """Lloyd twin: identical floor(x*2^20 + 0.5) quantization, argmin by
+    (d2, cluster) row_number, M-step via the same non-negative floor
+    division (2*(S + n*2^20) + n) // (2n) - 2^20; an emptied cluster
+    keeps its previous centroid via the LEFT-join COALESCE."""
+    OFF = 1 << 20
+    parts = [
+        f"""q AS (
+  SELECT vec_id, i.range AS dim,
+         CAST(floor(CAST(embedding[i.range + 1] AS DOUBLE) * {OFF}.0 + 0.5) AS BIGINT) AS v
+  FROM embeddings, range({dim}) i),
+c0 AS (SELECT vec_id AS cluster, dim, v AS cv FROM q WHERE vec_id < {k})"""
+    ]
+    for r in range(1, rounds + 1):
+        j = r - 1
+        parts.append(f"""
+a{r} AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM (SELECT q.vec_id, c.cluster,
+               sum((q.v - c.cv) * (q.v - c.cv)) AS d2
+        FROM q JOIN c{j} c ON c.dim = q.dim GROUP BY 1, 2)),
+s{r} AS (
+  SELECT a.cluster, q.dim, sum(q.v) AS s, count(*) AS n
+  FROM a{r} a JOIN q ON q.vec_id = a.vec_id
+  WHERE a.rn = 1 GROUP BY 1, 2),
+c{r} AS (
+  SELECT p.cluster, p.dim,
+         CASE WHEN s.n IS NULL THEN p.cv
+              ELSE (2 * (s.s + s.n * {OFF}) + s.n) // (2 * s.n) - {OFF}
+         END AS cv
+  FROM c{j} p LEFT JOIN s{r} s
+    ON s.cluster = p.cluster AND s.dim = p.dim)""")
+    parts.append(f"""
+nn AS (SELECT cluster, count(*) AS n FROM a{rounds} WHERE rn = 1 GROUP BY 1)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT c.cluster AS cluster_id, c.dim, CAST(c.cv AS BIGINT) AS centroid_q,
+       COALESCE(nn.n, 0) AS n_members
+FROM c{rounds} c LEFT JOIN nn ON nn.cluster = c.cluster
+ORDER BY cluster_id, dim
+"""
+    )

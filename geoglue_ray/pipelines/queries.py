@@ -5975,3 +5975,17 @@ def admin_spatial_lag(sf_dir: str) -> rd.Dataset:
         )
 
     return out.map_batches(final, batch_format="pyarrow").sort("admin_fid")
+
+
+def embed_kmeans(sf_dir: str) -> rd.Dataset:
+    """Two full Lloyd k-means rounds over the embedding corpus (k=4,
+    seeds = vec_id < 4): exact quantized integer distances, smallest-id
+    tie rule, round-half-up integer M-step
+    (stages/similarity.kmeans_lloyd).  Bit-exact vs the chained
+    assign/M-step CTE twin."""
+    from geoglue_ray.stages.similarity import kmeans_lloyd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_lloyd(ds, k=4, rounds=2)

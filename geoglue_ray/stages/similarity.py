@@ -758,3 +758,118 @@ def pairwise_set_jaccard(
         .groupby("_pj")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def kmeans_lloyd(
+    ds: rd.Dataset,
+    k: int = 4,
+    rounds: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> rd.Dataset:
+    """Distributed Lloyd k-means over the embedding corpus, EXACT end to
+    end: components quantize to integers at 2^-20 (the embed_centroids
+    trick — power-of-two scaling of a float32 never rounds), so squared
+    distances, argmin assignment (ties to the smallest cluster id) and
+    the per-cluster component sums are all int64 arithmetic, and the
+    M-step centroid is the round-half-up integer mean
+    ``(2*(S + n*2^20) + n) // (2n) - 2^20`` — a non-negative floor
+    division identical to SQL ``//``.  Every round is one streaming
+    assign pass (broadcast k x dim centroid ints, one integer matmul
+    per batch, per-batch partial sums) plus a (k x (dim+1))-row
+    aggregate; nothing vector-scale ever shuffles or materializes.
+    Seeds are the vectors with ``id < k``; an emptied cluster keeps its
+    previous centroid (both sides mirror the rule).
+
+    Returns k x dim rows: (cluster_id, dim, centroid_q, n_members)."""
+    from geoglue_ray.stages.zonal import zonal_aggregate
+
+    OFF = 1 << 20
+    QS = float(OFF)
+
+    def quant(b: pa.Table) -> np.ndarray:
+        la = b[emb_col].combine_chunks()
+        mat = np.asarray(la.flatten()).reshape(len(b), -1)
+        return np.floor(mat.astype(np.float64) * QS + 0.5).astype(np.int64)
+
+    import pyarrow.compute as pc
+
+    seeds = ds.map_batches(
+        lambda b: b.filter(pc.less(b[id_col], k)), batch_format="pyarrow"
+    ).take_all()
+    seeds.sort(key=lambda r: r[id_col])
+    cents = np.stack(
+        [
+            np.floor(np.asarray(r[emb_col], dtype=np.float64) * QS + 0.5).astype(
+                np.int64
+            )
+            for r in seeds
+        ]
+    )
+    assert cents.shape == (k, dim)
+
+    n_members = np.zeros(k, dtype=np.int64)
+    for _ in range(rounds):
+
+        def partial(b: pa.Table, *, c=cents.copy()) -> pa.Table:
+            q = quant(b)
+            # argmin ||q - c||^2 == argmin (|c|^2 - 2 q.c); first min ==
+            # smallest cluster id, mirroring ORDER BY d2, cluster
+            cc = (c * c).sum(axis=1)
+            score = cc[None, :] - 2 * (q @ c.T)
+            win = np.argmin(score, axis=1)
+            ks, ds_, ss = [], [], []
+            for j in range(len(c)):
+                m = win == j
+                nj = int(m.sum())
+                if nj == 0:
+                    continue
+                ks.append(np.full(dim + 1, j, dtype=np.int64))
+                ds_.append(np.r_[np.arange(dim, dtype=np.int64), -1])
+                ss.append(np.r_[q[m].sum(axis=0), nj])  # dim=-1 row = count
+            if not ks:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "dim": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "cluster": pa.array(np.concatenate(ks)),
+                    "dim": pa.array(np.concatenate(ds_)),
+                    "s": pa.array(np.concatenate(ss).astype(np.float64)),
+                }
+            )
+
+        agg = zonal_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["sum"],
+            keys=["cluster", "dim"],
+            value_col="s",
+        ).take_all()  # bounded: k x (dim + 1) rows
+        S = np.zeros((k, dim), dtype=np.int64)
+        n_members = np.zeros(k, dtype=np.int64)
+        for row in agg:
+            j, d, s = int(row["cluster"]), int(row["dim"]), int(row["sum"])
+            if d < 0:
+                n_members[j] = s
+            else:
+                S[j, d] = s
+        new = cents.copy()
+        nz = n_members > 0
+        nn = n_members[nz][:, None]
+        new[nz] = (2 * (S[nz] + nn * OFF) + nn) // (2 * nn) - OFF
+        cents = new
+
+    out = pa.table(
+        {
+            "cluster_id": pa.array(np.repeat(np.arange(k, dtype=np.int64), dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+            "centroid_q": pa.array(cents.ravel()),
+            "n_members": pa.array(np.repeat(n_members, dim)),
+        }
+    )
+    return rd.from_arrow(out).sort(["cluster_id", "dim"])

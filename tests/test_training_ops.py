@@ -1050,3 +1050,44 @@ def test_bpe_merges_matches_brute_force(ray_session):
     assert got == want, (got, want)
     # merged tokens actually participate in later rounds
     assert any("+" in t1 or "+" in t2 for _, t1, t2, _, _ in got[1:]) or len(got) == 3
+
+
+def test_kmeans_lloyd_matches_brute_force(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(7)
+    N, DIM, K, R = 120, 8, 3, 3
+    mat = (rng.random((N, DIM), dtype=np.float32) - 0.5) * 1.8
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(N, dtype=np.int64)),
+                "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+            }
+        )
+    ).repartition(4)
+    got = kmeans_lloyd(ds, k=K, rounds=R, dim=DIM).to_pandas()
+
+    OFF = 1 << 20
+    q = np.floor(mat.astype(np.float64) * OFF + 0.5).astype(np.int64)
+    cents = q[:K].copy()
+    n = np.zeros(K, dtype=np.int64)
+    for _ in range(R):
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        win = np.argmin(d2, axis=1)
+        n = np.bincount(win, minlength=K)
+        for j in range(K):
+            if n[j]:
+                S = q[win == j].sum(axis=0)
+                cents[j] = (2 * (S + n[j] * OFF) + n[j]) // (2 * n[j]) - OFF
+    want = cents.ravel()
+    assert np.array_equal(
+        got.sort_values(["cluster_id", "dim"])["centroid_q"].to_numpy(), want
+    )
+    assert np.array_equal(
+        got.groupby("cluster_id")["n_members"].first().to_numpy(), n
+    )
+    assert n.sum() == N and (n > 0).all()
