@@ -4899,3 +4899,25 @@ FROM c{rounds} c LEFT JOIN nn ON nn.cluster = c.cluster
 ORDER BY cluster_id, dim
 """
     )
+
+
+def corpus_budget(budget: int = 20_000) -> str:
+    """Greedy-selection twin: one exclusive window sum over the
+    (distinct-token count DESC, doc_id) order — DuckDB widens the BIGINT
+    window sum to HUGEINT, so it is CAST back (CLAUDE.md)."""
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tok,
+         len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_dist
+  FROM documents),
+w AS (
+  SELECT doc_id, n_dist, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (
+             ORDER BY n_dist DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM t)
+SELECT doc_id, n_dist, n_tok, start_offset
+FROM w WHERE start_offset < {budget} ORDER BY doc_id
+"""

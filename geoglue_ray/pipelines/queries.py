@@ -5989,3 +5989,59 @@ def embed_kmeans(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return kmeans_lloyd(ds, k=4, rounds=2)
+
+
+def corpus_budget(sf_dir: str, budget: int = 20_000) -> rd.Dataset:
+    """Token-budget greedy corpus selection (the data-mixing step that
+    fills a training budget with the best documents first): documents
+    order by (distinct-token richness DESC, doc_id) and are taken while
+    the cumulative token count stays under ``budget``.  The running
+    total is the distributed global prefix scan (stages/scan) over a
+    packed (quality, id) sort key whose RANGE buckets are the quality
+    values themselves — the driver-resident offsets table is bounded by
+    the distinct quality levels, never the corpus.  Exact int64
+    arithmetic; the SQL twin is one window sum over the same order."""
+    from geoglue_ray.stages.scan import global_prefix_sum
+
+    QBITS = 34  # doc_id < 2^34; key = (2^20 - n_dist) << 34 | doc_id
+    BIG = 1 << 20
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b["text"]), pattern=r"\s+"
+        )
+        n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(b), dtype=np.int64), n_tok)
+        codes, _ = pd.factorize(flat, use_na_sentinel=False)
+        o = np.lexsort((codes, doc_of))
+        dd, cc = doc_of[o], codes[o]
+        new = np.r_[True, (dd[1:] != dd[:-1]) | (cc[1:] != cc[:-1])]
+        n_dist = np.bincount(dd[new], minlength=len(b)).astype(np.int64)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        key = ((np.int64(BIG) - n_dist) << np.int64(QBITS)) | ids
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "doc_id": b["doc_id"],
+                "n_dist": pa.array(n_dist),
+                "n_tok": pa.array(n_tok),
+            }
+        )
+
+    scanned = global_prefix_sum(
+        ds.map_batches(feats, batch_format="pyarrow"),
+        id_col="key",
+        val_col="n_tok",
+        range_size=1 << QBITS,  # one range per quality level: bounded offsets
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["start_offset"], budget))
+        return b.select(["doc_id", "n_dist", "n_tok", "start_offset"])
+
+    return scanned.map_batches(keep, batch_format="pyarrow").sort("doc_id")
