@@ -4921,3 +4921,25 @@ w AS (
 SELECT doc_id, n_dist, n_tok, start_offset
 FROM w WHERE start_offset < {budget} ORDER BY doc_id
 """
+
+
+def user_home() -> str:
+    """Majority-unit twin: closed-form assignment, (count desc, fid)
+    row_number winner per user, HUGEINT total cast back, one exact
+    division."""
+    return f"""
+WITH e AS (
+  SELECT user_id,
+         {fx.sql_lon('event_id')} AS lon, {fx.sql_lat('event_id')} AS lat
+  FROM events WHERE event_id % {fx.OUT_MOD} <> 0),
+a AS (SELECT user_id, {fx.sql_admin2_inside('lon', 'lat')} AS fid FROM e),
+c AS (SELECT user_id, fid, count(*) AS n FROM a GROUP BY 1, 2),
+t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+w AS (
+  SELECT user_id, fid, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, fid) AS rn
+  FROM c)
+SELECT w.user_id, w.fid AS home_fid, w.n AS n_home, t.tot AS n_total,
+       CAST(w.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS home_frac
+FROM w JOIN t USING (user_id) WHERE w.rn = 1 ORDER BY w.user_id
+"""

@@ -6045,3 +6045,98 @@ def corpus_budget(sf_dir: str, budget: int = 20_000) -> rd.Dataset:
         return b.select(["doc_id", "n_dist", "n_tok", "start_offset"])
 
     return scanned.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def user_home(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Per-user HOME-LOCATION inference (the mobility-analytics
+    majority rule): each user's home is the admin-2 unit holding the
+    most of their events, ties to the smallest unit id.  Events assign
+    by the real PIP spatial join; all of a user's rows co-locate on
+    ``hash(user) % n_shards`` and one lexsort + run pass per shard
+    computes (user, unit) counts, per-user totals, and the
+    (count desc, fid) argmax.  ``home_frac`` is one division of exact
+    int64 counts.  Outside points are excluded by id arithmetic on
+    both sides."""
+    import ray
+
+    from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        b = b.filter(pa.array(ids % fx.OUT_MOD != 0))
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "value": pa.array(np.zeros(len(b))),
+            }
+        )
+
+    index = AdminIndex.build(build_admin_table())
+    assigned = spatial_join(
+        ds.map_batches(prep, batch_format="pyarrow").map_batches(
+            encode_cells, batch_format="pyarrow"
+        ),
+        index_ref=ray.put(index),
+    )
+
+    def shard(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        sh = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        fid = pc.cast(pc.utf8_slice_codeunits(b["admin_id"], 5, 99), pa.int64())
+        return pa.table({"_uh": pa.array(sh), "user_id": b["user_id"], "fid": fid})
+
+    import pandas as pd
+
+    def homes(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "home_fid": pa.array([], pa.int64()),
+                    "n_home": pa.array([], pa.int64()),
+                    "n_total": pa.array([], pa.int64()),
+                    "home_frac": pa.array([], pa.float64()),
+                }
+            )
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        fid = g["fid"].to_numpy().astype(np.int64)
+        o = np.lexsort((fid, uid))
+        u, f = uid[o], fid[o]
+        new = np.r_[True, (u[1:] != u[:-1]) | (f[1:] != f[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(u)])
+        ru, rf = u[starts], f[starts]
+        # per-user argmax on (count desc, fid asc)
+        o2 = np.lexsort((rf, -n, ru))
+        ru2, rf2, n2 = ru[o2], rf[o2], n[o2]
+        first = np.r_[True, ru2[1:] != ru2[:-1]]
+        uu = np.unique(ru)
+        totals = np.bincount(np.searchsorted(uu, ru), weights=n).astype(np.int64)
+        hu, hf, hn = ru2[first], rf2[first], n2[first]
+        ht = totals[np.searchsorted(uu, hu)]
+        return pa.table(
+            {
+                "user_id": pa.array(hu),
+                "home_fid": pa.array(hf),
+                "n_home": pa.array(hn),
+                "n_total": pa.array(ht),
+                "home_frac": pa.array(hn.astype(np.float64) / ht.astype(np.float64)),
+            }
+        )
+
+    return (
+        assigned.map_batches(shard, batch_format="pyarrow")
+        .groupby("_uh")
+        .map_groups(homes, batch_format="pandas")
+        .sort("user_id")
+    )
