@@ -177,6 +177,9 @@ def _run_queries() -> dict:
         # round-4 continuation 3: the global-dependency hydrology pair
         # (row-band contraction + perimeter solve + pour pass)
         ("raster_flow_acc", q.raster_flow_acc),
+        # round-4 continuation 4: iterative distributed EM (2 Lloyd
+        # rounds, broadcast centroids + integer matmul per batch)
+        ("embed_kmeans", q.embed_kmeans),
     ]
     extra_reps = int(os.environ.get("GRAFT_EXTRA_REPEATS", "2"))
     for name, fn in extra:

@@ -4943,3 +4943,48 @@ SELECT w.user_id, w.fid AS home_fid, w.n AS n_home, t.tot AS n_total,
        CAST(w.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS home_frac
 FROM w JOIN t USING (user_id) WHERE w.rn = 1 ORDER BY w.user_id
 """
+
+
+def media_content_dupes() -> str:
+    """Content-dedup twin: the media_features byte replay (HUGEINT
+    mod-2^64 stub decode) grouped by the exact ordered payload list;
+    row_number representative, n >= 2 groups only."""
+    from geoglue_ray.functions.texthash import C1, C2, U64
+    from geoglue_ray.stages.media import PAYLOAD_LEN
+
+    return f"""
+WITH spans AS (
+  SELECT d.doc_id,
+         CAST(1 + j.range AS INTEGER) AS span_index,
+         CASE WHEN (d.doc_id + 1 + j.range) % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         'media/' || d.doc_id || '/' || (1 + j.range) AS media_ref
+  FROM documents d, range(2) j
+  WHERE 1 + j.range <= d.doc_id % 3),
+seeds AS (
+  SELECT s.doc_id, s.span_index, s.kind,
+         sum(ascii(substr(s.media_ref, c.range::INTEGER + 1, 1))) AS seed
+  FROM spans s, range(40) c
+  WHERE c.range < length(s.media_ref)
+  GROUP BY 1, 2, 3),
+bytes AS (
+  SELECT doc_id, span_index, kind, i.range AS i,
+         ((((seed + 1)::HUGEINT * {C1}::HUGEINT
+            + (i.range + 1)::HUGEINT * {C2}::HUGEINT) % {U64}::HUGEINT)
+          // {1 << 56}::HUGEINT) AS byte
+  FROM seeds, range({PAYLOAD_LEN}) i),
+h AS (
+  SELECT doc_id, span_index, kind,
+         list(byte ORDER BY i) AS pl,
+         CAST(sum(byte) AS BIGINT) AS byte_sum
+  FROM bytes GROUP BY 1, 2, 3),
+g AS (
+  SELECT kind, pl, byte_sum, doc_id, span_index,
+         count(*) OVER (PARTITION BY kind, pl) AS n_items,
+         row_number() OVER (PARTITION BY kind, pl
+                            ORDER BY doc_id, span_index) AS rn
+  FROM h)
+SELECT kind, byte_sum, CAST(n_items AS BIGINT) AS n_items,
+       doc_id AS first_doc_id, CAST(span_index AS BIGINT) AS first_span_index
+FROM g WHERE rn = 1 AND n_items >= 2
+ORDER BY kind, byte_sum, n_items, first_doc_id
+"""

@@ -6140,3 +6140,26 @@ def user_home(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
         .map_groups(homes, batch_format="pandas")
         .sort("user_id")
     )
+
+
+def media_content_dupes(sf_dir: str) -> rd.Dataset:
+    """Decoded-content duplicate groups over media payloads — the
+    multimodal content-digest dedup (explode -> actor-pool decode ->
+    exact payload grouping; stages/media.content_dupe_groups).  The
+    stub codec makes colliding-ASCII-sum refs decode byte-identically,
+    so real duplicate groups exist; the HUGEINT byte-replay twin groups
+    by the identical payload list."""
+    from geoglue_ray.stages.media import (
+        DecodeMedia,
+        content_dupe_groups,
+        explode_media_spans,
+    )
+
+    ds = read_corpus(sf_dir, with_spans=True)
+    media = ds.map_batches(explode_media_spans, batch_format="pyarrow")
+    decoded = media.map_batches(
+        DecodeMedia, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    )
+    return content_dupe_groups(decoded).sort(
+        ["kind", "byte_sum", "n_items", "first_doc_id"]
+    )

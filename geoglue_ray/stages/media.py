@@ -287,3 +287,96 @@ class FrameSampler:
         return out.append_column(
             "frame_sum", pa.array(frames.astype(np.int64).sum(axis=2).reshape(-1))
         )
+
+
+def _payload_matrix(batch: pa.Table, col: str = "payload") -> np.ndarray:
+    """(n, PAYLOAD_LEN) uint8 view of the fixed-size-binary payload
+    column (zero-copy modulo the combine)."""
+    arr = batch[col].combine_chunks()
+    buf = arr.buffers()[1]
+    start = arr.offset * PAYLOAD_LEN
+    return np.frombuffer(buf, dtype=np.uint8)[
+        start : start + len(arr) * PAYLOAD_LEN
+    ].reshape(len(arr), PAYLOAD_LEN)
+
+
+def content_dupe_groups(ds: rd.Dataset, n_shards: int = 64) -> rd.Dataset:
+    """Decoded-CONTENT duplicate groups over media payloads — the
+    multimodal content-digest dedup step (a production pipeline hashes
+    decoded pixels/samples so the same asset behind different refs
+    dedups; with this stub codec, refs whose ASCII-code sums collide
+    decode to byte-identical payloads, which is exactly that
+    population).  Grouping is by the EXACT payload bytes: a perceptual
+    aHash/dHash is the production swap-in for near-duplicates, but the
+    stub's payload space is measured to collapse those to one bucket,
+    so content identity is the semantically meaningful grouping here.
+
+    Emits one row per (kind, payload) group with >= 2 members:
+    (kind, byte_sum, n_items, first_doc_id, first_span_index) — the
+    representative is the (doc_id, span_index)-first member and
+    byte_sum is the SQL-replayable payload witness.  Shape: 64-byte
+    keyed rows co-shuffle on a content-hash fixed shard, one
+    factorize + lexsort run pass per shard — never all-pairs."""
+    import pandas as pd
+
+    def keyed(b: pa.Table) -> pa.Table:
+        mat = _payload_matrix(b)
+        m64 = mat.astype(np.int64)
+        bs = m64.sum(axis=1)
+        words = mat.view(np.uint64).reshape(len(mat), -1)
+        M = np.uint64(0x9E3779B185EBCA87)
+        k = np.zeros(len(mat), dtype=np.uint64)
+        for j in range(words.shape[1]):
+            k = k * M + words[:, j]
+        return pa.table(
+            {
+                "_mc": pa.array((k % np.uint64(n_shards)).astype(np.int64)),
+                "kind": b["kind"],
+                "payload": b["payload"],
+                "byte_sum": pa.array(bs),
+                "doc_id": b["doc_id"],
+                "span_index": pa.array(
+                    b["span_index"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    def groups(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.string()),
+                "byte_sum": pa.array([], pa.int64()),
+                "n_items": pa.array([], pa.int64()),
+                "first_doc_id": pa.array([], pa.int64()),
+                "first_span_index": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        kc, kuniq = pd.factorize(g["kind"], use_na_sentinel=False)
+        pc_, _ = pd.factorize(g["payload"], use_na_sentinel=False)
+        bs = g["byte_sum"].to_numpy().astype(np.int64)
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        sp = g["span_index"].to_numpy().astype(np.int64)
+        o = np.lexsort((sp, doc, pc_, kc))
+        kc, pc_, bs, doc, sp = kc[o], pc_[o], bs[o], doc[o], sp[o]
+        new = np.r_[True, (kc[1:] != kc[:-1]) | (pc_[1:] != pc_[:-1])]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, len(kc)])
+        keep = lens >= 2
+        s = starts[keep]
+        return pa.table(
+            {
+                "kind": pa.array(kuniq[kc[s]].astype(str)),
+                "byte_sum": pa.array(bs[s]),
+                "n_items": pa.array(lens[keep].astype(np.int64)),
+                "first_doc_id": pa.array(doc[s]),
+                "first_span_index": pa.array(sp[s]),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("_mc")
+        .map_groups(groups, batch_format="pandas")
+    )
