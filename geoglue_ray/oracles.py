@@ -4988,3 +4988,33 @@ SELECT kind, byte_sum, CAST(n_items AS BIGINT) AS n_items,
 FROM g WHERE rn = 1 AND n_items >= 2
 ORDER BY kind, byte_sum, n_items, first_doc_id
 """
+
+
+def raster_contours(threshold: float = 500.0) -> str:
+    """Marching-squares twin: four-corner self-join, case bits by exact
+    >= comparisons of integer-valued doubles, saddle cases doubled."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT r, c, value FROM rast
+  WHERE variable = 't2m' AND t = 0),
+blk AS (
+  SELECT CAST(tl.value >= {threshold} AS INT)
+         + 2 * CAST(tr.value >= {threshold} AS INT)
+         + 4 * CAST(br.value >= {threshold} AS INT)
+         + 8 * CAST(bl.value >= {threshold} AS INT) AS case_id
+  FROM v tl
+  JOIN v tr ON tr.r = tl.r AND tr.c = tl.c + 1
+  JOIN v bl ON bl.r = tl.r + 1 AND bl.c = tl.c
+  JOIN v br ON br.r = tl.r + 1 AND br.c = tl.c + 1
+  WHERE tl.value IS NOT NULL AND tr.value IS NOT NULL
+    AND bl.value IS NOT NULL AND br.value IS NOT NULL)
+SELECT CAST(case_id AS BIGINT) AS case_id,
+       CAST(count(*) AS DOUBLE) AS n_blocks,
+       CAST(count(*) AS DOUBLE)
+         * (CASE WHEN case_id IN (5, 10) THEN 2.0 ELSE 1.0 END) AS n_segments
+FROM blk WHERE case_id NOT IN (0, 15)
+GROUP BY case_id ORDER BY case_id
+"""

@@ -6163,3 +6163,15 @@ def media_content_dupes(sf_dir: str) -> rd.Dataset:
     return content_dupe_groups(decoded).sort(
         ["kind", "byte_sum", "n_items", "first_doc_id"]
     )
+
+
+def raster_contours(sf_dir: str) -> rd.Dataset:
+    """Marching-squares contour topology census of the hour-0 t2m slice
+    at threshold 500 (stages/stencil.marching_squares_cases): per-case
+    block counts + contour-segment counts, saddles counting twice —
+    the vectorized cell-classification pass of isoline extraction.
+    Bit-exact vs the four-corner self-join twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.stencil import marching_squares_cases
+
+    return marching_squares_cases(read_raster(n_days=1), threshold=500.0)

@@ -2153,3 +2153,123 @@ def seasonal_decompose(
         .groupby("_s")
         .map_groups(decompose, batch_format="pandas")
     )
+
+
+def marching_squares_cases(
+    ds: rd.Dataset,
+    threshold: float,
+    variable: str = "t2m",
+    band_rows: int = 16,
+    n_cols: int | None = None,
+) -> rd.Dataset:
+    """Marching-squares CONTOUR-TOPOLOGY classification of one raster
+    slice (hour 0): every 2x2 corner block with all four values present
+    gets its case index ``TL + 2*TR + 4*BR + 8*BL`` (corner bit =
+    value >= threshold — an exact comparison of integer-valued
+    doubles), the vectorized cell pass of isoline extraction.  Returns
+    the per-case census (case_id, n_blocks, n_segments) over the
+    non-trivial cases 1..14, with the two saddle cases (5, 10)
+    contributing two contour segments each.
+
+    Shape: row bands with a ONE-row bottom halo (a block belongs to its
+    top-left row's band); per-band dense bit matrix + shifted adds, then
+    a 14-key aggregate — the focal_stats banding with block semantics.
+    """
+    from geoglue_ray.stages.zonal import zonal_aggregate
+
+    H = int(band_rows)
+    if n_cols is None:
+        from geoglue_ray.sources.raster import RXSIZE
+
+        n_cols = RXSIZE
+    C = int(n_cols)
+    T0 = np.datetime64(fx.T0, "us")
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["variable"], variable))
+        b = b.filter(pc.equal(b["valid_time"], pa.scalar(T0, pa.timestamp("us"))))
+        r = b["cell_row"].to_numpy().astype(np.int64)
+        c = b["cell_col"].to_numpy().astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        band = r // H
+        parts = []
+        for off, sel in (
+            (0, np.ones(len(r), dtype=bool)),
+            (-1, r % H == 0),  # a band's first row is the previous band's halo
+        ):
+            bb = band[sel] + off
+            ok = bb >= 0
+            parts.append(
+                pa.table(
+                    {
+                        "_ms": pa.array(bb[ok]),
+                        "r": pa.array(r[sel][ok]),
+                        "c": pa.array(c[sel][ok]),
+                        "value": pa.array(v[sel][ok]),
+                        "_own": pa.array(np.full(int(ok.sum()), off == 0)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def cases(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {"case_id": pa.array([], pa.int64()), "n": pa.array([], pa.float64())}
+        )
+        own = g["_own"].to_numpy().astype(bool)
+        if len(g) == 0 or not own.any():
+            return empty
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        band = int(r[own].min()) // H
+        r0 = band * H
+        R = H + 1
+        grid = np.full((R, C), np.nan)
+        inb = (r - r0 >= 0) & (r - r0 < R)
+        grid[r[inb] - r0, c[inb]] = v[inb]
+        fin = np.isfinite(grid)
+        bit = grid >= threshold
+        tl, tr = bit[:-1, :-1], bit[:-1, 1:]
+        bl, br = bit[1:, :-1], bit[1:, 1:]
+        case = (
+            tl.astype(np.int64)
+            + 2 * tr.astype(np.int64)
+            + 4 * br.astype(np.int64)
+            + 8 * bl.astype(np.int64)
+        )
+        okb = fin[:-1, :-1] & fin[:-1, 1:] & fin[1:, :-1] & fin[1:, 1:]
+        okb &= (case != 0) & (case != 15)
+        cnt = np.bincount(case[okb], minlength=16)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "case_id": pa.array(nz.astype(np.int64)),
+                "n": pa.array(cnt[nz].astype(np.float64)),
+            }
+        )
+
+    agg = zonal_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_ms")
+        .map_groups(cases, batch_format="pandas"),
+        ["sum"],
+        keys=["case_id"],
+        value_col="n",
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        cid = b["case_id"].to_numpy().astype(np.int64)
+        n = b["sum"].to_numpy().astype(np.float64)
+        segs = np.where((cid == 5) | (cid == 10), 2.0, 1.0)
+        return pa.table(
+            {
+                "case_id": pa.array(cid),
+                "n_blocks": pa.array(n),
+                "n_segments": pa.array(n * segs),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow").sort("case_id")

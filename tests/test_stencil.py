@@ -361,3 +361,43 @@ def test_cusum_drawup_matches_bruteforce(ray_session):
         for _, row in got.iterrows():
             n, dr, th = expect[(row["cell_row"], row["cell_col"])]
             assert (row["n_obs"], row["drawup"], row["t_at_max"]) == (n, dr, th)
+
+
+def test_marching_squares_matches_brute_force(ray_session):
+    from geoglue_ray.stages.stencil import marching_squares_cases
+    from tests.test_terrain import _dataset, _grid, _lattice
+
+    nt, nr, nc = 1, 20, 9
+    t, r, c, v = _lattice(nt, nr, nc, 0.15, seed=23, lo=0, hi=10)
+    T = 5.0
+    got = (
+        marching_squares_cases(
+            _dataset(t, r, c, v), threshold=T, band_rows=4, n_cols=nc
+        )
+        .to_pandas()
+        .set_index("case_id")
+    )
+    g = _grid(t, r, c, v, nt, nr, nc)[0]
+    from collections import Counter
+
+    want = Counter()
+    for rr in range(nr - 1):
+        for cc in range(nc - 1):
+            blk = g[rr : rr + 2, cc : cc + 2]
+            if not np.isfinite(blk).all():
+                continue
+            case = (
+                int(blk[0, 0] >= T)
+                + 2 * int(blk[0, 1] >= T)
+                + 4 * int(blk[1, 1] >= T)
+                + 8 * int(blk[1, 0] >= T)
+            )
+            if case not in (0, 15):
+                want[case] += 1
+    assert sorted(got.index.tolist()) == sorted(want)
+    for cid, n in want.items():
+        assert got.loc[cid, "n_blocks"] == float(n)
+        segs = 2.0 if cid in (5, 10) else 1.0
+        assert got.loc[cid, "n_segments"] == float(n) * segs
+    # the random lattice actually exercises a saddle
+    assert 5 in want or 10 in want
