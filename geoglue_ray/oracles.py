@@ -5018,3 +5018,56 @@ SELECT CAST(case_id AS BIGINT) AS case_id,
 FROM blk WHERE case_id NOT IN (0, 15)
 GROUP BY case_id ORDER BY case_id
 """
+
+
+def bpe_encode(rounds: int = 4) -> str:
+    """Encode twin: the bpe_merges chain re-derived with doc_id carried
+    through every rewrite CTE, final per-doc token counts + one exact
+    division."""
+    parts = [
+        "t0 AS (SELECT doc_id, '|' || replace(text, ' ', '|') || '|' AS s FROM documents)"
+    ]
+    for i in range(1, rounds + 1):
+        j = i - 1
+        parts.append(f"""
+p{i} AS (
+  SELECT t1, t2, count(*) AS n
+  FROM (SELECT l[i] AS t1, l[i + 1] AS t2
+        FROM (SELECT string_split(trim(s, '|'), '|') AS l FROM t{j}),
+             unnest(generate_series(1, len(l) - 1)) AS u(i))
+  GROUP BY 1, 2),
+m{i} AS (SELECT t1, t2, n FROM p{i} ORDER BY n DESC, t1, t2 LIMIT 1),
+t{i} AS (
+  SELECT doc_id, replace(s,
+                 '|' || (SELECT t1 FROM m{i}) || '|' || (SELECT t2 FROM m{i}) || '|',
+                 '|' || (SELECT t1 FROM m{i}) || '+' || (SELECT t2 FROM m{i}) || '|') AS s
+  FROM t{j})""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT d.doc_id,
+       len(string_split(d.text, ' ')) AS n_before,
+       len(string_split(trim(t.s, '|'), '|')) AS n_after,
+       CAST(len(string_split(trim(t.s, '|'), '|')) AS DOUBLE)
+         / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS compression
+FROM documents d JOIN t{rounds} t USING (doc_id)
+ORDER BY d.doc_id
+"""
+    )
+
+
+def events_rhythm() -> str:
+    """Rhythm twin: the same whole-hours-since-Monday-epoch integer
+    arithmetic (never dayofweek()), window-sum total cast to DOUBLE."""
+    return f"""
+WITH h AS (
+  SELECT CAST(date_diff('hour', {fx.T0_SQL}, ts) AS BIGINT) AS hrs
+  FROM events),
+c AS (
+  SELECT (hrs // 24) % 7 AS dow, hrs % 24 AS hod, count(*) AS n
+  FROM h GROUP BY 1, 2)
+SELECT dow, hod, n AS n_events,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
+FROM c ORDER BY dow, hod
+"""

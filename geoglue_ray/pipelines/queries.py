@@ -6175,3 +6175,63 @@ def raster_contours(sf_dir: str) -> rd.Dataset:
     from geoglue_ray.stages.stencil import marching_squares_cases
 
     return marching_squares_cases(read_raster(n_days=1), threshold=500.0)
+
+
+def bpe_encode(sf_dir: str) -> rd.Dataset:
+    """Train-then-apply BPE round trip: learn the first 4 merges on the
+    corpus (stages/text.bpe_merges), then ENCODE the corpus with them
+    (stages/text.bpe_encode) — per-doc token counts before/after and
+    the compression ratio, one exact division.  The learned merge list
+    is driver-bounded (4 rows) and broadcast into the encode pass."""
+    from geoglue_ray.stages.text import bpe_encode as be
+    from geoglue_ray.stages.text import bpe_merges as bm
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    learned = sorted(bm(ds, rounds=4).take_all(), key=lambda r: r["round"])
+    merges = [(r["tok1"], r["tok2"]) for r in learned]
+    return be(ds, merges).sort("doc_id")
+
+
+def events_rhythm(sf_dir: str) -> rd.Dataset:
+    """Weekly-rhythm (chronotype) profile: event counts per (day-of-week,
+    hour-of-day) cell — the 168-bucket temporal heatmap behind activity
+    seasonality.  Day-of-week is pure integer arithmetic on whole hours
+    since the Monday epoch (never a locale-dependent dayofweek()); each
+    batch collapses to <= 168 partial rows, the aggregate is
+    bucket-cardinality, and share is one division of exact counts."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    T0 = np.datetime64(fx.T0, "us")
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (b["ts"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        dow = (h // 24) % 7
+        hod = h % 24
+        cnt = np.bincount(dow * 24 + hod, minlength=168)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "dow": pa.array(nz // 24),
+                "hod": pa.array(nz % 24),
+                "n": pa.array(cnt[nz].astype(np.float64)),
+            }
+        )
+
+    rows = zonal_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["sum"],
+        keys=["dow", "hod"],
+        value_col="n",
+    ).take_all()  # bounded: 168 buckets
+    dow = np.array([int(r["dow"]) for r in rows], dtype=np.int64)
+    hod = np.array([int(r["hod"]) for r in rows], dtype=np.int64)
+    n = np.array([int(r["sum"]) for r in rows], dtype=np.int64)
+    total = int(n.sum())
+    out = pa.table(
+        {
+            "dow": pa.array(dow),
+            "hod": pa.array(hod),
+            "n_events": pa.array(n),
+            "share": pa.array(n.astype(np.float64) / np.float64(total)),
+        }
+    )
+    return rd.from_arrow(out).sort(["dow", "hod"])

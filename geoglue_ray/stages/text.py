@@ -893,3 +893,48 @@ def bpe_merges(
         }
     )
     return rd.from_arrow(out).sort("round")
+
+
+def bpe_encode(
+    ds: rd.Dataset,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """APPLY learned BPE merges to the corpus (the encode side of
+    bpe_merges' train side): one streaming pass rewrites each document
+    through the ordered replace chain and reports per-document token
+    counts before/after plus the compression ratio (one division of
+    exact int64 counts).  Same |-delimiter representation and
+    left-to-right non-overlap replace semantics as training, so the SQL
+    chain twin is bit-exact."""
+
+    def encode(b: pa.Table) -> pa.Table:
+        before = pc.list_value_length(
+            pc.split_pattern(b[text_col], pattern=" ")
+        ).to_numpy().astype(np.int64)
+        s = pc.binary_join_element_wise(
+            pa.scalar("|"),
+            pc.replace_substring(b[text_col], pattern=" ", replacement="|"),
+            pa.scalar("|"),
+            "",
+        )
+        for t1, t2 in merges:
+            s = pc.replace_substring(
+                s, pattern=f"|{t1}|{t2}|", replacement=f"|{t1}+{t2}|"
+            )
+        after = pc.list_value_length(
+            pc.split_pattern(pc.utf8_trim(s, "|"), pattern="|")
+        ).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_before": pa.array(before),
+                "n_after": pa.array(after),
+                "compression": pa.array(
+                    after.astype(np.float64) / before.astype(np.float64)
+                ),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
