@@ -374,3 +374,44 @@ def test_contiguity_pairs_brute(ray_session):
         for r in got.itertuples()
     }
     assert got_map == want
+
+
+def _octant_scalar(dx, dy):
+    if dx > 0 and dy >= 0 and dx > dy:
+        return 0
+    if dx > 0 and dy >= dx:
+        return 1
+    if dx <= 0 and dy > 0 and dy > -dx:
+        return 2
+    if dy > 0 and -dx >= dy:
+        return 3
+    if dx < 0 and dy <= 0 and -dx > -dy:
+        return 4
+    if dx < 0 and -dy >= -dx:
+        return 5
+    if dx >= 0 and dy < 0 and -dy > dx:
+        return 6
+    if dx > 0 and dy < 0:
+        return 7
+    return -1
+
+
+def test_octant_sectors_partition_the_plane():
+    # every nonzero vector lands in exactly one sector; boundaries are
+    # axes/diagonals and belong to the CCW-lower sector
+    import itertools
+
+    for dx, dy in itertools.product(range(-3, 4), repeat=2):
+        o = _octant_scalar(float(dx), float(dy))
+        if dx == 0 and dy == 0:
+            assert o == -1
+            continue
+        assert 0 <= o <= 7
+    assert _octant_scalar(1.0, 0.0) == 0  # east axis -> sector 0
+    assert _octant_scalar(1.0, 1.0) == 1  # NE diagonal -> sector 1
+    assert _octant_scalar(0.0, 1.0) == 2  # north axis -> sector 2
+    assert _octant_scalar(-1.0, 1.0) == 3
+    assert _octant_scalar(-1.0, 0.0) == 4
+    assert _octant_scalar(-1.0, -1.0) == 5
+    assert _octant_scalar(0.0, -1.0) == 6
+    assert _octant_scalar(1.0, -1.0) == 7
