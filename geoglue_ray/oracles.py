@@ -5071,3 +5071,75 @@ SELECT dow, hod, n AS n_events,
        CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
 FROM c ORDER BY dow, hod
 """
+
+
+def user_heading_mix() -> str:
+    """Heading-mix twin: lag window deltas, the aspect_octant sector
+    CASE in the same evaluation order, HUGEINT total cast back, one
+    exact division."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         {fx.sql_lon('event_id')} AS lon, {fx.sql_lat('event_id')} AS lat
+  FROM events),
+s AS (
+  SELECT user_id,
+         lon - lag(lon) OVER u AS dx, lat - lag(lat) OVER u AS dy
+  FROM e WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)),
+o AS (
+  SELECT user_id,
+         CASE WHEN dx > 0 AND dy >= 0 AND dx > dy THEN 0
+              WHEN dx > 0 AND dy >= dx THEN 1
+              WHEN dx <= 0 AND dy > 0 AND dy > -dx THEN 2
+              WHEN dy > 0 AND -dx >= dy THEN 3
+              WHEN dx < 0 AND dy <= 0 AND -dx > -dy THEN 4
+              WHEN dx < 0 AND -dy >= -dx THEN 5
+              WHEN dx >= 0 AND dy < 0 AND -dy > dx THEN 6
+              WHEN dx > 0 AND dy < 0 THEN 7
+              ELSE -1 END AS octant
+  FROM s WHERE dx IS NOT NULL),
+c AS (SELECT user_id, octant, count(*) AS n FROM o GROUP BY 1, 2),
+t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.user_id, c.octant, c.n AS n_steps,
+       CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS frac
+FROM c JOIN t USING (user_id) ORDER BY c.user_id, c.octant
+"""
+
+
+def user_communities(tau: float = 0.04) -> str:
+    """Community twin: the user_colocation pair join thresholded on the
+    identical single-division jaccard, recursive reachability closure,
+    lowest-member community ids, sizes by group."""
+    lon = fx.sql_lon("event_id")
+    lat = fx.sql_lat("event_id")
+    return f"""
+WITH RECURSIVE uc AS (
+  SELECT DISTINCT user_id,
+         CAST(floor({lon} * 64.0) AS BIGINT) * 65536
+           + CAST(floor({lat} * 64.0) AS BIGINT) AS cell
+  FROM events),
+sz AS (SELECT user_id, count(*) AS n FROM uc GROUP BY 1),
+sh AS (
+  SELECT a.user_id AS key_a, b.user_id AS key_b, count(*) AS n_shared
+  FROM uc a JOIN uc b ON b.cell = a.cell AND b.user_id > a.user_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT sh.key_a, sh.key_b FROM sh
+  JOIN sz sa ON sa.user_id = sh.key_a
+  JOIN sz sb ON sb.user_id = sh.key_b
+  WHERE sh.n_shared / (sa.n + sb.n - sh.n_shared) >= {tau}),
+edges AS (
+  SELECT key_a AS src, key_b AS dst FROM j
+  UNION ALL SELECT key_b, key_a FROM j),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+lab AS (SELECT node AS user_id, min(lab) AS community_id FROM reach GROUP BY 1),
+szc AS (SELECT community_id, CAST(count(*) AS DOUBLE) AS community_size
+        FROM lab GROUP BY 1)
+SELECT l.user_id, l.community_id, szc.community_size
+FROM lab l JOIN szc USING (community_id)
+ORDER BY l.user_id
+"""

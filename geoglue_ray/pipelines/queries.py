@@ -6235,3 +6235,163 @@ def events_rhythm(sf_dir: str) -> rd.Dataset:
         }
     )
     return rd.from_arrow(out).sort(["dow", "hod"])
+
+
+def user_heading_mix(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Per-user heading-octant mix — movement anisotropy (is a user's
+    motion directional or isotropic?): every consecutive (ts, event_id)
+    step classifies into the aspect_octant 45-degree sector grammar
+    (sector k = [45k, 45k+45) CCW from east; membership is pure
+    sign / |dx| vs |dy| comparisons on exact dyadic coordinate deltas —
+    no atan2), zero-length steps bucket as -1.  One lexsort + run pass
+    per user shard yields (user, octant) counts and per-user fractions
+    (one exact division)."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        sh = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "_hm": pa.array(sh),
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    def mix(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "octant": pa.array([], pa.int64()),
+                "n_steps": pa.array([], pa.int64()),
+                "frac": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        o = np.lexsort((eid, t, uid))
+        uid, lon, lat = uid[o], lon[o], lat[o]
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return empty
+        dx = (lon[1:] - lon[:-1])[same]
+        dy = (lat[1:] - lat[:-1])[same]
+        su = uid[1:][same]
+        conds = [  # the aspect_octant sector grammar, same order as SQL CASE
+            (dx > 0) & (dy >= 0) & (dx > dy),
+            (dx > 0) & (dy >= dx),
+            (dx <= 0) & (dy > 0) & (dy > -dx),
+            (dy > 0) & (-dx >= dy),
+            (dx < 0) & (dy <= 0) & (-dx > -dy),
+            (dx < 0) & (-dy >= -dx),
+            (dx >= 0) & (dy < 0) & (-dy > dx),
+            (dx > 0) & (dy < 0),
+        ]
+        oct_ = np.select(conds, np.arange(8, dtype=np.int64), np.int64(-1))
+        o2 = np.lexsort((oct_, su))
+        su, oct_ = su[o2], oct_[o2]
+        new = np.r_[True, (su[1:] != su[:-1]) | (oct_[1:] != oct_[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(su)]).astype(np.int64)
+        ru, ro = su[starts], oct_[starts]
+        uu = np.unique(ru)
+        tot = np.bincount(np.searchsorted(uu, ru), weights=n).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(ru),
+                "octant": pa.array(ro),
+                "n_steps": pa.array(n),
+                "frac": pa.array(
+                    n.astype(np.float64)
+                    / tot[np.searchsorted(uu, ru)].astype(np.float64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_hm")
+        .map_groups(mix, batch_format="pandas")
+        .sort(["user_id", "octant"])
+    )
+
+
+def user_communities(sf_dir: str, tau: float = 0.04) -> rd.Dataset:
+    """Co-location COMMUNITIES — the social-inference composition over
+    movement data: the user x user co-location Jaccard graph
+    (pairwise_set_jaccard, only pairs sharing a cell are generated)
+    thresholded at ``tau``, then connected components via the
+    distributed min-label propagation (duplicate_clusters), with
+    community sizes attached by a keyed join.  The threshold compares
+    the identical single-division double on both sides, so membership
+    is bit-deterministic."""
+    from geoglue_ray.stages.dedup import duplicate_clusters
+    from geoglue_ray.stages.join import hash_equijoin
+    from geoglue_ray.stages.similarity import pairwise_set_jaccard
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        cx = np.floor(lon * 64.0).astype(np.int64)
+        cy = np.floor(lat * 64.0).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "cell": pa.array((cx << np.int64(16)) | cy),
+            }
+        )
+
+    pairs = pairwise_set_jaccard(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", "cell"
+    )
+
+    def edges(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["jaccard"], tau))
+        return pa.table({"doc_a": b["key_a"], "doc_b": b["key_b"]})
+
+    labels = duplicate_clusters(
+        pairs.map_batches(edges, batch_format="pyarrow"), sort=False
+    ).map_batches(
+        lambda b: b.rename_columns(["user_id", "community_id"]),
+        batch_format="pyarrow",
+    )
+    sizes = zonal_aggregate(
+        labels, ["count"], keys=["community_id"], value_col="user_id"
+    ).map_batches(
+        lambda b: b.rename_columns(["community_id", "community_size"]),
+        batch_format="pyarrow",
+    )
+    out = hash_equijoin(
+        labels,
+        sizes,
+        left_on="community_id",
+        right_on="community_id",
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("community_id", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("community_id", pa.int64()), ("community_size", pa.float64())]
+        ),
+    )
+    return out.select_columns(
+        ["user_id", "community_id", "community_size"]
+    ).sort("user_id")
