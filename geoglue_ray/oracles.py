@@ -5143,3 +5143,53 @@ SELECT l.user_id, l.community_id, szc.community_size
 FROM lab l JOIN szc USING (community_id)
 ORDER BY l.user_id
 """
+
+
+def embed_pq(n_blocks: int = 4, k: int = 4, rounds: int = 2, dim: int = 64) -> str:
+    """PQ twin: the embed_kmeans chain partitioned by sub-vector block —
+    identical quantization, per-(vec, block) argmin, per-block
+    round-half-up M-step, emptied codewords kept via LEFT-join
+    COALESCE."""
+    OFF = 1 << 20
+    bd = dim // n_blocks
+    parts = [
+        f"""q AS (
+  SELECT vec_id, i.range // {bd} AS block, i.range % {bd} AS dim,
+         CAST(floor(CAST(embedding[i.range + 1] AS DOUBLE) * {OFF}.0 + 0.5) AS BIGINT) AS v
+  FROM embeddings, range({dim}) i),
+c0 AS (SELECT vec_id AS cluster, block, dim, v AS cv FROM q WHERE vec_id < {k})"""
+    ]
+    for r in range(1, rounds + 1):
+        j = r - 1
+        parts.append(f"""
+a{r} AS (
+  SELECT vec_id, block, cluster,
+         row_number() OVER (PARTITION BY vec_id, block ORDER BY d2, cluster) AS rn
+  FROM (SELECT q.vec_id, q.block, c.cluster,
+               sum((q.v - c.cv) * (q.v - c.cv)) AS d2
+        FROM q JOIN c{j} c ON c.block = q.block AND c.dim = q.dim
+        GROUP BY 1, 2, 3)),
+s{r} AS (
+  SELECT a.block, a.cluster, q.dim, sum(q.v) AS s, count(*) AS n
+  FROM a{r} a JOIN q ON q.vec_id = a.vec_id AND q.block = a.block
+  WHERE a.rn = 1 GROUP BY 1, 2, 3),
+c{r} AS (
+  SELECT p.block, p.cluster, p.dim,
+         CASE WHEN s.n IS NULL THEN p.cv
+              ELSE (2 * (s.s + s.n * {OFF}) + s.n) // (2 * s.n) - {OFF}
+         END AS cv
+  FROM c{j} p LEFT JOIN s{r} s
+    ON s.block = p.block AND s.cluster = p.cluster AND s.dim = p.dim)""")
+    parts.append(f"""
+nn AS (SELECT block, cluster, count(*) AS n
+       FROM a{rounds} WHERE rn = 1 GROUP BY 1, 2)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT c.block, c.cluster AS cluster_id, c.dim,
+       CAST(c.cv AS BIGINT) AS centroid_q, COALESCE(nn.n, 0) AS n_members
+FROM c{rounds} c LEFT JOIN nn ON nn.block = c.block AND nn.cluster = c.cluster
+ORDER BY c.block, cluster_id, c.dim
+"""
+    )

@@ -6395,3 +6395,17 @@ def user_communities(sf_dir: str, tau: float = 0.04) -> rd.Dataset:
     return out.select_columns(
         ["user_id", "community_id", "community_size"]
     ).sort("user_id")
+
+
+def embed_pq(sf_dir: str) -> rd.Dataset:
+    """Product-quantization codebook training over the embedding corpus
+    (4 blocks x 4 codewords, 2 Lloyd rounds — the FAISS PQ memory path
+    next to the LSH/IVF recall paths; stages/similarity.pq_train trains
+    every block in the SAME streaming pass per round).  Bit-exact vs
+    the per-block chained assign/M-step CTE twin."""
+    from geoglue_ray.stages.similarity import pq_train
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pq_train(ds, n_blocks=4, k=4, rounds=2)

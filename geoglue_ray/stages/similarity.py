@@ -873,3 +873,128 @@ def kmeans_lloyd(
         }
     )
     return rd.from_arrow(out).sort(["cluster_id", "dim"])
+
+
+def pq_train(
+    ds: rd.Dataset,
+    n_blocks: int = 4,
+    k: int = 4,
+    rounds: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> rd.Dataset:
+    """PRODUCT-QUANTIZATION codebook training (the FAISS PQ shape — the
+    memory-side complement of the IVF/LSH ANN family): the embedding
+    splits into ``n_blocks`` contiguous sub-vectors and each block
+    trains its own k-means codebook, ALL blocks in the same streaming
+    pass per round (one batch scan computes every block's assignment
+    and partial sums — never one pass per block).  Arithmetic is the
+    kmeans_lloyd contract: 2^-20 integer quantization, int64 distances,
+    first-min == smallest-centroid tie rule, round-half-up integer
+    M-step, emptied codewords keep their previous centroid.
+
+    Returns ``n_blocks * k * (dim/n_blocks)`` rows:
+    (block, cluster_id, dim, centroid_q, n_members) — ``dim`` is the
+    within-block component index."""
+    import pyarrow.compute as pc
+
+    from geoglue_ray.stages.zonal import zonal_aggregate
+
+    assert dim % n_blocks == 0
+    bd = dim // n_blocks
+    OFF = 1 << 20
+    QS = float(OFF)
+
+    def quant(b: pa.Table) -> np.ndarray:
+        la = b[emb_col].combine_chunks()
+        mat = np.asarray(la.flatten()).reshape(len(b), -1)
+        return np.floor(mat.astype(np.float64) * QS + 0.5).astype(np.int64)
+
+    seeds = ds.map_batches(
+        lambda b: b.filter(pc.less(b[id_col], k)), batch_format="pyarrow"
+    ).take_all()
+    seeds.sort(key=lambda r: r[id_col])
+    seed_q = np.stack(
+        [
+            np.floor(np.asarray(r[emb_col], dtype=np.float64) * QS + 0.5).astype(
+                np.int64
+            )
+            for r in seeds
+        ]
+    )  # (k, dim)
+    # cents[b, j] = codeword j of block b, from seed vector j's block b
+    cents = np.stack([seed_q[:, b * bd : (b + 1) * bd] for b in range(n_blocks)])
+
+    n_members = np.zeros((n_blocks, k), dtype=np.int64)
+    for _ in range(rounds):
+
+        def partial(batch: pa.Table, *, c=cents.copy()) -> pa.Table:
+            q = quant(batch)
+            ks, bs_, ds_, ss = [], [], [], []
+            for b in range(c.shape[0]):
+                qb = q[:, b * bd : (b + 1) * bd]
+                cc = (c[b] * c[b]).sum(axis=1)
+                score = cc[None, :] - 2 * (qb @ c[b].T)
+                win = np.argmin(score, axis=1)
+                for j in range(c.shape[1]):
+                    m = win == j
+                    nj = int(m.sum())
+                    if nj == 0:
+                        continue
+                    bs_.append(np.full(bd + 1, b, dtype=np.int64))
+                    ks.append(np.full(bd + 1, j, dtype=np.int64))
+                    ds_.append(np.r_[np.arange(bd, dtype=np.int64), -1])
+                    ss.append(np.r_[qb[m].sum(axis=0), nj])
+            if not ks:
+                return pa.table(
+                    {
+                        "block": pa.array([], pa.int64()),
+                        "cluster": pa.array([], pa.int64()),
+                        "dim": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "block": pa.array(np.concatenate(bs_)),
+                    "cluster": pa.array(np.concatenate(ks)),
+                    "dim": pa.array(np.concatenate(ds_)),
+                    "s": pa.array(np.concatenate(ss).astype(np.float64)),
+                }
+            )
+
+        agg = zonal_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["sum"],
+            keys=["block", "cluster", "dim"],
+            value_col="s",
+        ).take_all()  # bounded: n_blocks x k x (bd + 1)
+        S = np.zeros((n_blocks, k, bd), dtype=np.int64)
+        n_members = np.zeros((n_blocks, k), dtype=np.int64)
+        for row in agg:
+            b, j, d = int(row["block"]), int(row["cluster"]), int(row["dim"])
+            s = int(row["sum"])
+            if d < 0:
+                n_members[b, j] = s
+            else:
+                S[b, j, d] = s
+        new = cents.copy()
+        nz = n_members > 0
+        nn = n_members[nz][:, None]
+        new[nz] = (2 * (S[nz] + nn * OFF) + nn) // (2 * nn) - OFF
+        cents = new
+
+    blk = np.repeat(np.arange(n_blocks, dtype=np.int64), k * bd)
+    cid = np.tile(np.repeat(np.arange(k, dtype=np.int64), bd), n_blocks)
+    dms = np.tile(np.arange(bd, dtype=np.int64), n_blocks * k)
+    out = pa.table(
+        {
+            "block": pa.array(blk),
+            "cluster_id": pa.array(cid),
+            "dim": pa.array(dms),
+            "centroid_q": pa.array(cents.reshape(-1)),
+            "n_members": pa.array(np.repeat(n_members.reshape(-1), bd)),
+        }
+    )
+    return rd.from_arrow(out).sort(["block", "cluster_id", "dim"])

@@ -1091,3 +1091,44 @@ def test_kmeans_lloyd_matches_brute_force(ray_session):
         got.groupby("cluster_id")["n_members"].first().to_numpy(), n
     )
     assert n.sum() == N and (n > 0).all()
+
+
+def test_pq_train_matches_brute_force(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.similarity import pq_train
+
+    rng = np.random.default_rng(13)
+    N, DIM, B, K, R = 90, 12, 3, 3, 2
+    bd = DIM // B
+    mat = (rng.random((N, DIM), dtype=np.float32) - 0.5) * 1.6
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(N, dtype=np.int64)),
+                "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+            }
+        )
+    ).repartition(4)
+    got = pq_train(ds, n_blocks=B, k=K, rounds=R, dim=DIM).to_pandas()
+
+    OFF = 1 << 20
+    q = np.floor(mat.astype(np.float64) * OFF + 0.5).astype(np.int64)
+    for b in range(B):
+        qb = q[:, b * bd : (b + 1) * bd]
+        cents = qb[:K].copy()
+        n = np.zeros(K, dtype=np.int64)
+        for _ in range(R):
+            d2 = ((qb[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            win = np.argmin(d2, axis=1)
+            n = np.bincount(win, minlength=K)
+            for j in range(K):
+                if n[j]:
+                    S = qb[win == j].sum(axis=0)
+                    cents[j] = (2 * (S + n[j] * OFF) + n[j]) // (2 * n[j]) - OFF
+        sub = got[got["block"] == b].sort_values(["cluster_id", "dim"])
+        assert np.array_equal(sub["centroid_q"].to_numpy(), cents.ravel())
+        assert np.array_equal(
+            sub.groupby("cluster_id")["n_members"].first().to_numpy(), n
+        )
