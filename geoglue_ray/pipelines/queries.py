@@ -6409,3 +6409,105 @@ def embed_pq(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return pq_train(ds, n_blocks=4, k=4, rounds=2)
+
+
+def embed_pq_recall(sf_dir: str) -> rd.Dataset:
+    """Driver-visible PQ-ADC recall gate (the embed_ivf_recall pattern):
+    corpus vectors encode to their per-block codewords (exact integer
+    argmin), queries score candidates ASYMMETRICALLY through the
+    (query x block x codeword) lookup table, and mean top-10 recall vs
+    the exact quantized-L2 ranking must clear the bound.  BOTH rankings
+    stream in one pass (per-batch local top-k candidates, bounded
+    driver merge); all distances are int64-exact, ties to the smaller
+    id."""
+    from geoglue_ray.stages.similarity import pq_train
+
+    B, K, DIM, TOPK = 8, 8, 64, 10
+    bd = DIM // B
+    OFF = 1 << 20
+    QS = float(OFF)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cb = pq_train(ds, n_blocks=B, k=K, rounds=2).to_pandas()  # bounded: B*K*bd
+    cents = np.zeros((B, K, bd), dtype=np.int64)
+    cents[
+        cb["block"].to_numpy(), cb["cluster_id"].to_numpy(), cb["dim"].to_numpy()
+    ] = cb["centroid_q"].to_numpy()
+
+    qrows = ds.map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], 4)), batch_format="pyarrow"
+    ).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack(
+        [
+            np.floor(np.asarray(r["embedding"], dtype=np.float64) * QS + 0.5).astype(
+                np.int64
+            )
+            for r in qrows
+        ]
+    )
+    nq = len(qids)
+    lut = np.zeros((nq, B, K), dtype=np.int64)
+    for b in range(B):
+        qb = qmat[:, b * bd : (b + 1) * bd]
+        d = qb[:, None, :] - cents[b][None, :, :]
+        lut[:, b, :] = (d * d).sum(axis=2)
+
+    def cands(batch: pa.Table) -> pa.Table:
+        la = batch["embedding"].combine_chunks()
+        x = np.floor(
+            np.asarray(la.flatten()).reshape(len(batch), -1).astype(np.float64) * QS
+            + 0.5
+        ).astype(np.int64)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        n = len(ids)
+        adc = np.zeros((nq, n), dtype=np.int64)
+        exact = np.zeros((nq, n), dtype=np.int64)
+        for b in range(B):
+            xb = x[:, b * bd : (b + 1) * bd]
+            cc = (cents[b] * cents[b]).sum(axis=1)
+            codes = np.argmin(cc[None, :] - 2 * (xb @ cents[b].T), axis=1)
+            adc += lut[:, b, :][:, codes]
+            for qi in range(nq):
+                d = xb - qmat[qi, b * bd : (b + 1) * bd][None, :]
+                exact[qi] += (d * d).sum(axis=1)
+        outs = {"query_id": [], "method": [], "neighbor_id": [], "score": []}
+        for mth, S in (("adc", adc), ("exact", exact)):
+            for qi in range(nq):
+                s = S[qi].copy()
+                s[ids == qids[qi]] = np.iinfo(np.int64).max  # self-exclusion
+                kk = min(TOPK, n)
+                o = np.lexsort((ids, s))[:kk]
+                outs["query_id"].append(np.full(kk, qids[qi]))
+                outs["method"].append(np.repeat(mth, kk))
+                outs["neighbor_id"].append(ids[o])
+                outs["score"].append(s[o])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(outs["query_id"])),
+                "method": pa.array(np.concatenate(outs["method"]).astype(str)),
+                "neighbor_id": pa.array(np.concatenate(outs["neighbor_id"])),
+                "score": pa.array(np.concatenate(outs["score"])),
+            }
+        )
+
+    # bounded: 2 methods x nq x TOPK per block
+    cand = ds.map_batches(cands, batch_format="pyarrow").to_pandas()
+    recalls = []
+    for qid in qids:
+        tops = {}
+        for mth in ("adc", "exact"):
+            sub = cand[(cand["query_id"] == qid) & (cand["method"] == mth)]
+            sub = sub.sort_values(["score", "neighbor_id"], kind="mergesort")
+            tops[mth] = set(sub.head(TOPK)["neighbor_id"])
+        recalls.append(len(tops["adc"] & tops["exact"]) / TOPK)
+    out = pa.table(
+        {
+            "query_id": pa.array(qids),
+            "recall_ok": pa.array([bool(np.mean(recalls) >= 0.3)] * len(qids)),
+        }
+    )
+    return rd.from_arrow(out).sort("query_id")
