@@ -5201,3 +5201,34 @@ def embed_pq_recall() -> str:
     return """
 SELECT i.range AS query_id, TRUE AS recall_ok FROM range(4) i ORDER BY 1
 """
+
+
+def events_scan_stat() -> str:
+    """Scan-statistic twin: cylinder counts + window marginals, the same
+    cross-multiplied integer excess (no division), HUGEINT sums cast
+    back to BIGINT, (excess desc, row, col, win) top 20."""
+    lon = fx.sql_lon("event_id")
+    lat = fx.sql_lat("event_id")
+    return f"""
+WITH e AS (
+  SELECT CAST(floor((24.0625 - {lat}) / 0.25) AS BIGINT) AS r,
+         CAST(floor(({lon} - 102.0) / 0.25) AS BIGINT) AS c,
+         CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) // 72 AS w
+  FROM events),
+f AS (
+  SELECT r, c, w FROM e
+  WHERE r >= 0 AND r < 64 AND c >= 0 AND c < 33 AND w >= 0 AND w < 10),
+cyl AS (SELECT r, c, w, count(*) AS n FROM f GROUP BY 1, 2, 3),
+mc AS (SELECT r, c, CAST(sum(n) AS BIGINT) AS n_cell FROM cyl GROUP BY 1, 2),
+mw AS (SELECT w, CAST(sum(n) AS BIGINT) AS n_win FROM cyl GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cyl)
+SELECT cyl.r AS cell_row, cyl.c AS cell_col, cyl.w AS win,
+       cyl.n AS n_obs,
+       cyl.n * tot.nn - mc.n_cell * mw.n_win AS excess
+FROM cyl
+JOIN mc ON mc.r = cyl.r AND mc.c = cyl.c
+JOIN mw ON mw.w = cyl.w
+CROSS JOIN tot
+ORDER BY excess DESC, cell_row, cell_col, win
+LIMIT 20
+"""

@@ -6511,3 +6511,70 @@ def embed_pq_recall(sf_dir: str) -> rd.Dataset:
         }
     )
     return rd.from_arrow(out).sort("query_id")
+
+
+def events_scan_stat(sf_dir: str) -> rd.Dataset:
+    """Space-time SCAN statistic (the Kulldorff permutation-scan shape
+    epidemiology runs over case streams): events bin to (ERA5 cell,
+    3-day window) cylinders and each cylinder scores its INTEGER excess
+    ``obs*N - n_cell*n_win`` — positive exactly when observed exceeds
+    the space-time-independence expectation n_cell*n_win/N, with no
+    division anywhere (the ratio ordering is cross-multiplied away, so
+    int64 arithmetic ranks cylinders deterministically).  Top 20 by
+    (excess desc, cell_row, cell_col, win).  Shape: per-batch partial
+    collapse to cylinder counts; the cylinder table is lattice x
+    windows bounded, so marginals and scores compute in one final
+    vectorized pass (events_density pattern)."""
+    from geoglue_ray.sources.raster import RXSIZE, RYSIZE
+
+    # the events stream's own epoch (driver fixture: 2024-01-01..01-30),
+    # NOT the raster's fx.T0
+    T0 = np.datetime64("2024-01-01T00:00:00", "us")
+    N_WIN = 10  # 30 days / 3-day windows
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def bin_counts(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        r = np.floor((24.0625 - lat) / 0.25).astype(np.int64)
+        c = np.floor((lon - 102.0) / 0.25).astype(np.int64)
+        h = (b["ts"].to_numpy() - T0).astype("timedelta64[h]").astype(np.int64)
+        w = h // 72
+        ok = (r >= 0) & (r < RYSIZE) & (c >= 0) & (c < RXSIZE) & (w >= 0) & (w < N_WIN)
+        packed = (r[ok] * RXSIZE + c[ok]) * N_WIN + w[ok]
+        cnt = np.bincount(packed, minlength=RYSIZE * RXSIZE * N_WIN)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "cell": pa.array(nz // N_WIN),
+                "win": pa.array(nz % N_WIN),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    # bounded: <= lattice x windows rows per block partial
+    parts = ds.map_batches(bin_counts, batch_format="pyarrow").take_all()
+    grid = np.zeros(RYSIZE * RXSIZE * N_WIN, dtype=np.int64)
+    for row in parts:
+        grid[int(row["cell"]) * N_WIN + int(row["win"])] += int(row["n"])
+    obs = grid.reshape(RYSIZE * RXSIZE, N_WIN)
+    n_cell = obs.sum(axis=1)
+    n_win = obs.sum(axis=0)
+    N = int(obs.sum())
+    excess = obs * np.int64(N) - n_cell[:, None] * n_win[None, :]
+    cell_idx, win_idx = np.nonzero(obs)  # score only non-empty cylinders
+    ex = excess[cell_idx, win_idx]
+    rr, cc = cell_idx // RXSIZE, cell_idx % RXSIZE
+    o = np.lexsort((win_idx, cc, rr, -ex))[:20]
+    out = pa.table(
+        {
+            "cell_row": pa.array(rr[o]),
+            "cell_col": pa.array(cc[o]),
+            "win": pa.array(win_idx[o]),
+            "n_obs": pa.array(obs[cell_idx, win_idx][o]),
+            "excess": pa.array(ex[o]),
+        }
+    )
+    return rd.from_arrow(out).sort(
+        ["excess", "cell_row", "cell_col", "win"],
+        descending=[True, False, False, False],
+    )
