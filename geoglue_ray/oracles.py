@@ -5232,3 +5232,20 @@ CROSS JOIN tot
 ORDER BY excess DESC, cell_row, cell_col, win
 LIMIT 20
 """
+
+
+def trade_pairs() -> str:
+    """Q7-shape twin: floored per-row revenue, nation names on both
+    sides, |nations|^2 pair rollup."""
+    return """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(count(*) AS DOUBLE) AS n_items,
+       sum(floor(l.l_extendedprice * (1.0 - l.l_discount))) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

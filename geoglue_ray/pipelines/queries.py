@@ -6578,3 +6578,84 @@ def events_scan_stat(sf_dir: str) -> rd.Dataset:
         ["excess", "cell_row", "cell_col", "win"],
         descending=[True, False, False, False],
     )
+
+
+def trade_pairs(sf_dir: str) -> rd.Dataset:
+    """Bilateral nation-pair revenue matrix (TPC-H Q7 shape): the fact
+    table joins a dimension on EACH side — lineitem -> supplier nation
+    and lineitem -> orders -> customer nation — then collapses to the
+    |nations|^2 pair matrix.  Three fixed-shard hash joins; the tiny
+    nation-name table attaches via one driver-bounded lookup map in the
+    final pass (never a shuffle)."""
+    from geoglue_ray.stages.join import hash_equijoin
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = np.floor(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "revenue": pa.array(r),
+            }
+        )
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    j1 = hash_equijoin(
+        li.map_batches(rev, batch_format="pyarrow"),
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+    )
+    j2 = hash_equijoin(
+        j1.select_columns(["l_orderkey", "revenue", "s_nationkey"]),
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    j3 = hash_equijoin(
+        j2.select_columns(["revenue", "s_nationkey", "o_custkey"]),
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    agg = zonal_aggregate(
+        j3.select_columns(["s_nationkey", "c_nationkey", "revenue"]),
+        ["count", "sum"],
+        keys=["s_nationkey", "c_nationkey"],
+        value_col="revenue",
+    )
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()  # bounded: |nations|
+    names = {int(r["n_nationkey"]): r["n_name"] for r in nat}
+
+    def final(b: pa.Table) -> pa.Table:
+        sk = b["s_nationkey"].to_numpy()
+        ck = b["c_nationkey"].to_numpy()
+        return pa.table(
+            {
+                "supp_nation": pa.array([names[int(k)] for k in sk]),
+                "cust_nation": pa.array([names[int(k)] for k in ck]),
+                "n_items": b["count"],
+                "revenue": b["sum"],
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation"]
+    )
