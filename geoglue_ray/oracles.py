@@ -5249,3 +5249,24 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation nc ON c.c_nationkey = nc.n_nationkey
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def consensus_neardup() -> str:
+    """Ensemble twin: the minhash pair CTE joined to the simhash pair
+    set — a pair survives only when both detectors flag it."""
+    from geoglue_ray.functions.texthash import sql_u64_to_bigint
+
+    ham = (
+        f"bit_count(xor({sql_u64_to_bigint('a.fp')}, {sql_u64_to_bigint('b.fp')}))"
+    )
+    return f"""
+WITH {_sql_minhash_cte(0.4)},
+{_sql_simhash_fp()},
+shp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST({ham} AS BIGINT) AS hamming
+  FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+  WHERE {ham} <= 4)
+SELECT m.doc_a, m.doc_b, m.est_jaccard, shp.hamming
+FROM mh_pairs m JOIN shp ON shp.doc_a = m.doc_a AND shp.doc_b = m.doc_b
+ORDER BY 1, 2
+"""

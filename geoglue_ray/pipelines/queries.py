@@ -6659,3 +6659,51 @@ def trade_pairs(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(final, batch_format="pyarrow").sort(
         ["supp_nation", "cust_nation"]
     )
+
+
+def consensus_neardup(sf_dir: str) -> rd.Dataset:
+    """ENSEMBLE near-dup detection — the precision move real curation
+    stacks use: a candidate pair survives only when BOTH the
+    MinHash/LSH (est_jaccard >= 0.4) and the SimHash (hamming <= 4)
+    detectors flag it.  The two pair tables co-shuffle on a packed
+    (doc_a << 32 | doc_b) key through one fixed-shard hash join, so the
+    consensus is never an all-pairs pass over either set."""
+    from geoglue_ray.stages.dedup import minhash_neardup as mh
+    from geoglue_ray.stages.dedup import simhash_neardup as sh
+    from geoglue_ray.stages.join import hash_equijoin
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+
+    def pack(b: pa.Table, keep: str) -> pa.Table:
+        k = (b["doc_a"].to_numpy().astype(np.int64) << np.int64(32)) | b[
+            "doc_b"
+        ].to_numpy().astype(np.int64)
+        return pa.table({"pair": pa.array(k), keep: b[keep]})
+
+    mhp = mh(ds, threshold=0.4).map_batches(
+        lambda b: pack(b, "est_jaccard"), batch_format="pyarrow"
+    )
+    shp = sh(ds, max_hamming=4).map_batches(
+        lambda b: pack(b, "hamming"), batch_format="pyarrow"
+    )
+    j = hash_equijoin(
+        mhp,
+        shp,
+        left_on="pair",
+        right_on="pair",
+        left_schema=pa.schema([("pair", pa.int64()), ("est_jaccard", pa.float64())]),
+        right_schema=pa.schema([("pair", pa.int64()), ("hamming", pa.int64())]),
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b["pair"].to_numpy()
+        return pa.table(
+            {
+                "doc_a": pa.array(k >> np.int64(32)),
+                "doc_b": pa.array(k & np.int64(0xFFFFFFFF)),
+                "est_jaccard": b["est_jaccard"],
+                "hamming": b["hamming"],
+            }
+        )
+
+    return j.map_batches(unpack, batch_format="pyarrow").sort(["doc_a", "doc_b"])
