@@ -5270,3 +5270,17 @@ SELECT m.doc_a, m.doc_b, m.est_jaccard, shp.hamming
 FROM mh_pairs m JOIN shp ON shp.doc_a = m.doc_a AND shp.doc_b = m.doc_b
 ORDER BY 1, 2
 """
+
+
+def source_profile() -> str:
+    """Datasheet twin: per-source counts/totals, distinct langs, one
+    exact division; HUGEINT sums cast back to BIGINT."""
+    return r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""

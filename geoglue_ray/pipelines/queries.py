@@ -6707,3 +6707,66 @@ def consensus_neardup(sf_dir: str) -> rd.Dataset:
         )
 
     return j.map_batches(unpack, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+
+
+def source_profile(sf_dir: str) -> rd.Dataset:
+    """Per-source dataset DATASHEET (the governance/data-card profile a
+    curation pipeline publishes per provenance bucket): document count,
+    exact token and char totals, distinct-language count, and mean
+    chars per doc (one division of exact int64 sums).  Every batch
+    collapses to source-cardinality partial rows, so the final merge is
+    provenance-cardinality bounded; the distinct-language count rides
+    count_distinct's partial-deduped shuffle."""
+    from geoglue_ray.stages.text import token_count
+    from geoglue_ray.stages.validate import count_distinct
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        b = token_count(b)
+        codes, uniq = pd.factorize(b["source"], use_na_sentinel=False)
+        n = np.bincount(codes)
+        toks = np.bincount(codes, weights=b["n_tokens"].to_numpy()).astype(np.int64)
+        chars = np.bincount(codes, weights=b["n_chars"].to_numpy()).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(uniq.astype(str)),
+                "n_docs": pa.array(n.astype(np.int64)),
+                "n_tokens": pa.array(toks),
+                "n_chars": pa.array(chars),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in parts:  # bounded: sources x blocks
+        a = acc.setdefault(r["source"], [0, 0, 0])
+        a[0] += int(r["n_docs"])
+        a[1] += int(r["n_tokens"])
+        a[2] += int(r["n_chars"])
+    langs = {
+        r["source"]: int(r["n_langs"])
+        for r in count_distinct(
+            read_documents_cols(sf_dir, ["source", "lang"]),
+            ["source"],
+            ["lang"],
+            "n_langs",
+        ).take_all()
+    }
+    srcs = sorted(acc)
+    nd = np.array([acc[s0][0] for s0 in srcs], dtype=np.int64)
+    nt = np.array([acc[s0][1] for s0 in srcs], dtype=np.int64)
+    nc = np.array([acc[s0][2] for s0 in srcs], dtype=np.int64)
+    out = pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_docs": pa.array(nd),
+            "n_tokens": pa.array(nt),
+            "n_chars": pa.array(nc),
+            "n_langs": pa.array([langs[s0] for s0 in srcs], pa.int64()),
+            "mean_chars": pa.array(nc.astype(np.float64) / nd.astype(np.float64)),
+        }
+    )
+    return rd.from_arrow(out).sort("source")
