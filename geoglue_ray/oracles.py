@@ -5284,3 +5284,31 @@ SELECT source,
        CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars
 FROM documents GROUP BY 1 ORDER BY 1
 """
+
+
+def user_pingpong() -> str:
+    """Ping-pong twin: two lag windows over the closed-form admin
+    sequence, FILTERed counts, one exact division."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         {fx.sql_lon('event_id')} AS lon, {fx.sql_lat('event_id')} AS lat
+  FROM events WHERE event_id % {fx.OUT_MOD} <> 0),
+a AS (
+  SELECT user_id, event_id, ts,
+         {fx.sql_admin2_inside('lon', 'lat')} AS fid
+  FROM e),
+w AS (
+  SELECT user_id, fid,
+         lag(fid, 1) OVER u AS f1, lag(fid, 2) OVER u AS f2
+  FROM a WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (
+  SELECT user_id,
+         count(*) FILTER (WHERE f2 IS NOT NULL) AS n_triples,
+         count(*) FILTER (WHERE f2 = fid AND f1 <> fid) AS n_pingpong
+  FROM w GROUP BY 1
+  HAVING count(*) FILTER (WHERE f2 IS NOT NULL) > 0)
+SELECT user_id, n_pingpong, n_triples,
+       CAST(n_pingpong AS DOUBLE) / CAST(n_triples AS DOUBLE) AS pingpong_rate
+FROM c ORDER BY user_id
+"""

@@ -6770,3 +6770,100 @@ def source_profile(sf_dir: str) -> rd.Dataset:
         }
     )
     return rd.from_arrow(out).sort("source")
+
+
+def user_pingpong(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """A-B-A "ping-pong" movement detection (the telecom tower-hopping
+    QA signal): for each user's (ts, event_id)-ordered admin-2 sequence,
+    count positions where the unit two steps back recurs with a
+    DIFFERENT unit in between.  Events assign by the real PIP join;
+    one lexsort + shifted-compare pass per user shard; users need >= 3
+    events (both sides filter identically); rate is one exact
+    division."""
+    import ray
+    import pandas as pd
+
+    from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        b = b.filter(pa.array(ids % fx.OUT_MOD != 0))
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "value": pa.array(np.zeros(len(b))),
+            }
+        )
+
+    index = AdminIndex.build(build_admin_table())
+    assigned = spatial_join(
+        ds.map_batches(prep, batch_format="pyarrow").map_batches(
+            encode_cells, batch_format="pyarrow"
+        ),
+        index_ref=ray.put(index),
+    )
+
+    def shard(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        sh = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        fid = pc.cast(pc.utf8_slice_codeunits(b["admin_id"], 5, 99), pa.int64())
+        return pa.table(
+            {
+                "_pp": pa.array(sh),
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "fid": fid,
+            }
+        )
+
+    def pingpong(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_pingpong": pa.array([], pa.int64()),
+                "n_triples": pa.array([], pa.int64()),
+                "pingpong_rate": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        fid = g["fid"].to_numpy().astype(np.int64)
+        o = np.lexsort((eid, t, uid))
+        uid, fid = uid[o], fid[o]
+        same2 = (uid[2:] == uid[:-2])
+        hit = same2 & (fid[2:] == fid[:-2]) & (fid[1:-1] != fid[2:])
+        hu = uid[2:][same2]
+        uu, tri = np.unique(hu, return_counts=True)
+        pp = np.bincount(np.searchsorted(uu, uid[2:][same2 & hit]), minlength=len(uu))
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "n_pingpong": pa.array(pp.astype(np.int64)),
+                "n_triples": pa.array(tri.astype(np.int64)),
+                "pingpong_rate": pa.array(
+                    pp.astype(np.float64) / tri.astype(np.float64)
+                ),
+            }
+        )
+
+    return (
+        assigned.map_batches(shard, batch_format="pyarrow")
+        .groupby("_pp")
+        .map_groups(pingpong, batch_format="pandas")
+        .sort("user_id")
+    )
