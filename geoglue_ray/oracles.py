@@ -5312,3 +5312,25 @@ SELECT user_id, n_pingpong, n_triples,
        CAST(n_pingpong AS DOUBLE) / CAST(n_triples AS DOUBLE) AS pingpong_rate
 FROM c ORDER BY user_id
 """
+
+
+def user_burstiness() -> str:
+    """Burstiness twin: lag window whole-second gaps (date_diff
+    truncation == numpy floor on the non-negative domain), cleared-
+    denominator dispersion ratio, HUGEINT products cast to BIGINT
+    before the one double division."""
+    return """
+WITH w AS (
+  SELECT user_id,
+         CAST(date_diff('second', lag(ts) OVER u, ts) AS BIGINT) AS gap
+  FROM events WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (
+  SELECT user_id,
+         CAST(count(gap) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS gap_sum,
+         CAST(sum(gap * gap) AS BIGINT) AS s2
+  FROM w WHERE gap IS NOT NULL GROUP BY 1)
+SELECT user_id, n_gaps, gap_sum,
+       CAST(n_gaps * s2 AS DOUBLE) / CAST(gap_sum * gap_sum AS DOUBLE) AS gap_cv2
+FROM c ORDER BY user_id
+"""

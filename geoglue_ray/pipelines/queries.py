@@ -6867,3 +6867,72 @@ def user_pingpong(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
         .map_groups(pingpong, batch_format="pandas")
         .sort("user_id")
     )
+
+
+def user_burstiness(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Inter-event BURSTINESS per user (the Goh-Barabasi temporal
+    signature, reported as the dispersion ratio CV^2 =
+    n * sum(g^2) / sum(g)^2 of whole-second gaps — denominators cleared
+    so both factors are exact int64 and the statistic is ONE division;
+    int64 -> double casts round-to-nearest identically to DuckDB's
+    HUGEINT -> DOUBLE for the same value).  One lexsort + diff pass per
+    user shard; users need >= 2 events."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        sh = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return b.append_column("_ub", pa.array(sh))
+
+    def burst(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "gap_sum": pa.array([], pa.int64()),
+                "gap_cv2": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        o = np.lexsort((eid, t, uid))
+        uid, t = uid[o], t[o]
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return empty
+        # DuckDB date_diff('second') counts BOUNDARY crossings: truncate
+        # each timestamp to seconds FIRST, then diff (not floor(dt))
+        tsec = t // 1_000_000
+        gap = (tsec[1:] - tsec[:-1])[same]
+        su = uid[1:][same]
+        uu = np.unique(su)
+        pos = np.searchsorted(uu, su)
+        n = np.bincount(pos).astype(np.int64)
+        s1 = np.bincount(pos, weights=gap).astype(np.int64)
+        s2 = np.bincount(pos, weights=gap * gap).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "n_gaps": pa.array(n),
+                "gap_sum": pa.array(s1),
+                "gap_cv2": pa.array(
+                    (n * s2).astype(np.float64) / (s1 * s1).astype(np.float64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_ub")
+        .map_groups(burst, batch_format="pandas")
+        .sort("user_id")
+    )
