@@ -5334,3 +5334,41 @@ SELECT user_id, n_gaps, gap_sum,
        CAST(n_gaps * s2 AS DOUBLE) / CAST(gap_sum * gap_sum AS DOUBLE) AS gap_cv2
 FROM c ORDER BY user_id
 """
+
+
+def incremental_dedup() -> str:
+    """Incremental-dedup twin: exact-fingerprint base counts plus the
+    minhash pair CTE restricted to cross-split pairs, LEFT-joined to
+    the new batch."""
+    from geoglue_ray.functions.texthash import U64, sql_token_hash, sql_u64_to_bigint
+    from geoglue_ray.stages.text import _FP_BASE, _FP_SEED
+
+    th_list = f"list_transform({_sql_tokens('text')}, t -> {sql_token_hash('t')})"
+    fp = (
+        f"list_reduce(list_prepend({int(_FP_SEED)}::HUGEINT, {th_list}), "
+        f"(acc, x) -> xor((acc * {int(_FP_BASE)}::HUGEINT) % {U64}::HUGEINT, x))"
+    )
+    return f"""
+WITH {_sql_minhash_cte(0.4)},
+fps AS (
+  SELECT doc_id,
+         CASE WHEN length({_sql_tokens('text')}) = 0 THEN 0
+              ELSE {sql_u64_to_bigint(fp)} END AS fingerprint
+  FROM documents),
+base AS (
+  SELECT fingerprint, count(*) AS n FROM fps WHERE doc_id % 5 <> 0 GROUP BY 1),
+newd AS (SELECT doc_id, fingerprint FROM fps WHERE doc_id % 5 = 0),
+cross_pairs AS (
+  SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id
+  FROM mh_pairs
+  WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)),
+near AS (SELECT doc_id, count(*) AS n FROM cross_pairs GROUP BY 1)
+SELECT nd.doc_id,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_exact_matches,
+       CAST(COALESCE(nr.n, 0) AS BIGINT) AS n_near_neighbors,
+       COALESCE(b.n, 0) > 0 OR COALESCE(nr.n, 0) > 0 AS is_duplicate
+FROM newd nd
+LEFT JOIN base b USING (fingerprint)
+LEFT JOIN near nr ON nr.doc_id = nd.doc_id
+ORDER BY nd.doc_id
+"""

@@ -6936,3 +6936,118 @@ def user_burstiness(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
         .map_groups(burst, batch_format="pandas")
         .sort("user_id")
     )
+
+
+def incremental_dedup(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """INCREMENTAL ingestion dedup — the streaming-corpus shape: a new
+    document batch (doc_id % 5 == 0 as the arriving shard) checks
+    itself against the EXISTING base corpus on TWO signals: exact
+    content identity (the SQL-replicable rolling FNV fingerprint — one
+    tagged co-shuffle on hash(fingerprint), per-shard searchsorted
+    lookups, no base-side table materialized) and NEAR-duplication (the
+    MinHash/LSH pair set restricted to cross-split pairs, counted per
+    new doc).  Emits (doc_id, n_exact_matches, n_near_neighbors,
+    is_duplicate) for the new batch — the gate the ingest step runs
+    before admitting documents."""
+    import pandas as pd
+
+    from geoglue_ray.stages.dedup import minhash_neardup as mh
+    from geoglue_ray.stages.join import hash_equijoin
+    from geoglue_ray.stages.text import fingerprint
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    fp_ds = ds.map_batches(fingerprint, batch_format="pyarrow")
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        fp = b["fingerprint"].to_numpy().astype(np.int64)
+        sh = (
+            (fp.view(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_id": pa.array(ids),
+                "fp": pa.array(fp),
+                "_new": pa.array((ids % 5 == 0)),
+                "_s": pa.array(sh),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_exact_matches": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        ids = g["_id"].to_numpy().astype(np.int64)
+        fp = g["fp"].to_numpy().astype(np.int64)
+        newm = g["_new"].to_numpy().astype(bool)
+        if not newm.any():
+            return empty
+        bfp = np.sort(fp[~newm])
+        nfp = fp[newm]
+        n = (
+            np.searchsorted(bfp, nfp, side="right")
+            - np.searchsorted(bfp, nfp, side="left")
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids[newm]), "n_exact_matches": pa.array(n)}
+        )
+
+    exact = (
+        fp_ds.select_columns(["doc_id", "fingerprint"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+    def cross_pairs(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy().astype(np.int64)
+        d = b["doc_b"].to_numpy().astype(np.int64)
+        an, dn = a % 5 == 0, d % 5 == 0
+        new_doc = np.concatenate([a[an & ~dn], d[dn & ~an]])
+        return pa.table({"doc_id": pa.array(new_doc)})
+
+    near = zonal_aggregate(
+        mh(ds, threshold=0.4).map_batches(cross_pairs, batch_format="pyarrow"),
+        ["count"],
+        keys=["doc_id"],
+        value_col="doc_id",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_near": pc.cast(b["count"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_equijoin(
+        exact,
+        near,
+        left_on="doc_id",
+        right_on="doc_id",
+        how="left",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("n_exact_matches", pa.int64())]
+        ),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("n_near", pa.int64())]),
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        ne = b["n_exact_matches"].to_numpy()
+        nn = pc.fill_null(b["n_near"], 0).to_numpy()
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_exact_matches": pa.array(ne),
+                "n_near_neighbors": pa.array(nn.astype(np.int64)),
+                "is_duplicate": pa.array((ne > 0) | (nn > 0)),
+            }
+        )
+
+    return j.map_batches(final, batch_format="pyarrow").sort("doc_id")
