@@ -180,6 +180,9 @@ def _run_queries() -> dict:
         # round-4 continuation 4: iterative distributed EM (2 Lloyd
         # rounds, broadcast centroids + integer matmul per batch)
         ("embed_kmeans", q.embed_kmeans),
+        # climate-epi exposure attribution: events x full space-time
+        # raster big-big join on the packed (row, col, hour) key
+        ("exposure_bands", q.exposure_bands),
     ]
     extra_reps = int(os.environ.get("GRAFT_EXTRA_REPEATS", "2"))
     for name, fn in extra:

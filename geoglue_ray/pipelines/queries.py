@@ -7051,3 +7051,102 @@ def incremental_dedup(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
         )
 
     return j.map_batches(final, batch_format="pyarrow").sort("doc_id")
+
+
+def exposure_bands(sf_dir: str) -> rd.Dataset:
+    """EXPOSURE ATTRIBUTION — the climate-epidemiology workhorse this
+    engine exists for: every event joins the full space-TIME raster at
+    its (cell, hour) and the events roll up by temperature band
+    (value // 100).  A true big-big hash equijoin on the packed
+    (row, col, hour) key — the raster side is 1.5M hourly cells, the
+    event side the whole stream; neither broadcasts.  Hole cells carry
+    no raster row, so exposure there is undefined and those events drop
+    (inner semantics, mirrored by the twin's NULL filter).  Event hours
+    map 1:1 onto the raster's 720-hour span (both fixtures cover the
+    same 30 days from their own epochs).  Band mean is one division of
+    exact integer sums."""
+    from geoglue_ray.sources.raster import RXSIZE, RYSIZE, read_raster
+    from geoglue_ray.stages.join import hash_equijoin
+
+    T0E = np.datetime64("2024-01-01T00:00:00", "us")  # events epoch
+    T0R = np.datetime64(fx.T0, "us")  # raster epoch
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def ev_prep(b: pa.Table) -> pa.Table:
+        # PARTIAL COLLAPSE before the join: events >> distinct (cell, hour)
+        # keys at scale, so the join's probe side ships per-key counts,
+        # never event rows (the zonal partial/final rule applied to a join)
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        r = np.floor((24.0625 - lat) / 0.25).astype(np.int64)
+        c = np.floor((lon - 102.0) / 0.25).astype(np.int64)
+        h = (b["ts"].to_numpy() - T0E).astype("timedelta64[h]").astype(np.int64)
+        ok = (r >= 0) & (r < RYSIZE) & (c >= 0) & (c < RXSIZE) & (h >= 0) & (h < 720)
+        key = ((r * RXSIZE + c) * np.int64(720) + h)[ok]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"key": pa.array(uk), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    ra = read_raster(n_days=30)
+
+    def ra_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["variable"], "t2m"))
+        v = b["value"].to_numpy(zero_copy_only=False)
+        fin = np.isfinite(v)
+        r = b["cell_row"].to_numpy().astype(np.int64)[fin]
+        c = b["cell_col"].to_numpy().astype(np.int64)[fin]
+        h = (
+            (b["valid_time"].to_numpy() - T0R)
+            .astype("timedelta64[h]")
+            .astype(np.int64)[fin]
+        )
+        return pa.table(
+            {
+                "key": pa.array((r * RXSIZE + c) * np.int64(720) + h),
+                "value": pa.array(v[fin]),
+            }
+        )
+
+    j = hash_equijoin(
+        ev.map_batches(ev_prep, batch_format="pyarrow"),
+        ra.map_batches(ra_prep, batch_format="pyarrow"),
+        left_on="key",
+        right_on="key",
+    )
+    def banded(b: pa.Table) -> pa.Table:
+        # long form (band, metric, v) so ONE aggregate carries both the
+        # event count (metric 0) and the exact value*n sum (metric 1) —
+        # a second aggregate would re-execute the join lineage
+        v = b["value"].to_numpy()
+        n = b["n"].to_numpy().astype(np.float64)
+        band = v.astype(np.int64) // 100
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate([band, band])),
+                "metric": pa.array(
+                    np.r_[np.zeros(len(v), np.int64), np.ones(len(v), np.int64)]
+                ),
+                "v": pa.array(np.concatenate([n, v * n])),
+            }
+        )
+
+    agg = zonal_aggregate(
+        j.map_batches(banded, batch_format="pyarrow"),
+        ["sum"],
+        keys=["band", "metric"],
+        value_col="v",
+    ).take_all()  # bounded: bands x 2
+    nmap = {int(r["band"]): float(r["sum"]) for r in agg if int(r["metric"]) == 0}
+    smap = {int(r["band"]): float(r["sum"]) for r in agg if int(r["metric"]) == 1}
+    bands = sorted(nmap)
+    n_arr = np.array([nmap[x] for x in bands])
+    s_arr = np.array([smap[x] for x in bands])
+    out = pa.table(
+        {
+            "band": pa.array(np.asarray(bands, dtype=np.int64)),
+            "n_events": pa.array(n_arr),
+            "mean_value": pa.array(s_arr / n_arr),
+        }
+    )
+    return rd.from_arrow(out).sort("band")
