@@ -5398,3 +5398,30 @@ SELECT band,
        sum(v) / CAST(count(*) AS DOUBLE) AS mean_value
 FROM b GROUP BY 1 ORDER BY 1
 """
+
+
+def exposure_lags(n_lags: int = 4) -> str:
+    """Distributed-lag twin: lateral lag expansion, the closed-form
+    raster value at the shifted hour, per-(lag, band) rollup."""
+    lon = fx.sql_lon("event_id")
+    lat = fx.sql_lat("event_id")
+    return f"""
+WITH e AS (
+  SELECT CAST(floor((24.0625 - {lat}) / 0.25) AS BIGINT) AS r,
+         CAST(floor(({lon} - 102.0) / 0.25) AS BIGINT) AS c,
+         CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)
+           - 24 * lg.range AS h,
+         lg.range AS lag
+  FROM events, range({n_lags}) lg),
+f AS (
+  SELECT lag, r, c, h,
+         CASE WHEN (r * 33 + c) % 11 = 0 THEN NULL
+              ELSE CAST((h * 31 + r * 7 + c * 13) % 997 AS DOUBLE) END AS v
+  FROM e
+  WHERE r >= 0 AND r < 64 AND c >= 0 AND c < 33 AND h >= 0 AND h < 720),
+b AS (SELECT lag, CAST(v AS BIGINT) // 100 AS band, v FROM f WHERE v IS NOT NULL)
+SELECT lag, band,
+       CAST(count(*) AS DOUBLE) AS n_events,
+       sum(v) / CAST(count(*) AS DOUBLE) AS mean_value
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""

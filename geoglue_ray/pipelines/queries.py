@@ -7150,3 +7150,119 @@ def exposure_bands(sf_dir: str) -> rd.Dataset:
         }
     )
     return rd.from_arrow(out).sort("band")
+
+
+def exposure_lags(sf_dir: str, n_lags: int = 4) -> rd.Dataset:
+    """DISTRIBUTED-LAG exposure (the DLNM shape of environmental epi):
+    each event samples the raster at its cell for lag hours 0, 24, 48,
+    72 before the event, and counts roll up per (lag, band) — does
+    yesterday's exposure predict today's cases.  The event side expands
+    n_lags-fold BEFORE the per-key collapse (lagged keys dedupe just
+    like base keys), then ONE big-big join against the hourly raster
+    serves every lag simultaneously — never one join per lag."""
+    from geoglue_ray.sources.raster import RXSIZE, RYSIZE, read_raster
+    from geoglue_ray.stages.join import hash_equijoin
+
+    T0E = np.datetime64("2024-01-01T00:00:00", "us")
+    T0R = np.datetime64(fx.T0, "us")
+    LAG_H = 24
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def ev_prep(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        r = np.floor((24.0625 - lat) / 0.25).astype(np.int64)
+        c = np.floor((lon - 102.0) / 0.25).astype(np.int64)
+        h0 = (b["ts"].to_numpy() - T0E).astype("timedelta64[h]").astype(np.int64)
+        keys, lags = [], []
+        for lg in range(n_lags):
+            h = h0 - lg * LAG_H
+            ok = (
+                (r >= 0) & (r < RYSIZE) & (c >= 0) & (c < RXSIZE)
+                & (h >= 0) & (h < 720)
+            )
+            keys.append(((r * RXSIZE + c) * np.int64(720) + h)[ok])
+            lags.append(np.full(int(ok.sum()), lg, dtype=np.int64))
+        key = np.concatenate(keys)
+        lag = np.concatenate(lags)
+        packed = key * np.int64(n_lags) + lag  # collapse per (key, lag)
+        up, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(up // n_lags),
+                "lag": pa.array(up % n_lags),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    ra = read_raster(n_days=30)
+
+    def ra_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["variable"], "t2m"))
+        v = b["value"].to_numpy(zero_copy_only=False)
+        fin = np.isfinite(v)
+        r = b["cell_row"].to_numpy().astype(np.int64)[fin]
+        c = b["cell_col"].to_numpy().astype(np.int64)[fin]
+        h = (
+            (b["valid_time"].to_numpy() - T0R)
+            .astype("timedelta64[h]")
+            .astype(np.int64)[fin]
+        )
+        return pa.table(
+            {
+                "key": pa.array((r * RXSIZE + c) * np.int64(720) + h),
+                "value": pa.array(v[fin]),
+            }
+        )
+
+    j = hash_equijoin(
+        ev.map_batches(ev_prep, batch_format="pyarrow"),
+        ra.map_batches(ra_prep, batch_format="pyarrow"),
+        left_on="key",
+        right_on="key",
+    )
+
+    def banded(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy()
+        n = b["n"].to_numpy().astype(np.float64)
+        lag = b["lag"].to_numpy().astype(np.int64)
+        band = v.astype(np.int64) // 100
+        return pa.table(
+            {
+                "lag": pa.array(np.concatenate([lag, lag])),
+                "band": pa.array(np.concatenate([band, band])),
+                "metric": pa.array(
+                    np.r_[np.zeros(len(v), np.int64), np.ones(len(v), np.int64)]
+                ),
+                "v": pa.array(np.concatenate([n, v * n])),
+            }
+        )
+
+    agg = zonal_aggregate(
+        j.map_batches(banded, batch_format="pyarrow"),
+        ["sum"],
+        keys=["lag", "band", "metric"],
+        value_col="v",
+    ).take_all()  # bounded: lags x bands x 2
+    nmap = {
+        (int(r["lag"]), int(r["band"])): float(r["sum"])
+        for r in agg
+        if int(r["metric"]) == 0
+    }
+    smap = {
+        (int(r["lag"]), int(r["band"])): float(r["sum"])
+        for r in agg
+        if int(r["metric"]) == 1
+    }
+    ks = sorted(nmap)
+    n_arr = np.array([nmap[k] for k in ks])
+    s_arr = np.array([smap[k] for k in ks])
+    out = pa.table(
+        {
+            "lag": pa.array(np.asarray([k[0] for k in ks], dtype=np.int64)),
+            "band": pa.array(np.asarray([k[1] for k in ks], dtype=np.int64)),
+            "n_events": pa.array(n_arr),
+            "mean_value": pa.array(s_arr / n_arr),
+        }
+    )
+    return rd.from_arrow(out).sort(["lag", "band"])
