@@ -5425,3 +5425,19 @@ SELECT lag, band,
        sum(v) / CAST(count(*) AS DOUBLE) AS mean_value
 FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def raster_gdd(base: float = 500.0) -> str:
+    """GDD twin: greatest(v - base, 0) summed per cell over the month,
+    above-base hour counts, HUGEINT-free (DOUBLE sums of integer-valued
+    exceedances are order-independent)."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()})
+SELECT r AS cell_row, c AS cell_col,
+       sum(greatest(value - {base}, 0.0)) AS gdd,
+       CAST(count(*) FILTER (WHERE value > {base}) AS DOUBLE) AS hours_above
+FROM rast WHERE variable = 't2m' AND value IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

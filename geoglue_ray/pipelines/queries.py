@@ -7266,3 +7266,61 @@ def exposure_lags(sf_dir: str, n_lags: int = 4) -> rd.Dataset:
         }
     )
     return rd.from_arrow(out).sort(["lag", "band"])
+
+
+def raster_gdd(sf_dir: str, base: float = 500.0) -> rd.Dataset:
+    """Growing-degree accumulation per cell (the agronomy GDD /
+    cooling-degree-day family): month total of ``max(0, t2m - base)``
+    plus the count of above-base hours, per lattice cell.
+    Integer-valued exceedances sum exactly in any order; each batch
+    collapses to lattice-cardinality long-form partials (metric 0 =
+    degree sum, metric 1 = hour count) so ONE aggregate carries both."""
+    from geoglue_ray.sources.raster import RXSIZE, read_raster
+
+    ds = read_raster(n_days=30)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["variable"], "t2m"))
+        v = b["value"].to_numpy(zero_copy_only=False)
+        fin = np.isfinite(v)
+        r = b["cell_row"].to_numpy().astype(np.int64)[fin]
+        c = b["cell_col"].to_numpy().astype(np.int64)[fin]
+        exc = np.maximum(v[fin] - base, 0.0)
+        cell = r * RXSIZE + c
+        uc, pos = np.unique(cell, return_inverse=True)
+        gdd = np.bincount(pos, weights=exc)
+        hrs = np.bincount(pos, weights=(exc > 0).astype(np.float64))
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate([uc, uc])),
+                "metric": pa.array(
+                    np.r_[np.zeros(len(uc), np.int64), np.ones(len(uc), np.int64)]
+                ),
+                "v": pa.array(np.concatenate([gdd, hrs])),
+            }
+        )
+
+    agg = zonal_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["sum"],
+        keys=["cell", "metric"],
+        value_col="v",
+    )
+
+    rows = agg.take_all()  # bounded: lattice x 2
+    gmap = {int(r["cell"]): float(r["sum"]) for r in rows if int(r["metric"]) == 0}
+    hmap = {int(r["cell"]): float(r["sum"]) for r in rows if int(r["metric"]) == 1}
+    cells = sorted(gmap)
+    out = pa.table(
+        {
+            "cell_row": pa.array(
+                np.asarray([x // RXSIZE for x in cells], dtype=np.int64)
+            ),
+            "cell_col": pa.array(
+                np.asarray([x % RXSIZE for x in cells], dtype=np.int64)
+            ),
+            "gdd": pa.array(np.asarray([gmap[x] for x in cells])),
+            "hours_above": pa.array(np.asarray([hmap[x] for x in cells])),
+        }
+    )
+    return rd.from_arrow(out).sort(["cell_row", "cell_col"])
