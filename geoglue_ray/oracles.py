@@ -5441,3 +5441,32 @@ SELECT r AS cell_row, c AS cell_col,
 FROM rast WHERE variable = 't2m' AND value IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def case_crossover(ref_lag_h: int = 168) -> str:
+    """Case-crossover twin: closed-form exposure at the event hour and
+    the same cell one week earlier, discordant-pair census, one exact
+    division among discordant pairs."""
+    lon = fx.sql_lon("event_id")
+    lat = fx.sql_lat("event_id")
+    val = "CASE WHEN (r * 33 + c) % 11 = 0 THEN NULL ELSE CAST(({h} * 31 + r * 7 + c * 13) % 997 AS DOUBLE) END"
+    return f"""
+WITH e AS (
+  SELECT CAST(floor((24.0625 - {lat}) / 0.25) AS BIGINT) AS r,
+         CAST(floor(({lon} - 102.0) / 0.25) AS BIGINT) AS c,
+         CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS h
+  FROM events),
+p AS (
+  SELECT {val.format(h='h')} AS cv, {val.format(h='(h - ' + str(ref_lag_h) + ')')} AS rv
+  FROM e
+  WHERE r >= 0 AND r < 64 AND c >= 0 AND c < 33
+    AND h >= 0 AND h < 720 AND h - {ref_lag_h} >= 0),
+q AS (SELECT cv, rv FROM p WHERE cv IS NOT NULL AND rv IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE cv > rv) AS BIGINT) AS n_case_higher,
+       CAST(count(*) FILTER (WHERE cv < rv) AS BIGINT) AS n_control_higher,
+       CAST(count(*) FILTER (WHERE cv = rv) AS BIGINT) AS n_tie,
+       CAST(count(*) FILTER (WHERE cv > rv) AS DOUBLE)
+         / CAST(count(*) FILTER (WHERE cv <> rv) AS DOUBLE) AS case_excess_frac
+FROM q
+"""

@@ -7324,3 +7324,139 @@ def raster_gdd(sf_dir: str, base: float = 500.0) -> rd.Dataset:
         }
     )
     return rd.from_arrow(out).sort(["cell_row", "cell_col"])
+
+
+def case_crossover(sf_dir: str, ref_lag_h: int = 168, n_shards: int = 64) -> rd.Dataset:
+    """CASE-CROSSOVER design (each event is its own control — the
+    confounding-proof workhorse of environmental epidemiology): every
+    event's exposure at its (cell, hour) is compared against the SAME
+    cell one week earlier, and the corpus reduces to the discordant-pair
+    census (case-higher / control-higher / tied) plus the case-excess
+    fraction among discordant pairs (one exact division).  Both samples
+    ride ONE big-big raster join (each event ships a tagged case row and
+    a tagged referent row); pairs re-unite on a fixed event-hash shard
+    with one lexsort pass.  Events whose referent hour precedes the
+    raster span, or whose cell is a hole, drop as unpaired — mirrored by
+    the twin's NULL filters."""
+    import pandas as pd
+
+    from geoglue_ray.sources.raster import RXSIZE, RYSIZE, read_raster
+    from geoglue_ray.stages.join import hash_equijoin
+
+    T0E = np.datetime64("2024-01-01T00:00:00", "us")
+    T0R = np.datetime64(fx.T0, "us")
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def ev_prep(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy().astype(np.int64)
+        lon, lat = fx.derive_lonlat(ids)
+        r = np.floor((24.0625 - lat) / 0.25).astype(np.int64)
+        c = np.floor((lon - 102.0) / 0.25).astype(np.int64)
+        h0 = (b["ts"].to_numpy() - T0E).astype("timedelta64[h]").astype(np.int64)
+        keys, tags, eids = [], [], []
+        for tag, h in ((0, h0), (1, h0 - ref_lag_h)):
+            ok = (
+                (r >= 0) & (r < RYSIZE) & (c >= 0) & (c < RXSIZE)
+                & (h >= 0) & (h < 720)
+            )
+            keys.append(((r * RXSIZE + c) * np.int64(720) + h)[ok])
+            tags.append(np.full(int(ok.sum()), tag, dtype=np.int64))
+            eids.append(ids[ok])
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate(keys)),
+                "event_id": pa.array(np.concatenate(eids)),
+                "tag": pa.array(np.concatenate(tags)),
+            }
+        )
+
+    ra = read_raster(n_days=30)
+
+    def ra_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["variable"], "t2m"))
+        v = b["value"].to_numpy(zero_copy_only=False)
+        fin = np.isfinite(v)
+        r = b["cell_row"].to_numpy().astype(np.int64)[fin]
+        c = b["cell_col"].to_numpy().astype(np.int64)[fin]
+        h = (
+            (b["valid_time"].to_numpy() - T0R)
+            .astype("timedelta64[h]")
+            .astype(np.int64)[fin]
+        )
+        return pa.table(
+            {
+                "key": pa.array((r * RXSIZE + c) * np.int64(720) + h),
+                "value": pa.array(v[fin]),
+            }
+        )
+
+    j = hash_equijoin(
+        ev.map_batches(ev_prep, batch_format="pyarrow"),
+        ra.map_batches(ra_prep, batch_format="pyarrow"),
+        left_on="key",
+        right_on="key",
+    )
+
+    def shard(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy().astype(np.uint64)
+        sh = ((eid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "_cc": pa.array(sh),
+                "event_id": b["event_id"],
+                "tag": b["tag"],
+                "value": b["value"],
+            }
+        )
+
+    def census(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_higher": pa.array([], pa.int64()),
+                "n_lower": pa.array([], pa.int64()),
+                "n_tie": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        tag = g["tag"].to_numpy().astype(np.int64)
+        v = g["value"].to_numpy()
+        o = np.lexsort((tag, eid))
+        eid, tag, v = eid[o], tag[o], v[o]
+        # paired = consecutive (case tag 0, control tag 1) rows of one event
+        first = np.r_[True, eid[1:] != eid[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, len(eid)])
+        s = starts[lens == 2]
+        cv, rv = v[s], v[s + 1]  # tag-sorted: case then control
+        return pa.table(
+            {
+                "n_higher": pa.array([int((cv > rv).sum())]),
+                "n_lower": pa.array([int((cv < rv).sum())]),
+                "n_tie": pa.array([int((cv == rv).sum())]),
+            }
+        )
+
+    parts = (
+        j.map_batches(shard, batch_format="pyarrow")
+        .groupby("_cc")
+        .map_groups(census, batch_format="pandas")
+        .take_all()  # bounded: one row per shard
+    )
+    hi = sum(int(r["n_higher"]) for r in parts)
+    lo = sum(int(r["n_lower"]) for r in parts)
+    tie = sum(int(r["n_tie"]) for r in parts)
+    out = pa.table(
+        {
+            "n_pairs": pa.array([hi + lo + tie], pa.int64()),
+            "n_case_higher": pa.array([hi], pa.int64()),
+            "n_control_higher": pa.array([lo], pa.int64()),
+            "n_tie": pa.array([tie], pa.int64()),
+            "case_excess_frac": pa.array([hi / (hi + lo)], pa.float64()),
+        }
+    )
+    return rd.from_arrow(out)
