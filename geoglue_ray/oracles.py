@@ -5470,3 +5470,32 @@ SELECT CAST(count(*) AS BIGINT) AS n_pairs,
          / CAST(count(*) FILTER (WHERE cv <> rv) AS DOUBLE) AS case_excess_frac
 FROM q
 """
+
+
+def late_sole_supplier(late_days: int = 60) -> str:
+    """Q21-shape twin: the EXISTS (another supplier in the order) /
+    NOT EXISTS (another LATE supplier) pair expressed as the per-order
+    census n_supp >= 2 AND n_late = 1; late-line credits are exact
+    integer sums, numwait cast back to BIGINT (HUGEINT widening)."""
+    return f"""
+WITH l AS (
+  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'),
+per AS (SELECT ok, sk, CAST(sum(late) AS BIGINT) AS late_lines FROM l GROUP BY 1, 2),
+og AS (SELECT ok, count(*) AS n_supp,
+              count(*) FILTER (WHERE late_lines > 0) AS n_late,
+              max(sk) FILTER (WHERE late_lines > 0) AS late_sk,
+              max(late_lines) FILTER (WHERE late_lines > 0) AS credit
+       FROM per GROUP BY 1),
+q AS (SELECT late_sk AS sk, credit FROM og WHERE n_supp >= 2 AND n_late = 1)
+SELECT s.s_suppkey, s.s_name, n.n_name, CAST(sum(q.credit) AS BIGINT) AS numwait
+FROM q
+JOIN supplier s ON q.sk = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY numwait DESC, s.s_suppkey
+LIMIT 20
+"""

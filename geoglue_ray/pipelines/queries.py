@@ -7460,3 +7460,122 @@ def case_crossover(sf_dir: str, ref_lag_h: int = 168, n_shards: int = 64) -> rd.
         }
     )
     return rd.from_arrow(out)
+
+
+def late_sole_supplier(sf_dir: str, late_days: int = 60, n_shards: int = 64) -> rd.Dataset:
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape, reference has
+    no receipt/commit dates so "late" = shipped > 60 days after the
+    order date): for every finished ('F') multi-supplier order whose
+    late shipments all came from ONE supplier, that sole late supplier
+    is charged its late line count; totals per supplier, top 20 on the
+    (numwait desc, suppkey) total order.  The EXISTS/NOT-EXISTS pair of
+    the classic query collapses to one per-order census — late-supplier
+    count == 1 AND supplier count >= 2 — computed in a single
+    lexsort+run pass per fixed orderkey-hash shard, so the shuffle
+    payload is per-(order, supplier) partials, never lineitems."""
+    import pandas as pd
+
+    from geoglue_ray.stages.join import hash_equijoin
+
+    LATE_US = np.int64(late_days) * np.int64(86_400_000_000)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    )
+
+    def ofilt(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["o_orderstatus"], "F"))
+        return b.select(["o_orderkey", "o_orderdate"])
+
+    j = hash_equijoin(
+        li,
+        orders.map_batches(ofilt, batch_format="pyarrow"),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        """Per-batch (order, supplier) late-line partials + fixed shard."""
+        ok = b["l_orderkey"].to_numpy().astype(np.int64)
+        sk = b["l_suppkey"].to_numpy().astype(np.int64)
+        ship = b["l_shipdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        od = b["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        late = (ship > od + LATE_US).astype(np.int64)
+        o = np.lexsort((sk, ok))
+        ok, sk, late = ok[o], sk[o], late[o]
+        first = np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])]
+        grp = np.cumsum(first) - 1
+        lates = np.bincount(grp, weights=late).astype(np.int64)
+        oks, sks = ok[first], sk[first]
+        sh = (
+            (oks.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_sh": pa.array(sh),
+                "ok": pa.array(oks),
+                "sk": pa.array(sks),
+                "late_lines": pa.array(lates),
+            }
+        )
+
+    def census(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {"sk": pa.array([], pa.int64()), "credit": pa.array([], pa.int64())}
+        )
+        if len(g) == 0:
+            return empty
+        ok = g["ok"].to_numpy().astype(np.int64)
+        sk = g["sk"].to_numpy().astype(np.int64)
+        ll = g["late_lines"].to_numpy().astype(np.int64)
+        o = np.lexsort((sk, ok))
+        ok, sk, ll = ok[o], sk[o], ll[o]
+        first = np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])]
+        grp = np.cumsum(first) - 1
+        ll2 = np.bincount(grp, weights=ll).astype(np.int64)
+        oks, sks = ok[first], sk[first]
+        ofirst = np.r_[True, oks[1:] != oks[:-1]]
+        ogrp = np.cumsum(ofirst) - 1
+        n_supp = np.bincount(ogrp)
+        is_late = ll2 > 0
+        n_late = np.bincount(ogrp, weights=is_late).astype(np.int64)
+        sel = is_late & (n_supp[ogrp] >= 2) & (n_late[ogrp] == 1)
+        return pa.table(
+            {"sk": pa.array(sks[sel]), "credit": pa.array(ll2[sel])}
+        )
+
+    credits = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(census, batch_format="pandas")
+    )
+    per_supp = zonal_aggregate(
+        credits, ["sum"], keys=["sk"], value_col="credit"
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey_j": b.column(0),
+                "numwait": pc.cast(pc.round(b.column(1)), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    j2 = hash_equijoin(supp, per_supp, left_on="s_suppkey", right_on="s_suppkey_j")
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    j3 = hash_equijoin(j2, nation, left_on="s_nationkey", right_on="n_nationkey")
+    return (
+        j3.select_columns(["s_suppkey", "s_name", "n_name", "numwait"])
+        .sort(["numwait", "s_suppkey"], descending=[True, False])
+        .limit(20)
+    )
