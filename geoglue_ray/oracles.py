@@ -5499,3 +5499,33 @@ GROUP BY 1, 2, 3
 ORDER BY numwait DESC, s.s_suppkey
 LIMIT 20
 """
+
+
+def nation_market_share(
+    region_name: str = "ASIA", nation_name: str = "NATION_19"
+) -> str:
+    """Q8-shape twin: floored per-row revenue makes both yearly sums
+    exact integers in DOUBLE; mkt_share is the single division."""
+    return f"""
+WITH cust AS (
+  SELECT c.c_custkey
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{region_name}'),
+tn AS (SELECT n_nationkey FROM nation WHERE n_name = '{nation_name}'),
+rws AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         floor(l.l_extendedprice * (1.0 - l.l_discount)) AS rev,
+         CASE WHEN s.s_nationkey IN (SELECT n_nationkey FROM tn)
+              THEN 1 ELSE 0 END AS tgt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE o.o_custkey IN (SELECT c_custkey FROM cust))
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       sum(rev * tgt) AS nation_revenue,
+       sum(rev) AS total_revenue,
+       sum(rev * tgt) / sum(rev) AS mkt_share
+FROM rws GROUP BY 1 ORDER BY 1
+"""

@@ -7579,3 +7579,141 @@ def late_sole_supplier(sf_dir: str, late_days: int = 60, n_shards: int = 64) -> 
         .sort(["numwait", "s_suppkey"], descending=[True, False])
         .limit(20)
     )
+
+
+def nation_market_share(
+    sf_dir: str, region_name: str = "ASIA", nation_name: str = "NATION_19"
+) -> rd.Dataset:
+    """National market share (TPC-H Q8 shape): among all revenue billed
+    to customers in one region, the fraction supplied by one nation's
+    suppliers, per order year — one exact division of two floored
+    integer revenue sums.  The bounded dimensions (region x nation,
+    <= dozens of rows) resolve driver-side into a nationkey set; the
+    customer restriction is a SEMI hash_equijoin (orders keep only
+    their own columns, never duplicated); supplier nationality rides a
+    second equijoin; the per-year collapse is a map_batches partial
+    (bincount on year offsets) so the final shuffle carries
+    year-cardinality rows."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from geoglue_ray.stages.join import hash_equijoin
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region_name, "r_regionkey"])
+    region_nations = set(
+        int(k) for k in nat.loc[nat["n_regionkey"].isin(rkeys), "n_nationkey"]
+    )
+    target = int(nat.loc[nat["n_name"] == nation_name, "n_nationkey"].iloc[0])
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["c_nationkey"], pa.array(sorted(region_nations), pa.int32()))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    in_region = hash_equijoin(
+        orders, cust, left_on="o_custkey", right_on="c_custkey", how="semi"
+    )
+
+    def oyear(b: pa.Table) -> pa.Table:
+        y = (
+            b["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        return pa.table({"o_orderkey": b["o_orderkey"], "o_year": pa.array(y)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = np.floor(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "rev": pa.array(r),
+            }
+        )
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    j1 = hash_equijoin(
+        li.map_batches(rev, batch_format="pyarrow"),
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+    )
+    j2 = hash_equijoin(
+        j1.select_columns(["l_orderkey", "rev", "s_nationkey"]),
+        in_region.map_batches(oyear, batch_format="pyarrow"),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        y = b["o_year"].to_numpy().astype(np.int64)
+        r = b["rev"].to_numpy().astype(np.int64)
+        tgt = (b["s_nationkey"].to_numpy().astype(np.int64) == target).astype(
+            np.int64
+        )
+        if len(y) == 0:
+            return pa.table(
+                {
+                    "o_year": pa.array([], pa.int64()),
+                    "num": pa.array([], pa.int64()),
+                    "den": pa.array([], pa.int64()),
+                }
+            )
+        y0 = y.min()
+        idx = y - y0
+        den = np.bincount(idx, weights=r).astype(np.int64)
+        num = np.bincount(idx, weights=r * tgt).astype(np.int64)
+        keep = den > 0
+        yrs = (np.arange(len(den)) + y0)[keep]
+        return pa.table(
+            {
+                "o_year": pa.array(yrs),
+                "num": pa.array(num[keep]),
+                "den": pa.array(den[keep]),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "o_year": pa.array([], pa.int64()),
+                    "nation_revenue": pa.array([], pa.float64()),
+                    "total_revenue": pa.array([], pa.float64()),
+                    "mkt_share": pa.array([], pa.float64()),
+                }
+            )
+        num = int(g["num"].sum())
+        den = int(g["den"].sum())
+        return pa.table(
+            {
+                "o_year": pa.array([int(g["o_year"].iloc[0])]),
+                "nation_revenue": pa.array([float(num)]),
+                "total_revenue": pa.array([float(den)]),
+                "mkt_share": pa.array([num / den]),
+            }
+        )
+
+    return (
+        j2.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .map_groups(final, batch_format="pandas")
+        .sort("o_year")
+    )
