@@ -5529,3 +5529,21 @@ SELECT CAST(o_year AS BIGINT) AS o_year,
        sum(rev * tgt) / sum(rev) AS mkt_share
 FROM rws GROUP BY 1 ORDER BY 1
 """
+
+
+def small_qty_revenue(brand: str = "Brand#1") -> str:
+    """Q17-shape twin: the 20%-of-average threshold cleared to the exact
+    integer test 5*q*cnt < sum_qty; one division by 7.0 at the end."""
+    return f"""
+WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = '{brand}'),
+li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+              CAST(floor(l_extendedprice) AS BIGINT) AS ep
+       FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM pk)),
+st AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM li GROUP BY 1)
+SELECT CAST(CAST(sum(li.ep) AS BIGINT) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM li JOIN st USING (l_partkey)
+WHERE 5 * li.q * st.cnt < st.sq
+"""

@@ -7717,3 +7717,127 @@ def nation_market_share(
         .map_groups(final, batch_format="pandas")
         .sort("o_year")
     )
+
+
+def small_qty_revenue(
+    sf_dir: str, brand: str = "Brand#1", n_shards: int = 64
+) -> rd.Dataset:
+    """Small-quantity revenue loss (TPC-H Q17 shape): total revenue of
+    lineitems whose quantity falls below 20% of their part's average,
+    for one brand, divided by 7 years.  The correlated AVG subquery is
+    the broadcast-free two-pass pattern: the brand lineitems are
+    MATERIALIZED once (multiply-consumed expensive lineage rule), pass
+    one collapses per-part (sum_qty, cnt) on a fixed shard, pass two
+    re-joins the stats and filters with the CLEARED-DENOMINATOR test
+    ``5*q*cnt < sum_qty`` — exact int64, no float threshold — so the
+    twin mirrors bit-for-bit; the final scalar is one division."""
+    import pandas as pd
+
+    from geoglue_ray.stages.join import hash_equijoin
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["p_brand"], brand)).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "q": pa.array(b["l_quantity"].to_numpy().astype(np.int64)),
+                "ep": pa.array(
+                    np.floor(b["l_extendedprice"].to_numpy()).astype(np.int64)
+                ),
+            }
+        )
+
+    li_b = hash_equijoin(
+        li.map_batches(proj, batch_format="pyarrow"),
+        parts,
+        left_on="l_partkey",
+        right_on="p_partkey",
+        how="semi",
+    ).materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy().astype(np.int64)
+        q = b["q"].to_numpy()
+        o = np.argsort(pk, kind="stable")
+        pk, q = pk[o], q[o]
+        first = np.r_[True, pk[1:] != pk[:-1]]
+        grp = np.cumsum(first) - 1
+        sq = np.bincount(grp, weights=q).astype(np.int64)
+        cnt = np.bincount(grp)
+        pks = pk[first]
+        sh = (
+            (pks.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_sh": pa.array(sh),
+                "pk": pa.array(pks),
+                "sq": pa.array(sq),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "pk": pa.array([], pa.int64()),
+                "sq": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        pk = g["pk"].to_numpy().astype(np.int64)
+        o = np.argsort(pk, kind="stable")
+        pk = pk[o]
+        sq = g["sq"].to_numpy().astype(np.int64)[o]
+        cnt = g["cnt"].to_numpy().astype(np.int64)[o]
+        first = np.r_[True, pk[1:] != pk[:-1]]
+        grp = np.cumsum(first) - 1
+        return pa.table(
+            {
+                "pk": pa.array(pk[first]),
+                "sq": pa.array(np.bincount(grp, weights=sq).astype(np.int64)),
+                "cnt": pa.array(np.bincount(grp, weights=cnt).astype(np.int64)),
+            }
+        )
+
+    stats = (
+        li_b.map_batches(partial, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(merge, batch_format="pandas")
+    )
+    j = hash_equijoin(li_b, stats, left_on="l_partkey", right_on="pk")
+
+    def small_partial(b: pa.Table) -> pa.Table:
+        q = b["q"].to_numpy()
+        sel = 5 * q * b["cnt"].to_numpy() < b["sq"].to_numpy()
+        return pa.table(
+            {
+                "ep_sum": pa.array([int(b["ep"].to_numpy()[sel].sum())], pa.int64()),
+                "n": pa.array([int(sel.sum())], pa.int64()),
+            }
+        )
+
+    rows = j.map_batches(small_partial, batch_format="pyarrow").take_all()
+    ep = sum(int(r["ep_sum"]) for r in rows)
+    n = sum(int(r["n"]) for r in rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "avg_yearly": pa.array([ep / 7.0], pa.float64()),
+                "n_small": pa.array([n], pa.int64()),
+            }
+        )
+    )
