@@ -5547,3 +5547,32 @@ SELECT CAST(CAST(sum(li.ep) AS BIGINT) AS DOUBLE) / 7.0 AS avg_yearly,
 FROM li JOIN st USING (l_partkey)
 WHERE 5 * li.q * st.cnt < st.sq
 """
+
+
+def collocation_lift(k: int = 50, min_count: int = 5) -> str:
+    """Lift twin: exact integer products in the single division (ln()
+    never matches numpy log; the ratio does), (lift desc, tok1, tok2)
+    total order.  Valid while docs have <= 127 tokens (the positional
+    CTE cap shared with bigram_stats)."""
+    return f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, i.range AS i, list_extract(toks, i.range::INTEGER) AS w
+  FROM tl, range(1, 128) i WHERE i.range <= len(toks)),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+bg AS (
+  SELECT a.w AS tok1, b.w AS tok2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+c AS (SELECT tok1, tok2, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM bg GROUP BY 1, 2)
+SELECT c.tok1, c.tok2, c.n_pairs, u1.c AS c1, u2.c AS c2,
+       CAST(tot.n * c.n_pairs AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+FROM c
+JOIN uni u1 ON c.tok1 = u1.w
+JOIN uni u2 ON c.tok2 = u2.w, tot
+WHERE c.n_pairs >= {min_count}
+ORDER BY lift DESC, tok1, tok2 LIMIT {k}
+"""

@@ -7841,3 +7841,17 @@ def small_qty_revenue(
             }
         )
     )
+
+
+def collocation_lift(sf_dir: str, k: int = 50, min_count: int = 5) -> rd.Dataset:
+    """Collocation mining over the corpus: top-50 adjacent bigrams by
+    LIFT (the log-free monotone transform of PMI — N*c12/(c1*c2), one
+    exact division), min support 5.  Complements bigram_stats (raw
+    frequency) with ASSOCIATION strength — the phrase-detection pass of
+    a tokenizer/phrase pipeline (stages/text.collocation_lift: bounded
+    vocabulary broadcast, tok1-sharded exact pair merge, two-level
+    top-k)."""
+    from geoglue_ray.stages.text import collocation_lift as _lift
+
+    docs = read_documents_cols(sf_dir, ["doc_id", "text"])
+    return _lift(docs, "text", k=k, min_count=min_count)

@@ -938,3 +938,138 @@ def bpe_encode(
         )
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def collocation_lift(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+    n_shards: int = 64,
+    uni_shards: int = 16,
+) -> rd.Dataset:
+    """EXACT top-k adjacent bigrams ranked by LIFT — the collocation /
+    association statistic PMI without the log:
+    ``lift = N * c12 / (c1 * c2)`` (N = total tokens, c1/c2 = unigram
+    counts), a monotone transform of pointwise mutual information, so
+    the ranking is PMI's while staying one single division of exact
+    int64 products (DuckDB ln() never matches numpy log bit-for-bit;
+    the ratio does, bit-exact).
+
+    Scale shape: pass one computes exact unigram counts (per-batch
+    value-counts partials, fixed token-hash shard merge) and broadcasts
+    them — the vocabulary is the bounded small side (whitespace tokens;
+    BPE-sized vocabularies are <= a few 100k rows).  Pass two reuses the
+    bigram partial-collapse (each block ships only its distinct pairs),
+    shards on tok1's hash, merges exactly, filters ``c12 >= min_count``
+    (lift explodes on hapax pairs), computes lift from the broadcast
+    counts, and two-level top-ks on the (lift desc, tok1, tok2) total
+    order."""
+    import pandas as pd
+    import ray
+
+    from geoglue_ray.functions.texthash import token_hash64
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(b[text_col]))
+        t = toks.to_numpy(zero_copy_only=False)
+        u, c = np.unique(t, return_counts=True)
+        sh = (token_hash64(u.astype(str)) % np.uint64(uni_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "tok": pa.array(u, pa.string()),
+                "c": pa.array(c.astype(np.int64)),
+                "_shard": pa.array(sh),
+            }
+        )
+
+    def uni_merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("tok", sort=False, dropna=False)["c"].sum().reset_index()
+        return pd.DataFrame({"tok": s["tok"], "c": s["c"].astype(np.int64)})
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(uni_merge, batch_format="pandas")
+        .take_all()
+    )  # bounded: one row per vocabulary entry
+    counts = {r["tok"]: int(r["c"]) for r in uni}
+    total = sum(counts.values())
+    cref = ray.put(counts)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b[text_col])
+        n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        tok_off = np.concatenate(([0], np.cumsum(n_tok)))
+        mask = np.zeros(len(flat), dtype=bool)
+        if len(flat):
+            mask[:] = True
+            mask[tok_off[1:] - 1] = False
+        i1 = np.flatnonzero(mask)
+        if len(i1) == 0:
+            return pa.table(
+                {
+                    "tok1": pa.array([], pa.string()),
+                    "tok2": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "_shard": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniq = pd.factorize(
+            np.concatenate([flat[i1], flat[i1 + 1]]), use_na_sentinel=False
+        )
+        c1, c2 = codes[: len(i1)], codes[len(i1):]
+        packed = c1.astype(np.int64) * len(uniq) + c2
+        pu, cnt = np.unique(packed, return_counts=True)
+        t1 = uniq[(pu // len(uniq)).astype(np.int64)]
+        t2 = uniq[(pu % len(uniq)).astype(np.int64)]
+        shard = (token_hash64(t1.astype(str)) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "tok1": pa.array(t1, pa.string()),
+                "tok2": pa.array(t2, pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+                "_shard": pa.array(shard),
+            }
+        )
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["tok1", "tok2", "n_pairs", "c1", "c2", "lift"]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "tok1": pd.Series([], dtype=object),
+                    "tok2": pd.Series([], dtype=object),
+                    "n_pairs": pd.Series([], dtype=np.int64),
+                    "c1": pd.Series([], dtype=np.int64),
+                    "c2": pd.Series([], dtype=np.int64),
+                    "lift": pd.Series([], dtype=np.float64),
+                }
+            )[cols]
+        cmap = ray.get(cref)
+        s = (
+            g.groupby(["tok1", "tok2"], sort=False, dropna=False)["n"]
+            .sum()
+            .reset_index()
+            .rename(columns={"n": "n_pairs"})
+        )
+        s = s[s["n_pairs"] >= min_count]
+        s["n_pairs"] = s["n_pairs"].astype(np.int64)
+        s["c1"] = s["tok1"].map(cmap).astype(np.int64)
+        s["c2"] = s["tok2"].map(cmap).astype(np.int64)
+        num = np.int64(total) * s["n_pairs"].to_numpy()
+        den = s["c1"].to_numpy() * s["c2"].to_numpy()
+        s["lift"] = num.astype(np.float64) / den.astype(np.float64)
+        s = s.sort_values(
+            ["lift", "tok1", "tok2"], ascending=[False, True, True], kind="mergesort"
+        ).head(k)
+        return s[cols].reset_index(drop=True)
+
+    return (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .sort(["lift", "tok1", "tok2"], descending=[True, False, False])
+        .limit(k)
+    )
