@@ -5576,3 +5576,47 @@ JOIN uni u2 ON c.tok2 = u2.w, tot
 WHERE c.n_pairs >= {min_count}
 ORDER BY lift DESC, tok1, tok2 LIMIT {k}
 """
+
+
+def traj_dtw() -> str:
+    """Asymmetric-DTW twin: the row-only DP dependency unrolls into 16
+    chained CTEs (the pagerank unrolled-fixed-point precedent), each
+    computing row i from row i-1 via least(prev, lag(prev)) — the lag
+    window IS the (i-1, j-1) step; unreachable cells carry the same
+    1<<60 sentinel and accumulate identically, never clamped."""
+    from geoglue_ray.pipelines.queries import _DTW_REF, _DTW_SEQ_N
+
+    big = 1 << 60
+    vals = ", ".join(f"({j}, {v})" for j, v in enumerate(_DTW_REF))
+    ctes = [
+        f"""seq AS (
+  SELECT user_id, CAST(value * 100 AS BIGINT) AS qv,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+s AS (SELECT user_id, qv, i FROM seq WHERE n >= {_DTW_SEQ_N} AND i <= {_DTW_SEQ_N}),
+ref(j, v) AS (VALUES {vals}),
+d1 AS (
+  SELECT s.user_id, r.j,
+         CASE WHEN r.j = 0 THEN abs(s.qv - r.v) ELSE {big} END AS d
+  FROM s CROSS JOIN ref r WHERE s.i = 1)"""
+    ]
+    for i in range(2, _DTW_SEQ_N + 1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT p.user_id, p.j,
+         abs(s.qv - r.v) + least(
+           p.d,
+           COALESCE(lag(p.d) OVER (PARTITION BY p.user_id ORDER BY p.j), {big})
+         ) AS d
+  FROM d{i - 1} p
+  JOIN ref r ON r.j = p.j
+  JOIN s ON s.user_id = p.user_id AND s.i = {i})"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT user_id, d AS dtw
+FROM d{_DTW_SEQ_N} WHERE j = {len(_DTW_REF) - 1}
+ORDER BY user_id
+"""

@@ -7855,3 +7855,25 @@ def collocation_lift(sf_dir: str, k: int = 50, min_count: int = 5) -> rd.Dataset
 
     docs = read_documents_cols(sf_dir, ["doc_id", "text"])
     return _lift(docs, "text", k=k, min_count=min_count)
+
+
+_DTW_REF = [2000, 5000, 9000, 5000, 2000, 9000, 14000, 5000]
+_DTW_SEQ_N = 16
+
+
+def traj_dtw(sf_dir: str) -> rd.Dataset:
+    """Sequence alignment against a canonical pattern: the asymmetric
+    dynamic-time-warping distance from every user's first 16 event
+    values (cents-quantized, (ts, event_id)-ordered) to one broadcast
+    8-step reference profile (stages/geometry.dtw_to_reference — the DP
+    vectorized across all users per shard, 16 unrolled rounds, pure
+    int64).  The anomaly-detection / profile-matching operator over the
+    movement-event stream."""
+    from geoglue_ray.stages.geometry import dtw_to_reference
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    return dtw_to_reference(
+        ev, np.array(_DTW_REF, dtype=np.int64), seq_n=_DTW_SEQ_N
+    ).sort("user_id")

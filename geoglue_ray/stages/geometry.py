@@ -680,3 +680,97 @@ def contiguity_pairs(
         batch_format="pyarrow",
     )
     return out.sort(["admin_a", "admin_b"])
+
+
+def dtw_to_reference(
+    ds: rd.Dataset,
+    ref: np.ndarray,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    seq_n: int = 16,
+    n_shards: int = 32,
+    big: int = 1 << 60,
+) -> rd.Dataset:
+    """Asymmetric dynamic-time-warping distance from every key's value
+    SEQUENCE to one broadcast reference pattern — the sequence-alignment
+    operator (pattern matching against a canonical trajectory / load
+    profile).  Step pattern (i-1,j) | (i-1,j-1) (Sakoe-Chiba asymmetric,
+    P=0): every query element is consumed exactly once, so row i of the
+    DP table depends ONLY on row i-1 — the recurrence unrolls into
+    ``seq_n`` chained vectorized passes here and ``seq_n`` chained CTEs
+    in the SQL twin (the pagerank unrolled-fixed-point precedent), no
+    within-row dependency, bit-exact in pure int64.
+
+    Values quantize to cents (round-to-nearest == DuckDB CAST, the
+    events_benford identity); cost is |qv - ref_j|; unreachable cells
+    carry the ``big`` sentinel and accumulate identically on both sides
+    (never clamped), staying far under int64 with any sane cost scale.
+
+    Scale shape: rows ship once to a fixed key-hash shard; each shard
+    task recovers every key's first ``seq_n`` elements in ONE
+    lexsort+run pass (keys with fewer drop, documented), stacks them
+    (k x seq_n) and runs the DP vectorized across all keys at once —
+    per-key Python cost is zero.  The reference is a tiny literal; keys
+    never co-shuffle with anything else."""
+    ref = np.asarray(ref, dtype=np.int64)
+    m = len(ref)
+
+    def prep(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy().astype(np.int64)
+        qv = np.round(b[value_col].to_numpy() * 100.0).astype(np.int64)
+        sh = (
+            (k.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_sh": pa.array(sh),
+                "k": pa.array(k),
+                "t": pa.array(b[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)),
+                "tb": pa.array(b[tiebreak_col].to_numpy().astype(np.int64)),
+                "qv": pa.array(qv),
+            }
+        )
+
+    def dp(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {key_col: pa.array([], pa.int64()), "dtw": pa.array([], pa.int64())}
+        )
+        if len(g) == 0:
+            return empty
+        k = g["k"].to_numpy().astype(np.int64)
+        t = g["t"].to_numpy().astype(np.int64)
+        tb = g["tb"].to_numpy().astype(np.int64)
+        qv = g["qv"].to_numpy().astype(np.int64)
+        o = np.lexsort((tb, t, k))
+        k, qv = k[o], qv[o]
+        first = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, len(k)])
+        grp = np.cumsum(first) - 1
+        rank = np.arange(len(k)) - starts[grp]
+        keep = (lens[grp] >= seq_n) & (rank < seq_n)
+        kk = k[keep]
+        if len(kk) == 0:
+            return empty
+        V = qv[keep].reshape(-1, seq_n)  # row-major: rank runs fastest
+        keys = kk[::seq_n]
+        cost0 = np.abs(V[:, 0:1] - ref[None, :])
+        d = np.full((len(keys), m), big, dtype=np.int64)
+        d[:, 0] = cost0[:, 0]
+        for i in range(1, seq_n):
+            shifted = np.concatenate(
+                [np.full((len(keys), 1), big, dtype=np.int64), d[:, :-1]], axis=1
+            )
+            d = np.abs(V[:, i : i + 1] - ref[None, :]) + np.minimum(d, shifted)
+        return pa.table(
+            {key_col: pa.array(keys), "dtw": pa.array(d[:, m - 1])}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(dp, batch_format="pandas")
+    )
