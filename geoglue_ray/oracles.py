@@ -5620,3 +5620,28 @@ SELECT user_id, d AS dtw
 FROM d{_DTW_SEQ_N} WHERE j = {len(_DTW_REF) - 1}
 ORDER BY user_id
 """
+
+
+def corpus_drift(bin_w: int = 64) -> str:
+    """TV-drift twin: the split recomputed through the HUGEINT int_hash64
+    replica, integer cross-products inside abs(), one division."""
+    from geoglue_ray.functions.texthash import sql_int_hash
+
+    return f"""
+WITH d AS (
+  SELECT ({sql_int_hash('doc_id')}) % 10 AS b10, n_chars // {bin_w} AS bin
+  FROM documents),
+t AS (
+  SELECT bin,
+         CAST(count(*) FILTER (WHERE b10 <= 7) AS BIGINT) AS ca,
+         CAST(count(*) FILTER (WHERE b10 = 9) AS BIGINT) AS cb
+  FROM d GROUP BY 1
+  HAVING count(*) FILTER (WHERE b10 <= 7) > 0
+      OR count(*) FILTER (WHERE b10 = 9) > 0),
+n AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM t)
+SELECT n.na AS n_train, n.nb AS n_test,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(CAST(sum(abs(t.ca * n.nb - t.cb * n.na)) AS BIGINT) AS DOUBLE)
+         / CAST(2 * n.na * n.nb AS DOUBLE) AS tv_dist
+FROM t, n GROUP BY n.na, n.nb
+"""

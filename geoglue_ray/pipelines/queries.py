@@ -7877,3 +7877,15 @@ def traj_dtw(sf_dir: str) -> rd.Dataset:
     return dtw_to_reference(
         ev, np.array(_DTW_REF, dtype=np.int64), seq_n=_DTW_SEQ_N
     ).sort("user_id")
+
+
+def corpus_drift(sf_dir: str) -> rd.Dataset:
+    """Train-vs-test distribution drift over the corpus: total-variation
+    distance between the two deterministic splits' document-length
+    histograms (stages/sample.histogram_drift — cleared-denominator TV,
+    one exact division).  The split-bias / ingest-drift gate of a
+    training-data pipeline."""
+    from geoglue_ray.stages.sample import histogram_drift
+
+    docs = read_documents_cols(sf_dir, ["doc_id", "n_chars"])
+    return histogram_drift(docs, "doc_id", "n_chars")
