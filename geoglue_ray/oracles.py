@@ -5645,3 +5645,33 @@ SELECT n.na AS n_train, n.nb AS n_test,
          / CAST(2 * n.na * n.nb AS DOUBLE) AS tv_dist
 FROM t, n GROUP BY n.na, n.nb
 """
+
+
+def embed_top_eigen(rounds: int = 4, qscale: int = 1024, dim: int = 64) -> str:
+    """Power-iteration twin: the Gram matrix from the quantized self
+    join, each round one matvec (sum cast back to BIGINT — HUGEINT
+    widening) + the offset-trick renormalization, unrolled."""
+    ctes = [
+        f"""q AS (
+  SELECT vec_id, i.range AS j,
+         CAST(floor(CAST(embedding[i.range + 1] AS DOUBLE) * {qscale}.0 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings, range({dim}) i),
+g AS (
+  SELECT a.j AS i, b.j AS j, CAST(sum(a.q * b.q) AS BIGINT) AS v
+  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+v0 AS (SELECT i.range AS j, CAST({qscale} AS BIGINT) AS v FROM range({dim}) i)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""w{r} AS (
+  SELECT g.i AS j, CAST(sum(g.v * p.v) AS BIGINT) AS w
+  FROM g JOIN v{r - 1} p ON g.j = p.j GROUP BY 1),
+m{r} AS (SELECT max(abs(w)) AS m FROM w{r}),
+v{r} AS (SELECT j, ((w + m) * {qscale}) // m - {qscale} AS v FROM w{r}, m{r})"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT j AS dim, v AS v_q FROM v{rounds} ORDER BY j
+"""

@@ -7889,3 +7889,15 @@ def corpus_drift(sf_dir: str) -> rd.Dataset:
 
     docs = read_documents_cols(sf_dir, ["doc_id", "n_chars"])
     return histogram_drift(docs, "doc_id", "n_chars")
+
+
+def embed_top_eigen(sf_dir: str) -> pa.Table:
+    """Dominant spectral direction of the embedding corpus: fixed-point
+    power iteration (4 rounds) on the distributed int64 Gram matrix
+    (stages/similarity.top_eigen) — one streaming pass over the vectors,
+    driver-side iteration on the d x d result, bit-exact vs the chained
+    w/max/renormalize CTE twin."""
+    from geoglue_ray.stages.similarity import top_eigen
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return top_eigen(ds, rounds=4)

@@ -998,3 +998,79 @@ def pq_train(
         }
     )
     return rd.from_arrow(out).sort(["block", "cluster_id", "dim"])
+
+
+def top_eigen(
+    ds: rd.Dataset,
+    rounds: int = 4,
+    dim: int = 64,
+    emb_col: str = "embedding",
+    qscale: int = 1024,
+    n_merge: int = 8,
+) -> "pa.Table":
+    """Leading eigenvector of the corpus's (uncentered) second-moment
+    matrix by fixed-point POWER ITERATION — the spectral operator of an
+    embedding pipeline (dominant direction / first PCA axis up to
+    centering), exact end to end: components quantize at ``1/qscale``
+    (power-of-two scaling + floor(x+0.5): identical in numpy and SQL),
+    the Gram matrix ``C = sum q q^T`` accumulates in int64, and each
+    round renormalizes with the kmeans offset trick
+    ``((w + mx) * qscale) // mx - qscale`` (numerator non-negative, so
+    DuckDB's truncating ``//`` equals numpy's floor), mx = max|w|.
+
+    Scale shape: ONE streaming pass emits per-batch dxd partial Grams
+    (payload = d*d rows per batch, never vectors), a fixed index-keyed
+    shard merge bounds the shuffle, and the d*d result iterates on the
+    driver — matrix size is model-dimension, not corpus, so rounds are
+    free.  int64 bound: |C| <= n_vecs * qscale^2, exact while
+    n_vecs < 2^63 / (d * qscale^2) (~2^33 at qscale 2^10; drop qscale to
+    widen).
+
+    Returns dim rows: (dim, v_q) — the eigenvector at fixed point
+    qscale."""
+    QS = float(qscale)
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        la = b[emb_col].combine_chunks()
+        mat = np.asarray(la.flatten()).reshape(len(b), -1)
+        q = np.floor(mat.astype(np.float64) * QS + 0.5).astype(np.int64)
+        C = q.T @ q  # d x d int64
+        idx = np.arange(dim * dim, dtype=np.int64)
+        return pa.table(
+            {
+                "_sh": pa.array(idx % np.int64(n_merge)),
+                "ij": pa.array(idx),
+                "v": pa.array(C.ravel()),
+            }
+        )
+
+    def merge(g):
+        import pandas as pd
+
+        s = g.groupby("ij", sort=False)["v"].sum().reset_index()
+        return pd.DataFrame(
+            {"ij": s["ij"].astype(np.int64), "v": s["v"].astype(np.int64)}
+        )
+
+    rows = (
+        ds.map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(merge, batch_format="pandas")
+        .take_all()
+    )  # bounded: d*d rows
+    C = np.zeros(dim * dim, dtype=np.int64)
+    for r in rows:
+        C[int(r["ij"])] = int(r["v"])
+    C = C.reshape(dim, dim)
+
+    v = np.full(dim, qscale, dtype=np.int64)
+    for _ in range(rounds):
+        w = C @ v
+        mx = int(np.abs(w).max())
+        v = ((w + mx) * np.int64(qscale)) // np.int64(mx) - np.int64(qscale)
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(dim, dtype=np.int64)),
+            "v_q": pa.array(v),
+        }
+    )
