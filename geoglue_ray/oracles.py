@@ -5675,3 +5675,38 @@ v{r} AS (SELECT j, ((w + m) * {qscale}) // m - {qscale} AS v FROM w{r}, m{r})"""
 WITH {body}
 SELECT j AS dim, v AS v_q FROM v{rounds} ORDER BY j
 """
+
+
+def kcore_parts(q: float = 0.05, rounds: int = 8) -> str:
+    """k-core twin: k from the row_number rank over initial degrees
+    (value at a rank is tie-order-independent), then 8 unrolled peel
+    rounds — each a degree count among the previous survivors."""
+    ctes = [
+        """e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+d1 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+kk AS (
+  SELECT d AS k FROM (
+    SELECT d, row_number() OVER (ORDER BY d) AS rn, count(*) OVER () AS n
+    FROM d1)
+  WHERE rn = CAST(ceil(""" + str(q) + """ * n) AS BIGINT))"""
+    ]
+    for r in range(2, rounds + 1):
+        ctes.append(
+            f"""a{r - 1} AS (SELECT node FROM d{r - 1}, kk WHERE d >= kk.k),
+d{r} AS (
+  SELECT e.src AS node, CAST(count(*) AS BIGINT) AS d
+  FROM e
+  JOIN a{r - 1} x ON e.src = x.node
+  JOIN a{r - 1} y ON e.dst = y.node
+  GROUP BY 1)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT node AS part_key, d AS core_degree, kk.k
+FROM d{rounds}, kk WHERE d >= kk.k
+ORDER BY node
+"""

@@ -7901,3 +7901,17 @@ def embed_top_eigen(sf_dir: str) -> pa.Table:
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     return top_eigen(ds, rounds=4)
+
+
+def kcore_parts(sf_dir: str) -> pa.Table:
+    """k-core decomposition of the part co-purchase graph (k = the
+    initial-degree value at ascending rank ceil(0.05*n), 8 fixed peel
+    rounds): the graph-robustness operator — stages/graph.kcore_peel
+    streams the edge set once per round against a broadcast alive
+    vector.  Bit-exact vs the unrolled peel-round CTE twin."""
+    from geoglue_ray.stages.graph import basket_edges, kcore_peel
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return kcore_peel(basket_edges(li, "l_orderkey", "l_partkey"), q=0.05, rounds=8)

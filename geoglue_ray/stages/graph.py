@@ -658,3 +658,113 @@ def triangle_counts(
             "n_triangles": pa.array(out["val"].to_numpy().astype(np.int64)),
         }
     )
+
+
+def kcore_peel(
+    edges: rd.Dataset,
+    q: float = 0.05,
+    rounds: int = 8,
+    n_merge: int = 32,
+) -> pa.Table:
+    """k-core DECOMPOSITION by iterative peeling over distinct symmetric
+    ``(src, dst)`` edges — the graph-robustness operator alongside
+    pagerank (value propagation), BFS (traversal) and triangles (pattern
+    counting): repeatedly delete every node whose degree among survivors
+    is below k, a FIXED number of rounds (never to convergence on an
+    unknown graph; extra rounds past the fixed point are exact no-ops on
+    both sides).  k is data-relative — the initial degree at ascending
+    rank ``ceil(q * n_nodes)`` — so the peel stays non-trivial at every
+    corpus scale (an absolute k empties or saturates a density-scaling
+    graph).
+
+    Scale shape (the pagerank rule): the driver holds only the
+    node-cardinality alive/degree vectors; per round the alive set
+    broadcasts via ``ray.put`` and the edge set STREAMS once through
+    ``map_batches`` (per-batch bincount of surviving-edge endpoints,
+    fixed-shard exact merge) — edges are never collected.
+
+    Returns survivors after ``rounds`` peels: (node, core_degree), the
+    degree counted among the previous round's survivors (>= k by
+    construction)."""
+    import ray
+
+    edges = edges.materialize()  # one streamed pass per round + degrees
+
+    def deg_partial(b: pa.Table, *, ref=None) -> pa.Table:
+        empty = pa.table(
+            {
+                "_m": pa.array([], pa.int64()),
+                "node": pa.array([], pa.int64()),
+                "d": pa.array([], pa.int64()),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        src = b["src"].to_numpy().astype(np.int64)
+        dst = b["dst"].to_numpy().astype(np.int64)
+        if ref is not None:
+            alive = ray.get(ref)
+            m = alive[src] & alive[dst]
+            src = src[m]
+            if len(src) == 0:
+                return empty
+        u, c = np.unique(src, return_counts=True)
+        return pa.table(
+            {
+                "_m": pa.array((int_hash64(u) % np.uint64(n_merge)).astype(np.int64)),
+                "node": pa.array(u),
+                "d": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def deg_merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("node", sort=False)["d"].sum().reset_index()
+        return pd.DataFrame(
+            {"node": s["node"].astype(np.int64), "d": s["d"].astype(np.int64)}
+        )
+
+    def sweep(ref) -> pd.DataFrame:
+        fn = deg_partial if ref is None else (
+            lambda b, *, _r=ref: deg_partial(b, ref=_r)
+        )
+        return (
+            edges.map_batches(fn, batch_format="pyarrow")
+            .groupby("_m")
+            .map_groups(deg_merge, batch_format="pandas")
+            .to_pandas()
+        )
+
+    d0 = sweep(None)
+    nodes = d0["node"].to_numpy().astype(np.int64)
+    deg0 = d0["d"].to_numpy().astype(np.int64)
+    assert len(nodes) and nodes.min() >= 0 and nodes.max() < (1 << 26), (
+        "dense alive vector assumes non-negative node ids < 2^26; "
+        "re-key via factorize above that"
+    )
+    n = len(nodes)
+    k = int(np.sort(deg0)[int(np.ceil(q * n)) - 1])
+
+    size = int(nodes.max()) + 1
+    alive = np.zeros(size, dtype=bool)
+    alive[nodes] = True
+    # cur holds d_r (degrees among a_{r-1}); a_r = cur filtered to d >= k.
+    # After the loop cur = d_rounds, so the output is exactly a_rounds.
+    cur = pd.DataFrame({"node": nodes, "d": deg0})  # d_1 (a_0 = all nodes)
+    for _ in range(rounds - 1):
+        new_alive = np.zeros(size, dtype=bool)
+        keep = cur["d"].to_numpy() >= k
+        new_alive[cur["node"].to_numpy()[keep]] = True
+        if (new_alive == alive).all():
+            break  # fixed point: remaining rounds are exact no-ops
+        alive = new_alive
+        cur = sweep(ray.put(alive))
+        cur = cur[alive[cur["node"].to_numpy()]].reset_index(drop=True)
+
+    out = cur[cur["d"].to_numpy() >= k].sort_values("node")
+    return pa.table(
+        {
+            "part_key": pa.array(out["node"].to_numpy().astype(np.int64)),
+            "core_degree": pa.array(out["d"].to_numpy().astype(np.int64)),
+            "k": pa.array(np.full(len(out), k, dtype=np.int64)),
+        }
+    )
