@@ -5710,3 +5710,36 @@ SELECT node AS part_key, d AS core_degree, kk.k
 FROM d{rounds}, kk WHERE d >= kk.k
 ORDER BY node
 """
+
+
+def events_autocorr(max_lag: int = 24, n_hours: int = 720) -> str:
+    """ACF twin: zero-filled hourly series via range() LEFT JOIN, integer
+    moment sums per lag, the num / sqrt(dx*dy) chain with the same
+    double conversions (sqrt is IEEE-exact on both sides)."""
+    return f"""
+WITH h AS (
+  SELECT CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS h
+  FROM events),
+c AS (
+  SELECT g.range AS h, CAST(count(e.h) AS BIGINT) AS x
+  FROM range({n_hours}) g LEFT JOIN h e ON e.h = g.range
+  GROUP BY 1),
+l AS (SELECT range + 1 AS lag FROM range({max_lag})),
+p AS (
+  SELECT l.lag, a.x AS x, b.x AS y
+  FROM l
+  JOIN c a ON a.h < {n_hours} - l.lag
+  JOIN c b ON b.h = a.h + l.lag),
+s AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM p GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+FROM s ORDER BY lag
+"""

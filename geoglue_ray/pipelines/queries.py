@@ -7915,3 +7915,60 @@ def kcore_parts(sf_dir: str) -> pa.Table:
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
     return kcore_peel(basket_edges(li, "l_orderkey", "l_partkey"), q=0.05, rounds=8)
+
+
+def events_autocorr(sf_dir: str, max_lag: int = 24, n_hours: int = 720) -> rd.Dataset:
+    """Autocorrelation function of the hourly event-count series (lags
+    1..24) — the temporal-signature operator (daily rhythm shows as a
+    lag-24 peak).  One streamed bincount pass reduces the corpus to the
+    720-hour series (bounded partials, merged driver-side); each lag's
+    Pearson r uses CLEARED-DENOMINATOR integer moments with exact Python
+    ints, and the only non-rational step is one IEEE-correctly-rounded
+    sqrt of a double product — mirrored operation-for-operation by the
+    twin (sqrt is exact-rounded in both numpy/libm and DuckDB; only
+    transcendentals like ln diverge)."""
+    import math
+
+    T0E = np.datetime64("2024-01-01T00:00:00", "us")
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (b["ts"].to_numpy() - T0E).astype("timedelta64[h]").astype(np.int64)
+        h = h[(h >= 0) & (h < n_hours)]
+        c = np.bincount(h, minlength=n_hours).astype(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(np.arange(n_hours, dtype=np.int64)),
+                "x": pa.array(c),
+            }
+        )
+
+    rows = ev.map_batches(partial, batch_format="pyarrow").take_all()
+    x = np.zeros(n_hours, dtype=object)  # Python ints: overflow-proof moments
+    for r in rows:
+        x[int(r["h"])] += int(r["x"])
+
+    lags, ns, accs = [], [], []
+    for lag in range(1, max_lag + 1):
+        a, b_ = x[: n_hours - lag], x[lag:]
+        n = len(a)
+        sx, sy = sum(a), sum(b_)
+        sxy = sum(int(p) * int(q) for p, q in zip(a, b_))
+        sxx = sum(int(p) * int(p) for p in a)
+        syy = sum(int(q) * int(q) for q in b_)
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        lags.append(lag)
+        ns.append(n)
+        accs.append(float(num) / math.sqrt(float(dx) * float(dy)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lag": pa.array(lags, pa.int64()),
+                "n_pairs": pa.array(ns, pa.int64()),
+                "acf": pa.array(accs, pa.float64()),
+            }
+        )
+    )
