@@ -5743,3 +5743,30 @@ SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
                 * CAST(n * syy - sy * sy AS DOUBLE)) AS acf
 FROM s ORDER BY lag
 """
+
+
+def basket_rules(min_support: int = 3, top_n: int = 50) -> str:
+    """Rule twin: distinct basket membership, both rule directions via
+    UNION ALL, confidence/lift as single divisions of exact counts."""
+    return f"""
+WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM bi),
+ic AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1),
+pr AS (
+  SELECT a.it AS i1, b.it AS i2, CAST(count(*) AS BIGINT) AS cab
+  FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}),
+r AS (
+  SELECT i1 AS antecedent, i2 AS consequent, cab FROM pr
+  UNION ALL
+  SELECT i2, i1, cab FROM pr)
+SELECT r.antecedent, r.consequent, r.cab AS n_both,
+       ia.c AS n_ante, ib.c AS n_cons,
+       CAST(r.cab AS DOUBLE) / CAST(ia.c AS DOUBLE) AS confidence,
+       CAST(n.n * r.cab AS DOUBLE) / CAST(ia.c * ib.c AS DOUBLE) AS lift
+FROM r
+JOIN ic ia ON r.antecedent = ia.it
+JOIN ic ib ON r.consequent = ib.it, n
+ORDER BY confidence DESC, antecedent, consequent
+LIMIT {top_n}
+"""

@@ -7972,3 +7972,17 @@ def events_autocorr(sf_dir: str, max_lag: int = 24, n_hours: int = 720) -> rd.Da
             }
         )
     )
+
+
+def basket_rules(sf_dir: str) -> rd.Dataset:
+    """Association-rule mining over order baskets: directed part rules
+    A -> B with exact support, confidence and lift, min support 3, top
+    50 on the (confidence desc, antecedent, consequent) total order
+    (stages/join.basket_rules) — the recommender-pipeline operator atop
+    the copurchase pair counts."""
+    from geoglue_ray.stages.join import basket_rules as _rules
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return _rules(li, "l_orderkey", "l_partkey", min_support=3, top_n=50)

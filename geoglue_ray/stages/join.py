@@ -740,3 +740,176 @@ def setsim_join(
         .groupby("_pb")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def basket_rules(
+    ds: rd.Dataset,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 3,
+    top_n: int = 50,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Association-RULE mining (Apriori k=2): directed rules A -> B over
+    basket co-occurrence with exact support, confidence = c_AB / c_A and
+    lift = N * c_AB / (c_A * c_B) — both single divisions of exact int64
+    counts, so the twin matches bit-for-bit; global ``top_n`` on the
+    (confidence desc, antecedent, consequent) total order.  Extends
+    :func:`cooccur_topk` (raw pair counts) with rule DIRECTION and the
+    item-count denominators.
+
+    Scale shape: the same two fixed-shard passes as cooccur_topk
+    (basket-hash pair generation with per-shard collapse, pair-hash
+    exact merge); per-item basket counts ride a THIRD bounded pass whose
+    result broadcasts via ``ray.put`` (item vocabulary is
+    catalog-bounded, never row-scale).  A pair's final confidence is
+    computable entirely in its pair shard, so two-level top-k stays
+    exact."""
+    import ray
+
+    from geoglue_ray.functions.texthash import int_hash64
+    from geoglue_ray.stages.dedup import _run_pairs
+
+    def shard(b: pa.Table) -> pa.Table:
+        k = b[basket_col].to_numpy()
+        return pa.table(
+            {
+                "_sh": pa.array(
+                    (int_hash64(k) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                basket_col: b[basket_col],
+                item_col: b[item_col],
+            }
+        )
+
+    sharded = ds.map_batches(shard, batch_format="pyarrow").materialize()
+
+    def item_partial(g: pd.DataFrame) -> pd.DataFrame:
+        bk = g[basket_col].to_numpy()
+        it = g[item_col].to_numpy()
+        o = np.lexsort((it, bk))
+        bk, it = bk[o], it[o]
+        uniq = np.r_[True, (bk[1:] != bk[:-1]) | (it[1:] != it[:-1])]
+        u, c = np.unique(it[uniq], return_counts=True)
+        return pd.DataFrame(
+            {"it": u.astype(np.int64), "c": c.astype(np.int64)}
+        )
+
+    it_rows = (
+        sharded.groupby("_sh")
+        .map_groups(item_partial, batch_format="pandas")
+        .take_all()
+    )  # bounded: catalog cardinality (+ one nb per shard)
+    counts: dict[int, int] = {}
+    for r in it_rows:
+        counts[int(r["it"])] = counts.get(int(r["it"]), 0) + int(r["c"])
+    cref = ray.put(counts)
+
+    def nb_partial(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"nb": [len(np.unique(g[basket_col].to_numpy()))]}
+        )
+
+    n_baskets = sum(
+        int(r["nb"])
+        for r in sharded.groupby("_sh")
+        .map_groups(nb_partial, batch_format="pandas")
+        .take_all()
+    )
+
+    def gen_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        bk = g[basket_col].to_numpy()
+        it = g[item_col].to_numpy()
+        o = np.lexsort((it, bk))
+        bk, it = bk[o], it[o]
+        uniq = np.r_[True, (bk[1:] != bk[:-1]) | (it[1:] != it[:-1])]
+        bk, it = bk[uniq], it[uniq]
+        ia, ib = _run_pairs(bk)
+        if len(ia) == 0:
+            return pd.DataFrame(
+                {
+                    "i1": np.array([], np.int64),
+                    "i2": np.array([], np.int64),
+                    "cab": np.array([], np.int64),
+                    "_ps": np.array([], np.int64),
+                }
+            )
+        packed = (it[ia].astype(np.int64) << np.int64(32)) | it[ib].astype(np.int64)
+        pu, cnt = np.unique(packed, return_counts=True)
+        ps = (int_hash64(pu) % np.uint64(n_shards)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "i1": (pu >> np.int64(32)).astype(np.int64),
+                "i2": (pu & np.int64(0xFFFFFFFF)).astype(np.int64),
+                "cab": cnt.astype(np.int64),
+                "_ps": ps,
+            }
+        )
+
+    def _rules(i1, i2, cab, cmap):
+        ante = np.concatenate([i1, i2])
+        cons = np.concatenate([i2, i1])
+        both = np.concatenate([cab, cab])
+        ca = np.array([cmap[int(a)] for a in ante], dtype=np.int64)
+        cb = np.array([cmap[int(b)] for b in cons], dtype=np.int64)
+        conf = both.astype(np.float64) / ca.astype(np.float64)
+        lift = (np.int64(n_baskets) * both).astype(np.float64) / (
+            ca * cb
+        ).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "antecedent": ante,
+                "consequent": cons,
+                "n_both": both,
+                "n_ante": ca,
+                "n_cons": cb,
+                "confidence": conf,
+                "lift": lift,
+            }
+        )
+
+    def shard_rules(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "antecedent": pd.Series([], dtype=np.int64),
+                "consequent": pd.Series([], dtype=np.int64),
+                "n_both": pd.Series([], dtype=np.int64),
+                "n_ante": pd.Series([], dtype=np.int64),
+                "n_cons": pd.Series([], dtype=np.int64),
+                "confidence": pd.Series([], dtype=np.float64),
+                "lift": pd.Series([], dtype=np.float64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        packed = (g["i1"].to_numpy() << np.int64(32)) | g["i2"].to_numpy()
+        pu, inv = np.unique(packed, return_inverse=True)
+        cnt = np.bincount(inv, weights=g["cab"].to_numpy()).astype(np.int64)
+        keep = cnt >= min_support
+        if not keep.any():
+            return empty
+        pu, cnt = pu[keep], cnt[keep]
+        s = _rules(
+            (pu >> np.int64(32)).astype(np.int64),
+            (pu & np.int64(0xFFFFFFFF)).astype(np.int64),
+            cnt,
+            ray.get(cref),
+        )
+        s = s.sort_values(
+            ["confidence", "antecedent", "consequent"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(top_n)
+        return s.reset_index(drop=True)
+
+    return (
+        sharded.groupby("_sh")
+        .map_groups(gen_pairs, batch_format="pandas")
+        .groupby("_ps")
+        .map_groups(shard_rules, batch_format="pandas")
+        .sort(
+            ["confidence", "antecedent", "consequent"],
+            descending=[True, False, False],
+        )
+        .limit(top_n)
+    )
