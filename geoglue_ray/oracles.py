@@ -5770,3 +5770,42 @@ JOIN ic ib ON r.consequent = ib.it, n
 ORDER BY confidence DESC, antecedent, consequent
 LIMIT {top_n}
 """
+
+
+def events_contagion(cell_scale: int = 8, rounds: int = 6) -> str:
+    """Temporal-reachability twin: distinct (cell, day) co-presence
+    edges, seeds at day 0, and ``rounds`` unrolled min-join propagation
+    CTEs — each round keeps earlier infections via the UNION ALL of the
+    previous round (min never widens BIGINT)."""
+    lon = fx.sql_lon("event_id")
+    lat = fx.sql_lat("event_id")
+    ctes = [
+        f"""p AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(({lon}) * {cell_scale}) AS BIGINT) * 65536
+           + CAST(floor(({lat}) * {cell_scale}) AS BIGINT) AS cell,
+         CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS d
+  FROM events),
+e AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v, a.d AS t
+  FROM p a JOIN p b
+    ON a.cell = b.cell AND a.d = b.d AND a.user_id <> b.user_id),
+t0 AS (
+  SELECT DISTINCT user_id, CAST(0 AS BIGINT) AS t
+  FROM events WHERE user_id < 3)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""t{r} AS (
+  SELECT user_id, min(t) AS t FROM (
+    SELECT e.v AS user_id, e.t
+    FROM e JOIN t{r - 1} s ON e.u = s.user_id AND e.t >= s.t
+    UNION ALL
+    SELECT user_id, t FROM t{r - 1})
+  GROUP BY 1)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT user_id, t AS t_infect FROM t{rounds} ORDER BY user_id
+"""

@@ -7986,3 +7986,149 @@ def basket_rules(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
     return _rules(li, "l_orderkey", "l_partkey", min_support=3, top_n=50)
+
+
+def events_contagion(
+    sf_dir: str, cell_scale: int = 8, rounds: int = 6, n_shards: int = 64
+) -> pa.Table:
+    """Contact-tracing / influence spread: SI infection times over the
+    TIME-RESPECTING contact graph (users sharing a 1/8-degree cell on
+    the same day), seeds = users with id < 3 at day 0, 6 propagation
+    rounds (stages/graph.temporal_reachability — static reachability
+    overcounts by ignoring edge order).  Contacts build distributed
+    ((cell, day)-sharded pair generation, distinct-edge collapse); the
+    unrolled min-join CTE twin mirrors every round."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+    from geoglue_ray.stages.graph import temporal_reachability
+
+    T0E = np.datetime64("2024-01-01T00:00:00", "us")
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        cx = np.floor(lon * float(cell_scale)).astype(np.int64)
+        cy = np.floor(lat * float(cell_scale)).astype(np.int64)
+        d = (b["ts"].to_numpy() - T0E).astype("timedelta64[D]").astype(np.int64)
+        key = (cx * np.int64(65536) + cy) * np.int64(64) + d
+        return pa.table(
+            {
+                "_sh": pa.array(
+                    (int_hash64(key) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "key": pa.array(key),
+                "user_id": pa.array(b["user_id"].to_numpy().astype(np.int64)),
+                "d": pa.array(d),
+            }
+        )
+
+    def gen_contacts(g: pd.DataFrame) -> pd.DataFrame:
+        from geoglue_ray.stages.dedup import _run_pairs
+
+        empty = pd.DataFrame(
+            {
+                "u": pd.Series([], dtype=np.int64),
+                "v": pd.Series([], dtype=np.int64),
+                "t": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        k = g["key"].to_numpy().astype(np.int64)
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        d = g["d"].to_numpy().astype(np.int64)
+        o = np.lexsort((uid, k))
+        k, uid, d = k[o], uid[o], d[o]
+        uniq = np.r_[True, (k[1:] != k[:-1]) | (uid[1:] != uid[:-1])]
+        k, uid, d = k[uniq], uid[uniq], d[uniq]
+        ia, ib = _run_pairs(k)
+        if len(ia) == 0:
+            return empty
+        # both directions; dedupe (u, v, day) within the shard — a
+        # (cell, day) key lives wholly in one shard, but a (u, v, day)
+        # pair can recur across cells, deduped in the edge shard below
+        u = np.concatenate([uid[ia], uid[ib]])
+        v = np.concatenate([uid[ib], uid[ia]])
+        t = np.concatenate([d[ia], d[ib]])
+        packed = (u * np.int64(1 << 20) + v) * np.int64(64) + t
+        pu = np.unique(packed)
+        return pd.DataFrame(
+            {
+                "u": (pu // np.int64(64 << 20)).astype(np.int64),
+                "v": ((pu // np.int64(64)) % np.int64(1 << 20)).astype(np.int64),
+                "t": (pu % np.int64(64)).astype(np.int64),
+            }
+        )
+
+    def edge_shard(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy().astype(np.int64)
+        v = b["v"].to_numpy().astype(np.int64)
+        packed = (u * np.int64(1 << 20) + v) * np.int64(64) + b["t"].to_numpy()
+        return pa.table(
+            {
+                "_e": pa.array(
+                    (int_hash64(packed) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "u": b["u"],
+                "v": b["v"],
+                "t": b["t"],
+            }
+        )
+
+    def edge_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "u": pd.Series([], dtype=np.int64),
+                    "v": pd.Series([], dtype=np.int64),
+                    "t": pd.Series([], dtype=np.int64),
+                }
+            )
+        packed = (
+            g["u"].to_numpy().astype(np.int64) * np.int64(1 << 20)
+            + g["v"].to_numpy().astype(np.int64)
+        ) * np.int64(64) + g["t"].to_numpy().astype(np.int64)
+        pu = np.unique(packed)
+        return pd.DataFrame(
+            {
+                "u": (pu // np.int64(64 << 20)).astype(np.int64),
+                "v": ((pu // np.int64(64)) % np.int64(1 << 20)).astype(np.int64),
+                "t": (pu % np.int64(64)).astype(np.int64),
+            }
+        )
+
+    contacts = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(gen_contacts, batch_format="pandas")
+        .map_batches(edge_shard, batch_format="pyarrow")
+        .groupby("_e")
+        .map_groups(edge_dedup, batch_format="pandas")
+    )
+
+    seed_rows = (
+        ev.map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": pa.array(
+                        np.unique(
+                            b["user_id"].to_numpy().astype(np.int64)[
+                                b["user_id"].to_numpy() < 3
+                            ]
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )  # bounded: <= 3 ids per batch
+    seeds = np.unique(np.array([int(r["user_id"]) for r in seed_rows], dtype=np.int64))
+
+    t = temporal_reachability(contacts, seeds, rounds=rounds)
+    idx = pc.sort_indices(t, sort_keys=[("user_id", "ascending")])
+    return t.take(idx)

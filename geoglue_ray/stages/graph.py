@@ -768,3 +768,115 @@ def kcore_peel(
             "k": pa.array(np.full(len(out), k, dtype=np.int64)),
         }
     )
+
+
+def temporal_reachability(
+    contacts: rd.Dataset,
+    seeds: np.ndarray,
+    rounds: int = 6,
+    n_merge: int = 16,
+    big: int = 1 << 40,
+) -> pa.Table:
+    """SI-model TEMPORAL reachability over time-stamped contact edges
+    ``(u, v, t)``: node v becomes infected at the earliest contact time
+    t with an already-infected u where ``t >= T(u)`` — paths must
+    respect time (the contact-tracing / influence-spread operator;
+    static BFS overcounts by ignoring edge order).  Fixed ``rounds`` of
+    min-propagation (one hop of the time-respecting closure each; extra
+    rounds past the fixed point are exact no-ops), mirrored by the
+    unrolled min-join CTE twin.
+
+    Scale shape (the pagerank rule): the driver holds only the
+    node-cardinality infection-time vector, re-broadcast per round via
+    ``ray.put``; edges stream once per round through ``map_batches``
+    with per-batch (v, min t) collapse and a fixed-shard exact min
+    merge.  Node ids must be < 2^26 for the dense vector (re-key
+    upstream otherwise).
+
+    Returns (user_id, t_infect) for nodes reached within ``rounds``
+    hops, seeds at t=0."""
+    import ray
+
+    contacts = contacts.materialize()  # one streamed pass per round
+
+    def bounds(b: pa.Table) -> pa.Table:
+        m = int(
+            max(
+                b["u"].to_numpy().max(initial=0),
+                b["v"].to_numpy().max(initial=0),
+            )
+        )
+        return pa.table({"mx": pa.array([m], pa.int64())})
+
+    mx = max(
+        int(r["mx"]) for r in contacts.map_batches(bounds, batch_format="pyarrow").take_all()
+    )
+    mx = max(mx, int(seeds.max(initial=0)))
+    assert mx < (1 << 26), "dense infection vector assumes node ids < 2^26"
+    T = np.full(mx + 1, big, dtype=np.int64)
+    T[np.asarray(seeds, dtype=np.int64)] = 0
+
+    def prop_partial(b: pa.Table, *, ref) -> pa.Table:
+        empty = pa.table(
+            {
+                "_m": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "t": pa.array([], pa.int64()),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        t_vec = ray.get(ref)
+        u = b["u"].to_numpy().astype(np.int64)
+        v = b["v"].to_numpy().astype(np.int64)
+        h = b["t"].to_numpy().astype(np.int64)
+        ok = h >= t_vec[u]
+        if not ok.any():
+            return empty
+        v, h = v[ok], h[ok]
+        o = np.lexsort((h, v))
+        v, h = v[o], h[o]
+        first = np.r_[True, v[1:] != v[:-1]]
+        return pa.table(
+            {
+                "_m": pa.array(
+                    (int_hash64(v[first]) % np.uint64(n_merge)).astype(np.int64)
+                ),
+                "v": pa.array(v[first]),
+                "t": pa.array(h[first]),  # per-batch min t per v
+            }
+        )
+
+    def min_merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("v", sort=False)["t"].min().reset_index()
+        return pd.DataFrame(
+            {"v": s["v"].astype(np.int64), "t": s["t"].astype(np.int64)}
+        )
+
+    for _ in range(rounds):
+        ref = ray.put(T)
+        cand = (
+            contacts.map_batches(
+                lambda b, *, _r=ref: prop_partial(b, ref=_r),
+                batch_format="pyarrow",
+            )
+            .groupby("_m")
+            .map_groups(min_merge, batch_format="pandas")
+            .to_pandas()
+        )
+        newT = T.copy()
+        if len(cand):
+            vv = cand["v"].to_numpy().astype(np.int64)
+            tt = cand["t"].to_numpy().astype(np.int64)
+            np.minimum.at(newT, vv, tt)
+        if (newT == T).all():
+            break  # fixed point: remaining rounds are exact no-ops
+        T = newT
+
+    inf = np.flatnonzero(T < big)
+    return pa.table(
+        {
+            "user_id": pa.array(inf.astype(np.int64)),
+            "t_infect": pa.array(T[inf]),
+        }
+    )
