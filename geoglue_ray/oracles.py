@@ -5809,3 +5809,48 @@ t0 AS (
 WITH {body}
 SELECT user_id, t AS t_infect FROM t{rounds} ORDER BY user_id
 """
+
+
+def raster_curvature() -> str:
+    """Curvature twin: 8-direction pivot (HAVING count(*) = 8), the
+    same cleared-denominator integer polynomial, one division."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+v AS (
+  SELECT t, valid_time, r, c, CAST(value AS BIGINT) AS value
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < 48),
+dirs AS (
+  SELECT * FROM (VALUES (0, 1), (1, 1), (1, 0), (1, -1),
+                        (0, -1), (-1, -1), (-1, 0), (-1, 1))
+    AS d(dr, dc)),
+w AS (
+  SELECT a.valid_time, a.r, a.c, a.value AS vc,
+         max(CASE WHEN d.dr = 0  AND d.dc = 1  THEN b.value END) AS e,
+         max(CASE WHEN d.dr = 0  AND d.dc = -1 THEN b.value END) AS w_,
+         max(CASE WHEN d.dr = 1  AND d.dc = 0  THEN b.value END) AS s,
+         max(CASE WHEN d.dr = -1 AND d.dc = 0  THEN b.value END) AS n,
+         max(CASE WHEN d.dr = 1  AND d.dc = 1  THEN b.value END) AS se,
+         max(CASE WHEN d.dr = 1  AND d.dc = -1 THEN b.value END) AS sw,
+         max(CASE WHEN d.dr = -1 AND d.dc = 1  THEN b.value END) AS ne,
+         max(CASE WHEN d.dr = -1 AND d.dc = -1 THEN b.value END) AS nw
+  FROM v a CROSS JOIN dirs d
+  JOIN v b ON b.t = a.t AND b.r = a.r + d.dr AND b.c = a.c + d.dc
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) = 8),
+z AS (
+  SELECT valid_time, r, c,
+         e - w_ AS zx, s - n AS zy,
+         e - 2 * vc + w_ AS zxx, s - 2 * vc + n AS zyy,
+         se - sw - ne + nw AS zxy
+  FROM w)
+SELECT valid_time, r AS cell_row, c AS cell_col,
+       2 * zxx * zy * zy - zxy * zx * zy + 2 * zyy * zx * zx AS curv_num,
+       2 * (zx * zx + zy * zy) AS curv_den,
+       CAST(2 * zxx * zy * zy - zxy * zx * zy + 2 * zyy * zx * zx AS DOUBLE)
+         / CAST(2 * (zx * zx + zy * zy) AS DOUBLE) AS plan_curv
+FROM z
+WHERE zx * zx + zy * zy > 0
+ORDER BY 1, 2, 3
+"""

@@ -8132,3 +8132,17 @@ def events_contagion(
     t = temporal_reachability(contacts, seeds, rounds=rounds)
     idx = pc.sort_indices(t, sort_keys=[("user_id", "ascending")])
     return t.take(idx)
+
+
+def raster_curvature(sf_dir: str) -> rd.Dataset:
+    """Plan (contour) curvature per (cell, hour) over two days — the
+    second-order terrain derivative completing the stencil family
+    (gradient -> aspect -> TRI -> curvature), exact int64 numerator /
+    denominator with one division (stages/terrain.plan_curvature).
+    Flat cells drop; bit-exact vs the 8-neighbor pivot twin."""
+    from geoglue_ray.sources.raster import read_raster
+    from geoglue_ray.stages.terrain import plan_curvature
+
+    return plan_curvature(read_raster(n_days=2), variable="t2m").sort(
+        ["valid_time", "cell_row", "cell_col"]
+    )

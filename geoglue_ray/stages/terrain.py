@@ -740,3 +740,93 @@ def cost_distance(
         .groupby("_cd")
         .map_groups(relax, batch_format="pandas")
     )
+
+
+def plan_curvature(
+    ds: rd.Dataset,
+    variable: str = "t2m",
+    band_rows: int = 8,
+    hour_chunk: int = 24,
+    n_cols: int | None = None,
+) -> rd.Dataset:
+    """Plan (contour) curvature per (cell, hour) — the second-order
+    terrain derivative alongside TRI/aspect:
+    ``(zxx*zy^2 - 2*zxy*zx*zy + zyy*zx^2) / (zx^2 + zy^2)`` on the 3x3
+    window, with the grid spacing CLEARED so numerator and denominator
+    are exact int64 polynomials of the raw central differences
+    (zx_n = E-W, zy_n = S-N, zxx_n = E-2C+W, zyy_n = S-2C+N,
+    zxy_n = SE-SW-NE+NW; substituting zx = zx_n/2, zxy = zxy_n/4 and
+    clearing: num = 2*zxx_n*zy_n^2 - zxy_n*zx_n*zy_n + 2*zyy_n*zx_n^2,
+    den = 2*(zx_n^2 + zy_n^2)) and curvature is ONE division — bit-exact vs the 8-neighbor pivot twin.  Cells need all
+    8 neighbors + center finite; flat cells (zx = zy = 0) drop on both
+    sides (0/0).  Same halo-banding scale shape as :func:`ruggedness`."""
+    T0 = np.datetime64(fx.T0, "us")
+    prep = _halo_prep(variable, band_rows, hour_chunk)
+
+    def stencil(g: pd.DataFrame) -> pa.Table:
+        hour = g["hour"].to_numpy().astype(np.int64)
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        v = g["value"].to_numpy().astype(np.float64)
+        own = g["_own"].to_numpy().astype(bool)
+        empty = {
+            "valid_time": pa.array([], pa.timestamp("us")),
+            "cell_row": pa.array([], pa.int64()),
+            "cell_col": pa.array([], pa.int64()),
+            "curv_num": pa.array([], pa.int64()),
+            "curv_den": pa.array([], pa.int64()),
+            "plan_curv": pa.array([], pa.float64()),
+        }
+        if not own.any():
+            return pa.table(empty)
+        t0, r0 = hour.min(), r.min()
+        nt = int(hour.max() - t0 + 1)
+        nr = int(r.max() - r0 + 1)
+        nc = int(c.max()) + 1 if n_cols is None else int(n_cols)
+        shape = (nt, nr + 2, nc + 2)
+        V = np.zeros(shape, dtype=np.int64)
+        M = np.zeros(shape, dtype=bool)
+        ti, ri, ci = hour - t0, r - r0 + 1, c + 1
+        fin = np.isfinite(v)
+        V[ti[fin], ri[fin], ci[fin]] = v[fin].astype(np.int64)
+        M[ti[fin], ri[fin], ci[fin]] = True
+        sel = own & np.isfinite(v)
+        to, ro, co = ti[sel], ri[sel], ci[sel]
+        all8 = np.ones(len(to), dtype=bool)
+        for dr, dc in _DIRS8:
+            all8 &= M[to, ro + dr, co + dc]
+        to, ro, co = to[all8], ro[all8], co[all8]
+        vc = V[to, ro, co]
+        e, w = V[to, ro, co + 1], V[to, ro, co - 1]
+        s, n = V[to, ro + 1, co], V[to, ro - 1, co]
+        se, sw = V[to, ro + 1, co + 1], V[to, ro + 1, co - 1]
+        ne, nw = V[to, ro - 1, co + 1], V[to, ro - 1, co - 1]
+        zx, zy = e - w, s - n
+        zxx, zyy = e - 2 * vc + w, s - 2 * vc + n
+        zxy = se - sw - ne + nw
+        num = 2 * zxx * zy * zy - zxy * zx * zy + 2 * zyy * zx * zx
+        den = 2 * (zx * zx + zy * zy)
+        keep = den > 0
+        to, ro, co = to[keep], ro[keep], co[keep]
+        num, den = num[keep], den[keep]
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    T0 + ((to + t0) * 3_600_000_000).astype("timedelta64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "cell_row": pa.array(ro - 1 + r0),
+                "cell_col": pa.array(co - 1),
+                "curv_num": pa.array(num),
+                "curv_den": pa.array(den),
+                "plan_curv": pa.array(
+                    num.astype(np.float64) / den.astype(np.float64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(stencil, batch_format="pandas")
+    )
