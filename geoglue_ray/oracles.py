@@ -5854,3 +5854,29 @@ FROM z
 WHERE zx * zx + zy * zy > 0
 ORDER BY 1, 2, 3
 """
+
+
+def kanon_audit(k: int = 5, cell_scale: int = 8) -> str:
+    """k-anonymity twin: the same quasi-identifier tuple in closed form,
+    class census via one grouped count, one exact division."""
+    lon = fx.sql_lon("event_id")
+    lat = fx.sql_lat("event_id")
+    return f"""
+WITH q AS (
+  SELECT CAST(floor(({lon}) * {cell_scale}) AS BIGINT) * 65536
+           + CAST(floor(({lat}) * {cell_scale}) AS BIGINT) AS cell,
+         CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS d,
+         event_type
+  FROM events),
+c AS (
+  SELECT cell, d, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM q GROUP BY 1, 2, 3)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(count(*) FILTER (WHERE n < {k}) AS BIGINT) AS n_violating,
+       CAST(COALESCE(sum(n) FILTER (WHERE n < {k}), 0) AS BIGINT) AS rows_at_risk,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       min(n) AS min_class,
+       CAST(CAST(COALESCE(sum(n) FILTER (WHERE n < {k}), 0) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS risk_frac
+FROM c
+"""

@@ -8146,3 +8146,96 @@ def raster_curvature(sf_dir: str) -> rd.Dataset:
     return plan_curvature(read_raster(n_days=2), variable="t2m").sort(
         ["valid_time", "cell_row", "cell_col"]
     )
+
+
+def kanon_audit(
+    sf_dir: str, k: int = 5, cell_scale: int = 8, n_shards: int = 64
+) -> rd.Dataset:
+    """k-ANONYMITY audit over the event stream — the privacy gate a
+    data release runs: rows grouped by quasi-identifier tuple
+    (event_type, day, 1/8-degree cell); classes smaller than k are
+    re-identification risks.  Emits the class census: classes, violating
+    classes, rows at risk, the minimum class size and the risk fraction
+    (one exact division).  Per-batch tuple-collapse partials, a fixed
+    tuple-hash shard merge (a class lives wholly in one shard, so
+    per-shard minima and counts combine exactly), one bounded driver
+    pass."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    T0E = np.datetime64("2024-01-01T00:00:00", "us")
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        cx = np.floor(lon * float(cell_scale)).astype(np.int64)
+        cy = np.floor(lat * float(cell_scale)).astype(np.int64)
+        d = (b["ts"].to_numpy() - T0E).astype("timedelta64[D]").astype(np.int64)
+        et, codes = np.unique(
+            b["event_type"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        key = ((cx * np.int64(65536) + cy) * np.int64(64) + d) * np.int64(64) + codes
+        ku, cnt = np.unique(key, return_counts=True)
+        tc = (ku % np.int64(64)).astype(np.int64)
+        return pa.table(
+            {
+                "_sh": pa.array(
+                    (int_hash64(ku) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "cellday": pa.array(ku // np.int64(64)),
+                "event_type": pa.array(et[tc], pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "n_classes": pd.Series([], dtype=np.int64),
+                "n_violating": pd.Series([], dtype=np.int64),
+                "rows_at_risk": pd.Series([], dtype=np.int64),
+                "n_rows": pd.Series([], dtype=np.int64),
+                "min_class": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        s = g.groupby(["cellday", "event_type"], sort=False)["n"].sum()
+        v = s.to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "n_classes": [len(v)],
+                "n_violating": [int((v < k).sum())],
+                "rows_at_risk": [int(v[v < k].sum())],
+                "n_rows": [int(v.sum())],
+                "min_class": [int(v.min())],
+            }
+        )
+
+    parts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(census, batch_format="pandas")
+        .take_all()
+    )  # bounded: one row per shard
+    n_classes = sum(int(r["n_classes"]) for r in parts)
+    n_viol = sum(int(r["n_violating"]) for r in parts)
+    at_risk = sum(int(r["rows_at_risk"]) for r in parts)
+    n_rows = sum(int(r["n_rows"]) for r in parts)
+    min_class = min(int(r["min_class"]) for r in parts)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_classes": pa.array([n_classes], pa.int64()),
+                "n_violating": pa.array([n_viol], pa.int64()),
+                "rows_at_risk": pa.array([at_risk], pa.int64()),
+                "n_rows": pa.array([n_rows], pa.int64()),
+                "min_class": pa.array([min_class], pa.int64()),
+                "risk_frac": pa.array([at_risk / n_rows], pa.float64()),
+            }
+        )
+    )
