@@ -5880,3 +5880,48 @@ SELECT CAST(count(*) AS BIGINT) AS n_classes,
          / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS risk_frac
 FROM c
 """
+
+
+def raster_jacobi(rounds: int = 6, qshift: int = 20, n_hours: int = 24) -> str:
+    """Jacobi twin: six unrolled window-function rounds (lag/lead along
+    each axis with an exact-adjacency guard — a join-free 4-neighbor
+    stencil; MATERIALIZED stops DuckDB inlining each round 4x); // on
+    non-negative scaled BIGINTs is the engine's floor; fixed cells pass
+    the previous round's value through the ELSE branch."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    scale = 1 << qshift
+    ctes = [
+        f"""rast AS ({sql_raster_cte()}),
+g0 AS MATERIALIZED (
+  SELECT t, r, c, CAST(value AS BIGINT) * {scale} AS x
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < {n_hours})"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""g{i} AS MATERIALIZED (
+  SELECT t, r, c,
+         CASE WHEN nx IS NOT NULL AND sx IS NOT NULL
+                   AND wx IS NOT NULL AND ex IS NOT NULL
+              THEN (nx + sx + wx + ex) // 4
+              ELSE x END AS x
+  FROM (
+    SELECT t, r, c, x,
+           CASE WHEN lag(r) OVER wc = r - 1 THEN lag(x) OVER wc END AS nx,
+           CASE WHEN lead(r) OVER wc = r + 1 THEN lead(x) OVER wc END AS sx,
+           CASE WHEN lag(c) OVER wr = c - 1 THEN lag(x) OVER wr END AS wx,
+           CASE WHEN lead(c) OVER wr = c + 1 THEN lead(x) OVER wr END AS ex
+    FROM g{i - 1}
+    WINDOW wc AS (PARTITION BY t, c ORDER BY r),
+           wr AS (PARTITION BY t, r ORDER BY c)))"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT {fx.T0_SQL} + INTERVAL 1 HOUR * t AS valid_time,
+       r AS cell_row, c AS cell_col,
+       x AS jacobi_q,
+       CAST(x AS DOUBLE) / {scale}.0 AS relaxed
+FROM g{rounds}
+ORDER BY 1, 2, 3
+"""

@@ -8239,3 +8239,97 @@ def kanon_audit(
             }
         )
     )
+
+
+def raster_jacobi(
+    sf_dir: str, rounds: int = 6, qshift: int = 20, n_hours: int = 24
+) -> rd.Dataset:
+    """Jacobi relaxation (discrete Laplace smoothing) over one day of
+    the hourly raster — the iterative PDE-solver operator: six rounds of
+    ``x' = (N + S + E + W) // 4`` on 2^20-scaled integers for interior
+    cells whose four rook neighbors all exist; boundary, hole-adjacent
+    and hole cells stay fixed (the Dirichlet condition).  Floor division
+    on non-negative ints matches DuckDB ``//`` exactly, so the unrolled
+    6-CTE twin is bit-exact; the final value is one division by 2^20.
+    Each hour's grid is independent, so the partition key IS the hour
+    (at planet scale a grid outgrows one task and rounds become the
+    halo-exchange stencil of stages/stencil.py instead)."""
+    import pandas as pd
+
+    from geoglue_ray.sources.raster import RXSIZE, RYSIZE, read_raster
+
+    T0R = np.datetime64(fx.T0, "us")
+
+    ra = read_raster(n_days=1)
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["variable"], "t2m"))
+        v = b["value"].to_numpy(zero_copy_only=False)
+        fin = np.isfinite(v)
+        h = (
+            (b["valid_time"].to_numpy() - T0R)
+            .astype("timedelta64[h]")
+            .astype(np.int64)[fin]
+        )
+        return pa.table(
+            {
+                "h": pa.array(h),
+                "r": pa.array(b["cell_row"].to_numpy().astype(np.int64)[fin]),
+                "c": pa.array(b["cell_col"].to_numpy().astype(np.int64)[fin]),
+                "x": pa.array(v[fin].astype(np.int64) << np.int64(qshift)),
+            }
+        )
+
+    def relax(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "valid_time": pa.array([], pa.timestamp("us")),
+                "cell_row": pa.array([], pa.int64()),
+                "cell_col": pa.array([], pa.int64()),
+                "jacobi_q": pa.array([], pa.int64()),
+                "relaxed": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        h = int(g["h"].iloc[0])
+        r = g["r"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        x = g["x"].to_numpy().astype(np.int64)
+        X = np.zeros((RYSIZE + 2, RXSIZE + 2), dtype=np.int64)
+        M = np.zeros((RYSIZE + 2, RXSIZE + 2), dtype=bool)
+        X[r + 1, c + 1] = x
+        M[r + 1, c + 1] = True
+        interior = (
+            M[r, c + 1] & M[r + 2, c + 1] & M[r + 1, c] & M[r + 1, c + 2]
+        )
+        for _ in range(rounds):
+            nb = (
+                X[r, c + 1] + X[r + 2, c + 1] + X[r + 1, c] + X[r + 1, c + 2]
+            )
+            newx = np.where(interior, nb // 4, x)
+            x = newx
+            X[r + 1, c + 1] = x
+        return pa.table(
+            {
+                "valid_time": pa.array(
+                    np.full(len(r), T0R + np.timedelta64(h, "h")).astype(
+                        "datetime64[us]"
+                    ),
+                    type=pa.timestamp("us"),
+                ),
+                "cell_row": pa.array(r),
+                "cell_col": pa.array(c),
+                "jacobi_q": pa.array(x),
+                "relaxed": pa.array(
+                    x.astype(np.float64) / float(1 << qshift)
+                ),
+            }
+        )
+
+    return (
+        ra.map_batches(prep, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(relax, batch_format="pandas")
+        .sort(["valid_time", "cell_row", "cell_col"])
+    )
