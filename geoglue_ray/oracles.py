@@ -5647,10 +5647,10 @@ FROM t, n GROUP BY n.na, n.nb
 """
 
 
-def embed_top_eigen(rounds: int = 4, qscale: int = 1024, dim: int = 64) -> str:
-    """Power-iteration twin: the Gram matrix from the quantized self
-    join, each round one matvec (sum cast back to BIGINT — HUGEINT
-    widening) + the offset-trick renormalization, unrolled."""
+def _eigen_ctes(rounds: int = 4, qscale: int = 1024, dim: int = 64) -> str:
+    """Shared CTE body for the power-iteration twins (embed_top_eigen,
+    embed_pca_project): quantized components, Gram self-join, unrolled
+    matvec/renormalize rounds ending at v{rounds}."""
     ctes = [
         f"""q AS (
   SELECT vec_id, i.range AS j,
@@ -5670,10 +5670,27 @@ v0 AS (SELECT i.range AS j, CAST({qscale} AS BIGINT) AS v FROM range({dim}) i)""
 m{r} AS (SELECT max(abs(w)) AS m FROM w{r}),
 v{r} AS (SELECT j, ((w + m) * {qscale}) // m - {qscale} AS v FROM w{r}, m{r})"""
         )
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def embed_top_eigen(rounds: int = 4, qscale: int = 1024, dim: int = 64) -> str:
+    """Power-iteration twin: the Gram matrix from the quantized self
+    join, each round one matvec (sum cast back to BIGINT — HUGEINT
+    widening) + the offset-trick renormalization, unrolled."""
     return f"""
-WITH {body}
+WITH {_eigen_ctes(rounds, qscale, dim)}
 SELECT j AS dim, v AS v_q FROM v{rounds} ORDER BY j
+"""
+
+
+def embed_pca_project(rounds: int = 4, qscale: int = 1024, dim: int = 64) -> str:
+    """Projection twin: re-derives the eigenvector chain, then one exact
+    integer dot product per vector (sum cast back to BIGINT)."""
+    return f"""
+WITH {_eigen_ctes(rounds, qscale, dim)}
+SELECT q.vec_id, CAST(sum(q.q * v{rounds}.v) AS BIGINT) AS proj
+FROM q JOIN v{rounds} ON q.j = v{rounds}.j
+GROUP BY 1 ORDER BY 1
 """
 
 

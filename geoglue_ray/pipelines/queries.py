@@ -8333,3 +8333,33 @@ def raster_jacobi(
         .map_groups(relax, batch_format="pandas")
         .sort(["valid_time", "cell_row", "cell_col"])
     )
+
+
+def embed_pca_project(sf_dir: str) -> rd.Dataset:
+    """Dimensionality-reduction projection: every embedding's exact
+    integer dot product with the power-iteration eigenvector (the
+    1-component PCA score, composition of embed_top_eigen + one
+    streamed matvec pass — the eigenvector broadcasts, vectors never
+    materialize)."""
+    import ray
+
+    from geoglue_ray.stages.similarity import top_eigen
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    v = top_eigen(
+        ds.select_columns(["embedding"]), rounds=4
+    )["v_q"].to_numpy().astype(np.int64)
+    vref = ray.put(v)
+
+    def proj(b: pa.Table) -> pa.Table:
+        vv = ray.get(vref)
+        la = b["embedding"].combine_chunks()
+        mat = np.asarray(la.flatten()).reshape(len(b), -1)
+        q = np.floor(mat.astype(np.float64) * 1024.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"vec_id": b["vec_id"], "proj": pa.array(q @ vv)}
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow").sort("vec_id")
