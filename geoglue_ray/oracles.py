@@ -5942,3 +5942,21 @@ SELECT {fx.T0_SQL} + INTERVAL 1 HOUR * t AS valid_time,
 FROM g{rounds}
 ORDER BY 1, 2, 3
 """
+
+
+def q15_top_supplier(
+    date_from: str = "1996-01-01", date_to: str = "1996-07-01"
+) -> str:
+    """Q15-shape twin: floored per-row revenue (order-independent sum),
+    max-with-ties via the scalar subquery, (s_suppkey) total order."""
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey, sum(floor(l_extendedprice * (1.0 - l_discount))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '{date_from}' AND l_shipdate < DATE '{date_to}'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""

@@ -8363,3 +8363,86 @@ def embed_pca_project(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(proj, batch_format="pyarrow").sort("vec_id")
+
+
+def q15_top_supplier(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+) -> "pd.DataFrame":
+    """TPC-H Q15 shape: the supplier(s) achieving maximum revenue over a
+    ship-date window.  Per-batch partial collapse to supplier cardinality
+    (shuffle payload is key-sized, never row-sized), a small merge, a
+    streamed ``max`` aggregate, then a pruned supplier-name read filtered
+    to the (tiny) winner set — the corpus never materializes."""
+    import pandas as pd
+
+    lo = np.datetime64(date_from, "us")
+    hi = np.datetime64(date_to, "us")
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = (ts >= lo) & (ts < hi)
+        sk = b["l_suppkey"].to_numpy()[m]
+        rev = np.floor(
+            b["l_extendedprice"].to_numpy()[m]
+            * (1.0 - b["l_discount"].to_numpy()[m])
+        )
+        if len(sk) == 0:
+            return pa.table(
+                {
+                    "l_suppkey": pa.array([], pa.int64()),
+                    "total_revenue": pa.array([], pa.float64()),
+                }
+            )
+        order = np.argsort(sk, kind="stable")
+        sks = sk[order]
+        starts = np.flatnonzero(np.r_[True, sks[1:] != sks[:-1]])
+        return pa.table(
+            {
+                "l_suppkey": pa.array(sks[starts]),
+                "total_revenue": pa.array(np.add.reduceat(rev[order], starts)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_suppkey": [g["l_suppkey"].iloc[0]],
+                "total_revenue": [g["total_revenue"].sum()],
+            }
+        )
+
+    rev = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .map_groups(merge, batch_format="pandas")
+        .materialize()  # multiply consumed (max + filter); supplier-cardinality
+    )
+    mx = rev.max("total_revenue")
+
+    def only_max(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["total_revenue"], mx))
+
+    wdf = rev.map_batches(only_max, batch_format="pyarrow").to_pandas()  # ties only
+    keys = pa.array(sorted(int(k) for k in wdf["l_suppkey"]), pa.int64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["s_suppkey"], value_set=keys))
+
+    names = (
+        rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()  # bounded: winner set
+    )
+    out = names.merge(wdf, left_on="s_suppkey", right_on="l_suppkey")
+    return (
+        out[["s_suppkey", "s_name", "total_revenue"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
