@@ -5960,3 +5960,31 @@ FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
 WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
 ORDER BY s.s_suppkey
 """
+
+
+def ldiv_audit(l_min: int = 3, cell_scale: int = 8) -> str:
+    """l-diversity twin: the kanon quasi-identifier minus the sensitive
+    attribute, per-class distinct sensitive count, one exact division."""
+    lon = fx.sql_lon("event_id")
+    lat = fx.sql_lat("event_id")
+    return f"""
+WITH q AS (
+  SELECT CAST(floor(({lon}) * {cell_scale}) AS BIGINT) * 65536
+           + CAST(floor(({lat}) * {cell_scale}) AS BIGINT) AS cell,
+         CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS d,
+         event_type
+  FROM events),
+c AS (
+  SELECT cell, d,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS l,
+         CAST(count(*) AS BIGINT) AS n
+  FROM q GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(count(*) FILTER (WHERE l < {l_min}) AS BIGINT) AS n_below,
+       CAST(COALESCE(sum(n) FILTER (WHERE l < {l_min}), 0) AS BIGINT) AS rows_at_risk,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       min(l) AS min_l,
+       CAST(CAST(COALESCE(sum(n) FILTER (WHERE l < {l_min}), 0) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS risk_frac
+FROM c
+"""

@@ -8446,3 +8446,101 @@ def q15_top_supplier(
         .sort_values("s_suppkey")
         .reset_index(drop=True)
     )
+
+
+def ldiv_audit(
+    sf_dir: str, l_min: int = 3, cell_scale: int = 8, n_shards: int = 64
+) -> rd.Dataset:
+    """l-DIVERSITY audit — the second privacy gate after k-anonymity
+    (kanon_audit): rows grouped by quasi-identifier tuple (day,
+    1/8-degree cell); a class whose SENSITIVE attribute (event_type)
+    takes fewer than l distinct values leaks it even when the class is
+    large.  Per-batch (class, type)-pair collapse, a fixed class-hash
+    shard merge (a class lives wholly in one shard, so per-shard
+    distinct counts are exact), one bounded driver pass; one exact
+    division for the risk fraction."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    T0E = np.datetime64("2024-01-01T00:00:00", "us")
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        cx = np.floor(lon * float(cell_scale)).astype(np.int64)
+        cy = np.floor(lat * float(cell_scale)).astype(np.int64)
+        d = (b["ts"].to_numpy() - T0E).astype("timedelta64[D]").astype(np.int64)
+        et, codes = np.unique(
+            b["event_type"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        cellday = (cx * np.int64(65536) + cy) * np.int64(64) + d
+        key = cellday * np.int64(64) + codes
+        ku, cnt = np.unique(key, return_counts=True)
+        cd = ku // np.int64(64)
+        tc = (ku % np.int64(64)).astype(np.int64)
+        return pa.table(
+            {
+                "_sh": pa.array(
+                    (int_hash64(cd) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "cellday": pa.array(cd),
+                "event_type": pa.array(et[tc], pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "n_classes": pd.Series([], dtype=np.int64),
+                "n_below": pd.Series([], dtype=np.int64),
+                "rows_at_risk": pd.Series([], dtype=np.int64),
+                "n_rows": pd.Series([], dtype=np.int64),
+                "min_l": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        agg = g.groupby("cellday", sort=False).agg(
+            n=("n", "sum"), l=("event_type", "nunique")
+        )
+        n_v = agg["n"].to_numpy().astype(np.int64)
+        l_v = agg["l"].to_numpy().astype(np.int64)
+        low = l_v < l_min
+        return pd.DataFrame(
+            {
+                "n_classes": [len(agg)],
+                "n_below": [int(low.sum())],
+                "rows_at_risk": [int(n_v[low].sum())],
+                "n_rows": [int(n_v.sum())],
+                "min_l": [int(l_v.min())],
+            }
+        )
+
+    parts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(census, batch_format="pandas")
+        .take_all()
+    )  # bounded: one row per shard
+    n_classes = sum(int(r["n_classes"]) for r in parts)
+    n_below = sum(int(r["n_below"]) for r in parts)
+    at_risk = sum(int(r["rows_at_risk"]) for r in parts)
+    n_rows = sum(int(r["n_rows"]) for r in parts)
+    min_l = min(int(r["min_l"]) for r in parts)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_classes": pa.array([n_classes], pa.int64()),
+                "n_below": pa.array([n_below], pa.int64()),
+                "rows_at_risk": pa.array([at_risk], pa.int64()),
+                "n_rows": pa.array([n_rows], pa.int64()),
+                "min_l": pa.array([min_l], pa.int64()),
+                "risk_frac": pa.array([at_risk / n_rows], pa.float64()),
+            }
+        )
+    )
