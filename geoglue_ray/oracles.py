@@ -5988,3 +5988,26 @@ SELECT CAST(count(*) AS BIGINT) AS n_classes,
          / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS risk_frac
 FROM c
 """
+
+
+def fd_profile() -> str:
+    """FD-profiling twin: one grouped distinct-count census per candidate
+    dependency, UNION ALL, (fd) total order; one exact division each."""
+    def one(lhs: str, rhs: str) -> str:
+        return f"""
+SELECT '{lhs}->{rhs}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (WHERE d > 1) AS BIGINT) AS n_violating,
+       CAST(COALESCE(sum(n) FILTER (WHERE d > 1), 0) AS BIGINT) AS rows_in_violating,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(CAST(COALESCE(sum(n) FILTER (WHERE d > 1), 0) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS violation_frac
+FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS d, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1)"""
+
+    bodies = [
+        one("l_partkey", "l_suppkey"),
+        one("l_orderkey", "l_linestatus"),
+        one("l_suppkey", "l_returnflag"),
+    ]
+    return " UNION ALL ".join(bodies) + " ORDER BY fd"

@@ -8544,3 +8544,102 @@ def ldiv_audit(
             }
         )
     )
+
+
+def fd_profile(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Functional-dependency PROFILING over lineitem — the data-quality
+    pass a schema-inference / constraint-mining pipeline runs: for each
+    candidate FD ``lhs -> rhs``, the census of LHS groups whose RHS is
+    not single-valued.  Per-batch (lhs, rhs)-pair collapse (payload is
+    pair-cardinality, never row-cardinality), fixed lhs-hash shards so a
+    group's distinct count is exact within one shard, bounded driver
+    merge; one exact division per candidate."""
+    import zlib
+
+    import pandas as pd
+
+    candidates = [
+        ("l_partkey", "l_suppkey"),
+        ("l_orderkey", "l_linestatus"),
+        ("l_suppkey", "l_returnflag"),
+    ]
+    cols = sorted({c for pair in candidates for c in pair})
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols).materialize()
+
+    def make_partial(lhs: str, rhs: str):
+        def partial(b: pa.Table) -> pa.Table:
+            lv = b[lhs].to_numpy(zero_copy_only=False).astype(str)
+            rv = b[rhs].to_numpy(zero_copy_only=False).astype(str)
+            lu, lc = np.unique(lv, return_inverse=True)
+            ru, rc = np.unique(rv, return_inverse=True)
+            key = lc.astype(np.int64) * np.int64(len(ru)) + rc
+            ku, cnt = np.unique(key, return_counts=True)
+            li = (ku // np.int64(len(ru))).astype(np.int64)
+            ri = (ku % np.int64(len(ru))).astype(np.int64)
+            sh = np.array(
+                [zlib.crc32(s.encode()) % n_shards for s in lu], dtype=np.int64
+            )
+            return pa.table(
+                {
+                    "_sh": pa.array(sh[li]),
+                    "lhs": pa.array(lu[li], pa.string()),
+                    "rhs": pa.array(ru[ri], pa.string()),
+                    "n": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+        return partial
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "n_groups": pd.Series([], dtype=np.int64),
+                "n_violating": pd.Series([], dtype=np.int64),
+                "rows_in_violating": pd.Series([], dtype=np.int64),
+                "n_rows": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        agg = g.groupby("lhs", sort=False).agg(
+            n=("n", "sum"), d=("rhs", "nunique")
+        )
+        n_v = agg["n"].to_numpy().astype(np.int64)
+        bad = agg["d"].to_numpy() > 1
+        return pd.DataFrame(
+            {
+                "n_groups": [len(agg)],
+                "n_violating": [int(bad.sum())],
+                "rows_in_violating": [int(n_v[bad].sum())],
+                "n_rows": [int(n_v.sum())],
+            }
+        )
+
+    rows = []
+    for lhs, rhs in candidates:
+        parts = (
+            ds.map_batches(make_partial(lhs, rhs), batch_format="pyarrow")
+            .groupby("_sh")
+            .map_groups(census, batch_format="pandas")
+            .take_all()
+        )  # bounded: one row per shard
+        n_groups = sum(int(r["n_groups"]) for r in parts)
+        n_viol = sum(int(r["n_violating"]) for r in parts)
+        in_viol = sum(int(r["rows_in_violating"]) for r in parts)
+        n_rows = sum(int(r["n_rows"]) for r in parts)
+        rows.append(
+            (f"{lhs}->{rhs}", n_groups, n_viol, in_viol, n_rows, in_viol / n_rows)
+        )
+    rows.sort()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "fd": pa.array([r[0] for r in rows], pa.string()),
+                "n_groups": pa.array([r[1] for r in rows], pa.int64()),
+                "n_violating": pa.array([r[2] for r in rows], pa.int64()),
+                "rows_in_violating": pa.array([r[3] for r in rows], pa.int64()),
+                "n_rows": pa.array([r[4] for r in rows], pa.int64()),
+                "violation_frac": pa.array([r[5] for r in rows], pa.float64()),
+            }
+        )
+    )
