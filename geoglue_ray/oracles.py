@@ -6011,3 +6011,46 @@ FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS d, CAST(count(*) AS BIGINT) AS n
         one("l_suppkey", "l_returnflag"),
     ]
     return " UNION ALL ".join(bodies) + " ORDER BY fd"
+
+
+def events_segregation(type_a: str = "click", type_b: str = "purchase") -> str:
+    """Dissimilarity twin: the events_lq admin assignment restricted to
+    the two types, per-admin2 counts, the cleared-denominator exact
+    integer sum |a_i*B - b_i*A| and one division by (2.0 * A * B)."""
+    return f"""
+WITH c AS (
+  SELECT event_id AS id, event_type,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat,
+         event_id % {fx.OUT_MOD} = 0 AS is_outside
+  FROM events
+  WHERE event_type IN ('{type_a}', '{type_b}')),
+cen AS ({fx.SQL_CENTROIDS}),
+asg AS (
+  SELECT c.*,
+         CASE WHEN c.is_outside
+              THEN (SELECT cen.a2 FROM cen
+                    ORDER BY (c.lon-cen.gx)*(c.lon-cen.gx) + (c.lat-cen.gy)*(c.lat-cen.gy), cen.a2
+                    LIMIT 1)
+              ELSE {fx.sql_admin2_inside('c.lon', 'c.lat')} END AS a2
+  FROM c),
+counts AS (
+  SELECT {fx.sql_admin1_name('a2')} AS admin1_id, a2,
+         CAST(count(*) FILTER (WHERE event_type = '{type_a}') AS BIGINT) AS na,
+         CAST(count(*) FILTER (WHERE event_type = '{type_b}') AS BIGINT) AS nb
+  FROM asg GROUP BY 1, 2),
+tot AS (
+  SELECT admin1_id, a2, na, nb,
+         CAST(SUM(na) OVER (PARTITION BY admin1_id) AS BIGINT) AS a_tot,
+         CAST(SUM(nb) OVER (PARTITION BY admin1_id) AS BIGINT) AS b_tot
+  FROM counts)
+SELECT admin1_id,
+       CAST(min(a_tot) AS BIGINT) AS n_a,
+       CAST(min(b_tot) AS BIGINT) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_units,
+       CASE WHEN min(a_tot) > 0 AND min(b_tot) > 0
+            THEN CAST(CAST(sum(abs(na * b_tot - nb * a_tot)) AS BIGINT) AS DOUBLE)
+                 / (2.0 * CAST(min(a_tot) AS DOUBLE) * CAST(min(b_tot) AS DOUBLE))
+            ELSE CAST('nan' AS DOUBLE) END AS dissimilarity
+FROM tot GROUP BY 1 ORDER BY 1
+"""

@@ -8643,3 +8643,97 @@ def fd_profile(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
             }
         )
     )
+
+
+def events_segregation(
+    sf_dir: str, type_a: str = "click", type_b: str = "purchase"
+) -> rd.Dataset:
+    """Index of DISSIMILARITY between two event types across admin-2
+    units, reported per admin-1 — the spatial-segregation statistic
+    (D = 0: identical spatial distributions; D = 1: fully separated).
+    Cleared-denominator form: ``sum |a_i*B - b_i*A|`` is an exact int64
+    sum (order-independent), divided once by ``2*A*B`` — the CLAUDE.md
+    pattern for bit-exact ratio statistics.  Type filter pushes before
+    the spatial join; counts partial-collapse per batch to admin-2
+    cardinality."""
+    import pandas as pd
+    import ray
+
+    from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        m = pc.or_(
+            pc.equal(b["event_type"], type_a), pc.equal(b["event_type"], type_b)
+        )
+        b = b.filter(m)
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    ds = ds.map_batches(encode_cells, batch_format="pyarrow")
+    index = AdminIndex.build(build_admin_table())
+    ds = spatial_join(ds, index_ref=ray.put(index))
+
+    def partial(b: pa.Table) -> pa.Table:
+        a2 = b["admin_id"].to_numpy(zero_copy_only=False)
+        a1 = b["admin1_id"].to_numpy(zero_copy_only=False)
+        is_a = b["event_type"].to_numpy(zero_copy_only=False) == type_a
+        if len(a2) == 0:
+            return pa.table(
+                {
+                    "admin_id": pa.array([], pa.string()),
+                    "admin1_id": pa.array([], pa.string()),
+                    "na": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniq = pd.factorize(a2)
+        na = np.bincount(codes, weights=is_a, minlength=len(uniq)).astype(np.int64)
+        nb = np.bincount(codes, weights=~is_a, minlength=len(uniq)).astype(np.int64)
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+        return pa.table(
+            {
+                "admin_id": pa.array(uniq.astype(object)),
+                "admin1_id": pa.array(a1[first].astype(object)),
+                "na": pa.array(na),
+                "nb": pa.array(nb),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # bounded: admin-2 cardinality x batch count partials
+    g = parts.groupby(["admin1_id", "admin_id"], as_index=False, sort=True)[
+        ["na", "nb"]
+    ].sum()
+    rows = []
+    for a1_id, sub in g.groupby("admin1_id", sort=True):
+        na = sub["na"].to_numpy().astype(np.int64)
+        nb = sub["nb"].to_numpy().astype(np.int64)
+        A = int(na.sum())
+        B = int(nb.sum())
+        numer = int(np.abs(na * B - nb * A).sum())
+        d = float(numer) / (2.0 * float(A) * float(B)) if A > 0 and B > 0 else np.nan
+        rows.append((a1_id, A, B, len(sub), d))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "admin1_id": pa.array([r[0] for r in rows], pa.string()),
+                "n_a": pa.array([r[1] for r in rows], pa.int64()),
+                "n_b": pa.array([r[2] for r in rows], pa.int64()),
+                "n_units": pa.array([r[3] for r in rows], pa.int64()),
+                "dissimilarity": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+    )
