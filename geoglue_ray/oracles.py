@@ -6054,3 +6054,32 @@ SELECT admin1_id,
             ELSE CAST('nan' AS DOUBLE) END AS dissimilarity
 FROM tot GROUP BY 1 ORDER BY 1
 """
+
+
+def graph_assortativity() -> str:
+    """Assortativity twin: distinct directed co-purchase edges, endpoint
+    degrees by join, exact BIGINT moments (sums cast back from the
+    HUGEINT widening), and the engine's num / sqrt(dx * dy) chain —
+    sqrt is IEEE-correctly-rounded in both engines (CLAUDE.md)."""
+    return """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(ds.deg) AS BIGINT) AS sx,
+         CAST(sum(dd.deg) AS BIGINT) AS sy,
+         CAST(sum(ds.deg * dd.deg) AS BIGINT) AS sxy,
+         CAST(sum(ds.deg * ds.deg) AS BIGINT) AS sxx,
+         CAST(sum(dd.deg * dd.deg) AS BIGINT) AS syy
+  FROM e JOIN deg ds ON ds.node = e.src
+         JOIN deg dd ON dd.node = e.dst)
+SELECT m AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       CAST(m * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                * CAST(m * syy - sy * sy AS DOUBLE)) AS assortativity
+FROM m
+"""

@@ -8737,3 +8737,92 @@ def events_segregation(
             }
         )
     )
+
+
+def graph_assortativity(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Degree ASSORTATIVITY of the part co-purchase graph — the
+    network-mixing statistic (r > 0: hubs link to hubs).  Pearson r over
+    the directed edge list's endpoint degrees: the edge set streams
+    twice (degree census, then moment pass against the broadcast degree
+    vector — the pagerank rule: driver holds node-cardinality state,
+    edges never materialize); moments combine as exact Python ints so
+    the only float ops are the final casts, one sqrt of a double product
+    and one division — the events_autocorr mirror chain."""
+    import math
+
+    import pandas as pd
+    import ray
+
+    from geoglue_ray.functions.texthash import int_hash64
+    from geoglue_ray.stages.graph import basket_edges
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = basket_edges(li, "l_orderkey", "l_partkey").materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy()
+        u, c = np.unique(s, return_counts=True)
+        return pa.table(
+            {
+                "_sh": pa.array(
+                    (int_hash64(u) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "node": pa.array(u.astype(np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def deg_merge(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("node", sort=False, as_index=False)["n"].sum()
+        return a[["node", "n"]]
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(deg_merge, batch_format="pandas")
+        .to_pandas()  # bounded: node cardinality
+    )
+    nodes = deg["node"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    nodes_s = nodes[order]
+    degs_s = deg["n"].to_numpy().astype(np.int64)[order]
+    ref = ray.put((nodes_s, degs_s))
+
+    def moments(b: pa.Table) -> pa.Table:
+        ns, dv = ray.get(ref)
+        x = dv[np.searchsorted(ns, b["src"].to_numpy())]
+        y = dv[np.searchsorted(ns, b["dst"].to_numpy())]
+        return pa.table(
+            {
+                "m": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = edges.map_batches(moments, batch_format="pyarrow").take_all()
+    # exact Python-int combination: overflow-proof at any scale
+    m = sum(int(r["m"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    sy = sum(int(r["sy"]) for r in parts)
+    sxy = sum(int(r["sxy"]) for r in parts)
+    sxx = sum(int(r["sxx"]) for r in parts)
+    syy = sum(int(r["syy"]) for r in parts)
+    num = m * sxy - sx * sy
+    dx = m * sxx - sx * sx
+    dy = m * syy - sy * sy
+    r_val = float(num) / math.sqrt(float(dx) * float(dy))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([m], pa.int64()),
+                "n_nodes": pa.array([len(nodes_s)], pa.int64()),
+                "assortativity": pa.array([r_val], pa.float64()),
+            }
+        )
+    )
