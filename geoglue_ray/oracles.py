@@ -6083,3 +6083,36 @@ SELECT m AS n_edges,
                 * CAST(m * syy - sy * sy AS DOUBLE)) AS assortativity
 FROM m
 """
+
+
+def embed_knn_purity(stride: int = 8, dim: int = 64) -> str:
+    """1-NN purity twin: identical floor(x*2^20 + 0.5) quantization,
+    exact integer d2 by the unnested self-join, (d2, neighbor) winner
+    per sampled query, label joins."""
+    OFF = 1 << 20
+    return f"""
+WITH q AS (
+  SELECT vec_id, i.range AS j,
+         CAST(floor(CAST(embedding[i.range + 1] AS DOUBLE) * {OFF}.0 + 0.5) AS BIGINT) AS v
+  FROM embeddings, range({dim}) i),
+d AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS nn,
+         CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+  FROM q a JOIN q b ON a.j = b.j AND b.vec_id <> a.vec_id
+  WHERE a.vec_id % {stride} = 0
+  GROUP BY 1, 2),
+w AS (
+  SELECT query_id, nn,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2, nn) AS rn
+  FROM d)
+SELECT w.query_id,
+       CAST(la.label AS BIGINT) AS label,
+       w.nn AS nn_id,
+       CAST(lb.label AS BIGINT) AS nn_label,
+       la.label = lb.label AS agree
+FROM w
+JOIN embeddings la ON la.vec_id = w.query_id
+JOIN embeddings lb ON lb.vec_id = w.nn
+WHERE w.rn = 1
+ORDER BY w.query_id
+"""

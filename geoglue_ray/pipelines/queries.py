@@ -8826,3 +8826,94 @@ def graph_assortativity(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
             }
         )
     )
+
+
+def embed_knn_purity(sf_dir: str, stride: int = 8, dim: int = 64) -> rd.Dataset:
+    """Label-noise audit by sampled leave-one-out 1-NN: for every
+    stride-sampled query vector, the exact nearest other vector under
+    quantized integer L2 (2^-20 quantization of float32 is lossless, so
+    distances/argmin are int64-exact — the kmeans/PQ trick) and whether
+    its label agrees.  Broadcast query matrix, per-batch int64 matmul
+    partial argmin, bounded driver merge on the (d2, neighbor) total
+    order — corpus streams once, scales in corpus size."""
+    import ray
+
+    OFF = 1 << 20
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    ).materialize()  # consumed twice: query extract + scan
+
+    def quant(b: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids = b["vec_id"].to_numpy()
+        la = b["embedding"].combine_chunks()
+        mat = np.asarray(la.flatten()).reshape(len(b), -1)
+        q = np.floor(mat.astype(np.float64) * float(OFF) + 0.5).astype(np.int64)
+        return ids, q, b["label"].to_numpy().astype(np.int64)
+
+    def _sample(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        return b.filter(pa.array(ids % stride == 0))
+
+    qtab = ds.map_batches(_sample, batch_format="pyarrow").take_all()
+    qids = np.array([r["vec_id"] for r in qtab], dtype=np.int64)
+    qmat = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qtab])
+        * float(OFF)
+        + 0.5
+    ).astype(np.int64)
+    qlab = np.array([r["label"] for r in qtab], dtype=np.int64)
+    o = np.argsort(qids)
+    qids, qmat, qlab = qids[o], qmat[o], qlab[o]
+    qnorm = (qmat * qmat).sum(axis=1)
+    ref = ray.put((qids, qmat, qnorm))
+
+    def best(b: pa.Table) -> pa.Table:
+        ids, mat, labs = quant(b)
+        qi, qm, qn = ray.get(ref)
+        dots = qm @ mat.T  # (Q, B) int64-exact
+        vn = (mat * mat).sum(axis=1)
+        d2 = qn[:, None] + vn[None, :] - 2 * dots
+        # self-exclusion + deterministic (d2, neighbor_id) argmin
+        pos = np.searchsorted(qi, ids)
+        pos = np.clip(pos, 0, len(qi) - 1)
+        hit = qi[pos] == ids
+        big = np.int64(2**62)
+        if hit.any():
+            d2[pos[hit], np.nonzero(hit)[0]] = big
+        # vectorized (d2, neighbor_id) lexicographic argmin: among the
+        # columns attaining each row's min d2, take the smallest id
+        mn = d2.min(axis=1, keepdims=True)
+        id_masked = np.where(d2 == mn, ids[None, :], np.int64(2**62))
+        best_j = np.argmin(id_masked, axis=1)
+        return pa.table(
+            {
+                "query_id": pa.array(qi),
+                "nn_id": pa.array(ids[best_j].astype(np.int64)),
+                "nn_label": pa.array(labs[best_j]),
+                "d2": pa.array(d2[np.arange(len(qi)), best_j]),
+            }
+        )
+
+    parts = ds.map_batches(best, batch_format="pyarrow").take_all()
+    # bounded: one row per query per block
+    bests: dict[int, tuple[int, int, int]] = {}
+    for r in parts:
+        key = int(r["query_id"])
+        cand = (int(r["d2"]), int(r["nn_id"]), int(r["nn_label"]))
+        if key not in bests or cand < bests[key]:
+            bests[key] = cand
+    rows = sorted(bests.items())
+    lab_of = dict(zip(qids.tolist(), qlab.tolist()))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([k for k, _ in rows], pa.int64()),
+                "label": pa.array([lab_of[k] for k, _ in rows], pa.int64()),
+                "nn_id": pa.array([v[1] for _, v in rows], pa.int64()),
+                "nn_label": pa.array([v[2] for _, v in rows], pa.int64()),
+                "agree": pa.array(
+                    [lab_of[k] == v[2] for k, v in rows], pa.bool_()
+                ),
+            }
+        )
+    )
