@@ -6116,3 +6116,30 @@ JOIN embeddings lb ON lb.vec_id = w.nn
 WHERE w.rn = 1
 ORDER BY w.query_id
 """
+
+
+def score_auc(pos_type: str = "purchase") -> str:
+    """AUC twin: identical cents quantization, per-score histogram, the
+    doubled-midrank sum (window cumsum cast back from HUGEINT), one
+    division."""
+    return f"""
+WITH v AS (
+  SELECT CAST(value * 100 AS BIGINT) AS c,
+         CASE WHEN event_type = '{pos_type}' THEN 1 ELSE 0 END AS pos
+  FROM events),
+h AS (SELECT c, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+      FROM v GROUP BY 1),
+w AS (
+  SELECT c, n, p,
+         CAST(COALESCE(sum(n) OVER (ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS k
+  FROM h),
+s AS (SELECT CAST(sum(p * (2 * k + n + 1)) AS BIGINT) AS sd,
+             CAST(sum(p) AS BIGINT) AS np,
+             CAST(sum(n) - sum(p) AS BIGINT) AS nn
+      FROM w)
+SELECT np AS n_pos, nn AS n_neg,
+       CAST(sd - np * (np + 1) AS DOUBLE)
+         / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc
+FROM s
+"""

@@ -8917,3 +8917,70 @@ def embed_knn_purity(sf_dir: str, stride: int = 8, dim: int = 64) -> rd.Dataset:
             }
         )
     )
+
+
+def score_auc(
+    sf_dir: str, pos_type: str = "purchase", n_shards: int = 64
+) -> rd.Dataset:
+    """Exact ROC-AUC of the event value as a classifier score for the
+    positive class — the model/data evaluation metric, computed as the
+    Mann-Whitney U with midrank tie handling: value maps to its exact
+    cents integer (np.round(v*100) == DuckDB CAST(v*100 AS BIGINT) on
+    2-decimal measures, the benford trick), a streamed per-score
+    histogram (payload = distinct-score cardinality, never rows), and
+    the DOUBLED-midrank identity 2k + c + 1 keeps every moment integer
+    until the single final division (CLAUDE.md rank-chain pattern)."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value", "event_type"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = np.round(b["value"].to_numpy() * 100.0).astype(np.int64)
+        pos = (
+            b["event_type"].to_numpy(zero_copy_only=False) == pos_type
+        ).astype(np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        p = np.bincount(inv, weights=pos, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {
+                "_sh": pa.array(
+                    (int_hash64(u) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "c": pa.array(u),
+                "n": pa.array(n),
+                "p": pa.array(p),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("c", sort=False, as_index=False)[["n", "p"]].sum()
+        return a[["c", "n", "p"]]
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # bounded: distinct-score cardinality
+        .sort_values("c", kind="mergesort")
+    )
+    n_v = hist["n"].to_numpy().astype(np.int64)
+    p_v = hist["p"].to_numpy().astype(np.int64)
+    k = np.concatenate([[0], np.cumsum(n_v)[:-1]])
+    sd = int((p_v * (2 * k + n_v + 1)).sum())  # sum of doubled midranks, positives
+    n_pos = int(p_v.sum())
+    n_neg = int(n_v.sum()) - n_pos
+    auc = float(sd - n_pos * (n_pos + 1)) / (2.0 * float(n_pos) * float(n_neg))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_pos": pa.array([n_pos], pa.int64()),
+                "n_neg": pa.array([n_neg], pa.int64()),
+                "auc": pa.array([auc], pa.float64()),
+            }
+        )
+    )
