@@ -6143,3 +6143,38 @@ SELECT np AS n_pos, nn AS n_neg,
          / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc
 FROM s
 """
+
+
+def hits_scores(rounds: int = 3, qscale: int = 1024) -> str:
+    """HITS twin: materialized distinct bipartite edges, per round one
+    grouped sum-join per side (HUGEINT sums cast back) and the exact
+    offset renormalization ((w+m)*Q)//m - Q; // == floor on the
+    non-negative operands."""
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+h0 AS (SELECT DISTINCT c, CAST({q} AS BIGINT) AS h FROM e)""".format(q=qscale)
+    ]
+    for r in range(1, rounds + 1):
+        j = r - 1
+        ctes.append(
+            f"""aw{r} AS MATERIALIZED (
+  SELECT e.p, CAST(sum(h.h) AS BIGINT) AS w
+  FROM e JOIN h{j} h USING (c) GROUP BY 1),
+am{r} AS (SELECT max(w) AS m FROM aw{r}),
+a{r} AS (SELECT p, ((w + m) * {qscale}) // m - {qscale} AS a FROM aw{r}, am{r}),
+hw{r} AS MATERIALIZED (
+  SELECT e.c, CAST(sum(a.a) AS BIGINT) AS w
+  FROM e JOIN a{r} a USING (p) GROUP BY 1),
+hm{r} AS (SELECT max(w) AS m FROM hw{r}),
+h{r} AS (SELECT c, ((w + m) * {qscale}) // m - {qscale} AS h FROM hw{r}, hm{r})"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT 'cust' AS kind, c AS node_id, h AS score_q FROM h{rounds}
+UNION ALL
+SELECT 'part' AS kind, p AS node_id, a AS score_q FROM a{rounds}
+ORDER BY kind, node_id
+"""

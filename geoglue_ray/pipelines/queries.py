@@ -8984,3 +8984,121 @@ def score_auc(
             }
         )
     )
+
+
+def hits_scores(sf_dir: str, rounds: int = 3, qscale: int = 1024) -> rd.Dataset:
+    """HITS hubs & authorities over the customer–part bipartite purchase
+    graph — the link-analysis twin of pagerank_parts: customers are hubs,
+    parts authorities; each half-round streams the (materialized)
+    distinct edge set against the broadcast opposite-side vector
+    (pagerank rule: driver holds node-cardinality state only) and
+    renormalizes with the exact offset trick ((w+m)*Q)//m - Q, floor ==
+    DuckDB // on non-negatives.  All-integer throughout; bit-exact vs
+    the unrolled per-round join twin."""
+    import pandas as pd
+    import ray
+
+    from geoglue_ray.functions.texthash import int_hash64
+    from geoglue_ray.stages.join import hash_equijoin
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j = hash_equijoin(orders, li, left_on="o_orderkey", right_on="l_orderkey")
+
+    def pack(b: pa.Table) -> pa.Table:
+        packed = (
+            b["o_custkey"].to_numpy().astype(np.int64) << np.int64(32)
+        ) | b["l_partkey"].to_numpy().astype(np.int64)
+        pu = np.unique(packed)
+        return pa.table(
+            {
+                "_ps": pa.array(
+                    (int_hash64(pu) % np.uint64(64)).astype(np.int64)
+                ),
+                "packed": pa.array(pu),
+            }
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        pu = np.unique(g["packed"].to_numpy())
+        return pd.DataFrame(
+            {
+                "cust": (pu >> np.int64(32)).astype(np.int64),
+                "part": (pu & np.int64(0xFFFFFFFF)).astype(np.int64),
+            }
+        )
+
+    edges = (
+        j.map_batches(pack, batch_format="pyarrow")
+        .groupby("_ps")
+        .map_groups(dedup, batch_format="pandas")
+        .materialize()  # streamed once per half-round
+    )
+
+    def half_round(src_col: str, dst_col: str, vec: dict[int, int]) -> dict[int, int]:
+        keys = np.array(sorted(vec), dtype=np.int64)
+        vals = np.array([vec[k] for k in keys], dtype=np.int64)
+        ref = ray.put((keys, vals))
+
+        def partial(b: pa.Table) -> pa.Table:
+            ks, vs = ray.get(ref)
+            s = b[src_col].to_numpy()
+            d = b[dst_col].to_numpy()
+            w = vs[np.searchsorted(ks, s)]
+            u, inv = np.unique(d, return_inverse=True)
+            acc = np.bincount(inv, weights=w, minlength=len(u)).astype(np.int64)
+            return pa.table(
+                {
+                    "_sh": pa.array(
+                        (int_hash64(u) % np.uint64(64)).astype(np.int64)
+                    ),
+                    "node": pa.array(u.astype(np.int64)),
+                    "w": pa.array(acc),
+                }
+            )
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            a = g.groupby("node", sort=False, as_index=False)["w"].sum()
+            return a[["node", "w"]]
+
+        out = (
+            edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("_sh")
+            .map_groups(merge, batch_format="pandas")
+            .to_pandas()  # bounded: node cardinality
+        )
+        w = out["w"].to_numpy().astype(np.int64)
+        m = int(w.max())
+        norm = ((w + m) * np.int64(qscale)) // np.int64(m) - np.int64(qscale)
+        return dict(zip(out["node"].astype(np.int64).tolist(), norm.tolist()))
+
+    # init: every hub at qscale (customers appearing in the edge set)
+    cust_nodes = (
+        edges.map_batches(
+            lambda b: pa.table({"node": pa.array(np.unique(b["cust"].to_numpy()))}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["node"]
+        .unique()
+    )
+    h = {int(c): qscale for c in cust_nodes}
+    a: dict[int, int] = {}
+    for _ in range(rounds):
+        a = half_round("cust", "part", h)
+        h = half_round("part", "cust", a)
+    rows = sorted([("cust", k, v) for k, v in h.items()]) + sorted(
+        [("part", k, v) for k, v in a.items()]
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "kind": pa.array([r[0] for r in rows], pa.string()),
+                "node_id": pa.array([r[1] for r in rows], pa.int64()),
+                "score_q": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    )
