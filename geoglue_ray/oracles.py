@@ -6178,3 +6178,97 @@ UNION ALL
 SELECT 'part' AS kind, p AS node_id, a AS score_q FROM a{rounds}
 ORDER BY kind, node_id
 """
+
+
+def q13_custdist(excl_priority: str = "1-URGENT") -> str:
+    """Q13 twin: LEFT JOIN with the priority filter in the join clause so
+    no-order customers survive into the zero bucket."""
+    return f"""
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_custkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '{excl_priority}'
+  GROUP BY 1)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q22_idle_rich(
+    nations: tuple = (2, 7, 12, 17, 22), cutoff: str = "2000-09-01"
+) -> str:
+    """Q22 twin: cents via CAST(x*100 AS BIGINT) (round-to-nearest), one
+    scalar average division, NOT EXISTS anti join on recent orders,
+    exact int sums."""
+    nlist = ", ".join(str(int(n)) for n in nations)
+    return f"""
+WITH cand AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(c_acctbal * 100 AS BIGINT) AS bal_cents
+  FROM customer WHERE c_nationkey IN ({nlist})),
+avgpos AS (
+  SELECT CAST(sum(bal_cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS a
+  FROM cand WHERE bal_cents > 0)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+FROM cand, avgpos
+WHERE CAST(bal_cents AS DOUBLE) > avgpos.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cand.c_custkey
+                    AND o.o_orderdate >= DATE '{cutoff}')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q2_min_cost_supplier(p_type: str = "ECONOMY", min_size: int = 20) -> str:
+    """Q2 twin: unit cost is the same single IEEE division; argmin via
+    row_number ordered (unit_cost, suppkey)."""
+    return f"""
+WITH sl AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_type = '{p_type}' AND p_size >= {min_size}),
+r AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_cost
+  FROM lineitem JOIN sl ON sl.p_partkey = l_partkey),
+m AS (
+  SELECT l_partkey, l_suppkey, unit_cost,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_cost, l_suppkey) AS rn
+  FROM r)
+SELECT m.l_partkey AS p_partkey, sl.p_name, m.unit_cost,
+       m.l_suppkey AS s_suppkey, s.s_name, n.n_name
+FROM m
+JOIN sl ON sl.p_partkey = m.l_partkey
+JOIN supplier s ON s.s_suppkey = m.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE m.rn = 1
+ORDER BY 1
+"""
+
+
+def q16_supplier_variety(excl_brand: str = "Brand#13") -> str:
+    """Q16 twin: distinct-supplier count per (brand, type, size) with the
+    deterministic suppkey % 7 blacklist."""
+    return f"""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{excl_brand}' AND l_suppkey % 7 <> 0
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q11_important_parts() -> str:
+    """Q11 twin: exact cents sums; the data-relative gate is the pure
+    integer comparison value * n_parts * 4 > total * 5 (HUGEINT-safe)."""
+    return """
+WITH v AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem GROUP BY 1),
+t AS (SELECT sum(value_cents) AS total, count(*) AS n_parts FROM v)
+SELECT l_partkey, value_cents FROM v, t
+WHERE value_cents * t.n_parts * 4 > t.total * 5
+ORDER BY 1
+"""

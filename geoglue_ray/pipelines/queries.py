@@ -9102,3 +9102,362 @@ def hits_scores(sf_dir: str, rounds: int = 3, qscale: int = 1024) -> rd.Dataset:
             }
         )
     )
+
+
+def q13_custdist(sf_dir: str, excl_priority: str = "1-URGENT") -> rd.Dataset:
+    """TPC-H Q13 shape: distribution of customers by order count, counting
+    the zero-order bucket.  Orders collapse to per-customer partial counts
+    inside map_batches (shuffle payload = customer cardinality, never row
+    count); the zero bucket is ``|customer| - |buyers|`` — two scalar
+    aggregates, no customer-side shuffle at all (reference has no Q13
+    analogue; decision-support shape for the engine's join grammar)."""
+    import pandas as pd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy()[
+            pc.not_equal(b["o_orderpriority"], excl_priority).to_numpy(
+                zero_copy_only=False
+            )
+        ]
+        if len(ck) == 0:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "c_count": pa.array([], pa.int64()),
+                }
+            )
+        ks, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ks),
+                "c_count": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": [g["c_custkey"].iloc[0]],
+                "c_count": [int(g["c_count"].sum())],
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .map_groups(merge, batch_format="pandas")
+        .materialize()  # consumed twice: histogram + buyer count
+    )
+    n_cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    n_buyers = per_cust.count()
+
+    hist = zonal_aggregate(per_cust, ["count"], keys=["c_count"], value_col="c_custkey")
+
+    def finish(b: pa.Table) -> pa.Table:
+        counts = b["c_count"].to_numpy()
+        dist = b["count"].to_numpy().astype(np.int64)
+        if n_cust > n_buyers:
+            counts = np.r_[counts, 0]
+            dist = np.r_[dist, np.int64(n_cust - n_buyers)]
+        return pa.table(
+            {"c_count": pa.array(counts), "custdist": pa.array(dist)}
+        )
+
+    # key-cardinality table (distinct order counts); single-block finish
+    tbl = pa.Table.from_pandas(hist.to_pandas(), preserve_index=False)
+    return rd.from_arrow(finish(tbl)).sort("c_count")
+
+
+def q22_idle_rich(
+    sf_dir: str,
+    nations: tuple = (2, 7, 12, 17, 22),
+    cutoff: str = "2000-09-01",
+) -> rd.Dataset:
+    """TPC-H Q22 shape: per-nation count + total balance of customers
+    whose balance beats the positive-balance average of the candidate
+    nations and who placed no order since ``cutoff`` (every fixture
+    customer has SOME order, so the classic never-ordered predicate is
+    degenerate at all SFs — the recency recast keeps the anti join
+    non-trivial).  The average enters as ONE scalar division (exact int64
+    cents on both sides); the no-recent-order test is the fixed-shard
+    ANTI join with the date filter pushed below the shuffle; the nation
+    rollup is key-cardinality.  Balance cents via round-to-nearest
+    (mirrors CAST(x*100 AS BIGINT))."""
+    from geoglue_ray.stages.join import hash_equijoin
+
+    nset = set(int(n) for n in nations)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def slice_cents(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy().astype(np.int64)
+        m = np.isin(nk, list(nset))
+        cents = np.round(b["c_acctbal"].to_numpy()[m] * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": pa.array(b["c_custkey"].to_numpy()[m]),
+                "c_nationkey": pa.array(nk[m]),
+                "bal_cents": pa.array(cents),
+            }
+        )
+
+    cand = cust.map_batches(slice_cents, batch_format="pyarrow").materialize()
+
+    # scalar average of the POSITIVE balances (single division, both sides)
+    def pos_partial(b: pa.Table) -> pa.Table:
+        c = b["bal_cents"].to_numpy()
+        c = c[c > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(c.sum())], pa.int64()),
+                "n": pa.array([len(c)], pa.int64()),
+            }
+        )
+
+    tot = pa.Table.from_pandas(
+        cand.map_batches(pos_partial, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    avg = np.float64(int(tot["s"].to_numpy().sum())) / np.float64(
+        int(tot["n"].to_numpy().sum())
+    )
+
+    rich = cand.map_batches(
+        lambda b: b.filter(
+            pa.array(b["bal_cents"].to_numpy().astype(np.float64) > avg)
+        ),
+        batch_format="pyarrow",
+    )
+    cut = np.datetime64(cutoff, "us")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(cut, pa.timestamp("us")))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    idle = hash_equijoin(rich, orders, "c_custkey", "o_custkey", how="anti")
+    out = zonal_aggregate(
+        idle, ["count", "sum"], keys=["c_nationkey"], value_col="bal_cents"
+    )
+
+    def cast_sum(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": b["c_nationkey"],
+                "numcust": pc.cast(b["count"], pa.int64()),
+                "totacctbal_cents": pa.array(
+                    np.round(
+                        b["sum"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    return out.map_batches(cast_sum, batch_format="pyarrow").sort("c_nationkey")
+
+
+def q2_min_cost_supplier(
+    sf_dir: str, p_type: str = "ECONOMY", min_size: int = 20
+) -> rd.Dataset:
+    """TPC-H Q2 shape: for each part in a type/size slice, the supplier
+    offering the minimum observed unit cost (extendedprice / quantity —
+    ONE IEEE division per row, identical on both engines), suppkey
+    tie-break.  The part slice and the supplier->nation dimensions are
+    broadcast lookups (ray.put once, read per task); the per-part argmin
+    collapses per batch before one key-cardinality merge."""
+    import pandas as pd
+    import ray
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_type", "p_size"],
+    ).to_pandas()
+    sl = part[(part["p_type"] == p_type) & (part["p_size"] >= min_size)]
+    slice_names = dict(zip(sl["p_partkey"].astype(np.int64), sl["p_name"]))
+    slice_ref = ray.put(frozenset(slice_names))
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).to_pandas()
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    sn = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    s_name = dict(zip(sn["s_suppkey"].astype(np.int64), sn["s_name"]))
+    n_name = dict(zip(sn["s_suppkey"].astype(np.int64), sn["n_name"]))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial(b: pa.Table, keys) -> pa.Table:
+        pk = b["l_partkey"].to_numpy()
+        m = np.isin(pk, np.fromiter(keys, dtype=np.int64))
+        pk = pk[m]
+        sk = b["l_suppkey"].to_numpy()[m]
+        cost = (
+            b["l_extendedprice"].to_numpy()[m] / b["l_quantity"].to_numpy()[m]
+        )
+        if len(pk) == 0:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "unit_cost": pa.array([], pa.float64()),
+                    "s_suppkey": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((sk, cost, pk))
+        pks = pk[order]
+        first = np.flatnonzero(np.r_[True, pks[1:] != pks[:-1]])
+        return pa.table(
+            {
+                "p_partkey": pa.array(pks[first]),
+                "unit_cost": pa.array(cost[order][first]),
+                "s_suppkey": pa.array(sk[order][first]),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["unit_cost", "s_suppkey"], kind="mergesort"
+        ).iloc[:1]
+        return g.reset_index(drop=True)
+
+    best = (
+        li.map_batches(
+            lambda b: partial(b, ray.get(slice_ref)), batch_format="pyarrow"
+        )
+        .groupby("p_partkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+    def attach(b: pa.Table) -> pa.Table:
+        pk = b["p_partkey"].to_numpy().astype(np.int64)
+        sk = b["s_suppkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk),
+                "p_name": pa.array([slice_names[int(k)] for k in pk], pa.string()),
+                "unit_cost": b["unit_cost"],
+                "s_suppkey": pa.array(sk),
+                "s_name": pa.array([s_name[int(k)] for k in sk], pa.string()),
+                "n_name": pa.array([n_name[int(k)] for k in sk], pa.string()),
+            }
+        )
+
+    return best.map_batches(attach, batch_format="pyarrow").sort("p_partkey")
+
+
+def q16_supplier_variety(sf_dir: str, excl_brand: str = "Brand#13") -> rd.Dataset:
+    """TPC-H Q16 shape: distinct-supplier variety per (brand, type, size)
+    observed in lineitem, excluding one brand and a deterministic supplier
+    blacklist (suppkey % 7 == 0 — the no-partsupp-table recast of the
+    complaints filter).  Distinct (part, supp) pairs dedup per batch, the
+    part attributes attach via the fixed-shard hash join (part is a big
+    dimension at scale — never broadcast), and the exact distinct count
+    runs through stages/validate.count_distinct."""
+    from geoglue_ray.stages.join import hash_equijoin
+    from geoglue_ray.stages.validate import _unique_rows, count_distinct
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        keep = b["l_suppkey"].to_numpy() % 7 != 0
+        return _unique_rows(b.filter(pa.array(keep)), ["l_partkey", "l_suppkey"])
+
+    pair_ds = li.map_batches(pairs, batch_format="pyarrow")
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).map_batches(
+        lambda b: b.filter(pc.not_equal(b["p_brand"], excl_brand)),
+        batch_format="pyarrow",
+    )
+    joined = hash_equijoin(pair_ds, part, "l_partkey", "p_partkey", how="inner")
+    out = count_distinct(
+        joined, ["p_brand", "p_type", "p_size"], ["l_suppkey"], "supplier_cnt"
+    )
+
+    def cast_size(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "p_type": b["p_type"],
+                "p_size": pc.cast(b["p_size"], pa.int32()),
+                "supplier_cnt": pc.cast(b["supplier_cnt"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_size, batch_format="pyarrow").sort(
+        ["p_brand", "p_type", "p_size"]
+    )
+
+
+def q11_important_parts(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q11 shape: parts whose lineitem revenue exceeds 5/4 of the
+    MEAN per-part share — the global-scalar-gate pattern with a
+    data-relative threshold (an absolute 1/den fraction empties at higher
+    SFs as part cardinality grows; round-4 lesson).  Revenue in exact
+    int64 cents (round-to-nearest mirrors CAST(x*100 AS BIGINT)); the gate
+    is the pure integer comparison ``value*n_parts*4 > total*5`` on both
+    sides.  The per-part partial/merge table is materialized once and
+    feeds the two scalars and the filter."""
+    import pandas as pd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy()
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pks = pk[order]
+        first = np.flatnonzero(np.r_[True, pks[1:] != pks[:-1]])
+        return pa.table(
+            {
+                "l_partkey": pa.array(pks[first]),
+                "value_cents": pa.array(np.add.reduceat(cents[order], first)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_partkey": [g["l_partkey"].iloc[0]],
+                "value_cents": [int(g["value_cents"].sum())],
+            }
+        )
+
+    per_part = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .map_groups(merge, batch_format="pandas")
+        .materialize()  # consumed thrice: two scalars + the filter
+    )
+    total = int(per_part.sum("value_cents"))
+    n_parts = per_part.count()
+
+    return per_part.map_batches(
+        lambda b: b.filter(
+            pa.array(
+                b["value_cents"].to_numpy() * np.int64(n_parts) * np.int64(4)
+                > np.int64(total) * np.int64(5)
+            )
+        ),
+        batch_format="pyarrow",
+    ).sort("l_partkey")
