@@ -6272,3 +6272,155 @@ SELECT l_partkey, value_cents FROM v, t
 WHERE value_cents * t.n_parts * 4 > t.total * 5
 ORDER BY 1
 """
+
+
+def _events_day_cte(type_filter: str = "") -> str:
+    """Events -> (event_type, d, a2) assignment CTE: the events_lq admin
+    machinery plus the day index (ts's own 2024-01-01 epoch; midnight
+    epoch makes date_diff's boundary count == floor)."""
+    return f"""
+WITH c AS (
+  SELECT event_id AS id, event_type,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat,
+         event_id % {fx.OUT_MOD} = 0 AS is_outside,
+         CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS d
+  FROM events {type_filter}),
+cen AS ({fx.SQL_CENTROIDS}),
+asg AS (
+  SELECT c.*,
+         CASE WHEN c.is_outside
+              THEN (SELECT cen.a2 FROM cen
+                    ORDER BY (c.lon-cen.gx)*(c.lon-cen.gx) + (c.lat-cen.gy)*(c.lat-cen.gy), cen.a2
+                    LIMIT 1)
+              ELSE {fx.sql_admin2_inside('c.lon', 'c.lat')} END AS a2
+  FROM c)
+"""
+
+
+def kendall_admin1(type_a: str = "click", type_b: str = "purchase") -> str:
+    """Kendall tau-b twin: all-pairs day self-join per admin1 for exact
+    concordant/discordant counts, integer tie corrections, and the
+    mirrored num / sqrt(dx * dy) chain (sqrt is correctly rounded)."""
+    base = _events_day_cte(f"WHERE event_type IN ('{type_a}', '{type_b}')")
+    return f"""{base},
+counts AS (
+  SELECT {fx.sql_admin1_name('a2')} AS admin1_id, d,
+         CAST(count(*) FILTER (WHERE event_type = '{type_a}') AS BIGINT) AS na,
+         CAST(count(*) FILTER (WHERE event_type = '{type_b}') AS BIGINT) AS nb
+  FROM asg GROUP BY 1, 2),
+pairs AS (
+  SELECT p.admin1_id,
+         CAST(sum(CASE WHEN (p.na < q.na AND p.nb < q.nb)
+                         OR (p.na > q.na AND p.nb > q.nb) THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN (p.na < q.na AND p.nb > q.nb)
+                         OR (p.na > q.na AND p.nb < q.nb) THEN 1 ELSE 0 END) AS BIGINT) AS nd
+  FROM counts p JOIN counts q ON p.admin1_id = q.admin1_id AND p.d < q.d
+  GROUP BY 1),
+nn AS (SELECT admin1_id, CAST(count(*) AS BIGINT) AS n FROM counts GROUP BY 1),
+tx AS (SELECT admin1_id, CAST(sum((c*(c-1))//2) AS BIGINT) AS n1
+       FROM (SELECT admin1_id, na, CAST(count(*) AS BIGINT) AS c
+             FROM counts GROUP BY 1, 2) GROUP BY 1),
+ty AS (SELECT admin1_id, CAST(sum((c*(c-1))//2) AS BIGINT) AS n2
+       FROM (SELECT admin1_id, nb, CAST(count(*) AS BIGINT) AS c
+             FROM counts GROUP BY 1, 2) GROUP BY 1)
+SELECT nn.admin1_id, nn.n AS n_days,
+       COALESCE(pairs.nc, 0) AS concordant,
+       COALESCE(pairs.nd, 0) AS discordant,
+       CASE WHEN ((nn.n*(nn.n-1))//2 - tx.n1) > 0 AND ((nn.n*(nn.n-1))//2 - ty.n2) > 0
+            THEN CAST(COALESCE(pairs.nc, 0) - COALESCE(pairs.nd, 0) AS DOUBLE)
+                 / sqrt(CAST((nn.n*(nn.n-1))//2 - tx.n1 AS DOUBLE)
+                        * CAST((nn.n*(nn.n-1))//2 - ty.n2 AS DOUBLE))
+            ELSE CAST('nan' AS DOUBLE) END AS tau_b
+FROM nn
+JOIN tx ON tx.admin1_id = nn.admin1_id
+JOIN ty ON ty.admin1_id = nn.admin1_id
+LEFT JOIN pairs ON pairs.admin1_id = nn.admin1_id
+ORDER BY 1
+"""
+
+
+def changepoint_admin1(kmin: int = 3) -> str:
+    """Changepoint twin: ordered integer prefix sums via windows (cast
+    back from HUGEINT), the two SSE terms each a single division added in
+    the engine's order, argmin via ORDER BY cost, k."""
+    base = _events_day_cte()
+    return f"""{base},
+counts AS (
+  SELECT {fx.sql_admin1_name('a2')} AS admin1_id, d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM asg GROUP BY 1, 2),
+w AS (
+  SELECT admin1_id, d, n,
+         CAST(sum(n) OVER (PARTITION BY admin1_id ORDER BY d) AS BIGINT) AS sl,
+         CAST(sum(n*n) OVER (PARTITION BY admin1_id ORDER BY d) AS BIGINT) AS s2l,
+         CAST(row_number() OVER (PARTITION BY admin1_id ORDER BY d) AS BIGINT) AS k,
+         CAST(sum(n) OVER (PARTITION BY admin1_id) AS BIGINT) AS st,
+         CAST(sum(n*n) OVER (PARTITION BY admin1_id) AS BIGINT) AS s2t,
+         CAST(count(*) OVER (PARTITION BY admin1_id) AS BIGINT) AS nt
+  FROM counts),
+cost AS (
+  SELECT admin1_id, nt, k, d,
+         (CAST(s2l AS DOUBLE) - CAST(sl AS DOUBLE)*CAST(sl AS DOUBLE)/CAST(k AS DOUBLE))
+         + (CAST(s2t - s2l AS DOUBLE)
+            - CAST(st - sl AS DOUBLE)*CAST(st - sl AS DOUBLE)/CAST(nt - k AS DOUBLE)) AS cost
+  FROM w WHERE k >= {int(kmin)} AND k <= nt - {int(kmin)}),
+best AS (
+  SELECT admin1_id, nt, k, d, cost,
+         row_number() OVER (PARTITION BY admin1_id ORDER BY cost, k) AS rn
+  FROM cost)
+SELECT admin1_id, nt AS n_days, k AS split_k, d AS split_day, cost
+FROM best WHERE rn = 1 ORDER BY 1
+"""
+
+
+def classifier_kappa(t1: int = 300, t2: int = 240) -> str:
+    """Cohen's kappa twin: the 2x2 confusion counts and the ONE exact
+    integer division (N*diag - rowcol) / (N*N - rowcol)."""
+    return f"""
+WITH r AS (
+  SELECT n_chars >= {int(t1)} AS r1,
+         length(replace(text, ' ', '')) >= {int(t2)} AS r2
+  FROM documents),
+c AS (
+  SELECT CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(sum(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN NOT r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM r)
+SELECT n11 + n10 + n01 + n00 AS n_docs, n11, n10, n01, n00,
+       CAST((n11+n10+n01+n00)*(n11+n00)
+            - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE)
+       / CAST((n11+n10+n01+n00)*(n11+n10+n01+n00)
+            - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE) AS kappa
+FROM c
+"""
+
+
+def bm25_term_top(
+    terms: tuple = ("scan", "column", "window"), k: int = 10
+) -> str:
+    """BM25-lite twin (b = 1, k1 = 1): score = 2*tf*L / (tf*L + dl*N) —
+    one division of exact BIGINTs; top-k total order (score DESC, doc_id)."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+st AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS L,
+              CAST(count(*) AS BIGINT) AS N FROM tl),
+tf AS (
+  SELECT doc_id, t.term,
+         CAST(len(list_filter(toks, x -> x = t.term)) AS BIGINT) AS tf,
+         CAST(len(toks) AS BIGINT) AS dl
+  FROM tl, (VALUES {vals}) t(term)),
+sc AS (
+  SELECT term, doc_id, tf, dl,
+         CAST(2*tf*L AS DOUBLE) / CAST(tf*L + dl*N AS DOUBLE) AS score
+  FROM tf, st WHERE tf > 0),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rn
+  FROM sc)
+SELECT term, doc_id, tf, dl, score FROM r WHERE rn <= {int(k)}
+ORDER BY term, doc_id
+"""

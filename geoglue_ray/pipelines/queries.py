@@ -9461,3 +9461,329 @@ def q11_important_parts(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     ).sort("l_partkey")
+
+
+def _events_admin_day(
+    sf_dir: str, types: tuple | None = None
+) -> rd.Dataset:
+    """Events -> (admin1_id, admin_id, day index, event_type) via the
+    broadcast spatial join; day = floor microseconds since the events
+    epoch (2024-01-01, the ts column's OWN epoch — mirrors DuckDB
+    date_diff('day', midnight epoch, ts))."""
+    import ray
+
+    from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+    epoch = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def derive(b: pa.Table) -> pa.Table:
+        if types is not None:
+            mask = np.isin(
+                b["event_type"].to_numpy(zero_copy_only=False), list(types)
+            )
+            b = b.filter(pa.array(mask))
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        d = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            - epoch
+        ).astype(np.int64) // 86_400_000_000
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "d": pa.array(d),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    ds = ds.map_batches(encode_cells, batch_format="pyarrow")
+    index = AdminIndex.build(build_admin_table())
+    return spatial_join(ds, index_ref=ray.put(index))
+
+
+def kendall_admin1(
+    sf_dir: str, type_a: str = "click", type_b: str = "purchase"
+) -> rd.Dataset:
+    """Kendall tau-b rank correlation per admin-1 between the DAILY count
+    series of two event types (days where either type occurred).  Exact
+    integer concordant/discordant/tie counts (all-pairs over a <=31-day
+    series is trivial once the stream has partial-collapsed to
+    (admin1, day) cardinality); tau-b's one division and sqrt mirror the
+    SQL twin bit-exactly (sqrt is correctly rounded on both engines)."""
+    import pandas as pd
+
+    ds = _events_admin_day(sf_dir, types=(type_a, type_b))
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "admin1_id": pa.array([], pa.string()),
+                    "d": pa.array([], pa.int64()),
+                    "na": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                }
+            )
+        a1 = b["admin1_id"].to_numpy(zero_copy_only=False)
+        d = b["d"].to_numpy()
+        is_a = b["event_type"].to_numpy(zero_copy_only=False) == type_a
+        a1c, a1u = pd.factorize(a1, use_na_sentinel=False)
+        key = a1c.astype(np.int64) * 64 + d  # d < 31 days
+        codes, uniq = pd.factorize(key, use_na_sentinel=False)
+        na = np.bincount(codes, weights=is_a, minlength=len(uniq)).astype(np.int64)
+        nb = np.bincount(codes, weights=~is_a, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "admin1_id": pa.array(a1u[uniq // 64].astype(object), pa.string()),
+                "d": pa.array((uniq % 64).astype(np.int64)),
+                "na": pa.array(na),
+                "nb": pa.array(nb),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # bounded: admin1 x <=31 days x batch count
+    g = parts.groupby(["admin1_id", "d"], as_index=False, sort=True)[
+        ["na", "nb"]
+    ].sum()
+    rows = []
+    for a1_id, sub in g.groupby("admin1_id", sort=True):
+        x = sub["na"].to_numpy().astype(np.int64)
+        y = sub["nb"].to_numpy().astype(np.int64)
+        n = len(x)
+        iu, ju = np.triu_indices(n, k=1)
+        dx = np.sign(x[iu] - x[ju])
+        dy = np.sign(y[iu] - y[ju])
+        nc = int(np.sum((dx * dy) > 0))
+        nd = int(np.sum((dx * dy) < 0))
+        n0 = n * (n - 1) // 2
+        _, cx = np.unique(x, return_counts=True)
+        _, cy = np.unique(y, return_counts=True)
+        n1 = int((cx * (cx - 1) // 2).sum())
+        n2 = int((cy * (cy - 1) // 2).sum())
+        denom = np.sqrt(np.float64(n0 - n1) * np.float64(n0 - n2))
+        tau = np.float64(nc - nd) / denom if denom > 0 else np.nan
+        rows.append((a1_id, n, nc, nd, float(tau)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "admin1_id": pa.array([r[0] for r in rows], pa.string()),
+                "n_days": pa.array([r[1] for r in rows], pa.int64()),
+                "concordant": pa.array([r[2] for r in rows], pa.int64()),
+                "discordant": pa.array([r[3] for r in rows], pa.int64()),
+                "tau_b": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def changepoint_admin1(sf_dir: str, kmin: int = 3) -> rd.Dataset:
+    """Exact single-changepoint detection (binary-segmentation step) per
+    admin-1 over the daily event-count series: the split minimizing
+    SSE_left + SSE_right, where each SSE = S2 - S*S/n enters as ONE
+    division of exact int64 prefix sums (the cleared-denominator pattern)
+    and the two terms add in the same order on both engines.  Tie-break:
+    smallest split position (np.argmin == ORDER BY cost, k)."""
+    import pandas as pd
+
+    ds = _events_admin_day(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "admin1_id": pa.array([], pa.string()),
+                    "d": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        a1 = b["admin1_id"].to_numpy(zero_copy_only=False)
+        d = b["d"].to_numpy()
+        a1c, a1u = pd.factorize(a1, use_na_sentinel=False)
+        key = a1c.astype(np.int64) * 64 + d  # d < 31 days
+        codes, uniq = pd.factorize(key, use_na_sentinel=False)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "admin1_id": pa.array(a1u[uniq // 64].astype(object), pa.string()),
+                "d": pa.array((uniq % 64).astype(np.int64)),
+                "n": pa.array(n),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["admin1_id", "d"], as_index=False, sort=True)["n"].sum()
+    rows = []
+    for a1_id, sub in g.groupby("admin1_id", sort=True):
+        sub = sub.sort_values("d", kind="mergesort")
+        n = sub["n"].to_numpy().astype(np.int64)
+        days = sub["d"].to_numpy().astype(np.int64)
+        nt = len(n)
+        if nt < 2 * kmin:
+            continue
+        sl = np.cumsum(n)
+        s2l = np.cumsum(n * n)
+        st, s2t = int(sl[-1]), int(s2l[-1])
+        k = np.arange(1, nt + 1, dtype=np.int64)
+        lo, hi = kmin, nt - kmin
+        sel = (k >= lo) & (k <= hi)
+        kk = k[sel].astype(np.float64)
+        slf = sl[sel].astype(np.float64)
+        s2f = s2l[sel].astype(np.float64)
+        srf = (np.int64(st) - sl[sel]).astype(np.float64)
+        s2r = (np.int64(s2t) - s2l[sel]).astype(np.float64)
+        nr = (np.int64(nt) - k[sel]).astype(np.float64)
+        cost = (s2f - slf * slf / kk) + (s2r - srf * srf / nr)
+        best = int(np.argmin(cost))
+        rows.append(
+            (a1_id, nt, int(k[sel][best]), int(days[k[sel][best] - 1]),
+             float(cost[best]))
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "admin1_id": pa.array([r[0] for r in rows], pa.string()),
+                "n_days": pa.array([r[1] for r in rows], pa.int64()),
+                "split_k": pa.array([r[2] for r in rows], pa.int64()),
+                "split_day": pa.array([r[3] for r in rows], pa.int64()),
+                "cost": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def classifier_kappa(
+    sf_dir: str, t1: int = 300, t2: int = 240
+) -> rd.Dataset:
+    """Cohen's kappa inter-rater agreement between two document quality
+    raters (raw length >= t1 vs whitespace-stripped length >= t2) — the
+    annotation-QC operator.  The 2x2 confusion matrix accumulates as
+    per-batch int partials; kappa enters as the ONE exact-integer
+    division (N*diag - sum(row*col)) / (N*N - sum(row*col))."""
+
+    ds = read_documents_cols(sf_dir, ["text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        nc = b["n_chars"].to_numpy()
+        stripped = pc.replace_substring(b["text"], " ", "")
+        ns = pc.utf8_length(stripped).to_numpy(zero_copy_only=False)
+        r1 = nc >= t1
+        r2 = ns >= t2
+        return pa.table(
+            {
+                "n11": pa.array([int(np.sum(r1 & r2))], pa.int64()),
+                "n10": pa.array([int(np.sum(r1 & ~r2))], pa.int64()),
+                "n01": pa.array([int(np.sum(~r1 & r2))], pa.int64()),
+                "n00": pa.array([int(np.sum(~r1 & ~r2))], pa.int64()),
+            }
+        )
+
+    t = pa.Table.from_pandas(
+        ds.map_batches(partial, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    n11 = int(t["n11"].to_numpy().sum())
+    n10 = int(t["n10"].to_numpy().sum())
+    n01 = int(t["n01"].to_numpy().sum())
+    n00 = int(t["n00"].to_numpy().sum())
+    N = n11 + n10 + n01 + n00
+    pe_num = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    kappa = np.float64(N * (n11 + n00) - pe_num) / np.float64(N * N - pe_num)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array([N], pa.int64()),
+                "n11": pa.array([n11], pa.int64()),
+                "n10": pa.array([n10], pa.int64()),
+                "n01": pa.array([n01], pa.int64()),
+                "n00": pa.array([n00], pa.int64()),
+                "kappa": pa.array([float(kappa)], pa.float64()),
+            }
+        )
+    )
+
+
+def bm25_term_top(
+    sf_dir: str,
+    terms: tuple = ("scan", "column", "window"),
+    k: int = 10,
+) -> rd.Dataset:
+    """BM25-lite retrieval: top-``k`` documents per query term.  With
+    b = 1 and k1 = 1 the score clears to ``2*tf*L / (tf*L + dl*N)`` — a
+    SINGLE division of exact int64 quantities (L = corpus token count,
+    N = doc count enter as broadcast scalars), so ranking doubles are
+    identical on both engines; (score DESC, doc_id) makes top-k total.
+    Whitespace tokens, matching the corpus-wide vocab grammar."""
+    import pandas as pd
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"]).materialize()
+
+    def tok_stats(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        offs = np.asarray(toks.combine_chunks().offsets)
+        seg = np.repeat(
+            np.arange(len(offs) - 1), np.diff(offs)
+        )
+        ne = nonempty.to_numpy(zero_copy_only=False)
+        dl = np.bincount(seg, weights=ne, minlength=b.num_rows).astype(np.int64)
+        cols = {"doc_id": b["doc_id"], "dl": pa.array(dl)}
+        flat_np = flat.to_numpy(zero_copy_only=False)
+        for i, term in enumerate(terms):
+            hit = (flat_np == term) & ne
+            cols[f"tf{i}"] = pa.array(
+                np.bincount(seg, weights=hit, minlength=b.num_rows).astype(
+                    np.int64
+                )
+            )
+        return pa.table(cols)
+
+    stats = ds.map_batches(tok_stats, batch_format="pyarrow").materialize()
+    L = int(stats.sum("dl"))
+    N = stats.count()
+
+    def score(b: pa.Table) -> pa.Table:
+        out = {
+            "term": [], "doc_id": [], "tf": [], "dl": [], "score": [],
+        }
+        did = b["doc_id"].to_numpy()
+        dl = b["dl"].to_numpy()
+        for i, term in enumerate(terms):
+            tf = b[f"tf{i}"].to_numpy()
+            m = tf > 0
+            sc = (2 * tf[m] * np.int64(L)).astype(np.float64) / (
+                tf[m] * np.int64(L) + dl[m] * np.int64(N)
+            ).astype(np.float64)
+            out["term"].append(np.full(int(m.sum()), term, dtype=object))
+            out["doc_id"].append(did[m])
+            out["tf"].append(tf[m])
+            out["dl"].append(dl[m])
+            out["score"].append(sc)
+        return pa.table(
+            {
+                "term": pa.array(np.concatenate(out["term"]), pa.string()),
+                "doc_id": pa.array(np.concatenate(out["doc_id"])),
+                "tf": pa.array(np.concatenate(out["tf"])),
+                "dl": pa.array(np.concatenate(out["dl"])),
+                "score": pa.array(np.concatenate(out["score"])),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).iloc[:k]
+        return g.reset_index(drop=True)
+
+    return (
+        stats.map_batches(score, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["term", "doc_id"])
+    )
