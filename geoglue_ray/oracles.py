@@ -6424,3 +6424,86 @@ r AS (
 SELECT term, doc_id, tf, dl, score FROM r WHERE rn <= {int(k)}
 ORDER BY term, doc_id
 """
+
+
+def sorted_neighborhood_dupes(window: int = 3, prefix_len: int = 24) -> str:
+    """SNM twin: per-lang rank window self-join; prefix equality via
+    char-based substr (the corpus is ASCII; mirrors utf8_slice)."""
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars, text,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk
+  FROM documents)
+SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(b.rk - a.rk AS BIGINT) AS rank_dist,
+       CAST(abs(a.n_chars - b.n_chars) AS BIGINT) AS char_diff,
+       substr(a.text, 1, {int(prefix_len)}) = substr(b.text, 1, {int(prefix_len)}) AS prefix_match
+FROM r a JOIN r b
+  ON a.lang = b.lang AND b.rk - a.rk BETWEEN 1 AND {int(window)}
+ORDER BY 1, 2, 3
+"""
+
+
+def target_encode(m: int = 20) -> str:
+    """Target-encoding twin: cents via CAST(x*100 AS BIGINT); the
+    cleared-denominator single division (S*Ntot + m*T)/(Ntot*(n+m))."""
+    return f"""
+WITH e AS (SELECT event_type, CAST(value * 100 AS BIGINT) AS cents FROM events),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM e GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(s) AS BIGINT) AS tt FROM g)
+SELECT event_type, n, s AS sum_cents,
+       CAST(s * nt + {int(m)} * tt AS DOUBLE)
+       / CAST(nt * (n + {int(m)}) AS DOUBLE) AS enc_cents
+FROM g, t ORDER BY 1
+"""
+
+
+def pr_curve(
+    pos_type: str = "purchase",
+    thresholds: tuple = tuple(range(0, 40000, 5000)),
+) -> str:
+    """PR-curve twin: one score histogram replayed as threshold tail
+    sums; every metric a single division of exact BIGINTs."""
+    vals = ", ".join(f"({int(t)})" for t in thresholds)
+    return f"""
+WITH e AS (
+  SELECT CAST(value * 100 AS BIGINT) AS c,
+         CASE WHEN event_type = '{pos_type}' THEN 1 ELSE 0 END AS pos
+  FROM events),
+tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p_all FROM e),
+t(th) AS (VALUES {vals}),
+m AS (
+  SELECT CAST(t.th AS BIGINT) AS threshold_cents,
+         CAST(sum(CASE WHEN e.c >= t.th THEN e.pos ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN e.c >= t.th THEN 1 - e.pos ELSE 0 END) AS BIGINT) AS fp
+  FROM t, e GROUP BY 1)
+SELECT threshold_cents, tp, fp, p_all - tp AS fn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+            ELSE CAST('nan' AS DOUBLE) END AS "precision",
+       CASE WHEN p_all > 0
+            THEN CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE)
+            ELSE CAST('nan' AS DOUBLE) END AS recall,
+       CASE WHEN 2*tp + fp + (p_all - tp) > 0
+            THEN CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + (p_all - tp) AS DOUBLE)
+            ELSE CAST('nan' AS DOUBLE) END AS f1
+FROM m, tot ORDER BY 1
+"""
+
+
+def feature_hashing(n_buckets: int = 16) -> str:
+    """Hashing-trick twin: the shared token-hash chain in HUGEINT, mod
+    n_buckets, exact counts."""
+    from geoglue_ray.functions.texthash import sql_token_hash
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents),
+h AS (SELECT doc_id, CAST({sql_token_hash('t')} % {int(n_buckets)} AS BIGINT) AS bucket
+      FROM tok)
+SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM h GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -9787,3 +9787,295 @@ def bm25_term_top(
         .map_groups(topk, batch_format="pandas")
         .sort(["term", "doc_id"])
     )
+
+
+def sorted_neighborhood_dupes(
+    sf_dir: str, window: int = 3, prefix_len: int = 24, bucket: int = 64
+) -> rd.Dataset:
+    """Sorted-neighborhood duplicate candidates — the classic entity-
+    resolution blocking strategy the LSH/simhash family doesn't cover:
+    sort by (lang, n_chars, doc_id), compare each row to its ``window``
+    successors within the same lang.  Distributed shape: the global rank
+    comes from the two-pass prefix scan over a composite sort key
+    (stages/scan.global_prefix_sum — never a whole-corpus sort-and-walk
+    on the driver); pair generation buckets ranks ``rk // bucket`` with a
+    ``window``-row halo duplicated into the previous bucket, one
+    vectorized searchsorted pass per fixed shard.  Emits rank distance,
+    |n_chars| gap and 24-char prefix equality per candidate pair."""
+    import pandas as pd
+
+    from geoglue_ray.stages.scan import global_prefix_sum
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "lang", "n_chars", "text"])
+    LANGS = ("de", "en", "es", "fr", "zh")  # fixture lang codes, sorted
+    lmap = {l: i for i, l in enumerate(LANGS)}
+
+    def key(b: pa.Table) -> pa.Table:
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        li = np.array([lmap[x] for x in lang], dtype=np.int64)
+        nc = b["n_chars"].to_numpy().astype(np.int64)
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        comp = (li << 44) + (nc << 34) + did  # doc_id < 2^34, n_chars < 2^10
+        pref = pc.utf8_slice_codeunits(b["text"], 0, prefix_len)
+        return pa.table(
+            {
+                "comp": pa.array(comp),
+                "one": pa.array(np.ones(len(li), dtype=np.int64)),
+                "lang": b["lang"],
+                "doc_id": b["doc_id"],
+                "n_chars": pa.array(nc),
+                "pref": pref,
+            }
+        )
+
+    ranked = global_prefix_sum(
+        ds.map_batches(key, batch_format="pyarrow"), "comp", "one"
+    )
+
+    w = int(window)
+    B = int(bucket)
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        rk = b["start_offset"].to_numpy().astype(np.int64)
+        bk = rk // B
+        halo = rk % B < w
+        t = pa.table(
+            {
+                "bk": pa.array(bk),
+                "rk": pa.array(rk),
+                "lang": b["lang"],
+                "doc_id": b["doc_id"],
+                "n_chars": b["n_chars"],
+                "pref": b["pref"],
+            }
+        )
+        if halo.any():
+            h = t.filter(pa.array(halo & (bk > 0)))
+            h = h.set_column(0, "bk", pa.array(h["bk"].to_numpy() - 1))
+            t = pa.concat_tables([t, h])
+        return t
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rk", kind="mergesort")
+        bk0 = int(g["bk"].iloc[0])
+        rk = g["rk"].to_numpy().astype(np.int64)
+        lang = g["lang"].to_numpy()
+        did = g["doc_id"].to_numpy().astype(np.int64)
+        nc = g["n_chars"].to_numpy().astype(np.int64)
+        pref = g["pref"].to_numpy()
+        own = (rk // B) == bk0  # pairs are OWNED by the left row's bucket
+        ai, bi, dist = [], [], []
+        for delta in range(1, w + 1):
+            pos = np.searchsorted(rk, rk + delta)
+            ok = (pos < len(rk)) & own
+            pos_c = np.clip(pos, 0, len(rk) - 1)
+            ok &= rk[pos_c] == rk + delta
+            ok &= lang[pos_c] == lang
+            ai.append(np.flatnonzero(ok))
+            bi.append(pos_c[ok])
+            dist.append(np.full(int(ok.sum()), delta, dtype=np.int64))
+        a = np.concatenate(ai)
+        b_ = np.concatenate(bi)
+        d = np.concatenate(dist)
+        return pd.DataFrame(
+            {
+                "lang": lang[a],
+                "doc_a": did[a],
+                "doc_b": did[b_],
+                "rank_dist": d,
+                "char_diff": np.abs(nc[a] - nc[b_]),
+                "prefix_match": pref[a] == pref[b_],
+            }
+        )
+
+    out = (
+        ranked.map_batches(to_buckets, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    def cast_out(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": pc.cast(b["lang"], pa.string()),
+                "doc_a": pc.cast(b["doc_a"], pa.int64()),
+                "doc_b": pc.cast(b["doc_b"], pa.int64()),
+                "rank_dist": pc.cast(b["rank_dist"], pa.int64()),
+                "char_diff": pc.cast(b["char_diff"], pa.int64()),
+                "prefix_match": pc.cast(b["prefix_match"], pa.bool_()),
+            }
+        )
+
+    return out.map_batches(cast_out, batch_format="pyarrow").sort(
+        ["lang", "doc_a", "doc_b"]
+    )
+
+
+def target_encode(sf_dir: str, m: int = 20) -> rd.Dataset:
+    """Smoothed target encoding of the event-type category against the
+    value target — the feature-engineering operator.  The usual
+    (sum + m*prior) / (n + m) with prior = T/Ntot clears denominators to
+    ONE exact division: (S*Ntot + m*T) / (Ntot*(n + m)), everything else
+    int64 cents.  Per-batch partial collapse to category cardinality."""
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = b["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.round(b["value"].to_numpy() * 100.0).astype(np.int64)
+        codes, uniq = pd.factorize(t, use_na_sentinel=False)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        s = np.bincount(codes, weights=cents, minlength=len(uniq)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(uniq.astype(object), pa.string()),
+                "n": pa.array(n),
+                "s": pa.array(s),
+            }
+        )
+
+    t = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type", as_index=False, sort=True)[["n", "s"]]
+        .sum()
+    )  # bounded: category cardinality x batches
+    N = int(t["n"].sum())
+    T = int(t["s"].sum())
+    n = t["n"].to_numpy().astype(np.int64)
+    s = t["s"].to_numpy().astype(np.int64)
+    enc = (s * np.int64(N) + np.int64(m) * np.int64(T)).astype(
+        np.float64
+    ) / (np.int64(N) * (n + np.int64(m))).astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(t["event_type"], pa.string()),
+                "n": pa.array(n),
+                "sum_cents": pa.array(s),
+                "enc_cents": pa.array(enc),
+            }
+        )
+    )
+
+
+def pr_curve(
+    sf_dir: str,
+    pos_type: str = "purchase",
+    thresholds: tuple = tuple(range(0, 40000, 5000)),
+) -> rd.Dataset:
+    """Precision / recall / F1 at fixed score thresholds (value cents as
+    the classifier score, one event type as the positive class) — the
+    model-eval companion to score_auc.  Streams ONE per-score histogram
+    (payload = distinct-cents cardinality, the score_auc shape), then
+    every threshold's confusion entries are exact integer tail sums with
+    single-division metrics."""
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value", "event_type"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = np.round(b["value"].to_numpy() * 100.0).astype(np.int64)
+        pos = (
+            b["event_type"].to_numpy(zero_copy_only=False) == pos_type
+        ).astype(np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        p = np.bincount(inv, weights=pos, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {"c": pa.array(u), "n": pa.array(n), "p": pa.array(p)}
+        )
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("c", as_index=False, sort=True)[["n", "p"]]
+        .sum()
+    )  # bounded: distinct-cents cardinality
+    c = hist["c"].to_numpy().astype(np.int64)
+    n = hist["n"].to_numpy().astype(np.int64)
+    p = hist["p"].to_numpy().astype(np.int64)
+    P = int(p.sum())
+    rows = []
+    for t in thresholds:
+        sel = c >= t
+        tp = int(p[sel].sum())
+        fp = int((n[sel] - p[sel]).sum())
+        fn = P - tp
+        prec = (
+            np.float64(tp) / np.float64(tp + fp) if tp + fp > 0 else np.nan
+        )
+        rec = np.float64(tp) / np.float64(P) if P > 0 else np.nan
+        f1 = (
+            np.float64(2 * tp) / np.float64(2 * tp + fp + fn)
+            if 2 * tp + fp + fn > 0
+            else np.nan
+        )
+        rows.append((int(t), tp, fp, fn, float(prec), float(rec), float(f1)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "threshold_cents": pa.array([r[0] for r in rows], pa.int64()),
+                "tp": pa.array([r[1] for r in rows], pa.int64()),
+                "fp": pa.array([r[2] for r in rows], pa.int64()),
+                "fn": pa.array([r[3] for r in rows], pa.int64()),
+                "precision": pa.array([r[4] for r in rows], pa.float64()),
+                "recall": pa.array([r[5] for r in rows], pa.float64()),
+                "f1": pa.array([r[6] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def feature_hashing(sf_dir: str, n_buckets: int = 16) -> rd.Dataset:
+    """Hashing-trick featurization: each document's whitespace tokens
+    hash into ``n_buckets`` counts (the fixed-width sparse feature map
+    fed to linear models) — one vectorized flatten + bincount per batch,
+    emitted as (doc_id, bucket, cnt) sparse rows.  The token hash is the
+    shared functions/texthash.token_hash64 chain, so the SQL twin replays
+    it exactly in HUGEINT."""
+    from geoglue_ray.functions.texthash import token_hash64
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    NB = np.uint64(n_buckets)
+
+    def hash_batch(b: pa.Table) -> pa.Table:
+        toks = b["text"].combine_chunks() if isinstance(
+            b["text"], pa.ChunkedArray
+        ) else b["text"]
+        lst = pc.split_pattern(toks, " ")
+        flat = pc.list_flatten(lst)
+        offs = np.asarray(lst.offsets)
+        seg = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        vals = flat.to_numpy(zero_copy_only=False)
+        ne = vals != ""
+        if not ne.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        h = token_hash64(vals[ne]) % NB
+        key = seg[ne].astype(np.int64) * int(n_buckets) + h.astype(np.int64)
+        cnt = np.bincount(key, minlength=b.num_rows * int(n_buckets))
+        nz = np.flatnonzero(cnt)
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[nz // int(n_buckets)]),
+                "bucket": pa.array((nz % int(n_buckets)).astype(np.int64)),
+                "cnt": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(hash_batch, batch_format="pyarrow").sort(
+        ["doc_id", "bucket"]
+    )
