@@ -6507,3 +6507,81 @@ h AS (SELECT doc_id, CAST({sql_token_hash('t')} % {int(n_buckets)} AS BIGINT) AS
 SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
 FROM h GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def hub_closeness(n_hubs: int = 8, max_hops: int = 3) -> str:
+    """Hub-closeness twin: the bfs_parts recursive closure from the
+    top-degree hubs; harmonic = n1 + n2/2 + n3/3 with the engine's exact
+    left-to-right float chain."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY 1),
+hubs AS (SELECT src, degree FROM deg ORDER BY degree DESC, src LIMIT {int(n_hubs)}),
+reach(s, node, d) AS (
+  SELECT src, src, 0 FROM hubs
+  UNION
+  SELECT r.s, e.dst, r.d + 1
+  FROM reach r JOIN e ON e.src = r.node
+  WHERE r.d < {int(max_hops)}),
+md AS (SELECT s, node, min(d) AS d FROM reach GROUP BY 1, 2),
+cnt AS (
+  SELECT s AS hub,
+         CAST(count(*) FILTER (WHERE d = 1) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (WHERE d = 2) AS BIGINT) AS n2,
+         CAST(count(*) FILTER (WHERE d = 3) AS BIGINT) AS n3
+  FROM md GROUP BY 1)
+SELECT cnt.hub, hubs.degree, cnt.n1, cnt.n2, cnt.n3,
+       CAST(cnt.n1 AS DOUBLE) + CAST(cnt.n2 AS DOUBLE)/2.0
+         + CAST(cnt.n3 AS DOUBLE)/3.0 AS harmonic
+FROM cnt JOIN hubs ON hubs.src = cnt.hub
+ORDER BY 1
+"""
+
+
+def raster_voronoi(n_seeds: int = 32, seed_type: str = "purchase") -> str:
+    """Voronoi twin: first-hour grid x seed argmin via row_number over
+    the identical squared-distance chain, event-id tie-break."""
+    from geoglue_ray.sources.raster import sql_raster_cte
+
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+grid AS (SELECT lon, lat FROM rast WHERE t = 0 AND variable = 't2m'),
+seeds AS (
+  SELECT event_id, {fx.sql_lon('event_id')} AS sx, {fx.sql_lat('event_id')} AS sy
+  FROM events WHERE event_type = '{seed_type}'
+  ORDER BY event_id LIMIT {int(n_seeds)}),
+d AS (
+  SELECT g.lon, g.lat, s.event_id,
+         (g.lon - s.sx)*(g.lon - s.sx) + (g.lat - s.sy)*(g.lat - s.sy) AS d2,
+         row_number() OVER (PARTITION BY g.lon, g.lat
+                            ORDER BY (g.lon - s.sx)*(g.lon - s.sx)
+                                   + (g.lat - s.sy)*(g.lat - s.sy),
+                                     s.event_id) AS rn
+  FROM grid g, seeds s)
+SELECT lon, lat, event_id AS seed_event, d2
+FROM d WHERE rn = 1 ORDER BY lat, lon
+"""
+
+
+def calibration_bins(pos_type: str = "purchase", n_bins: int = 10) -> str:
+    """Calibration twin: integer bin = (cents%1000)*n_bins//1000; the
+    two per-bin single divisions."""
+    return f"""
+WITH e AS (
+  SELECT CAST(value * 100 AS BIGINT) % 1000 AS frac,
+         CASE WHEN event_type = '{pos_type}' THEN 1 ELSE 0 END AS pos
+  FROM events),
+g AS (
+  SELECT (frac * {int(n_bins)}) // 1000 AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(frac) AS BIGINT) AS s_frac
+  FROM e GROUP BY 1)
+SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+       CAST(s_frac AS DOUBLE) / (1000.0 * CAST(n AS DOUBLE)) AS mean_pred,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+FROM g ORDER BY 1
+"""

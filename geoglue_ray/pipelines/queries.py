@@ -10079,3 +10079,205 @@ def feature_hashing(sf_dir: str, n_buckets: int = 16) -> rd.Dataset:
     return ds.map_batches(hash_batch, batch_format="pyarrow").sort(
         ["doc_id", "bucket"]
     )
+
+
+def hub_closeness(
+    sf_dir: str, n_hubs: int = 8, max_hops: int = 3
+) -> rd.Dataset:
+    """Harmonic closeness census of the co-purchase graph's top-degree
+    hubs: newly-reached node counts at hops 1..3 from each hub and the
+    harmonic centrality n1 + n2/2 + n3/3 (the float chain is three exact
+    casts and two exact dyadic/ternary divisions added left-to-right —
+    identical on both engines).  Hubs = top-``n_hubs`` by distinct-
+    neighbor degree (ties to the smaller part id) selected by a
+    key-cardinality sort; BFS is stages/graph.bfs_hops (bounded rounds,
+    broadcast hop matrix, edges streamed per round)."""
+    import pandas as pd
+
+    from geoglue_ray.stages.graph import basket_edges, bfs_hops
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = basket_edges(li, "l_orderkey", "l_partkey").materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy().astype(np.int64)
+        u, cnt = np.unique(src, return_counts=True)
+        return pa.table(
+            {"src": pa.array(u), "deg": pa.array(cnt.astype(np.int64))}
+        )
+
+    def deg_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": [g["src"].iloc[0]],
+                "deg": [int(g["deg"].sum())],
+            }
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("src")
+        .map_groups(deg_merge, batch_format="pandas")
+        .sort(["deg", "src"], descending=[True, False])
+        .limit(n_hubs)
+        .to_pandas()
+    )
+    hubs = deg["src"].to_numpy().astype(np.int64)
+    hub_deg = dict(zip(hubs.tolist(), deg["deg"].astype(np.int64).tolist()))
+
+    t = bfs_hops(edges, max_hops=max_hops, sources=np.sort(hubs))
+    df = t.to_pandas()
+    rows = []
+    for hub, sub in df.groupby("src_id", sort=True):
+        h = sub["hops"].to_numpy()
+        n1 = int(np.sum(h == 1))
+        n2 = int(np.sum(h == 2))
+        n3 = int(np.sum(h == 3))
+        harm = np.float64(n1) + np.float64(n2) / 2.0 + np.float64(n3) / 3.0
+        rows.append((int(hub), hub_deg[int(hub)], n1, n2, n3, float(harm)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "hub": pa.array([r[0] for r in rows], pa.int64()),
+                "degree": pa.array([r[1] for r in rows], pa.int64()),
+                "n1": pa.array([r[2] for r in rows], pa.int64()),
+                "n2": pa.array([r[3] for r in rows], pa.int64()),
+                "n3": pa.array([r[4] for r in rows], pa.int64()),
+                "harmonic": pa.array([r[5] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def raster_voronoi(
+    sf_dir: str, n_seeds: int = 32, seed_type: str = "purchase"
+) -> rd.Dataset:
+    """Discrete Voronoi allocation of the raster grid to the nearest
+    seed event (nearest-facility assignment): the first hour's cells,
+    seeds = the ``n_seeds`` smallest purchase event ids, per-cell exact
+    argmin of the mirrored squared-distance chain
+    (lon-sx)*(lon-sx) + (lat-sy)*(lat-sy) with event-id tie-break.
+    Seeds broadcast once; each raster batch scores cells x seeds in one
+    vectorized block."""
+    import ray
+
+    from geoglue_ray.sources.raster import read_raster
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    seeds_df = (
+        ev.map_batches(
+            lambda b: b.filter(pc.equal(b["event_type"], seed_type)).select(
+                ["event_id"]
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("event_id")
+        .limit(n_seeds)
+        .to_pandas()
+    )
+    sid = seeds_df["event_id"].to_numpy().astype(np.int64)
+    sx, sy = fx.derive_lonlat(sid)
+    seeds_ref = ray.put((sid, sx, sy))
+
+    def assign(b: pa.Table, *, ref=seeds_ref) -> pa.Table:
+        sid_, sx_, sy_ = ray.get(ref) if not isinstance(ref, tuple) else ref
+        b2 = b
+        if b2.num_rows == 0:
+            return pa.table(
+                {
+                    "lon": pa.array([], pa.float64()),
+                    "lat": pa.array([], pa.float64()),
+                    "seed_event": pa.array([], pa.int64()),
+                    "d2": pa.array([], pa.float64()),
+                }
+            )
+        lon = b2["longitude"].to_numpy()
+        lat = b2["latitude"].to_numpy()
+        dx = lon[:, None] - sx_[None, :]
+        dy = lat[:, None] - sy_[None, :]
+        d2 = dx * dx + dy * dy
+        best = np.argmin(d2, axis=1)  # first occurrence = smallest seed idx
+        return pa.table(
+            {
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "seed_event": pa.array(sid_[best]),
+                "d2": pa.array(d2[np.arange(len(best)), best]),
+            }
+        )
+
+    rast = read_raster(n_days=1)
+
+    def hour0(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["variable"], "t2m").to_numpy(zero_copy_only=False)
+        vt = b["valid_time"].to_numpy(zero_copy_only=False)
+        m &= vt == fx.T0
+        return b.filter(pa.array(m))
+
+    out = rast.map_batches(hour0, batch_format="pyarrow").map_batches(
+        assign, batch_format="pyarrow"
+    )
+    return out.sort(["lat", "lon"])
+
+
+def calibration_bins(
+    sf_dir: str, pos_type: str = "purchase", n_bins: int = 10
+) -> rd.Dataset:
+    """Reliability-diagram bins for a pseudo-probability score
+    (p = (cents % 1000)/1000) against the positive class — the model-
+    calibration audit.  Per-bin mean prediction clears to the single
+    division sum(cents%1000)/(1000*n); observed rate is pos/n.  One
+    per-batch partial collapse to bin cardinality."""
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value", "event_type"]
+    )
+    NB = int(n_bins)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(b["value"].to_numpy() * 100.0).astype(np.int64)
+        frac = cents % 1000
+        bins = frac * NB // 1000
+        pos = (
+            b["event_type"].to_numpy(zero_copy_only=False) == pos_type
+        ).astype(np.int64)
+        n = np.bincount(bins, minlength=NB).astype(np.int64)
+        p = np.bincount(bins, weights=pos, minlength=NB).astype(np.int64)
+        s = np.bincount(bins, weights=frac, minlength=NB).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(NB, dtype=np.int64)),
+                "n": pa.array(n),
+                "n_pos": pa.array(p),
+                "s_frac": pa.array(s),
+            }
+        )
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bin", as_index=False, sort=True)[["n", "n_pos", "s_frac"]]
+        .sum()
+    )
+    n = hist["n"].to_numpy().astype(np.int64)
+    npos = hist["n_pos"].to_numpy().astype(np.int64)
+    s = hist["s_frac"].to_numpy().astype(np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_pred = s.astype(np.float64) / (1000.0 * n.astype(np.float64))
+        frac_pos = npos.astype(np.float64) / n.astype(np.float64)
+    keep = n > 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "bin": pa.array(hist["bin"].to_numpy().astype(np.int64)[keep]),
+                "n": pa.array(n[keep]),
+                "n_pos": pa.array(npos[keep]),
+                "mean_pred": pa.array(mean_pred[keep]),
+                "frac_pos": pa.array(frac_pos[keep]),
+            }
+        )
+    )

@@ -242,6 +242,7 @@ def bfs_hops(
     n_sources: int = 4,
     max_hops: int = 4,
     n_merge: int = 32,
+    sources=None,
 ) -> pa.Table:
     """Multi-source BFS hop distances over distinct directed ``(src,
     dst)`` edges, capped at ``max_hops`` — the graph-TRAVERSAL operator
@@ -293,7 +294,11 @@ def bfs_hops(
     assert len(nodes) and 0 <= nodes[0] and nodes[-1] < (1 << 40), (
         "packed (source, node) dedup key assumes non-negative node ids < 2^40"
     )
-    sources = nodes[:n_sources]
+    if sources is None:
+        sources = nodes[:n_sources]
+    else:
+        sources = np.asarray(sources, dtype=np.int64)
+        assert np.isin(sources, nodes).all(), "explicit sources must be graph nodes"
     hops = np.full((len(sources), len(nodes)), -1, dtype=np.int64)
     hops[np.arange(len(sources)), np.searchsorted(nodes, sources)] = 0
 
