@@ -6585,3 +6585,126 @@ SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
        CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
 FROM g ORDER BY 1
 """
+
+
+def od_ipf(rounds: int = 4) -> str:
+    """Integer-IPF twin: the od_matrix assignment CTE, inflow targets,
+    and ``rounds`` unrolled row/column scalings — each a MATERIALIZED
+    window-sum CTE (inlined CTEs re-evaluate exponentially; round-4
+    lesson) with the exact ``(x*t)//s`` floor division."""
+    base = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat,
+         event_id % {fx.OUT_MOD} = 0 AS is_outside
+  FROM events),
+cen AS ({fx.SQL_CENTROIDS}),
+asg AS (
+  SELECT e.user_id, e.event_id, e.ts,
+         CASE WHEN e.is_outside
+              THEN (SELECT cen.a2 FROM cen
+                    ORDER BY (e.lon-cen.gx)*(e.lon-cen.gx) + (e.lat-cen.gy)*(e.lat-cen.gy), cen.a2
+                    LIMIT 1)
+              ELSE {fx.sql_admin2_inside('e.lon', 'e.lat')} END AS a2
+  FROM e),
+p AS (
+  SELECT user_id,
+         lag(a2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS o,
+         a2 AS d
+  FROM asg),
+x0 AS MATERIALIZED (
+  SELECT {fx.sql_admin2_name('o')} AS o, {fx.sql_admin2_name('d')} AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM p WHERE o IS NOT NULL GROUP BY 1, 2),
+tgt AS MATERIALIZED (
+  SELECT d AS z, CAST(sum(x) AS BIGINT) AS t FROM x0 GROUP BY 1)"""
+    prev = "x0"
+    steps = []
+    for r in range(1, int(rounds) + 1):
+        x0col = "x AS x_orig," if r == 1 else "x_orig,"
+        steps.append(f"""
+r{r} AS MATERIALIZED (
+  SELECT {prev}.o, {prev}.d, {prev}.{x0col.rstrip(',')},
+         CASE WHEN rs.s > 0
+              THEN ({prev}.x * COALESCE(tgt.t, 0)) // rs.s ELSE 0 END AS x
+  FROM {prev}
+  JOIN (SELECT o, CAST(sum(x) AS BIGINT) AS s FROM {prev} GROUP BY 1) rs
+    ON rs.o = {prev}.o
+  LEFT JOIN tgt ON tgt.z = {prev}.o)""")
+        steps.append(f"""
+c{r} AS MATERIALIZED (
+  SELECT r{r}.o, r{r}.d, r{r}.x_orig,
+         CASE WHEN cs.s > 0
+              THEN (r{r}.x * COALESCE(tgt.t, 0)) // cs.s ELSE 0 END AS x
+  FROM r{r}
+  JOIN (SELECT d, CAST(sum(x) AS BIGINT) AS s FROM r{r} GROUP BY 1) cs
+    ON cs.d = r{r}.d
+  LEFT JOIN tgt ON tgt.z = r{r}.d)""")
+        prev = f"c{r}"
+    return (
+        base
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT o AS o_admin, d AS d_admin, x_orig AS n_trips, CAST(x AS BIGINT) AS balanced
+FROM {prev} ORDER BY 1, 2
+"""
+    )
+
+
+def late_events() -> str:
+    """Watermark twin: running max over strictly-earlier arrivals via the
+    ROWS ... 1 PRECEDING frame; lateness in exact epoch microseconds."""
+    return """
+WITH w AS (
+  SELECT user_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN ts < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(COALESCE(max(CASE WHEN ts < wm THEN epoch_us(wm) - epoch_us(ts) END), 0) AS BIGINT) AS max_late_us
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def langid_confusion() -> str:
+    """Confusion-matrix twin of the lang_id heuristic: same marker
+    scoring and argmax order, aggregated to (lang, pred_lang) counts."""
+    from geoglue_ray.stages.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+
+    def hits(lg: str) -> str:
+        vals = ", ".join(f"'{m}'" for m in LANG_MARKERS[lg])
+        return f"sum(CASE WHEN t IN ({vals}) THEN 1 ELSE 0 END)"
+
+    score_cols = ", ".join(f"{hits(lg)} AS s_{lg}" for lg in langs)
+    m = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lg} = {m} THEN '{lg}'" for lg in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_tokens('lower(text)')}) AS t FROM documents),
+sc AS (
+  SELECT doc_id, {score_cols}, count(*) AS n_tok FROM toks GROUP BY doc_id)
+SELECT d.lang, {pred} AS pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def audience_segments(seg_type: str = "purchase") -> str:
+    """Segment twin: per-user weekly purchase-presence bit OR via bit_or
+    of 1 << min(week, 4), then the bitmask histogram."""
+    return f"""
+WITH m AS (
+  SELECT user_id,
+         CAST(bit_or(1 << CAST(least(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) // 7, 4) AS INTEGER)) AS BIGINT) AS mask
+  FROM events WHERE event_type = '{seg_type}' GROUP BY 1)
+SELECT mask AS segment_mask, CAST(count(*) AS BIGINT) AS n_users
+FROM m GROUP BY 1 ORDER BY 1
+"""

@@ -10281,3 +10281,230 @@ def calibration_bins(
             }
         )
     )
+
+
+def od_ipf(sf_dir: str, rounds: int = 4) -> rd.Dataset:
+    """Doubly-constrained trip balancing (integer IPF / Furness rounds)
+    over the OD matrix: rebalance flows so every zone's OUTflow matches
+    its observed INflow, alternating exact integer row/column scalings
+    ``x * target // margin`` (floor == truncate on non-negatives, so
+    numpy // and DuckDB // agree).  The OD matrix comes from the
+    distributed od_matrix pipeline; the IPF rounds run on the bounded
+    |admin|^2 table (driver-held key-cardinality state, the pagerank
+    rule).  The SQL twin unrolls rounds as MATERIALIZED window CTEs."""
+    import pandas as pd
+
+    od = od_matrix(sf_dir).to_pandas()  # bounded: |admin|^2
+    zones = np.unique(
+        np.concatenate([od["o_admin"].to_numpy(), od["d_admin"].to_numpy()])
+    )
+    oi = np.searchsorted(zones, od["o_admin"].to_numpy())
+    di = np.searchsorted(zones, od["d_admin"].to_numpy())
+    x0 = od["n_trips"].to_numpy().astype(np.int64)
+    # target margin per zone = observed INflow
+    tgt = np.bincount(di, weights=x0, minlength=len(zones)).astype(np.int64)
+    x = x0.copy()
+    for _ in range(int(rounds)):
+        rs = np.bincount(oi, weights=x, minlength=len(zones)).astype(np.int64)
+        x = np.where(rs[oi] > 0, x * tgt[oi] // np.maximum(rs[oi], 1), 0)
+        cs = np.bincount(di, weights=x, minlength=len(zones)).astype(np.int64)
+        x = np.where(cs[di] > 0, x * tgt[di] // np.maximum(cs[di], 1), 0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "o_admin": pa.array(od["o_admin"], pa.string()),
+                "d_admin": pa.array(od["d_admin"], pa.string()),
+                "n_trips": pa.array(x0),
+                "balanced": pa.array(x),
+            }
+        )
+    ).sort(["o_admin", "d_admin"])
+
+
+def late_events(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Watermark / late-data accounting — the streaming-semantics audit:
+    event_id is the ARRIVAL order, ts the event time; an event is late
+    when its timestamp precedes the running max of earlier-arriving
+    events of the same user.  Per user: event count, late count, max
+    lateness (µs).  Users co-locate in fixed hash shards; each shard
+    runs one lexsort + grouped cummax-shift pass (exact integer
+    timestamp arithmetic)."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def shard(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        return b.append_column(
+            "_sh",
+            pa.array((int_hash64(u) % np.uint64(n_shards)).astype(np.int64)),
+        )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], np.int64),
+                    "n_events": np.array([], np.int64),
+                    "n_late": np.array([], np.int64),
+                    "max_late_us": np.array([], np.int64),
+                }
+            )
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        seg = np.cumsum(new) - 1
+        # running max per user segment: cummax on (ts + seg*BIG) never
+        # leaks across segments because BIG exceeds the ts span; the
+        # shift cancels when subtracted back
+        BIG = np.int64(1) << 42  # ts SPAN (30 days ~ 2.6e12 us) < 2^42
+        cm = np.maximum.accumulate(ts + seg * BIG) - seg * BIG
+        wm = np.empty_like(cm)
+        wm[1:] = cm[:-1]
+        late = ~new & (ts < wm)
+        lateness = np.where(late, wm - ts, 0)
+        n = np.bincount(seg).astype(np.int64)
+        nl = np.bincount(seg, weights=late).astype(np.int64)
+        ml = np.zeros(len(n), dtype=np.int64)
+        np.maximum.at(ml, seg, lateness)
+        uids = uid[np.r_[np.flatnonzero(new)]]
+        return pd.DataFrame(
+            {
+                "user_id": uids,
+                "n_events": n,
+                "n_late": nl,
+                "max_late_us": ml,
+            }
+        )
+
+    out = (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+    def cast_out(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "n_events": pc.cast(b["n_events"], pa.int64()),
+                "n_late": pc.cast(b["n_late"], pa.int64()),
+                "max_late_us": pc.cast(b["max_late_us"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_out, batch_format="pyarrow").sort("user_id")
+
+
+def langid_confusion(sf_dir: str) -> rd.Dataset:
+    """Confusion matrix of the n-gram lang-id heuristic against the
+    declared lang label — the classifier-eval companion to lang_id
+    itself: exact counts per (lang, pred_lang) cell.  One partial
+    collapse to the <= |langs|^2 matrix per batch."""
+    import pandas as pd
+
+    from geoglue_ray.stages.text import LangId
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text", "lang"])
+    pred = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        p = b["pred_lang"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(lang.astype("U8"), "|"), p.astype("U8"))
+        u, cnt = np.unique(key, return_counts=True)
+        sp = np.char.partition(u, "|")
+        return pa.table(
+            {
+                "lang": pa.array(sp[:, 0], pa.string()),
+                "pred_lang": pa.array(sp[:, 2], pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    t = (
+        pred.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["lang", "pred_lang"], as_index=False, sort=True)["n"]
+        .sum()
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(t["lang"], pa.string()),
+                "pred_lang": pa.array(t["pred_lang"], pa.string()),
+                "n": pa.array(t["n"].to_numpy().astype(np.int64)),
+            }
+        )
+    )
+
+
+def audience_segments(sf_dir: str, seg_type: str = "purchase") -> rd.Dataset:
+    """Audience set-algebra: each user's weekly PURCHASE-presence bitmask
+    over the event month (bit w set iff the user purchased in week w),
+    then exact user counts per bitmask — the cohort segmentation operator
+    (buyers-in-W1-and-W3-but-not-W2 is one output row; the unfiltered
+    mask is degenerate — every user has SOME event every week).
+    Per-batch partial ORs collapse to user cardinality; the histogram is
+    <= 32 buckets."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    epoch = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], seg_type))
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        d = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            - epoch
+        ).astype(np.int64) // 86_400_000_000
+        w = np.minimum(d // 7, 4)  # days 28-30 fold into bit 4
+        codes, uniq = pd.factorize(uid, use_na_sentinel=False)
+        mask = np.zeros(len(uniq), dtype=np.int64)
+        np.bitwise_or.at(mask, codes, np.int64(1) << w)
+        return pa.table(
+            {"user_id": pa.array(uniq.astype(np.int64)), "m": pa.array(mask)}
+        )
+
+    def shard(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        return b.append_column(
+            "_sh", pa.array((int_hash64(u) % np.uint64(64)).astype(np.int64))
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # all partials of a user live in this shard: one OR-reduce pass
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        m = g["m"].to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(uid, use_na_sentinel=False)
+        out = np.zeros(len(uniq), dtype=np.int64)
+        np.bitwise_or.at(out, codes, m)
+        return pd.DataFrame({"user_id": uniq, "m": out})
+
+    masks = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(merge, batch_format="pandas")
+    )
+    hist = (
+        masks.to_pandas().groupby("m", as_index=False, sort=True)["user_id"].count()
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "segment_mask": pa.array(hist["m"].to_numpy().astype(np.int64)),
+                "n_users": pa.array(hist["user_id"].to_numpy().astype(np.int64)),
+            }
+        )
+    )
