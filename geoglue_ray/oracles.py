@@ -4854,11 +4854,9 @@ FROM cnt JOIN l USING (fid) ORDER BY admin_fid
 """
 
 
-def embed_kmeans(k: int = 4, rounds: int = 2, dim: int = 64) -> str:
-    """Lloyd twin: identical floor(x*2^20 + 0.5) quantization, argmin by
-    (d2, cluster) row_number, M-step via the same non-negative floor
-    division (2*(S + n*2^20) + n) // (2n) - 2^20; an emptied cluster
-    keeps its previous centroid via the LEFT-join COALESCE."""
+def _kmeans_cte_parts(k: int, rounds: int, dim: int) -> list:
+    """Shared Lloyd CTE chain (quantize, seed, ``rounds`` assign/M-step
+    pairs) — reused by embed_kmeans and kmeans_silhouette."""
     OFF = 1 << 20
     parts = [
         f"""q AS (
@@ -4887,6 +4885,15 @@ c{r} AS (
          END AS cv
   FROM c{j} p LEFT JOIN s{r} s
     ON s.cluster = p.cluster AND s.dim = p.dim)""")
+    return parts
+
+
+def embed_kmeans(k: int = 4, rounds: int = 2, dim: int = 64) -> str:
+    """Lloyd twin: identical floor(x*2^20 + 0.5) quantization, argmin by
+    (d2, cluster) row_number, M-step via the same non-negative floor
+    division (2*(S + n*2^20) + n) // (2n) - 2^20; an emptied cluster
+    keeps its previous centroid via the LEFT-join COALESCE."""
+    parts = _kmeans_cte_parts(k, rounds, dim)
     parts.append(f"""
 nn AS (SELECT cluster, count(*) AS n FROM a{rounds} WHERE rn = 1 GROUP BY 1)""")
     return (
@@ -6707,4 +6714,93 @@ WITH m AS (
   FROM events WHERE event_type = '{seg_type}' GROUP BY 1)
 SELECT mask AS segment_mask, CAST(count(*) AS BIGINT) AS n_users
 FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+def item_cosine_top(top_n: int = 20) -> str:
+    """Item-cosine twin: distinct incidence, exact pair/degree counts,
+    one division against the correctly-rounded sqrt, total-ordered
+    top-k."""
+    return f"""
+WITH dp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+deg AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM dp GROUP BY 1),
+pr AS (
+  SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM dp a JOIN dp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+sc AS (
+  SELECT pr.part_a, pr.part_b, pr.n_ab, da.n AS n_a, db.n AS n_b,
+         CAST(pr.n_ab AS DOUBLE)
+           / sqrt(CAST(da.n AS DOUBLE) * CAST(db.n AS DOUBLE)) AS cosine
+  FROM pr
+  JOIN deg da ON da.p = pr.part_a
+  JOIN deg db ON db.p = pr.part_b),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY cosine DESC, part_a, part_b) AS rn
+  FROM sc)
+SELECT part_a, part_b, n_ab, n_a, n_b, cosine
+FROM r WHERE rn <= {int(top_n)} ORDER BY part_a, part_b
+"""
+
+
+def kmeans_silhouette(k: int = 4, rounds: int = 2, dim: int = 64) -> str:
+    """Silhouette twin: the shared Lloyd CTE chain plus one final assign
+    pass; own/other distances stay exact integers so better/tied are
+    pure comparisons."""
+    parts = _kmeans_cte_parts(k, rounds, dim)
+    parts.append(f"""
+af AS (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM (SELECT q.vec_id, c.cluster,
+               sum((q.v - c.cv) * (q.v - c.cv)) AS d2
+        FROM q JOIN c{rounds} c ON c.dim = q.dim GROUP BY 1, 2)),
+own AS (SELECT vec_id, cluster, d2 FROM af WHERE rn = 1),
+oth AS (
+  SELECT af.vec_id, min(af.d2) AS b
+  FROM af JOIN own ON own.vec_id = af.vec_id AND af.cluster <> own.cluster
+  GROUP BY 1)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + """
+SELECT own.cluster AS cluster_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN oth.b > own.d2 THEN 1 ELSE 0 END) AS BIGINT) AS n_better,
+       CAST(sum(CASE WHEN oth.b = own.d2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tied
+FROM own JOIN oth ON oth.vec_id = own.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
+def ab_cuped() -> str:
+    """CUPED twin: per-user exact pre/post cents, pooled integer moments,
+    theta and the adjusted-mean float chain spelled with the engine's
+    operation order."""
+    pre = "date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) // 7 < 2"
+    return f"""
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN {pre} THEN CAST(value*100 AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN {pre} THEN 0 ELSE CAST(value*100 AS BIGINT) END) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+mo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+         CAST(sum(x*x) AS BIGINT) AS sxx
+  FROM pu),
+th AS (
+  SELECT CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+  FROM mo),
+arm AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS sum_pre, CAST(sum(y) AS BIGINT) AS sum_post
+  FROM pu GROUP BY 1)
+SELECT arm, n_users, sum_pre, sum_post,
+       CAST(sum_post AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_post,
+       (CAST(sum_post AS DOUBLE)
+        - th.theta * (CAST(sum_pre AS DOUBLE) - CAST(n_users AS DOUBLE) * th.xbar))
+       / CAST(n_users AS DOUBLE) AS mean_adj,
+       th.theta AS theta
+FROM arm, th ORDER BY 1
 """

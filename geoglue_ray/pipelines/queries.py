@@ -10508,3 +10508,324 @@ def audience_segments(sf_dir: str, seg_type: str = "purchase") -> rd.Dataset:
             }
         )
     )
+
+
+def item_cosine_top(sf_dir: str, top_n: int = 20, n_shards: int = 64) -> rd.Dataset:
+    """Item-item cosine similarity over the order-part incidence (the
+    classic co-occurrence recommender): cos(a,b) = n_ab /
+    sqrt(n_a * n_b) with n_ab = orders containing both, n_x = orders
+    containing x — numerator/denominator all exact ints, ONE division
+    against a correctly-rounded sqrt (mirrorable; events_autocorr
+    pattern).  Pipeline: basket-sharded vectorized pair counting,
+    pair-sharded exact merges, per-part order counts broadcast (part is
+    a bounded dimension), per-shard top-k by (cos DESC, a, b) then one
+    tiny global cut."""
+    import pandas as pd
+    import ray
+
+    from geoglue_ray.functions.texthash import int_hash64
+    from geoglue_ray.stages.validate import _unique_rows
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def pairs_shard(b: pa.Table) -> pa.Table:
+        t = _unique_rows(b, ["l_orderkey", "l_partkey"])
+        k = t["l_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "_sh": pa.array(
+                    (int_hash64(k) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "o": t["l_orderkey"],
+                "p": t["l_partkey"],
+            }
+        )
+
+    def gen(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "_ps": np.array([], np.int64),
+                    "packed": np.array([], np.int64),
+                    "cnt": np.array([], np.int64),
+                }
+            )
+        o = g["o"].to_numpy().astype(np.int64)
+        p = g["p"].to_numpy().astype(np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        uniq = np.r_[True, (o[1:] != o[:-1]) | (p[1:] != p[:-1])]
+        o, p = o[uniq], p[uniq]
+        from geoglue_ray.stages.dedup import _run_pairs
+
+        ia, ib = _run_pairs(o)
+        if len(ia) == 0:
+            return pd.DataFrame(
+                {
+                    "_ps": np.array([], np.int64),
+                    "packed": np.array([], np.int64),
+                    "cnt": np.array([], np.int64),
+                }
+            )
+        a = p[ia]
+        b_ = p[ib]
+        lo = np.minimum(a, b_)
+        hi = np.maximum(a, b_)
+        packed = (lo << np.int64(32)) | hi
+        pu, cnt = np.unique(packed, return_counts=True)
+        return pd.DataFrame(
+            {
+                "_ps": (int_hash64(pu) % np.uint64(n_shards)).astype(np.int64),
+                "packed": pu,
+                "cnt": cnt.astype(np.int64),
+            }
+        )
+
+    # per-part distinct-order counts (GLOBAL distinct — a per-batch
+    # dedup alone double-counts pairs straddling batches): the A10
+    # count_distinct stage; bounded dimension, broadcast once
+    from geoglue_ray.stages.validate import count_distinct
+
+    deg = (
+        count_distinct(li, ["l_partkey"], ["l_orderkey"], "c")
+        .to_pandas()
+        .sort_values("l_partkey", kind="mergesort")
+    )
+    deg_keys = deg["l_partkey"].to_numpy().astype(np.int64)
+    deg_vals = deg["c"].to_numpy().astype(np.int64)
+    deg_ref = ray.put((deg_keys, deg_vals))
+
+    def score_topk(g: pd.DataFrame, *, ref=deg_ref) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "part_a": np.array([], np.int64),
+                    "part_b": np.array([], np.int64),
+                    "n_ab": np.array([], np.int64),
+                    "n_a": np.array([], np.int64),
+                    "n_b": np.array([], np.int64),
+                    "cosine": np.array([], np.float64),
+                }
+            )
+        dk, dv = ray.get(ref) if not isinstance(ref, tuple) else ref
+        agg = g.groupby("packed", as_index=False)["cnt"].sum()
+        pu = agg["packed"].to_numpy().astype(np.int64)
+        cnt = agg["cnt"].to_numpy().astype(np.int64)
+        a = (pu >> np.int64(32)).astype(np.int64)
+        b_ = (pu & np.int64(0xFFFFFFFF)).astype(np.int64)
+        na = dv[np.searchsorted(dk, a)]
+        nb = dv[np.searchsorted(dk, b_)]
+        cos = cnt.astype(np.float64) / np.sqrt(
+            na.astype(np.float64) * nb.astype(np.float64)
+        )
+        df = pd.DataFrame(
+            {
+                "part_a": a,
+                "part_b": b_,
+                "n_ab": cnt,
+                "n_a": na,
+                "n_b": nb,
+                "cosine": cos,
+            }
+        )
+        df = df.sort_values(
+            ["cosine", "part_a", "part_b"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).iloc[:top_n]
+        return df.reset_index(drop=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cosine", "part_a", "part_b"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).iloc[:top_n]
+        return df.reset_index(drop=True)
+
+    shards = (
+        li.map_batches(pairs_shard, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(gen, batch_format="pandas")
+        .groupby("_ps")
+        .map_groups(score_topk, batch_format="pandas")
+        .to_pandas()
+    )  # bounded: n_shards x top_n rows
+    out = final(shards)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "part_a": pa.array(out["part_a"].to_numpy().astype(np.int64)),
+                "part_b": pa.array(out["part_b"].to_numpy().astype(np.int64)),
+                "n_ab": pa.array(out["n_ab"].to_numpy().astype(np.int64)),
+                "n_a": pa.array(out["n_a"].to_numpy().astype(np.int64)),
+                "n_b": pa.array(out["n_b"].to_numpy().astype(np.int64)),
+                "cosine": pa.array(out["cosine"].to_numpy()),
+            }
+        )
+    ).sort(["part_a", "part_b"])
+
+
+def kmeans_silhouette(sf_dir: str, k: int = 4, dim: int = 64) -> rd.Dataset:
+    """Simplified (centroid-based) silhouette audit of the Lloyd
+    clustering: per cluster, how many members sit strictly closer to
+    their own centroid than to ANY other (b > a), tied, or worse —
+    entirely integer comparisons on the same 2^-20 quantized distances
+    as embed_kmeans (|q|^2 cancels, so scores are |c|^2 - 2 q.c int64).
+    One broadcast of the k x dim centroid ints; one streaming pass."""
+    import ray
+
+    cent = embed_kmeans(sf_dir).to_pandas()  # k x dim rows, bounded
+    cent = cent.sort_values(["cluster_id", "dim"], kind="mergesort")
+    C = (
+        cent["centroid_q"].to_numpy().astype(np.int64).reshape(int(k), int(dim))
+    )
+    cref = ray.put(C)
+    OFF = 1 << 20
+    QS = float(OFF)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def partial(b: pa.Table, *, ref=cref) -> pa.Table:
+        c = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        la = b["embedding"].combine_chunks()
+        q = np.floor(
+            np.asarray(la.flatten()).reshape(len(b), -1).astype(np.float64)
+            * QS
+            + 0.5
+        ).astype(np.int64)
+        cc = np.einsum("kd,kd->k", c, c)
+        score = cc[None, :] - 2 * (q @ c.T)  # (n, k) int64
+        own = np.argmin(score, axis=1)  # first min == smallest cluster id
+        rows = np.arange(len(own))
+        own_s = score[rows, own]
+        masked = score.copy()
+        masked[rows, own] = np.iinfo(np.int64).max
+        other = masked.min(axis=1)
+        better = other > own_s
+        tied = other == own_s
+        n = np.bincount(own, minlength=int(k)).astype(np.int64)
+        nb = np.bincount(own, weights=better, minlength=int(k)).astype(np.int64)
+        nt = np.bincount(own, weights=tied, minlength=int(k)).astype(np.int64)
+        return pa.table(
+            {
+                "cluster_id": pa.array(np.arange(int(k), dtype=np.int64)),
+                "n": pa.array(n),
+                "n_better": pa.array(nb),
+                "n_tied": pa.array(nt),
+            }
+        )
+
+    t = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("cluster_id", as_index=False, sort=True)[
+            ["n", "n_better", "n_tied"]
+        ]
+        .sum()
+    )
+    t = t[t["n"] > 0]  # SQL's GROUP BY only emits non-empty clusters
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cluster_id": pa.array(t["cluster_id"].to_numpy().astype(np.int64)),
+                "n": pa.array(t["n"].to_numpy().astype(np.int64)),
+                "n_better": pa.array(t["n_better"].to_numpy().astype(np.int64)),
+                "n_tied": pa.array(t["n_tied"].to_numpy().astype(np.int64)),
+            }
+        )
+    )
+
+
+def ab_cuped(sf_dir: str) -> rd.Dataset:
+    """CUPED variance-reduced A/B readout: users split into arms by
+    ``user_id % 2``; pre-period (weeks 0-1) spend is the covariate, post
+    (weeks 2+) the metric, both exact int64 cents per user.  theta is the
+    pooled OLS slope (N*Sxy - Sx*Sy) / (N*Sxx - Sx*Sx) — ONE division of
+    exact integer moments — and each arm's adjusted mean replays the
+    identical float chain (Sy - theta*(Sx - n*xbar)) / n on both
+    engines."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    epoch = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        cents = np.round(b["value"].to_numpy() * 100.0).astype(np.int64)
+        d = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            - epoch
+        ).astype(np.int64) // 86_400_000_000
+        pre = d // 7 < 2
+        codes, uniq = pd.factorize(uid, use_na_sentinel=False)
+        x = np.bincount(codes, weights=np.where(pre, cents, 0), minlength=len(uniq)).astype(np.int64)
+        y = np.bincount(codes, weights=np.where(pre, 0, cents), minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq.astype(np.int64)),
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    def shard(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        return b.append_column(
+            "_sh", pa.array((int_hash64(u) % np.uint64(64)).astype(np.int64))
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(uid, use_na_sentinel=False)
+        x = np.bincount(codes, weights=g["x"].to_numpy(), minlength=len(uniq)).astype(np.int64)
+        y = np.bincount(codes, weights=g["y"].to_numpy(), minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({"user_id": uniq, "x": x, "y": y})
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )  # bounded: user cardinality (the per-user A/B frame)
+    uid = per_user["user_id"].to_numpy().astype(np.int64)
+    x = per_user["x"].to_numpy().astype(np.int64)
+    y = per_user["y"].to_numpy().astype(np.int64)
+    N = len(uid)
+    Sx, Sy = int(x.sum()), int(y.sum())
+    Sxy = int((x * y).sum())
+    Sxx = int((x * x).sum())
+    theta = np.float64(N * Sxy - Sx * Sy) / np.float64(N * Sxx - Sx * Sx)
+    xbar = np.float64(Sx) / np.float64(N)
+    rows = []
+    for arm in (0, 1):
+        sel = uid % 2 == arm
+        n_a = int(sel.sum())
+        sx_a, sy_a = int(x[sel].sum()), int(y[sel].sum())
+        mean_post = np.float64(sy_a) / np.float64(n_a)
+        mean_adj = (
+            np.float64(sy_a) - theta * (np.float64(sx_a) - np.float64(n_a) * xbar)
+        ) / np.float64(n_a)
+        rows.append((arm, n_a, sx_a, sy_a, float(mean_post), float(mean_adj)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "arm": pa.array([r[0] for r in rows], pa.int64()),
+                "n_users": pa.array([r[1] for r in rows], pa.int64()),
+                "sum_pre": pa.array([r[2] for r in rows], pa.int64()),
+                "sum_post": pa.array([r[3] for r in rows], pa.int64()),
+                "mean_post": pa.array([r[4] for r in rows], pa.float64()),
+                "mean_adj": pa.array([r[5] for r in rows], pa.float64()),
+                "theta": pa.array([float(theta)] * 2, pa.float64()),
+            }
+        )
+    )
