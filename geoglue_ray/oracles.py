@@ -6804,3 +6804,88 @@ SELECT arm, n_users, sum_pre, sum_post,
        th.theta AS theta
 FROM arm, th ORDER BY 1
 """
+
+
+def text_readability() -> str:
+    """Readability twin: RE2 run counts via regexp_extract_all lengths,
+    the engine's exact float chain (two single divisions, left-assoc
+    subtract) with NULL for word-less docs."""
+    return r"""
+WITH d AS (
+  SELECT doc_id,
+         greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sent,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syll
+  FROM documents)
+SELECT doc_id, n_sent, n_words, n_syll,
+       CASE WHEN n_words > 0
+            THEN 206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+            ELSE NULL END AS flesch
+FROM d ORDER BY doc_id
+"""
+
+
+def ks_drift() -> str:
+    """KS twin: grouped (cents, side) histogram, window cumulative counts
+    (cast back from HUGEINT), the engine's exact division/abs/max/sqrt
+    chain, min-c argmax by float equality on identical doubles."""
+    return """
+WITH v AS (
+  SELECT CAST(value * 100 AS BIGINT) AS c, CAST(user_id % 2 AS BIGINT) AS side
+  FROM events),
+h AS (
+  SELECT c,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM v GROUP BY 1),
+t AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM h),
+cum AS (
+  SELECT c,
+         CAST(sum(a) OVER (ORDER BY c) AS BIGINT) AS ca,
+         CAST(sum(b) OVER (ORDER BY c) AS BIGINT) AS cb
+  FROM h),
+d AS (
+  SELECT c,
+         abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) AS dd
+  FROM cum, t),
+m AS (SELECT max(dd) AS d_stat FROM d)
+SELECT t.na, t.nb, m.d_stat,
+       (SELECT min(c) FROM d WHERE dd = m.d_stat) AS at_cents,
+       m.d_stat * sqrt(CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)
+                       / CAST(t.na + t.nb AS DOUBLE)) AS ks_stat
+FROM t, m
+"""
+
+
+def mad_admin1() -> str:
+    """Median/MAD twin: DuckDB median of even counts == np.median
+    (measured, CLAUDE.md round-4); med2/mad4 recovered as exact ints by
+    doubling before the BIGINT cast, the all-integer outlier filter and
+    the two power-of-two divisions mirrored from the engine."""
+    a1 = fx.sql_admin1_name("a2")
+    return f"""{_assigned_cte()},
+g AS (SELECT {a1} AS admin1_id, CAST(value AS BIGINT) AS v FROM asg),
+med AS (
+  SELECT admin1_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(2 * median(v) AS BIGINT) AS med2
+  FROM g GROUP BY 1),
+dev AS (
+  SELECT g.admin1_id, abs(4 * g.v - 2 * m.med2) AS dev4
+  FROM g JOIN med m USING (admin1_id)),
+mad AS (
+  SELECT admin1_id, CAST(2 * median(dev4) AS BIGINT) AS mad4
+  FROM dev GROUP BY 1),
+outl AS (
+  SELECT d.admin1_id,
+         CAST(count(*) FILTER (2 * d.dev4 > 3 * m.mad4) AS BIGINT) AS n_outliers
+  FROM dev d JOIN mad m USING (admin1_id) GROUP BY 1)
+SELECT med.admin1_id, med.n AS n_obs,
+       CAST(med.med2 AS DOUBLE) / 2 AS med_val,
+       CAST(mad.mad4 AS DOUBLE) / 8 AS mad_val,
+       outl.n_outliers
+FROM med JOIN mad USING (admin1_id) JOIN outl USING (admin1_id)
+ORDER BY 1
+"""

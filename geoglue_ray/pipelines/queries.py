@@ -10829,3 +10829,184 @@ def ab_cuped(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def text_readability(sf_dir: str) -> rd.Dataset:
+    """Flesch-style readability per document — the log-free linear
+    readability screen a corpus-quality pipeline runs next to
+    text_quality: sentences = runs of [.!?] (floored at 1), words =
+    ``\\S+`` runs, syllables approximated by vowel-group runs, and
+    ``flesch = 206.835 - 1.015*(W/S) - 84.6*(Y/W)`` — two single
+    divisions and exact IEEE multiply/subtract, so the SQL twin spelling
+    the identical chain matches bit-for-bit (both regex engines are
+    RE2: pc.count_substring_regex == len(regexp_extract_all)).  Docs
+    with zero words emit NULL.  Vectorized Arrow kernels per batch; no
+    shuffle (reference parity: the quality-scoring grammar around
+    zonalstats.py ops, extended corpus-ward)."""
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        n_end = pc.count_substring_regex(txt, "[.!?]+").to_numpy().astype(np.int64)
+        n_w = pc.count_substring_regex(txt, r"\S+").to_numpy().astype(np.int64)
+        n_y = (
+            pc.count_substring_regex(txt, "[aeiouyAEIOUY]+")
+            .to_numpy()
+            .astype(np.int64)
+        )
+        n_sent = np.maximum(n_end, np.int64(1))
+        w = n_w.astype(np.float64)
+        s = n_sent.astype(np.float64)
+        y = n_y.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        f = np.where(n_w > 0, f, np.nan)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_sent": pa.array(n_sent),
+                "n_words": pa.array(n_w),
+                "n_syll": pa.array(n_y),
+                "flesch": pa.array(f, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def ks_drift(sf_dir: str) -> rd.Dataset:
+    """Exact two-sample Kolmogorov-Smirnov drift gate over the event
+    value distribution — the order-statistic companion of corpus_drift's
+    total-variation histogram: sample A = even user_ids, B = odd, D =
+    max over the merged support of |F_A - F_B|.  Distribution: per-batch
+    (cents, side) count partials -> fixed-shard merge -> the driver
+    holds only the DISTINCT-CENTS histogram (value-range bounded, the
+    pagerank rule) and computes the cumulative chain there.  Every
+    arithmetic step (single divisions of exact int64 counts, IEEE
+    subtract/abs/max, one correctly-rounded sqrt) is mirrored verbatim
+    by the SQL window twin, so the result is bit-exact."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(b["value"].to_numpy() * 100.0).astype(np.int64)
+        side = (b["user_id"].to_numpy().astype(np.int64) % 2).astype(np.int64)
+        codes, uniq = pd.factorize(cents, use_na_sentinel=False)
+        a = np.bincount(codes, weights=(side == 0), minlength=len(uniq)).astype(np.int64)
+        bb = np.bincount(codes, weights=(side == 1), minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"c": pa.array(uniq.astype(np.int64)), "a": pa.array(a), "b": pa.array(bb)}
+        )
+
+    def shard(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy()
+        return b.append_column(
+            "_sh", pa.array((int_hash64(c) % np.uint64(64)).astype(np.int64))
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(g["c"].to_numpy(), use_na_sentinel=False)
+        a = np.bincount(codes, weights=g["a"].to_numpy(), minlength=len(uniq)).astype(np.int64)
+        bb = np.bincount(codes, weights=g["b"].to_numpy(), minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({"c": uniq.astype(np.int64), "a": a, "b": bb})
+
+    h = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )  # bounded: distinct cents (value-range cardinality)
+    h = h.sort_values("c", kind="mergesort")
+    c = h["c"].to_numpy()
+    ca = np.cumsum(h["a"].to_numpy())
+    cb = np.cumsum(h["b"].to_numpy())
+    na, nb = int(ca[-1]), int(cb[-1])
+    dd = np.abs(
+        ca.astype(np.float64) / np.float64(na) - cb.astype(np.float64) / np.float64(nb)
+    )
+    d_stat = float(dd.max())
+    at_cents = int(c[dd == dd.max()].min())
+    ks = d_stat * np.sqrt(np.float64(na) * np.float64(nb) / np.float64(na + nb))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "na": pa.array([na], pa.int64()),
+                "nb": pa.array([nb], pa.int64()),
+                "d_stat": pa.array([d_stat], pa.float64()),
+                "at_cents": pa.array([at_cents], pa.int64()),
+                "ks_stat": pa.array([float(ks)], pa.float64()),
+            }
+        )
+    )
+
+
+def mad_admin1(sf_dir: str) -> rd.Dataset:
+    """Robust per-admin-1 outlier screen via median/MAD — the
+    order-statistic companion of outliers_admin1's two-sigma moment
+    screen: med = median(value), mad = median(|value - med|), outlier
+    iff |value - med| > 3*MAD.  All order statistics run on QUADRUPLED
+    integers (med2 = doubled median and mad4 = 8*MAD are exact int64s;
+    the outlier test is the all-integer 2*dev4 > 3*mad4), so the two
+    reported ratios are single exact divisions by powers of two.
+    Distribution: per-batch (admin1, value) histogram partials packed
+    into one int64 key -> groupby(admin1).map_groups with a vectorized
+    cumsum order-stat pass per group (admin-1 cardinality groups, each
+    value-range bounded) — raw rows never shuffle."""
+    import pandas as pd
+
+    ds = corpus_with_admin(sf_dir).select_columns(["admin1_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        adm_codes, adm_uniq = pd.factorize(
+            b["admin1_id"].to_pandas(), use_na_sentinel=False
+        )
+        v = b["value"].to_numpy().astype(np.int64)
+        key = adm_codes.astype(np.int64) * np.int64(1 << 32) + v
+        kcodes, kuniq = pd.factorize(key, use_na_sentinel=False)
+        cnt = np.bincount(kcodes, minlength=len(kuniq)).astype(np.int64)
+        return pa.table(
+            {
+                "admin1_id": pa.array(adm_uniq.take(kuniq >> np.int64(32))),
+                "v": pa.array(kuniq & np.int64(0xFFFFFFFF)),
+                "cnt": pa.array(cnt),
+            }
+        )
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        adm = g["admin1_id"].iloc[0]
+        codes, uniq = pd.factorize(g["v"].to_numpy(), use_na_sentinel=False)
+        cnt = np.bincount(codes, weights=g["cnt"].to_numpy(), minlength=len(uniq)).astype(
+            np.int64
+        )
+        o = np.argsort(uniq, kind="stable")
+        v, cnt = uniq[o].astype(np.int64), cnt[o]
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+        k1, k2 = (n + 1) // 2, (n + 2) // 2
+        med2 = int(v[np.searchsorted(cum, k1)]) + int(v[np.searchsorted(cum, k2)])
+        dev4 = np.abs(4 * v - 2 * med2)
+        od = np.argsort(dev4, kind="stable")
+        d_s, c_s = dev4[od], cnt[od]
+        cum2 = np.cumsum(c_s)
+        mad4 = int(d_s[np.searchsorted(cum2, k1)]) + int(d_s[np.searchsorted(cum2, k2)])
+        n_out = int(cnt[2 * dev4 > 3 * mad4].sum())
+        return pd.DataFrame(
+            {
+                "admin1_id": [adm],
+                "n_obs": np.array([n], dtype=np.int64),
+                "med_val": np.array([np.float64(med2) / 2.0]),
+                "mad_val": np.array([np.float64(mad4) / 8.0]),
+                "n_outliers": np.array([n_out], dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("admin1_id")
+        .map_groups(stats, batch_format="pandas")
+        .sort("admin1_id")
+    )
