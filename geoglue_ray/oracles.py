@@ -6889,3 +6889,112 @@ SELECT med.admin1_id, med.n AS n_obs,
 FROM med JOIN mad USING (admin1_id) JOIN outl USING (admin1_id)
 ORDER BY 1
 """
+
+
+def user_survival() -> str:
+    """KM twin: sessionize windows, raw-microsecond floor-divided
+    durations, MATERIALIZED life-table CTE (inlining lesson), and the
+    ordered product replayed by a recursive CTE — one division + one
+    multiply per step in the engine's exact order."""
+    return """
+WITH RECURSIVE e AS (SELECT user_id, ts FROM events),
+s AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s),
+ses AS MATERIALIZED (
+  SELECT epoch_us(min(ts)) AS a, epoch_us(max(ts)) AS b
+  FROM g GROUP BY user_id, sid),
+hor AS (SELECT epoch_us(max(ts)) AS h FROM events),
+d AS MATERIALIZED (
+  SELECT CASE WHEN (b - a) // 60000000 < 30 THEN (b - a) // 60000000
+              ELSE 30 END AS t_obs,
+         CASE WHEN (b - a) // 60000000 <= 29 AND b <= h - 7200000000
+              THEN 1 ELSE 0 END AS ev
+  FROM ses, hor),
+cnt AS MATERIALIZED (
+  SELECT t_obs, CAST(count(*) AS BIGINT) AS m, CAST(sum(ev) AS BIGINT) AS dd
+  FROM d GROUP BY 1),
+grid AS MATERIALIZED (
+  SELECT gs.t,
+         COALESCE((SELECT CAST(sum(m) AS BIGINT) FROM cnt WHERE t_obs >= gs.t), 0)
+           AS n_risk,
+         COALESCE((SELECT dd FROM cnt WHERE t_obs = gs.t), 0) AS deaths
+  FROM (SELECT unnest(range(0, 30)) AS t) gs),
+km AS (
+  SELECT g0.t, g0.n_risk, g0.deaths,
+         CASE WHEN g0.n_risk > 0
+              THEN CAST(g0.n_risk - g0.deaths AS DOUBLE) / CAST(g0.n_risk AS DOUBLE)
+              ELSE 1.0 END AS s
+  FROM grid g0 WHERE g0.t = 0
+  UNION ALL
+  SELECT g1.t, g1.n_risk, g1.deaths,
+         CASE WHEN g1.n_risk > 0
+              THEN km.s * (CAST(g1.n_risk - g1.deaths AS DOUBLE)
+                           / CAST(g1.n_risk AS DOUBLE))
+              ELSE km.s END AS s
+  FROM km JOIN grid g1 ON g1.t = km.t + 1)
+SELECT t, n_risk, deaths, s AS survival FROM km ORDER BY t
+"""
+
+
+def events_jacquez() -> str:
+    """Jacquez twin: the events_knn box-join window-rank construction for
+    the space side, the planted local-solar-time axis (dyadic hour from
+    lon + kmv HUGEINT jitter) with an interval self-join + (|dt|, nb)
+    window rank for the time side, the pair intersection by inner join,
+    the engine's exact expected/ratio float chain."""
+    from geoglue_ray.functions.texthash import sql_kmv_hash
+
+    jit = f"CAST({sql_kmv_hash('event_id')} % 3600000000::HUGEINT AS BIGINT)"
+    return f"""
+WITH e AS (
+  SELECT event_id,
+         CAST(floor(({fx.sql_lon('event_id')} - 100.0) * 16.0) AS BIGINT)
+           * 3600000000 + {jit} AS t,
+         {fx.sql_lon('event_id')} AS lon,
+         {fx.sql_lat('event_id')} AS lat
+  FROM events),
+sp AS (
+  SELECT a.event_id, b.event_id AS nb,
+         (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS d2
+  FROM e a JOIN e b
+    ON b.event_id <> a.event_id
+   AND b.lon BETWEEN a.lon - 0.0625 AND a.lon + 0.0625
+   AND b.lat BETWEEN a.lat - 0.0625 AND a.lat + 0.0625
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= 0.0625 * 0.0625),
+sk AS MATERIALIZED (
+  SELECT event_id, nb FROM (
+    SELECT event_id, nb,
+           row_number() OVER (PARTITION BY event_id ORDER BY d2, nb) AS rn
+    FROM sp) WHERE rn <= 5),
+tp AS (
+  SELECT a.event_id, b.event_id AS nb, abs(b.t - a.t) AS dt
+  FROM e a JOIN e b
+    ON b.event_id <> a.event_id
+   AND b.t BETWEEN a.t - 7200000000 AND a.t + 7200000000),
+tk AS MATERIALIZED (
+  SELECT event_id, nb FROM (
+    SELECT event_id, nb,
+           row_number() OVER (PARTITION BY event_id ORDER BY dt, nb) AS rn
+    FROM tp) WHERE rn <= 5),
+c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n,
+         (SELECT CAST(count(*) AS BIGINT) FROM sk) AS ns,
+         (SELECT CAST(count(*) AS BIGINT) FROM tk) AS nt,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM sk JOIN tk USING (event_id, nb)) AS j)
+SELECT n AS n_points, ns AS n_space_pairs, nt AS n_time_pairs, j AS j_stat,
+       CAST(ns AS DOUBLE) * CAST(nt AS DOUBLE)
+         / CAST(n * (n - 1) AS DOUBLE) AS expected,
+       CAST(j AS DOUBLE)
+         / (CAST(ns AS DOUBLE) * CAST(nt AS DOUBLE)
+            / CAST(n * (n - 1) AS DOUBLE)) AS jacquez_ratio
+FROM c
+"""

@@ -11010,3 +11010,221 @@ def mad_admin1(sf_dir: str) -> rd.Dataset:
         .map_groups(stats, batch_format="pandas")
         .sort("admin1_id")
     )
+
+
+def user_survival(
+    sf_dir: str,
+    gap_minutes: int = 30,
+    tmax: int = 30,
+    censor_us: int = 7_200_000_000,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Kaplan-Meier survival curve of SESSION durations (minutes) — how
+    long does an engagement session last before it ends:  sessions from
+    the events_sessionize break rule (gap > 30 min), duration floored to
+    whole minutes on raw int64 microseconds (never date_diff — boundary
+    crossings, CLAUDE.md), administratively censored at ``tmax`` AND
+    end-of-data censored (sessions ending in the final 2 h of the
+    horizon are still running -> censored at their observed duration, so
+    the at-risk set genuinely shrinks without deaths).  Distribution:
+    one tiny max-ts pass for the horizon, then the fixed-shard
+    sessionize co-shuffle emitting per-shard (t, n, d) count partials
+    (<= tmax+1 rows each); the driver holds only the 31-row life table
+    and replays the ordered product  S_t = S_{t-1} * (n_t - d_t)/n_t  —
+    one division + one multiply per step, mirrored verbatim by the
+    recursive-CTE twin."""
+    import pandas as pd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def maxpart(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table({"h": pa.array([int(us.max())], pa.int64())})
+
+    horizon = int(
+        ds.map_batches(maxpart, batch_format="pyarrow").to_pandas()["h"].max()
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {"_us": pa.array(shard), "user_id": b["user_id"], "t_us": pa.array(us)}
+        )
+
+    gap_us = np.int64(gap_minutes * 60_000_000)
+
+    def life_partial(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["t_us"].to_numpy().astype(np.int64)
+        o = np.lexsort((ts, uid))
+        uid, ts = uid[o], ts[o]
+        brk = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            brk[1:] = (uid[1:] != uid[:-1]) | (np.diff(ts) > gap_us)
+        starts = np.nonzero(brk)[0]
+        ends = np.concatenate([starts[1:], [len(uid)]])
+        a = ts[starts]
+        b_ = ts[ends - 1]
+        dur = (b_ - a) // np.int64(60_000_000)
+        ev = (dur <= tmax - 1) & (b_ <= horizon - censor_us)
+        t_obs = np.minimum(dur, np.int64(tmax))
+        m = np.bincount(t_obs, minlength=tmax + 1).astype(np.int64)
+        d = np.bincount(t_obs[ev], minlength=tmax + 1).astype(np.int64)
+        t_axis = np.arange(len(m), dtype=np.int64)
+        return pd.DataFrame({"t": t_axis, "m": m, "d": d})
+
+    lt = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_us")
+        .map_groups(life_partial, batch_format="pandas")
+        .to_pandas()
+    )  # bounded: <= (tmax+1) * n_shards count rows
+    lt = lt.groupby("t", as_index=False, dropna=False).sum()
+    t_all = lt["t"].to_numpy().astype(np.int64)
+    m_all = lt["m"].to_numpy().astype(np.int64)
+    d_all = lt["d"].to_numpy().astype(np.int64)
+    rows_t, rows_n, rows_d, rows_s = [], [], [], []
+    s = np.float64(1.0)
+    for t in range(tmax):
+        n_t = int(m_all[t_all >= t].sum())
+        d_t = int(d_all[t_all == t].sum())
+        if n_t > 0:
+            step = np.float64(n_t - d_t) / np.float64(n_t)
+            s = step if t == 0 else s * step
+        rows_t.append(t)
+        rows_n.append(n_t)
+        rows_d.append(d_t)
+        rows_s.append(float(s))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "t": pa.array(rows_t, pa.int64()),
+                "n_risk": pa.array(rows_n, pa.int64()),
+                "deaths": pa.array(rows_d, pa.int64()),
+                "survival": pa.array(rows_s, pa.float64()),
+            }
+        )
+    )
+
+
+def events_jacquez(sf_dir: str) -> rd.Dataset:
+    """Jacquez k-NN space-time interaction test — the nearest-neighbour
+    companion of events_knox/events_mantel: J = # ordered pairs (i, j)
+    where j is BOTH among i's k=5 nearest in space (within 1/16 deg,
+    (d2, id) order — stages/spatial.radius_knn_join) and among its k=5
+    nearest in time (within 2 h, (|dt|, id) order —
+    stages/spatial.time_knn_join, the 1-D bucket co-shuffle analog).
+    The analysis time is a planted LOCAL-SOLAR-TIME schedule —
+    observation hour = floor((lon-100)*16) with a kmv_hash64 jitter
+    inside the hour — because the raw ts axis is linear in event_id
+    while the position map is a linear Lehmer lattice, which makes the
+    true ts-based J structurally ZERO at every SF (the CSR degenerate-
+    envelope lesson; kmv is the nonlinear fix with an exact HUGEINT
+    twin).  Spatially close points share a solar hour, so the test must
+    detect J >> expected.  The two bounded pair sets (<= k*n rows each)
+    meet in a tagged-union co-shuffle on the packed (i << 32 | j) key
+    (ids < 2^32 — the fixture invariant other packed keys rely on);
+    each shard emits one (ns, nt, j) count partial via a sorted
+    intersection.  Expected J under independence = ns*nt/(n*(n-1)) and
+    the Jacquez ratio are the only float steps — single IEEE ops
+    mirrored by the SQL twin."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import kmv_hash64
+    from geoglue_ray.stages.spatial import radius_knn_join, time_knn_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    n_points = ds.count()
+
+    def derive_sp(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {"event_id": b["event_id"], "lon": pa.array(lon), "lat": pa.array(lat)}
+        )
+
+    HOUR_US = np.int64(3_600_000_000)
+
+    def derive_tm(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        lon, _ = fx.derive_lonlat(ids)
+        hour = np.floor((lon - 100.0) * 16.0).astype(np.int64)
+        jit = (kmv_hash64(ids) % np.uint64(3_600_000_000)).astype(np.int64)
+        t = hour * HOUR_US + jit
+        return pa.table({"event_id": b["event_id"], "ts_us": pa.array(t)})
+
+    sp = radius_knn_join(
+        ds.map_batches(derive_sp, batch_format="pyarrow"),
+        radius=0.0625,
+        k=5,
+        id_col="event_id",
+    )
+    tm = time_knn_join(
+        ds.map_batches(derive_tm, batch_format="pyarrow"),
+        tau_us=2 * 3_600_000_000,
+        k=5,
+        id_col="event_id",
+    )
+
+    def tag(which: int, nb_col: str):
+        def f(b: pa.Table) -> pa.Table:
+            i = b["event_id"].to_numpy().astype(np.int64)
+            j = b[nb_col].to_numpy().astype(np.int64)
+            key = (i << np.int64(32)) | j
+            sh = (
+                (key.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+                % np.uint64(64)
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "_k": pa.array(key),
+                    "_t": pa.array(np.full(len(key), which, dtype=np.int64)),
+                    "_sh": pa.array(sh),
+                }
+            )
+
+        return f
+
+    both = sp.map_batches(tag(0, "nn_id"), batch_format="pyarrow").union(
+        tm.map_batches(tag(1, "t_nn_id"), batch_format="pyarrow")
+    )
+
+    def inter(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["_k"].to_numpy().astype(np.int64)
+        t = g["_t"].to_numpy().astype(np.int64)
+        a = key[t == 0]
+        b_ = key[t == 1]
+        j = int(np.intersect1d(a, b_, assume_unique=True).size)
+        return pd.DataFrame(
+            {
+                "ns": np.array([len(a)], dtype=np.int64),
+                "nt": np.array([len(b_)], dtype=np.int64),
+                "j": np.array([j], dtype=np.int64),
+            }
+        )
+
+    parts = both.groupby("_sh").map_groups(inter, batch_format="pandas").to_pandas()
+    ns = int(parts["ns"].sum())
+    nt = int(parts["nt"].sum())
+    j = int(parts["j"].sum())
+    expected = (
+        np.float64(ns) * np.float64(nt) / np.float64(n_points * (n_points - 1))
+    )
+    ratio = np.float64(j) / expected
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_points": pa.array([n_points], pa.int64()),
+                "n_space_pairs": pa.array([ns], pa.int64()),
+                "n_time_pairs": pa.array([nt], pa.int64()),
+                "j_stat": pa.array([j], pa.int64()),
+                "expected": pa.array([float(expected)], pa.float64()),
+                "jacquez_ratio": pa.array([float(ratio)], pa.float64()),
+            }
+        )
+    )

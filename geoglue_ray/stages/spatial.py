@@ -2372,3 +2372,109 @@ def spatial_join(
         # 2-CPU session with two pipelines deadlocked on 2x min-1 pools)
         num_cpus=0.5,
     )
+
+
+def time_knn_join(
+    ds,
+    tau_us: int,
+    k: int = 5,
+    id_col: str = "event_id",
+    ts_col: str = "ts_us",
+    n_shards: int = 64,
+):
+    """k-nearest-neighbours-within-window self-join on the TIME axis —
+    the 1-D analog of :func:`radius_knn_join` (same semantics: up-to-k
+    nearest OTHER points with |dt| <= ``tau_us``, ranked by (|dt|,
+    neighbour id), isolated points emit nothing).  Distribution: 3-run
+    time-bucket co-shuffle at bucket width == tau (a point's in-window
+    neighbours all lie in buckets b-1..b+1), FIXED ``hash(bucket) %
+    n_shards``, vectorized per-bucket |dt| blocks with an int64
+    sentinel (never float inf — the ranking stays all-integer)."""
+    import pandas as pd
+
+    tau = np.int64(tau_us)
+    SENT = np.int64(1) << np.int64(62)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        ts = b[ts_col].to_numpy().astype(np.int64)
+        bkt = ts // tau
+        n = len(ids)
+        parts = []
+        for db in (-1, 0, 1):
+            parts.append(
+                pa.table(
+                    {
+                        "_bkt": pa.array(bkt + np.int64(db)),
+                        id_col: pa.array(ids),
+                        "_ts": pa.array(ts),
+                        "_own": pa.array(np.full(n, db == 0)),
+                    }
+                )
+            )
+        out = pa.concat_tables(parts)
+        shard = (
+            (out["_bkt"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B185EBCA87))
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return out.append_column("_s", pa.array(shard))
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "t_rank": pa.array([], pa.int64()),
+                "t_nn_id": pa.array([], pa.int64()),
+                "dt_us": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        bkt = g["_bkt"].to_numpy().astype(np.int64)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        ts = g["_ts"].to_numpy().astype(np.int64)
+        own = g["_own"].to_numpy().astype(bool)
+        o = np.lexsort((ids, bkt))
+        bkt, ids, ts, own = bkt[o], ids[o], ts[o], own[o]
+        starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
+        ends = np.r_[starts[1:], len(bkt)]
+        out_id, out_rank, out_nn, out_dt = [], [], [], []
+        CHUNK = 1024
+        for s, e in zip(starts, ends):
+            osel = own[s:e]
+            if not osel.any():
+                continue
+            cid, cts = ids[s:e], ts[s:e]
+            oi_all, ots_all = cid[osel], cts[osel]
+            kk = min(k, len(cid))
+            for c0 in range(0, len(oi_all), CHUNK):
+                oi = oi_all[c0 : c0 + CHUNK]
+                ots = ots_all[c0 : c0 + CHUNK]
+                dt = np.abs(ots[:, None] - cts[None, :])
+                bad = (dt > tau) | (oi[:, None] == cid[None, :])
+                dt = np.where(bad, SENT, dt)
+                ordc = np.argsort(dt, axis=1, kind="stable")[:, :kk]
+                dsel = np.take_along_axis(dt, ordc, axis=1)
+                rows, cols = np.nonzero(dsel < SENT)
+                if len(rows) == 0:
+                    continue
+                out_id.append(oi[rows])
+                out_rank.append(cols.astype(np.int64) + 1)
+                out_nn.append(cid[ordc[rows, cols]])
+                out_dt.append(dsel[rows, cols])
+        if not out_id:
+            return empty
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "t_rank": pa.array(np.concatenate(out_rank)),
+                "t_nn_id": pa.array(np.concatenate(out_nn)),
+                "dt_us": pa.array(np.concatenate(out_dt)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(resolve, batch_format="pandas")
+    )
