@@ -6998,3 +6998,83 @@ SELECT n AS n_points, ns AS n_space_pairs, nt AS n_time_pairs, j AS j_stat,
             / CAST(n * (n - 1) AS DOUBLE)) AS jacquez_ratio
 FROM c
 """
+
+
+def welch_ab() -> str:
+    """Welch twin: per-user cent totals, per-arm exact moments, the
+    engine's division/sqrt chain spelled step for step (se2 terms
+    factored identically so every intermediate double matches)."""
+    return """
+WITH pu AS (
+  SELECT user_id, CAST(sum(CAST(value * 100 AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+a AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS ss
+  FROM pu GROUP BY 1),
+m AS (
+  SELECT arm, n, s,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS v
+  FROM a),
+p AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+         max(CASE WHEN arm = 1 THEN n END) AS n1,
+         max(CASE WHEN arm = 0 THEN mean END) AS mean0,
+         max(CASE WHEN arm = 1 THEN mean END) AS mean1,
+         max(CASE WHEN arm = 0 THEN v END) / max(CASE WHEN arm = 0 THEN CAST(n AS DOUBLE) END) AS se0,
+         max(CASE WHEN arm = 1 THEN v END) / max(CASE WHEN arm = 1 THEN CAST(n AS DOUBLE) END) AS se1
+  FROM m)
+SELECT n0, n1, mean0, mean1,
+       (mean0 - mean1) / sqrt(se0 + se1) AS t_stat,
+       (se0 + se1) * (se0 + se1)
+         / (se0 * se0 / CAST(n0 - 1 AS DOUBLE)
+            + se1 * se1 / CAST(n1 - 1 AS DOUBLE)) AS df
+FROM p
+"""
+
+
+def hoover_admin1() -> str:
+    """Hoover twin: per-admin exact (n, S), the all-integer |n*v - S|
+    inner sum over raw rows, the engine's single float chain."""
+    a1 = fx.sql_admin1_name("a2")
+    return f"""{_assigned_cte()},
+g AS (SELECT {a1} AS admin1_id, CAST(value AS BIGINT) AS v FROM asg),
+s AS (
+  SELECT admin1_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv
+  FROM g GROUP BY 1),
+num AS (
+  SELECT g.admin1_id, CAST(sum(abs(s.n * g.v - s.sv)) AS BIGINT) AS num
+  FROM g JOIN s USING (admin1_id) GROUP BY 1)
+SELECT s.admin1_id, s.n AS n_obs, s.sv AS sum_val,
+       CAST(num.num AS DOUBLE)
+         / (2.0 * CAST(s.n AS DOUBLE) * CAST(s.sv AS DOUBLE)) AS hoover
+FROM s JOIN num USING (admin1_id) ORDER BY 1
+"""
+
+
+def scd2_user_segments() -> str:
+    """SCD2 twin: change-detection window, run ids by running sum, lead
+    over sid for valid_to with the engine's -1 open-run sentinel."""
+    return """
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM s),
+runs AS (
+  SELECT user_id, sid, min(t) AS valid_from_us, max(event_type) AS event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM g GROUP BY 1, 2)
+SELECT user_id, event_type, valid_from_us,
+       COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY sid), -1)
+         AS valid_to_us,
+       n_events
+FROM runs ORDER BY user_id, valid_from_us
+"""

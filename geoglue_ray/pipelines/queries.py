@@ -11228,3 +11228,233 @@ def events_jacquez(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def welch_ab(sf_dir: str) -> rd.Dataset:
+    """Welch unequal-variance t readout for the user_id%2 A/B split —
+    the significance companion of ab_cuped: per-user total spend (exact
+    int64 cents via the fixed-shard user merge), per-arm moments (n, S,
+    SS) reduced INSIDE the merge shards (2 rows per shard — the driver
+    never holds the user frame), then the classic chain  v = (SS -
+    S*S/n)/(n-1),  t = (m0-m1)/sqrt(v0/n0 + v1/n1)  and the
+    Welch-Satterthwaite df — every step a single IEEE op mirrored
+    verbatim by the SQL twin (sqrt is correctly rounded both sides;
+    only transcendentals diverge)."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        cents = np.round(b["value"].to_numpy() * 100.0).astype(np.int64)
+        codes, uniq = pd.factorize(uid, use_na_sentinel=False)
+        y = np.bincount(codes, weights=cents, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"user_id": pa.array(uniq.astype(np.int64)), "y": pa.array(y)}
+        )
+
+    def shard(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        return b.append_column(
+            "_sh", pa.array((int_hash64(u) % np.uint64(64)).astype(np.int64))
+        )
+
+    def merge_arms(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(uid, use_na_sentinel=False)
+        y = np.bincount(codes, weights=g["y"].to_numpy(), minlength=len(uniq)).astype(
+            np.int64
+        )
+        arm = (uniq % 2).astype(np.int64)
+        rows = []
+        for a in (0, 1):
+            sel = arm == a
+            rows.append(
+                (a, int(sel.sum()), int(y[sel].sum()), int((y[sel] * y[sel]).sum()))
+            )
+        return pd.DataFrame(
+            {
+                "arm": np.array([r[0] for r in rows], dtype=np.int64),
+                "n": np.array([r[1] for r in rows], dtype=np.int64),
+                "s": np.array([r[2] for r in rows], dtype=np.int64),
+                "ss": np.array([r[3] for r in rows], dtype=np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(merge_arms, batch_format="pandas")
+        .to_pandas()
+    )  # bounded: 2 rows per shard
+    agg = parts.groupby("arm", as_index=False).sum()
+    mo = {}
+    for _, r in agg.iterrows():
+        a = int(r["arm"])
+        n, s, ss = int(r["n"]), int(r["s"]), int(r["ss"])
+        m = np.float64(s) / np.float64(n)
+        v = (
+            np.float64(ss) - np.float64(s) * np.float64(s) / np.float64(n)
+        ) / np.float64(n - 1)
+        mo[a] = (n, s, m, v)
+    n0, _, m0, v0 = mo[0]
+    n1, _, m1, v1 = mo[1]
+    se2_0 = v0 / np.float64(n0)
+    se2_1 = v1 / np.float64(n1)
+    t = (m0 - m1) / np.sqrt(se2_0 + se2_1)
+    df = (se2_0 + se2_1) * (se2_0 + se2_1) / (
+        se2_0 * se2_0 / np.float64(n0 - 1) + se2_1 * se2_1 / np.float64(n1 - 1)
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n0": pa.array([n0], pa.int64()),
+                "n1": pa.array([n1], pa.int64()),
+                "mean0": pa.array([float(m0)], pa.float64()),
+                "mean1": pa.array([float(m1)], pa.float64()),
+                "t_stat": pa.array([float(t)], pa.float64()),
+                "df": pa.array([float(df)], pa.float64()),
+            }
+        )
+    )
+
+
+def hoover_admin1(sf_dir: str) -> rd.Dataset:
+    """Hoover (Robin Hood) concentration index per admin-1 — the share
+    of total value that would have to move between observations to
+    equalize them: H = sum|x_i - mean| / (2 * sum x), the log-free
+    inequality measure next to gini_admin1.  Cleared denominators keep
+    it exact: num = sum cnt_v * |n*v - S| over the per-admin DISTINCT-
+    VALUE histogram (the mad_admin1 partial shape — raw rows never
+    shuffle), then ONE float chain num / (2.0 * n * S) mirrored by the
+    twin."""
+    import pandas as pd
+
+    ds = corpus_with_admin(sf_dir).select_columns(["admin1_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        adm_codes, adm_uniq = pd.factorize(
+            b["admin1_id"].to_pandas(), use_na_sentinel=False
+        )
+        v = b["value"].to_numpy().astype(np.int64)
+        key = adm_codes.astype(np.int64) * np.int64(1 << 32) + v
+        kcodes, kuniq = pd.factorize(key, use_na_sentinel=False)
+        cnt = np.bincount(kcodes, minlength=len(kuniq)).astype(np.int64)
+        return pa.table(
+            {
+                "admin1_id": pa.array(adm_uniq.take(kuniq >> np.int64(32))),
+                "v": pa.array(kuniq & np.int64(0xFFFFFFFF)),
+                "cnt": pa.array(cnt),
+            }
+        )
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        adm = g["admin1_id"].iloc[0]
+        codes, uniq = pd.factorize(g["v"].to_numpy(), use_na_sentinel=False)
+        cnt = np.bincount(codes, weights=g["cnt"].to_numpy(), minlength=len(uniq)).astype(
+            np.int64
+        )
+        v = uniq.astype(np.int64)
+        n = int(cnt.sum())
+        s = int((v * cnt).sum())
+        num = int((cnt * np.abs(n * v - s)).sum())
+        h = np.float64(num) / (2.0 * np.float64(n) * np.float64(s))
+        return pd.DataFrame(
+            {
+                "admin1_id": [adm],
+                "n_obs": np.array([n], dtype=np.int64),
+                "sum_val": np.array([s], dtype=np.int64),
+                "hoover": np.array([float(h)]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("admin1_id")
+        .map_groups(stats, batch_format="pandas")
+        .sort("admin1_id")
+    )
+
+
+def scd2_user_segments(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """SCD-type-2 dimension build from the event stream — collapse each
+    user's history into validity intervals of constant event_type
+    (ordered by (ts, event_id)): one row per run with valid_from /
+    valid_to in raw int64 microseconds (valid_to = next run's start,
+    -1 for the open run — never a nullable timestamp, which would hit
+    the NaT-compare hole in distributed equality checks).  The
+    events_sessionize fixed-shard co-shuffle: hash(user)%64 shards,
+    one lexsort + run-detection pass per shard covering ALL its users;
+    run counts are exact ints."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "_us": pa.array(shard),
+                "user_id": b["user_id"],
+                "t_us": pa.array(us),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+            }
+        )
+
+    def segs(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["t_us"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        et = g["event_type"].to_numpy()
+        o = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[o], ts[o], et[o]
+        n = len(uid)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], dtype=np.int64),
+                    "event_type": pd.array([], dtype="string"),
+                    "valid_from_us": np.array([], dtype=np.int64),
+                    "valid_to_us": np.array([], dtype=np.int64),
+                    "n_events": np.array([], dtype=np.int64),
+                }
+            )
+        tc = pd.factorize(et, use_na_sentinel=False)[0]
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | (tc[1:] != tc[:-1])
+        starts = np.nonzero(brk)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        vf = ts[starts]
+        run_uid = uid[starts]
+        nxt = np.full(len(starts), -1, dtype=np.int64)
+        if len(starts) > 1:
+            same = run_uid[1:] == run_uid[:-1]
+            tmp = nxt[:-1]
+            tmp[same] = vf[1:][same]
+            nxt[:-1] = tmp
+        return pd.DataFrame(
+            {
+                "user_id": run_uid,
+                "event_type": et[starts],
+                "valid_from_us": vf,
+                "valid_to_us": nxt,
+                "n_events": (ends - starts).astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_us")
+        .map_groups(segs, batch_format="pandas")
+    )
+    return out.sort(["user_id", "valid_from_us"])
