@@ -7078,3 +7078,61 @@ SELECT user_id, event_type, valid_from_us,
        n_events
 FROM runs ORDER BY user_id, valid_from_us
 """
+
+
+def raster_fill_sinks(rounds: int = 28, n_hours: int = 6) -> str:
+    """Sink-filling twin: the raster_jacobi unrolled window-stencil
+    construction with greatest/least instead of the averaging step;
+    the kmv HUGEINT noise DEM, interior cells start at the 2^40
+    sentinel, drains pass through the ELSE branch every round."""
+    from geoglue_ray.functions.texthash import sql_kmv_hash
+    from geoglue_ray.sources.raster import RXSIZE, sql_raster_cte
+
+    big = 1 << 40
+    zexpr = (
+        f"CAST({sql_kmv_hash(f't * 4096 + r * {RXSIZE} + c')} % 1024::HUGEINT"
+        " AS BIGINT)"
+    )
+    ctes = [
+        f"""rast AS ({sql_raster_cte()}),
+g0 AS MATERIALIZED (
+  SELECT t, r, c, z,
+         CASE WHEN nn AND ss AND ww AND ee THEN {big}::BIGINT
+              ELSE z END AS w
+  FROM (
+    SELECT t, r, c, {zexpr} AS z,
+           lag(r) OVER wc = r - 1 AS nn,
+           lead(r) OVER wc = r + 1 AS ss,
+           lag(c) OVER wr = c - 1 AS ww,
+           lead(c) OVER wr = c + 1 AS ee
+    FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t < {n_hours}
+    WINDOW wc AS (PARTITION BY t, c ORDER BY r),
+           wr AS (PARTITION BY t, r ORDER BY c)))"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""g{i} AS MATERIALIZED (
+  SELECT t, r, c, z,
+         CASE WHEN nw IS NOT NULL AND sw IS NOT NULL
+                   AND ww IS NOT NULL AND ew IS NOT NULL
+              THEN greatest(z, least(nw, sw, ww, ew))
+              ELSE w END AS w
+  FROM (
+    SELECT t, r, c, z, w,
+           CASE WHEN lag(r) OVER wc = r - 1 THEN lag(w) OVER wc END AS nw,
+           CASE WHEN lead(r) OVER wc = r + 1 THEN lead(w) OVER wc END AS sw,
+           CASE WHEN lag(c) OVER wr = c - 1 THEN lag(w) OVER wr END AS ww,
+           CASE WHEN lead(c) OVER wr = c + 1 THEN lead(w) OVER wr END AS ew
+    FROM g{i - 1}
+    WINDOW wc AS (PARTITION BY t, c ORDER BY r),
+           wr AS (PARTITION BY t, r ORDER BY c)))"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT {fx.T0_SQL} + INTERVAL 1 HOUR * t AS valid_time,
+       r AS cell_row, c AS cell_col,
+       z AS dem, w AS filled, w - z AS raised
+FROM g{rounds}
+ORDER BY 1, 2, 3
+"""
