@@ -7136,3 +7136,130 @@ SELECT {fx.T0_SQL} + INTERVAL 1 HOUR * t AS valid_time,
 FROM g{rounds}
 ORDER BY 1, 2, 3
 """
+
+
+def cdc_snapshot() -> str:
+    """CDC twin: last-write-wins by (ts, event_id) window rank plus the
+    per-user exact cent totals."""
+    return """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+         CAST(value * 100 AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY t DESC, event_id DESC) AS rn
+  FROM e),
+agg AS (
+  SELECT user_id, CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM e GROUP BY 1)
+SELECT r.user_id, r.event_type AS last_type, r.t AS last_ts_us,
+       r.event_id AS last_event_id, agg.total_cents, agg.n_events
+FROM r JOIN agg USING (user_id)
+WHERE r.rn = 1 ORDER BY r.user_id
+"""
+
+
+def doc_rarity() -> str:
+    """Rarity twin: exploded tokens, strict (n DESC, token) vocabulary
+    rank, per-doc doubled median (DuckDB median of even counts ==
+    np.median — measured) and max rank."""
+    return """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+vc AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+vr AS MATERIALIZED (
+  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rnk
+  FROM vc)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(2 * median(v.rnk) AS BIGINT) AS med2_rank,
+       CAST(2 * median(v.rnk) AS BIGINT) / 2.0 AS rarity,
+       CAST(max(v.rnk) AS BIGINT) AS max_rank
+FROM tok t JOIN vr v USING (tok)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_2sfca() -> str:
+    """2SFCA twin: the 16-site VALUES grid, in-range exact d2 counts,
+    integer floor-division ratios, per-event ratio sums."""
+    lon = fx.sql_lon("event_id")
+    lat = fx.sql_lat("event_id")
+    cap = 1 << 30
+    return f"""
+WITH fac AS (
+  SELECT k, 102.5 + CAST(k % 4 AS DOUBLE) * 2.0 AS flon,
+         9.0 + CAST(k // 4 AS DOUBLE) * 3.5 AS flat
+  FROM (SELECT unnest(range(0, 16)) AS k)),
+e AS MATERIALIZED (
+  SELECT event_id, {lon} AS lon, {lat} AS lat FROM events),
+pairs AS MATERIALIZED (
+  SELECT e.event_id, f.k
+  FROM e, fac f
+  WHERE (e.lon - f.flon) * (e.lon - f.flon)
+          + (e.lat - f.flat) * (e.lat - f.flat) <= 4.0),
+dem AS MATERIALIZED (
+  SELECT k, CAST(count(*) AS BIGINT) AS demand FROM pairs GROUP BY 1),
+rat AS (
+  SELECT k, CASE WHEN demand > 0 THEN {cap}::BIGINT // demand
+                 ELSE 0 END AS ratio
+  FROM dem)
+SELECT e.event_id,
+       CAST(COALESCE(count(p.k), 0) AS BIGINT) AS n_fac,
+       CAST(COALESCE(sum(r.ratio), 0) AS BIGINT) AS access_q
+FROM e
+LEFT JOIN pairs p ON p.event_id = e.event_id
+LEFT JOIN rat r ON r.k = p.k
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def gdpr_erasure_audit() -> str:
+    """Erasure twin: predicate sets, one semi join for lineitems, exact
+    counts with single-division fractions."""
+    return """
+WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_custkey % 97 = 0),
+ct AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+o AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders WHERE o_custkey % 97 = 0),
+ot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+l AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0)),
+lt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events WHERE user_id % 97 = 0),
+et AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+SELECT c.n AS customers_erased, o.n AS orders_erased,
+       l.n AS lineitems_erased, e.n AS events_erased,
+       CAST(c.n AS DOUBLE) / CAST(ct.n AS DOUBLE) AS frac_customers,
+       CAST(o.n AS DOUBLE) / CAST(ot.n AS DOUBLE) AS frac_orders,
+       CAST(l.n AS DOUBLE) / CAST(lt.n AS DOUBLE) AS frac_lineitems,
+       CAST(e.n AS DOUBLE) / CAST(et.n AS DOUBLE) AS frac_events
+FROM c, ct, o, ot, l, lt, e, et
+"""
+
+
+def quantile_normalize() -> str:
+    """Quantile-normalization twin: per-source strict window ranks, the
+    ceil-division pooled position, pooled order statistic by row_number
+    index join."""
+    return """
+WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+r AS (
+  SELECT doc_id, source, v,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+              AS BIGINT) AS rnk,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+  FROM d),
+pool AS MATERIALIZED (
+  SELECT v, CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT) AS idx
+  FROM d),
+p2 AS (
+  SELECT r.doc_id, r.source, r.v, (r.rnk * t.n + r.ns - 1) // r.ns AS pos
+  FROM r, t)
+SELECT p2.doc_id, p2.source, p2.v AS n_chars, pool.v AS normalized
+FROM p2 JOIN pool ON pool.idx = p2.pos
+ORDER BY 1
+"""

@@ -11563,3 +11563,398 @@ def raster_fill_sinks(
         .map_groups(fill, batch_format="pandas")
         .sort(["valid_time", "cell_row", "cell_col"])
     )
+
+
+def cdc_snapshot(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Change-data-capture snapshot: collapse the event log to the
+    latest state per user (last-write-wins by (ts, event_id) — the
+    upsert-log -> table materialization every CDC sink runs).  The
+    fixed-shard user co-shuffle; each shard resolves ALL its users in
+    one lexsort + run-end pass; totals are exact int64 cents."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.uint64)
+        shard = ((uid * np.uint64(0x9E3779B185EBCA87)) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        cents = np.round(b["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "_us": pa.array(shard),
+                "user_id": b["user_id"],
+                "t_us": pa.array(us),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    def snap(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["t_us"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        et = g["event_type"].to_numpy()
+        cents = g["cents"].to_numpy().astype(np.int64)
+        o = np.lexsort((eid, ts, uid))
+        uid, ts, eid, et, cents = uid[o], ts[o], eid[o], et[o], cents[o]
+        n = len(uid)
+        last = np.nonzero(np.r_[uid[1:] != uid[:-1], True])[0]
+        starts = np.r_[0, last[:-1] + 1]
+        return pd.DataFrame(
+            {
+                "user_id": uid[last],
+                "last_type": et[last],
+                "last_ts_us": ts[last],
+                "last_event_id": eid[last],
+                "total_cents": np.add.reduceat(cents, starts).astype(np.int64),
+                "n_events": (last - starts + 1).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_us")
+        .map_groups(snap, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+def doc_rarity(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Lexical-rarity quality signal per document — the log-free
+    perplexity proxy: rank every vocabulary token by global frequency
+    (count DESC, token — a strict total order), then score each doc by
+    the MEDIAN rank of its tokens (doubled to stay integer) plus its
+    max rank.  Two passes, the tfidf_top_token shape: exact token
+    counts (Arrow split/flatten partials -> fixed-shard merge -> the
+    driver holds only the VOCAB-cardinality rank table) broadcast via
+    ray.put, then one vectorized searchsorted + segment-order-stat pass
+    per batch.  Docs with zero tokens emit no row (inner semantics,
+    matching the SQL explode)."""
+    import ray
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import token_hash64
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+
+    def cpart(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(b["text"], " "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def cshard(b: pa.Table) -> pa.Table:
+        # deterministic token hash — a per-process hash() would split one
+        # token's partials across shards and duplicate vocab rows
+        h = token_hash64(b["token"].to_pylist())
+        return b.append_column("_sh", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
+
+    def cmerge(g: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(g["token"].to_numpy(), use_na_sentinel=False)
+        n = np.bincount(codes, weights=g["n"].to_numpy(), minlength=len(uniq)).astype(
+            np.int64
+        )
+        return pd.DataFrame({"token": uniq, "n": n})
+
+    vocab = (
+        ds.map_batches(cpart, batch_format="pyarrow")
+        .map_batches(cshard, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(cmerge, batch_format="pandas")
+        .to_pandas()
+    )  # bounded: vocabulary cardinality
+    vocab = vocab.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+    vocab["rnk"] = np.arange(1, len(vocab) + 1, dtype=np.int64)
+    vocab = vocab.sort_values("token", kind="mergesort")
+    ref = ray.put((vocab["token"].to_numpy(), vocab["rnk"].to_numpy()))
+
+    def score(b: pa.Table) -> pa.Table:
+        toks_sorted, rnks = ray.get(ref)
+        la = pc.split_pattern(b["text"], " ")
+        lens = pc.list_value_length(la).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(la)
+        docidx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        flat_np = np.asarray(flat.to_pylist(), dtype=object)
+        keep = flat_np != ""
+        flat_np, docidx = flat_np[keep], docidx[keep]
+        r = rnks[np.searchsorted(toks_sorted, flat_np)]
+        o = np.lexsort((r, docidx))
+        docidx, r = docidx[o], r[o]
+        starts = np.flatnonzero(np.r_[True, docidx[1:] != docidx[:-1]])
+        cnt = np.diff(np.r_[starts, len(docidx)])
+        k1 = (cnt + 1) // 2
+        k2 = (cnt + 2) // 2
+        med2 = r[starts + k1 - 1] + r[starts + k2 - 1]
+        mx = np.maximum.reduceat(r, starts)
+        ids = b["doc_id"].to_numpy()[docidx[starts]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(cnt),
+                "med2_rank": pa.array(med2),
+                "rarity": pa.array(med2.astype(np.float64) / 2.0),
+                "max_rank": pa.array(mx),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def events_2sfca(sf_dir: str, radius: float = 2.0) -> rd.Dataset:
+    """Two-step floating-catchment-area accessibility (2SFCA — the
+    standard healthcare-access measure): 16 fixed facility sites on a
+    dyadic 4x4 anchor grid, capacity 2^30 each.  Step 1: each facility's
+    supply ratio = (capacity << 0) // demand, demand = # events within
+    ``radius`` deg (box-free exact d2 <= r2 — dyadic coords, integer
+    counts, floor division).  Step 2: each event's accessibility = SUM
+    of the in-range facilities' integer ratios — int64-exact, so
+    order-independent.  Facilities are a broadcast-scale constant (the
+    small side never shuffles); demand counts reduce via per-batch
+    16-long partials; step 2 is one vectorized distance pass per
+    batch."""
+    import pandas as pd
+
+    CAP = np.int64(1) << np.int64(30)
+    k = np.arange(16, dtype=np.int64)
+    f_lon = 102.5 + (k % 4).astype(np.float64) * 2.0
+    f_lat = 9.0 + (k // 4).astype(np.float64) * 3.5
+    r2 = radius * radius
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def demand_part(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        dx = lon[:, None] - f_lon[None, :]
+        dy = lat[:, None] - f_lat[None, :]
+        inr = (dx * dx + dy * dy) <= r2
+        return pa.table(
+            {
+                "fac": pa.array(k),
+                "demand": pa.array(inr.sum(axis=0).astype(np.int64)),
+            }
+        )
+
+    dem = (
+        ds.map_batches(demand_part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("fac", as_index=False)["demand"]
+        .sum()
+        .sort_values("fac")
+    )  # bounded: 16 facility rows
+    demand = dem["demand"].to_numpy().astype(np.int64)
+    ratio = np.where(demand > 0, CAP // np.maximum(demand, 1), np.int64(0))
+
+    def access(b: pa.Table) -> pa.Table:
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        dx = lon[:, None] - f_lon[None, :]
+        dy = lat[:, None] - f_lat[None, :]
+        inr = (dx * dx + dy * dy) <= r2
+        acc = (inr * ratio[None, :]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "n_fac": pa.array(inr.sum(axis=1).astype(np.int64)),
+                "access_q": pa.array(acc),
+            }
+        )
+
+    return ds.map_batches(access, batch_format="pyarrow").sort("event_id")
+
+
+def gdpr_erasure_audit(sf_dir: str) -> rd.Dataset:
+    """Right-to-erasure impact audit — the pre-deletion census a GDPR
+    workflow runs: the erase set is customers with c_custkey % 97 == 0
+    (and the matching user-space predicate on events); the cascade is
+    orders of erased customers (predicate pushdown — the key itself
+    carries the set membership, no join needed) and their lineitems
+    (a REAL distributed semi join on l_orderkey — the one table whose
+    erase membership is only reachable through a parent).  One summary
+    row of exact counts with single-division affected fractions."""
+    from geoglue_ray.stages.join import hash_equijoin
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    n_cust = cust.count()
+    n_orders = orders.count()
+    n_li = li.count()
+    n_ev = ev.count()
+
+    def erased(col: str):
+        def f(b: pa.Table) -> pa.Table:
+            keep = b[col].to_numpy() % 97 == 0
+            return b.filter(pa.array(keep))
+
+        return f
+
+    cust_e = cust.map_batches(erased("c_custkey"), batch_format="pyarrow")
+    orders_e = orders.map_batches(
+        erased("o_custkey"), batch_format="pyarrow"
+    ).materialize()  # consumed twice: count + join build side
+    li_e = hash_equijoin(
+        li,
+        orders_e.select_columns(["o_orderkey"]),
+        "l_orderkey",
+        "o_orderkey",
+        how="semi",
+        left_schema=pa.schema([("l_orderkey", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64())]),
+    )
+    ev_e = ev.map_batches(erased("user_id"), batch_format="pyarrow")
+
+    nc, no, nl, ne = cust_e.count(), orders_e.count(), li_e.count(), ev_e.count()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "customers_erased": pa.array([nc], pa.int64()),
+                "orders_erased": pa.array([no], pa.int64()),
+                "lineitems_erased": pa.array([nl], pa.int64()),
+                "events_erased": pa.array([ne], pa.int64()),
+                "frac_customers": pa.array(
+                    [float(np.float64(nc) / np.float64(n_cust))], pa.float64()
+                ),
+                "frac_orders": pa.array(
+                    [float(np.float64(no) / np.float64(n_orders))], pa.float64()
+                ),
+                "frac_lineitems": pa.array(
+                    [float(np.float64(nl) / np.float64(n_li))], pa.float64()
+                ),
+                "frac_events": pa.array(
+                    [float(np.float64(ne) / np.float64(n_ev))], pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def quantile_normalize(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+    """Cross-source quantile normalization of the document length
+    distribution — the ML-preprocessing step that maps every source's
+    n_chars onto the POOLED distribution so no source's length profile
+    dominates a mixed corpus: doc with strict rank r of n_s in its
+    source (ordered by (n_chars, doc_id)) receives the pooled order
+    statistic at position ceil(r * N / n_s).  All-integer: ranks,
+    ceil-division position, and the pooled value lookup.  Distribution:
+    one (source, n_chars) histogram pass (driver holds only the
+    source x distinct-length table -> per-source exclusive-cumsum base
+    offsets + the pooled cum profile, broadcast via ray.put), then a
+    fixed-shard co-shuffle on hash(source, n_chars) so every tie run is
+    resolved in one lexsort pass — doc rows never pass through the
+    driver."""
+    import ray
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def hpart(b: pa.Table) -> pa.Table:
+        src_codes, src_uniq = pd.factorize(
+            b["source"].to_pandas(), use_na_sentinel=False
+        )
+        v = b["n_chars"].to_numpy().astype(np.int64)
+        key = src_codes.astype(np.int64) * np.int64(1 << 32) + v
+        kcodes, kuniq = pd.factorize(key, use_na_sentinel=False)
+        cnt = np.bincount(kcodes, minlength=len(kuniq)).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(src_uniq.take(kuniq >> np.int64(32))),
+                "v": pa.array(kuniq & np.int64(0xFFFFFFFF)),
+                "cnt": pa.array(cnt),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hpart, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["source", "v"], as_index=False)["cnt"]
+        .sum()
+    )  # bounded: sources x distinct lengths
+    hist = hist.sort_values(["source", "v"], kind="mergesort").reset_index(drop=True)
+    src_names = np.sort(hist["source"].unique())
+    src_code = np.searchsorted(src_names, hist["source"].to_numpy())
+    cnt = hist["cnt"].to_numpy().astype(np.int64)
+    # per-source exclusive cumsum (base = # strictly-below rows in source)
+    cum = np.cumsum(cnt)
+    starts = np.flatnonzero(np.r_[True, src_code[1:] != src_code[:-1]])
+    base = cum - cnt - np.repeat(np.r_[0, cum[starts[1:] - 1]], np.diff(np.r_[starts, len(cnt)]))
+    n_s = np.bincount(src_code, weights=cnt, minlength=len(src_names)).astype(np.int64)
+    key_sorted = src_code.astype(np.int64) * np.int64(1 << 32) + hist["v"].to_numpy().astype(np.int64)
+    # pooled profile
+    pooled = hist.groupby("v", as_index=False)["cnt"].sum().sort_values("v")
+    p_v = pooled["v"].to_numpy().astype(np.int64)
+    p_cum = np.cumsum(pooled["cnt"].to_numpy().astype(np.int64))
+    N = int(p_cum[-1])
+    ref = ray.put((src_names, key_sorted, base, n_s, p_v, p_cum, N))
+
+    def shard(b: pa.Table) -> pa.Table:
+        sc = np.searchsorted(
+            ray.get(ref)[0], np.asarray(b["source"].to_pylist(), dtype=object)
+        ).astype(np.int64)
+        v = b["n_chars"].to_numpy().astype(np.int64)
+        key = sc * np.int64(1 << 32) + v
+        sh = (int_hash64(key) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "_sh": pa.array(sh),
+                "_key": pa.array(key),
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "n_chars": b["n_chars"],
+            }
+        )
+
+    def resolve_factory():
+        state = {}
+
+        def resolve(g: pd.DataFrame) -> pd.DataFrame:
+            if "ref" not in state:
+                state["ref"] = ray.get(ref)
+            src_names_, key_sorted_, base_, n_s_, p_v_, p_cum_, N_ = state["ref"]
+            key = g["_key"].to_numpy().astype(np.int64)
+            did = g["doc_id"].to_numpy().astype(np.int64)
+            o = np.lexsort((did, key))
+            key, did = key[o], did[o]
+            rstarts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+            pos_in_run = np.arange(len(key)) - np.repeat(
+                rstarts, np.diff(np.r_[rstarts, len(key)])
+            )
+            b_ = base_[np.searchsorted(key_sorted_, key)]
+            rnk = b_ + pos_in_run + 1
+            ns_ = n_s_[(key >> np.int64(32))]
+            pos = (rnk * N_ + ns_ - 1) // ns_
+            norm = p_v_[np.searchsorted(p_cum_, pos)]
+            src = g["source"].to_numpy()[o]
+            v = g["n_chars"].to_numpy()[o]
+            return pd.DataFrame(
+                {
+                    "doc_id": did,
+                    "source": src,
+                    "n_chars": v.astype(np.int64),
+                    "normalized": norm.astype(np.int64),
+                }
+            )
+
+        return resolve
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(resolve_factory(), batch_format="pandas")
+        .sort("doc_id")
+    )
