@@ -7263,3 +7263,68 @@ SELECT p2.doc_id, p2.source, p2.v AS n_chars, pool.v AS normalized
 FROM p2 JOIN pool ON pool.idx = p2.pos
 ORDER BY 1
 """
+
+
+def doc_stitch() -> str:
+    """Stitch twin: two-token prefix/suffix keys by list indexing, the
+    equality self-join with a != b."""
+    return """
+WITH k AS (
+  SELECT doc_id,
+         t[1] || ' ' || t[2] AS pfx,
+         t[-2] || ' ' || t[-1] AS sfx
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents)
+  WHERE len(t) >= 2)
+SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, a.sfx AS stitch_key
+FROM k a JOIN k b ON a.sfx = b.pfx AND a.doc_id <> b.doc_id
+ORDER BY 1, 2
+"""
+
+
+def raster_trend_surface() -> str:
+    """Trend-surface twin: centered integer moments, Cramer determinants
+    spelled with the engine's exact product/sum order (all < 2^63), the
+    three coefficient divisions and the per-cell double chain."""
+    from geoglue_ray.functions.texthash import sql_kmv_hash
+    from geoglue_ray.sources.raster import RXSIZE, sql_raster_cte
+
+    noise = f"CAST({sql_kmv_hash(f'r * {RXSIZE} + c')} % 64::HUGEINT AS BIGINT)"
+    return f"""
+WITH rast AS ({sql_raster_cte()}),
+g AS MATERIALIZED (
+  SELECT r - 32 AS r, c - 16 AS c,
+         CAST(value AS BIGINT) + {noise} AS v
+  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t = 0),
+m AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r) AS BIGINT) AS sr, CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(r * r) AS BIGINT) AS srr, CAST(sum(r * c) AS BIGINT) AS src,
+         CAST(sum(c * c) AS BIGINT) AS scc,
+         CAST(sum(r * v) AS BIGINT) AS srv, CAST(sum(c * v) AS BIGINT) AS scv
+  FROM g),
+d AS (
+  SELECT n * (srr * scc - src * src) - sr * (sr * scc - src * sc)
+           + sc * (sr * src - srr * sc) AS det,
+         sv * (srr * scc - src * src) - sr * (srv * scc - src * scv)
+           + sc * (srv * src - srr * scv) AS det_a,
+         n * (srv * scc - src * scv) - sv * (sr * scc - src * sc)
+           + sc * (sr * scv - srv * sc) AS det_b,
+         n * (srr * scv - srv * src) - sr * (sr * scv - srv * sc)
+           + sv * (sr * src - srr * sc) AS det_c
+  FROM m),
+co AS (
+  SELECT CAST(det_a AS DOUBLE) / CAST(det AS DOUBLE) AS a,
+         CAST(det_b AS DOUBLE) / CAST(det AS DOUBLE) AS b,
+         CAST(det_c AS DOUBLE) / CAST(det AS DOUBLE) AS c2
+  FROM d)
+SELECT cell_row, cell_col, v, fitted,
+       CAST(v AS DOUBLE) - fitted AS residual
+FROM (
+  SELECT g.r + 32 AS cell_row, g.c + 16 AS cell_col, g.v,
+         co.a + co.b * CAST(g.r AS DOUBLE) + co.c2 * CAST(g.c AS DOUBLE) AS fitted
+  FROM g, co)
+ORDER BY 1, 2
+"""

@@ -11958,3 +11958,200 @@ def quantile_normalize(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
         .map_groups(resolve_factory(), batch_format="pandas")
         .sort("doc_id")
     )
+
+
+def doc_stitch(sf_dir: str) -> rd.Dataset:
+    """Split-document stitching detection — the crawler pathology where
+    one logical document is sharded into two rows: pair (a, b) when a's
+    LAST two tokens equal b's FIRST two tokens (a != b).  Each doc
+    reduces to one (prefix-key, suffix-key) row; candidate pairs come
+    from the distributed hash_equijoin on token_hash64(suffix) ==
+    token_hash64(prefix) with an exact post-join string equality filter
+    (hash collisions die there, the standard hash-join-verify shape).
+    Output is the stitch edge list — bounded by true matches, never
+    all-pairs."""
+    from geoglue_ray.functions.texthash import token_hash64
+    from geoglue_ray.stages.join import hash_equijoin
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        la = pc.split_pattern(b["text"], " ")
+        lens = pc.list_value_length(la).to_numpy().astype(np.int64)
+        flat = np.asarray(pc.list_flatten(la).to_pylist(), dtype=object)
+        docidx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = flat != ""
+        flat, docidx = flat[keep], docidx[keep]
+        cnt = np.bincount(docidx, minlength=len(lens)).astype(np.int64)
+        off = np.r_[0, np.cumsum(cnt)]
+        ok = cnt >= 2
+        i0 = off[:-1][ok]
+        i1 = off[1:][ok]
+        pfx = flat[i0] + " " + flat[i0 + 1]
+        sfx = flat[i1 - 2] + " " + flat[i1 - 1]
+        ids = b["doc_id"].to_numpy()[ok]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "pfx": pa.array(pfx.tolist(), pa.string()),
+                "sfx": pa.array(sfx.tolist(), pa.string()),
+            }
+        )
+
+    kt = ds.map_batches(keys, batch_format="pyarrow").materialize()
+
+    def left_side(b: pa.Table) -> pa.Table:
+        h = token_hash64(b["sfx"].to_pylist()).astype(np.int64) >> np.int64(1)
+        return pa.table(
+            {"a_doc": b["doc_id"], "a_sfx": b["sfx"], "hk": pa.array(h)}
+        )
+
+    def right_side(b: pa.Table) -> pa.Table:
+        h = token_hash64(b["pfx"].to_pylist()).astype(np.int64) >> np.int64(1)
+        return pa.table(
+            {"b_doc": b["doc_id"], "b_pfx": b["pfx"], "hk2": pa.array(h)}
+        )
+
+    left = kt.map_batches(left_side, batch_format="pyarrow")
+    right = kt.map_batches(right_side, batch_format="pyarrow")
+    joined = hash_equijoin(
+        left,
+        right,
+        "hk",
+        "hk2",
+        left_schema=pa.schema(
+            [("a_doc", pa.int64()), ("a_sfx", pa.string()), ("hk", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("b_doc", pa.int64()), ("b_pfx", pa.string()), ("hk2", pa.int64())]
+        ),
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.equal(b["a_sfx"], b["b_pfx"]),
+            pc.not_equal(b["a_doc"], b["b_doc"]),
+        )
+        b = b.filter(ok)
+        return pa.table(
+            {
+                "a_doc": b["a_doc"],
+                "b_doc": b["b_doc"],
+                "stitch_key": b["a_sfx"],
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow").sort(
+        ["a_doc", "b_doc"]
+    )
+
+
+def raster_trend_surface(sf_dir: str) -> rd.Dataset:
+    """First-order trend-surface analysis of hour-0 of the raster — the
+    classic geostatistics decomposition v ~ a + b*row + c*col fitted by
+    exact least squares: the 9 normal-equation moments are exact int64
+    sums over CENTERED coordinates (r-32, c-16 — centering keeps every
+    Cramer determinant product under 2^63; measured headroom ~60x), the
+    three coefficients are single divisions of exact determinants, and
+    every cell's fitted/residual row replays the identical double chain
+    on both engines.  The field is plane + kmv noise (t2m alone IS a
+    plane — residuals would be identically zero).  Distribution: one
+    9-sum partial reduce (driver holds 9 ints), one broadcast-coefficient
+    map pass."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import kmv_hash64
+    from geoglue_ray.sources.raster import RXSIZE, read_raster
+
+    T0R = np.datetime64(fx.T0, "us")
+
+    ra = read_raster(n_days=1)
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["variable"], "t2m"))
+        v0 = b["value"].to_numpy(zero_copy_only=False)
+        h = (
+            (b["valid_time"].to_numpy() - T0R).astype("timedelta64[h]").astype(np.int64)
+        )
+        keep = (h == 0) & np.isfinite(v0)
+        r = b["cell_row"].to_numpy().astype(np.int64)[keep] - 32
+        c = b["cell_col"].to_numpy().astype(np.int64)[keep] - 16
+        cell = (r + 32) * RXSIZE + (c + 16)
+        v = v0[keep].astype(np.int64) + (
+            kmv_hash64(cell) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.table({"r": pa.array(r), "c": pa.array(c), "v": pa.array(v)})
+
+    cells = ra.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def moments(b: pa.Table) -> pa.Table:
+        r = b["r"].to_numpy()
+        c = b["c"].to_numpy()
+        v = b["v"].to_numpy()
+        vals = np.array(
+            [
+                len(r),
+                r.sum(),
+                c.sum(),
+                v.sum(),
+                (r * r).sum(),
+                (r * c).sum(),
+                (c * c).sum(),
+                (r * v).sum(),
+                (c * v).sum(),
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {"i": pa.array(np.arange(9, dtype=np.int64)), "m": pa.array(vals)}
+        )
+
+    mo = (
+        cells.map_batches(moments, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("i")["m"]
+        .sum()
+    )
+    n, sr, sc, sv, srr, src, scc, srv, scv = (int(mo[i]) for i in range(9))
+    det = (
+        n * (srr * scc - src * src)
+        - sr * (sr * scc - src * sc)
+        + sc * (sr * src - srr * sc)
+    )
+    det_a = (
+        sv * (srr * scc - src * src)
+        - sr * (srv * scc - src * scv)
+        + sc * (srv * src - srr * scv)
+    )
+    det_b = (
+        n * (srv * scc - src * scv)
+        - sv * (sr * scc - src * sc)
+        + sc * (sr * scv - srv * sc)
+    )
+    det_c = (
+        n * (srr * scv - srv * src)
+        - sr * (sr * scv - srv * sc)
+        + sv * (sr * src - srr * sc)
+    )
+    a = np.float64(det_a) / np.float64(det)
+    bb = np.float64(det_b) / np.float64(det)
+    cc_ = np.float64(det_c) / np.float64(det)
+
+    def score(b: pa.Table) -> pa.Table:
+        r = b["r"].to_numpy().astype(np.int64)
+        c = b["c"].to_numpy().astype(np.int64)
+        v = b["v"].to_numpy().astype(np.int64)
+        fitted = a + bb * r.astype(np.float64) + cc_ * c.astype(np.float64)
+        return pa.table(
+            {
+                "cell_row": pa.array(r + 32),
+                "cell_col": pa.array(c + 16),
+                "v": pa.array(v),
+                "fitted": pa.array(fitted, pa.float64()),
+                "residual": pa.array(v.astype(np.float64) - fitted, pa.float64()),
+            }
+        )
+
+    return cells.map_batches(score, batch_format="pyarrow").sort(
+        ["cell_row", "cell_col"]
+    )
