@@ -7328,3 +7328,69 @@ FROM (
   FROM g, co)
 ORDER BY 1, 2
 """
+
+
+def events_forecast_mase(season: int = 24, train_hours: int = 48) -> str:
+    """MASE twin: dense zero-filled hour series via range LEFT JOIN, the
+    lag-24 forecast and lag-1 train differences by window lag, the
+    engine's single cleared division."""
+    return f"""
+WITH e AS (
+  SELECT (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+           // 3600000000 AS h
+  FROM events),
+hmax AS (SELECT CAST(max(h) AS BIGINT) + 1 AS n FROM e),
+c AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
+dense AS MATERIALIZED (
+  SELECT gs.h, COALESCE(c.cnt, 0) AS y
+  FROM (SELECT unnest(range(0, (SELECT n FROM hmax))) AS h) gs
+  LEFT JOIN c USING (h)),
+lagd AS (
+  SELECT h, y,
+         lag(y, 1) OVER (ORDER BY h) AS y1,
+         lag(y, {season}) OVER (ORDER BY h) AS ys
+  FROM dense),
+agg AS (
+  SELECT CAST(sum(abs(y - y1)) FILTER (WHERE h < {train_hours} AND h >= 1)
+              AS BIGINT) AS denom,
+         CAST(sum(abs(y - ys)) FILTER (WHERE h >= {train_hours})
+              AS BIGINT) AS err
+  FROM lagd)
+SELECT hmax.n AS n_hours,
+       hmax.n - {train_hours} AS n_test,
+       agg.denom AS train_denom,
+       agg.err AS test_err,
+       CAST(agg.err * {train_hours - 1} AS DOUBLE)
+         / CAST(agg.denom * (hmax.n - {train_hours}) AS DOUBLE) AS mase
+FROM agg, hmax
+"""
+
+
+def events_bursts() -> str:
+    """Burst twin: dense series, doubled-median threshold, window
+    gaps-and-islands runs."""
+    return """
+WITH e AS (
+  SELECT (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+           // 3600000000 AS h
+  FROM events),
+hmax AS (SELECT CAST(max(h) AS BIGINT) + 1 AS n FROM e),
+c AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
+dense AS MATERIALIZED (
+  SELECT gs.h, COALESCE(c.cnt, 0) AS y
+  FROM (SELECT unnest(range(0, (SELECT n FROM hmax))) AS h) gs
+  LEFT JOIN c USING (h)),
+m AS (SELECT CAST(2 * median(y) AS BIGINT) AS med2 FROM dense),
+hot AS (SELECT h, y FROM dense, m WHERE y >= m.med2),
+runs AS (
+  SELECT h, y,
+         CAST(sum(CASE WHEN h - 1 = lag(h) OVER (ORDER BY h) THEN 0 ELSE 1 END)
+              OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rid
+  FROM hot)
+SELECT CAST(min(h) AS BIGINT) AS start_h,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(max(y) AS BIGINT) AS peak,
+       CAST(sum(y) AS BIGINT) AS total,
+       (SELECT med2 FROM m) AS med2
+FROM runs GROUP BY rid ORDER BY 1
+"""

@@ -12155,3 +12155,142 @@ def raster_trend_surface(sf_dir: str) -> rd.Dataset:
     return cells.map_batches(score, batch_format="pyarrow").sort(
         ["cell_row", "cell_col"]
     )
+
+
+def events_forecast_mase(sf_dir: str, season: int = 24, train_hours: int = 48) -> rd.Dataset:
+    """Seasonal-naive forecast backtest over the hourly event-count
+    series — the forecasting-evaluation operator: forecast for hour h is
+    the count at h-24, scored by MASE (mean absolute scaled error, the
+    scale-free standard) against the naive-1 differences of the first
+    48 train hours.  Everything is exact integer counts; MASE clears
+    denominators into ONE division  (err * 47) / (denom * n_test).
+    The hour axis anchors at the events table's OWN epoch (2024-01-01 —
+    NOT derive_event_time; CLAUDE.md round-4).  Distribution: per-batch
+    hour-count partials -> fixed-shard merge -> the driver holds the
+    span-hours-bounded dense series (zero-filled) and replays the
+    integer chain."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        h = ((us - EPOCH).astype(np.int64)) // np.int64(3_600_000_000)
+        codes, uniq = pd.factorize(h, use_na_sentinel=False)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"h": pa.array(uniq.astype(np.int64)), "cnt": pa.array(cnt)})
+
+    def shard(b: pa.Table) -> pa.Table:
+        h = b["h"].to_numpy()
+        return b.append_column(
+            "_sh", pa.array((int_hash64(h) % np.uint64(32)).astype(np.int64))
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(g["h"].to_numpy(), use_na_sentinel=False)
+        cnt = np.bincount(codes, weights=g["cnt"].to_numpy(), minlength=len(uniq)).astype(
+            np.int64
+        )
+        return pd.DataFrame({"h": uniq.astype(np.int64), "cnt": cnt})
+
+    hrs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )  # bounded: span hours
+    H = int(hrs["h"].max()) + 1
+    y = np.zeros(H, dtype=np.int64)
+    y[hrs["h"].to_numpy()] = hrs["cnt"].to_numpy()
+    denom = int(np.abs(np.diff(y[:train_hours])).sum())
+    test = np.arange(train_hours, H)
+    err = int(np.abs(y[test] - y[test - season]).sum())
+    n_test = H - train_hours
+    mase = np.float64(err * (train_hours - 1)) / np.float64(denom * n_test)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_hours": pa.array([H], pa.int64()),
+                "n_test": pa.array([n_test], pa.int64()),
+                "train_denom": pa.array([denom], pa.int64()),
+                "test_err": pa.array([err], pa.int64()),
+                "mase": pa.array([float(mase)], pa.float64()),
+            }
+        )
+    )
+
+
+def events_bursts(sf_dir: str) -> rd.Dataset:
+    """Burst detection over the hourly event-count series — maximal runs
+    of hours at or above TWICE the median hourly rate (the log-free
+    Kleinberg-lite): threshold y >= med2 where med2 = doubled median of
+    the dense zero-filled series, so the comparison is all-integer.
+    Same distribution as events_forecast_mase (hour-count partials ->
+    fixed-shard merge -> span-bounded driver series); per-burst start,
+    length, peak and total are exact ints mirrored by the
+    gaps-and-islands SQL twin."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        h = ((us - EPOCH).astype(np.int64)) // np.int64(3_600_000_000)
+        codes, uniq = pd.factorize(h, use_na_sentinel=False)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"h": pa.array(uniq.astype(np.int64)), "cnt": pa.array(cnt)})
+
+    def shard(b: pa.Table) -> pa.Table:
+        h = b["h"].to_numpy()
+        return b.append_column(
+            "_sh", pa.array((int_hash64(h) % np.uint64(32)).astype(np.int64))
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(g["h"].to_numpy(), use_na_sentinel=False)
+        cnt = np.bincount(codes, weights=g["cnt"].to_numpy(), minlength=len(uniq)).astype(
+            np.int64
+        )
+        return pd.DataFrame({"h": uniq.astype(np.int64), "cnt": cnt})
+
+    hrs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )  # bounded: span hours
+    H = int(hrs["h"].max()) + 1
+    y = np.zeros(H, dtype=np.int64)
+    y[hrs["h"].to_numpy()] = hrs["cnt"].to_numpy()
+    ys = np.sort(y)
+    med2 = int(ys[(H + 1) // 2 - 1]) + int(ys[(H + 2) // 2 - 1])
+    hot = y >= med2
+    brk = np.r_[hot[0], hot[1:] & ~hot[:-1]]
+    run_id = np.cumsum(brk)
+    starts, lens, peaks, tots = [], [], [], []
+    idx = np.arange(H)
+    for rid in np.unique(run_id[hot]):
+        sel = hot & (run_id == rid)
+        starts.append(int(idx[sel][0]))
+        lens.append(int(sel.sum()))
+        peaks.append(int(y[sel].max()))
+        tots.append(int(y[sel].sum()))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "start_h": pa.array(starts, pa.int64()),
+                "n_hours": pa.array(lens, pa.int64()),
+                "peak": pa.array(peaks, pa.int64()),
+                "total": pa.array(tots, pa.int64()),
+                "med2": pa.array([med2] * len(starts), pa.int64()),
+            }
+        )
+    )
