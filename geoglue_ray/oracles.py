@@ -7294,9 +7294,10 @@ def raster_trend_surface() -> str:
     return f"""
 WITH rast AS ({sql_raster_cte()}),
 g AS MATERIALIZED (
-  SELECT r - 32 AS r, c - 16 AS c,
-         CAST(value AS BIGINT) + {noise} AS v
-  FROM rast WHERE variable = 't2m' AND value IS NOT NULL AND t = 0),
+  SELECT r - 32 AS r, c - 16 AS c, v
+  FROM (SELECT r, c, CAST(value AS BIGINT) + {noise} AS v
+        FROM rast
+        WHERE variable = 't2m' AND value IS NOT NULL AND t = 0)),
 m AS MATERIALIZED (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(r) AS BIGINT) AS sr, CAST(sum(c) AS BIGINT) AS sc,
@@ -7382,11 +7383,14 @@ dense AS MATERIALIZED (
   LEFT JOIN c USING (h)),
 m AS (SELECT CAST(2 * median(y) AS BIGINT) AS med2 FROM dense),
 hot AS (SELECT h, y FROM dense, m WHERE y >= m.med2),
+brk AS (
+  SELECT h, y,
+         CASE WHEN h - 1 = lag(h) OVER (ORDER BY h) THEN 0 ELSE 1 END AS b
+  FROM hot),
 runs AS (
   SELECT h, y,
-         CAST(sum(CASE WHEN h - 1 = lag(h) OVER (ORDER BY h) THEN 0 ELSE 1 END)
-              OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rid
-  FROM hot)
+         CAST(sum(b) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rid
+  FROM brk)
 SELECT CAST(min(h) AS BIGINT) AS start_h,
        CAST(count(*) AS BIGINT) AS n_hours,
        CAST(max(y) AS BIGINT) AS peak,

@@ -11060,6 +11060,14 @@ def user_survival(
     gap_us = np.int64(gap_minutes * 60_000_000)
 
     def life_partial(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "t": np.array([], dtype=np.int64),
+                    "m": np.array([], dtype=np.int64),
+                    "d": np.array([], dtype=np.int64),
+                }
+            )
         uid = g["user_id"].to_numpy()
         ts = g["t_us"].to_numpy().astype(np.int64)
         o = np.lexsort((ts, uid))
@@ -11169,6 +11177,10 @@ def events_jacquez(sf_dir: str) -> rd.Dataset:
         tau_us=2 * 3_600_000_000,
         k=5,
         id_col="event_id",
+        # time-DENSE axis (~160 h of data, tau = 2 h): sub-tau buckets
+        # shrink the quadratic per-bucket blocks and rebalance shards
+        # (measured sf0.1: 40.5 s -> 9.4 s, results identical)
+        bucket_us=2 * 3_600_000_000 // 8,
     )
 
     def tag(which: int, nb_col: str):
@@ -11596,6 +11608,17 @@ def cdc_snapshot(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
         )
 
     def snap(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], dtype=np.int64),
+                    "last_type": pd.array([], dtype="string"),
+                    "last_ts_us": np.array([], dtype=np.int64),
+                    "last_event_id": np.array([], dtype=np.int64),
+                    "total_cents": np.array([], dtype=np.int64),
+                    "n_events": np.array([], dtype=np.int64),
+                }
+            )
         uid = g["user_id"].to_numpy().astype(np.int64)
         ts = g["t_us"].to_numpy().astype(np.int64)
         eid = g["event_id"].to_numpy().astype(np.int64)

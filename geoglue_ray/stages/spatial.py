@@ -2381,27 +2381,40 @@ def time_knn_join(
     id_col: str = "event_id",
     ts_col: str = "ts_us",
     n_shards: int = 64,
+    bucket_us: int | None = None,
 ):
     """k-nearest-neighbours-within-window self-join on the TIME axis —
     the 1-D analog of :func:`radius_knn_join` (same semantics: up-to-k
     nearest OTHER points with |dt| <= ``tau_us``, ranked by (|dt|,
-    neighbour id), isolated points emit nothing).  Distribution: 3-run
-    time-bucket co-shuffle at bucket width == tau (a point's in-window
-    neighbours all lie in buckets b-1..b+1), FIXED ``hash(bucket) %
-    n_shards``, vectorized per-bucket |dt| blocks with an int64
-    sentinel (never float inf — the ranking stays all-integer)."""
+    neighbour id), isolated points emit nothing).  Distribution:
+    time-bucket co-shuffle with a halo sweep — a point's in-window
+    neighbours all lie within ``ceil(tau/bucket)`` buckets of its own —
+    FIXED ``hash(bucket) % n_shards``, vectorized per-bucket |dt| blocks
+    with an int64 sentinel (never float inf — the ranking stays
+    all-integer).
+
+    ``bucket_us`` is the COST knob, independent of the ``tau_us``
+    semantics knob (the round-4 "radius is a cost knob" lesson): the
+    per-bucket |dt| block is quadratic in bucket occupancy and one
+    bucket is indivisible across shards, so time-DENSE inputs (many
+    points per tau window) should pass ``bucket_us < tau_us`` — the
+    replication factor grows as ``2*ceil(tau/bucket)+1`` runs but each
+    block shrinks quadratically and shards rebalance.  Default
+    ``bucket_us == tau_us`` (halo 1, 3 runs) suits sparse inputs."""
     import pandas as pd
 
     tau = np.int64(tau_us)
+    width = np.int64(bucket_us if bucket_us is not None else tau_us)
+    halo = int(-(-tau // width))  # ceil(tau/width): neighbour bucket reach
     SENT = np.int64(1) << np.int64(62)
 
     def prep(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy()
         ts = b[ts_col].to_numpy().astype(np.int64)
-        bkt = ts // tau
+        bkt = ts // width
         n = len(ids)
         parts = []
-        for db in (-1, 0, 1):
+        for db in range(-halo, halo + 1):
             parts.append(
                 pa.table(
                     {

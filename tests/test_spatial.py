@@ -362,3 +362,31 @@ def test_triangle_stats_matches_bruteforce():
     assert np.array_equal(got["n_tri"].to_numpy(), tri[order])
     assert np.array_equal(got["clustering"].to_numpy(), cl[order], equal_nan=True)
     assert tri.sum() > 0  # the fixture actually has triangles
+
+
+def test_time_knn_join_bucket_knob_invariant():
+    """time_knn_join results must be IDENTICAL for any bucket_us (the
+    cost knob): sub-tau buckets with a widened halo sweep and super-tau
+    buckets both reproduce the default bucket == tau output exactly."""
+    from geoglue_ray.stages.spatial import time_knn_join
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    ts = rng.integers(0, 40 * 3_600_000_000, n).astype(np.int64)
+    tau = 2 * 3_600_000_000
+    tbl = pa.table({"event_id": pa.array(ids), "ts_us": pa.array(ts)})
+    base = None
+    for bw in (None, tau // 4, tau * 3):
+        got = (
+            time_knn_join(rd.from_arrow(tbl), tau_us=tau, k=5,
+                          id_col="event_id", n_shards=8, bucket_us=bw)
+            .to_pandas()
+            .sort_values(["event_id", "t_rank"])
+            .reset_index(drop=True)
+        )
+        if base is None:
+            base = got
+            assert len(base) > 0
+        else:
+            pd.testing.assert_frame_equal(got, base)
