@@ -183,6 +183,9 @@ def _run_queries() -> dict:
         # climate-epi exposure attribution: events x full space-time
         # raster big-big join on the packed (row, col, hour) key
         ("exposure_bands", q.exposure_bands),
+        # round-5: prefix-filtered exact set-similarity join (candidates
+        # 9.0M -> 4.5M at sf0.1; 16x on hub-skewed sets — BASELINE.md)
+        ("jaccard_orders", q.jaccard_orders),
     ]
     extra_reps = int(os.environ.get("GRAFT_EXTRA_REPEATS", "2"))
     for name, fn in extra:

@@ -3399,9 +3399,12 @@ def copurchase_pairs(sf_dir: str, top_n: int = 50) -> rd.Dataset:
 
 def jaccard_orders(sf_dir: str) -> rd.Dataset:
     """Exact set-similarity self-join (SSJoin): order pairs whose basket
-    Jaccard >= 1/2 — integer rational-threshold filter, intersection
-    counted by per-item run pairs over three fixed-shard passes
-    (stages/join.setsim_join)."""
+    Jaccard >= 1/2 — integer rational-threshold filter via the
+    PREFIX-FILTERED path (items ranked by global df; only each set's
+    rare-item prefix generates candidates, verified in place against the
+    carried packed sets — stages/join.setsim_join).  Candidate volume at
+    sf0.1: 9.0M (legacy all-shared-items) -> 4.5M; hub-skewed corpora
+    measured 16x faster (BASELINE.md)."""
     from geoglue_ray.stages.join import setsim_join
 
     li = rd.read_parquet(

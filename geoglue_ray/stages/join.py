@@ -589,6 +589,7 @@ def setsim_join(
     threshold_num: int = 1,
     threshold_den: int = 2,
     n_shards: int = 64,
+    prefix_filter: bool = True,
 ) -> rd.Dataset:
     """EXACT set-similarity self-join (the SSJoin family): all pairs of
     sets whose Jaccard similarity ``|A n B| / |A u B| >= threshold_num /
@@ -596,25 +597,50 @@ def setsim_join(
     integer arithmetic (``den * inter >= num * union``); the reported
     ``jaccard`` double is one division, mirrored by the SQL twin.
 
-    Three fixed-shard passes, all linear in the posting data:
-    1. co-locate rows by ``hash(set) % n_shards``; per group, collapse to
-       DISTINCT (set, item) and attach each set's size to its rows;
-    2. co-locate by ``hash(item)``; per group, one lexsort + run-pair
-       pass emits candidate pairs (each shared item contributes one),
-       pre-reduced per task to (pair, inter_partial, sizes);
-    3. merge per ``hash(pair)`` bucket: sum intersections, filter.
+    Default path (``prefix_filter=True``) is the standard PREFIX-FILTERED
+    SSJoin (Chaudhuri et al. 2006 / Bayardo et al. 2007 / the Vernica et
+    al. 2010 MapReduce layout): order every set's items by the global
+    (document-frequency ASC, item) total order; only a set's first
+    ``|s| - ceil(t*|s|) + 1`` items (its PREFIX — the rare items) can
+    witness a qualifying pair, so hub items (huge df, last in the order)
+    fall outside almost every prefix and their ``C(df, 2)`` candidate
+    blowup vanishes.  Candidates are generated from prefix postings only;
+    each prefix posting carries its set's full item list (packed int64
+    bytes), so the exact intersection verifies IN PLACE per item group —
+    no false negatives (the published prefix-filter lemma, conservative
+    symmetric prefix on both sides), no false positives (full verify).
 
-    Partitioning assumption (100 TB): candidate volume is ``sum over
-    items of C(df, 2)`` — a hub item (huge document-frequency) is
-    quadratic.  Bound it upstream by dropping or splitting
-    stop-items (df cap / prefix filtering); the fixed-shard shape
-    itself never materializes more than one item-shard's pairs per task.
+    Four fixed-shard passes, all linear in posting data (one FEWER
+    shuffle than a naive layering over the legacy path: the item-hash
+    co-location of pass 1 already dedups (set, item) globally, and the
+    set-hash co-location of pass 2 yields set sizes for free):
+    1. ``hash(item)``: collapse to DISTINCT (set, item); run lengths =
+       exact global df, annotate rows;
+    2. ``hash(set)``: set size = per-set row count; (df, item)-sort,
+       mark prefix rows, pack the item-sorted full set as bytes;
+    3. ``hash(item)`` over PREFIX rows only: run pairs -> unique pairs ->
+       vectorized padded-matrix intersection -> integer threshold test;
+    4. ``hash(pair)``: first-wins dedup (a pair verified under several
+       shared prefix items emits identical rows), one jaccard division.
+
+    Legacy path (``prefix_filter=False``) keeps the 3-pass count-all-
+    shared-items shape: candidate volume ``sum_items C(df, 2)`` — kept
+    for A/B measurement; both paths are bit-identical (tested).
+
+    Partitioning assumptions (100 TB): pass-4 verify is ``O(K^2)`` per
+    pair on padded item matrices (K = max set size per group) — designed
+    for bounded-size sets (baskets, orders, shingle samples; route huge
+    documents through minhash_neardup instead).  Prefix postings ship
+    each set's packed items ``prefix_len`` times (the Vernica tradeoff).
+    Item ids must avoid the two int64 padding sentinels (min, min+1).
     """
     from geoglue_ray.functions.texthash import int_hash64
 
     from geoglue_ray.stages.dedup import _MIX1, _MIX2, _run_pairs
 
     P = np.uint64(n_shards)
+    num = np.int64(threshold_num)
+    den = np.int64(threshold_den)
 
     def shard_sets(b: pa.Table) -> pa.Table:
         k = b[set_col].to_numpy().astype(np.int64)
@@ -731,14 +757,222 @@ def setsim_join(
             }
         )
 
+    if not prefix_filter:
+        return (
+            ds.map_batches(shard_sets, batch_format="pyarrow")
+            .groupby("_ss")
+            .map_groups(distinct_sized, batch_format="pandas")
+            .groupby("_is")
+            .map_groups(gen_candidates, batch_format="pandas")
+            .groupby("_pb")
+            .map_groups(merge, batch_format="pandas")
+        )
+
+    PAD_A = np.int64(np.iinfo(np.int64).min)
+    PAD_B = np.int64(np.iinfo(np.int64).min + 1)
+
+    def shard_items(b: pa.Table) -> pa.Table:
+        k = b[item_col].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "_is": pa.array((int_hash64(k) % P).astype(np.int64)),
+                "ok": pa.array(b[set_col].to_numpy().astype(np.int64)),
+                "item": pa.array(k),
+            }
+        )
+
+    def annotate_df(g: pd.DataFrame) -> pa.Table:
+        """Item-shard pass: every copy of (set, item) is in this group,
+        so a within-group dedup IS the global distinct, and run length
+        under the item sort IS the exact global df."""
+        empty = pa.table(
+            {
+                "_rs": pa.array([], pa.int64()),
+                "ok": pa.array([], pa.int64()),
+                "item": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        ok = g["ok"].to_numpy().astype(np.int64)
+        it = g["item"].to_numpy().astype(np.int64)
+        o = np.lexsort((ok, it))
+        ok, it = ok[o], it[o]
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (it[1:] != it[:-1])]
+        ok, it = ok[keep], it[keep]
+        bnd = np.r_[True, it[1:] != it[:-1]]
+        starts = np.nonzero(bnd)[0]
+        lens = np.diff(np.r_[starts, len(it)]).astype(np.int64)
+        df = np.repeat(lens, lens)
+        return pa.table(
+            {
+                "_rs": pa.array((int_hash64(ok) % P).astype(np.int64)),
+                "ok": pa.array(ok),
+                "item": pa.array(it),
+                "df": pa.array(df),
+            }
+        )
+
+    def mark_prefix(g: pd.DataFrame) -> pa.Table:
+        """Set-shard pass: set size = per-set row count (rows are
+        globally distinct); per set, (df, item)-rank its items and emit
+        only the first ``sz - ceil(t*sz) + 1`` rows, each carrying the
+        full item-sorted set packed as int64 bytes."""
+        empty = pa.table(
+            {
+                "_is": pa.array([], pa.int64()),
+                "ok": pa.array([], pa.int64()),
+                "item": pa.array([], pa.int64()),
+                "sz": pa.array([], pa.int64()),
+                "blob": pa.array([], pa.binary()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        ok = g["ok"].to_numpy().astype(np.int64)
+        it = g["item"].to_numpy().astype(np.int64)
+        df = g["df"].to_numpy().astype(np.int64)
+        # packed full sets, items ascending (merge/verify order), and
+        # set sizes from run lengths
+        o1 = np.lexsort((it, ok))
+        ok1, it1 = ok[o1], it[o1]
+        sbnd = np.r_[True, ok1[1:] != ok1[:-1]]
+        sstarts = np.nonzero(sbnd)[0]
+        sends = np.r_[sstarts[1:], len(ok1)]
+        set_sz = (sends - sstarts).astype(np.int64)
+        flat = np.ascontiguousarray(it1, dtype="<i8").tobytes()
+        blobs = [flat[8 * s : 8 * e] for s, e in zip(sstarts, sends)]
+        uniq_ok = ok1[sstarts]
+        # prefix ranks under the global (df, item) total order
+        o2 = np.lexsort((it, df, ok))
+        ok2, it2 = ok[o2], it[o2]
+        bnd2 = np.r_[True, ok2[1:] != ok2[:-1]]
+        starts2 = np.nonzero(bnd2)[0]
+        lens2 = np.diff(np.r_[starts2, len(ok2)])
+        rank = np.arange(len(ok2), dtype=np.int64) - np.repeat(starts2, lens2)
+        sz2 = np.repeat(lens2.astype(np.int64), lens2)
+        plen = sz2 - (num * sz2 + den - 1) // den + 1
+        keep = rank < plen
+        ok2, it2, sz2 = ok2[keep], it2[keep], sz2[keep]
+        bi = np.searchsorted(uniq_ok, ok2)
+        return pa.table(
+            {
+                "_is": pa.array((int_hash64(it2) % P).astype(np.int64)),
+                "ok": pa.array(ok2),
+                "item": pa.array(it2),
+                "sz": pa.array(sz2),
+                "blob": pa.array([blobs[i] for i in bi], pa.binary()),
+            }
+        )
+
+    def gen_verify(g: pd.DataFrame) -> pa.Table:
+        """Item-shard pass over prefix postings: run pairs -> unique
+        pairs -> exact padded-matrix intersection -> threshold test."""
+        empty = pa.table(
+            {
+                "_pb": pa.array([], pa.int64()),
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "inter": pa.array([], pa.int64()),
+                "un": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        ok = g["ok"].to_numpy().astype(np.int64)
+        it = g["item"].to_numpy().astype(np.int64)
+        sz = g["sz"].to_numpy().astype(np.int64)
+        blobs = g["blob"].to_numpy()
+        o = np.lexsort((ok, it))
+        ok, it, sz, blobs = ok[o], it[o], sz[o], blobs[o]
+        ia, ib = _run_pairs(it)
+        if len(ia) == 0:
+            return empty
+        # unique (a, b) within the group: a pair sharing several prefix
+        # items that hash to this shard verifies once
+        a, b_ = ok[ia], ok[ib]
+        po = np.lexsort((b_, a))
+        a, b_, ia, ib = a[po], b_[po], ia[po], ib[po]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b_[1:] != b_[:-1])]
+        a, b_, ia, ib = a[first], b_[first], ia[first], ib[first]
+        # padded item matrix (rows in group order)
+        n = len(ok)
+        K = int(sz.max())
+        flat = np.frombuffer(b"".join(blobs.tolist()), dtype="<i8").astype(
+            np.int64, copy=False
+        )
+        cum = np.r_[0, np.cumsum(sz)]
+        M = np.full((n, K), PAD_A, dtype=np.int64)
+        rows = np.repeat(np.arange(n), sz)
+        cols = np.arange(len(flat), dtype=np.int64) - np.repeat(cum[:-1], sz)
+        M[rows, cols] = flat
+        Mb = np.where(M == PAD_A, PAD_B, M)
+        inter = np.empty(len(ia), dtype=np.int64)
+        CH = max(1, (1 << 22) // max(K * K, 1))
+        for c0 in range(0, len(ia), CH):
+            sl = slice(c0, c0 + CH)
+            inter[sl] = (
+                (M[ia[sl]][:, :, None] == Mb[ib[sl]][:, None, :])
+                .sum(axis=(1, 2))
+                .astype(np.int64)
+            )
+        un = sz[ia] + sz[ib] - inter
+        keep = den * inter >= num * un
+        a, b_, inter, un = a[keep], b_[keep], inter[keep], un[keep]
+        h = (a.astype(np.uint64) * _MIX1 + b_.astype(np.uint64) * _MIX2) % P
+        return pa.table(
+            {
+                "_pb": pa.array(h.astype(np.int64)),
+                "doc_a": pa.array(a),
+                "doc_b": pa.array(b_),
+                "inter": pa.array(inter),
+                "un": pa.array(un),
+            }
+        )
+
+    def dedup_pairs(g: pd.DataFrame) -> pa.Table:
+        """Pair-shard pass: cross-group first-wins (rows identical), the
+        single jaccard division."""
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "inter": pa.array([], pa.int64()),
+                "un": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        a = g["doc_a"].to_numpy().astype(np.int64)
+        b_ = g["doc_b"].to_numpy().astype(np.int64)
+        inter = g["inter"].to_numpy().astype(np.int64)
+        un = g["un"].to_numpy().astype(np.int64)
+        o = np.lexsort((b_, a))
+        a, b_, inter, un = a[o], b_[o], inter[o], un[o]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b_[1:] != b_[:-1])]
+        a, b_, inter, un = a[first], b_[first], inter[first], un[first]
+        return pa.table(
+            {
+                "doc_a": pa.array(a),
+                "doc_b": pa.array(b_),
+                "inter": pa.array(inter),
+                "un": pa.array(un),
+                "jaccard": pa.array(inter / un),
+            }
+        )
+
     return (
-        ds.map_batches(shard_sets, batch_format="pyarrow")
-        .groupby("_ss")
-        .map_groups(distinct_sized, batch_format="pandas")
+        ds.map_batches(shard_items, batch_format="pyarrow")
         .groupby("_is")
-        .map_groups(gen_candidates, batch_format="pandas")
+        .map_groups(annotate_df, batch_format="pandas")
+        .groupby("_rs")
+        .map_groups(mark_prefix, batch_format="pandas")
+        .groupby("_is")
+        .map_groups(gen_verify, batch_format="pandas")
         .groupby("_pb")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(dedup_pairs, batch_format="pandas")
     )
 
 

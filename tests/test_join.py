@@ -407,3 +407,36 @@ def test_setsim_join_matches_brute_force(ray_session):
         )
         got = list(out.itertuples(index=False, name=None))
         assert got == exp
+
+
+def test_setsim_join_prefix_filter_matches_legacy():
+    """The prefix-filtered path (df-ordered prefixes + in-place verify)
+    must be bit-identical to the legacy count-all-shared-items path —
+    including hub items (high df) and duplicate postings."""
+    import pandas as pd
+
+    from geoglue_ray.stages.join import setsim_join
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for s in range(800):
+        for i in rng.choice(120, size=int(rng.integers(1, 7)), replace=False):
+            rows.append((s, int(i)))
+        if rng.random() < 0.4:
+            rows.append((s, 777))  # hub item in ~40% of sets
+    df = pd.DataFrame(rows, columns=["ok", "item"])
+    df = pd.concat([df, df.sample(frac=0.25, random_state=2)])  # dup postings
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    for num, den in ((1, 2), (1, 3), (2, 3)):
+        a = (
+            setsim_join(rd.from_arrow(tbl), "ok", "item", num, den,
+                        n_shards=8, prefix_filter=False)
+            .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+        b = (
+            setsim_join(rd.from_arrow(tbl), "ok", "item", num, den,
+                        n_shards=8, prefix_filter=True)
+            .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b)
