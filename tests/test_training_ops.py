@@ -1132,3 +1132,62 @@ def test_pq_train_matches_brute_force(ray_session):
         assert np.array_equal(
             sub.groupby("cluster_id")["n_members"].first().to_numpy(), n
         )
+
+
+def test_collocation_lift_no_driver_vocab():
+    """collocation_lift must hold NO vocabulary-cardinality state on the
+    driver (round-4 verdict): no take_all/to_pandas of unigram rows, no
+    ray.put of a counts dict — only the scalar token total.  Correctness
+    vs a brute-force lift on a small corpus."""
+    import inspect
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.text import collocation_lift
+
+    src = inspect.getsource(collocation_lift)
+    assert "take_all" not in src
+    assert "ray.put" not in src
+
+    docs = [
+        "new york new york city hall",
+        "san francisco bay area san francisco",
+        "new york state of mind",
+        "the city of san francisco",
+        "york minster is not in new york",
+    ] * 3
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    ).repartition(4)
+    got = (
+        collocation_lift(ds, "text", k=10, min_count=3, n_shards=8)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    # brute force
+    toks = [t for d in docs for t in d.split()]
+    total = len(toks)
+    uni: dict[str, int] = {}
+    for t in toks:
+        uni[t] = uni.get(t, 0) + 1
+    pairs: dict[tuple[str, str], int] = {}
+    for d in docs:
+        w = d.split()
+        for a, b in zip(w, w[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    rows = [
+        (a, b, n, uni[a], uni[b],
+         np.float64(np.int64(total) * np.int64(n))
+         / np.float64(np.int64(uni[a]) * np.int64(uni[b])))
+        for (a, b), n in pairs.items() if n >= 3
+    ]
+    exp = (
+        pd.DataFrame(rows, columns=["tok1", "tok2", "n_pairs", "c1", "c2", "lift"])
+        .sort_values(["lift", "tok1", "tok2"], ascending=[False, True, True],
+                     kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
