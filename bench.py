@@ -186,6 +186,9 @@ def _run_queries() -> dict:
         # round-5: prefix-filtered exact set-similarity join (candidates
         # 9.0M -> 4.5M at sf0.1; 16x on hub-skewed sets — BASELINE.md)
         ("jaccard_orders", q.jaccard_orders),
+        # round-5: scan-level predicate pushdown — the one-week window is
+        # applied INSIDE the parquet scan (~23% of rows leave the read op)
+        ("events_window_profile", q.events_window_profile),
     ]
     extra_reps = int(os.environ.get("GRAFT_EXTRA_REPEATS", "2"))
     for name, fn in extra:

@@ -3610,6 +3610,23 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_window_profile() -> str:
+    """One-week slice profile twin: the WHERE window mirrors the
+    engine's scan-level predicate pushdown; floored sums stay
+    integer-valued doubles (order-independent)."""
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(floor(value)) AS sum_floor,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def winsorized_admin1() -> str:
     """Two-pass winsorized aggregate: per-admin-1 p25/p75 (quantile_disc
     — element selection, no interpolation) then the clipped sum/count.

@@ -3015,16 +3015,20 @@ def doc_repetition(sf_dir: str) -> rd.Dataset:
     return out.drop_columns(["text"]).sort("doc_id")
 
 
-def hopping_window(sf_dir: str) -> rd.Dataset:
+def hopping_window(sf_dir: str, ts_lo=None, ts_hi=None) -> rd.Dataset:
     """Hopping (sliding) window aggregate over the event stream: window
     length 2h, hop 1h — every event lands in exactly two windows.  The
     explode is a per-batch concat (2x row fan-out, narrow columns), the
     aggregate is the fixed-bucket partial-merge path — no raw-row
-    shuffle, payload bounded by (windows x event types)."""
+    shuffle, payload bounded by (windows x event types).  Optional
+    ``[ts_lo, ts_hi)`` restricts the stream AT THE SCAN (row-group
+    predicate pushdown, sources/events.read_events)."""
+    from geoglue_ray.sources.events import read_events
+
     HOUR = 3_600_000_000  # microseconds
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    ds = read_events(
+        sf_dir, columns=["ts", "event_type", "value"], ts_lo=ts_lo, ts_hi=ts_hi
     )
 
     def explode(b: pa.Table) -> pa.Table:
@@ -3044,6 +3048,88 @@ def hopping_window(sf_dir: str) -> rd.Dataset:
     ex = ds.map_batches(explode, batch_format="pyarrow")
     out = zonal_aggregate(ex, ["count", "sum"], keys=["window_start", "event_type"])
     return out.sort(["window_start", "event_type"])
+
+
+def events_window_profile(sf_dir: str) -> rd.Dataset:
+    """Per-type profile of ONE week of the event stream ([2024-01-08,
+    2024-01-15)): count, sum of floored values (integer-valued — order-
+    independent), first/last timestamp.  The week restriction is pushed
+    INTO the parquet scan (sources/events.read_events: row-group
+    statistics pruning + in-scan row filter), so only ~1/4 of the
+    30-day table leaves storage — the predicate-pushdown twin of the
+    reference's bbox ``sel`` crop (util.py:144-162).  Downstream is a
+    per-batch partial collapse to type-cardinality rows and one tiny
+    final merge."""
+    import pandas as pd
+
+    from geoglue_ray.sources.events import read_events
+
+    LO = np.datetime64("2024-01-08T00:00:00", "us")
+    HI = np.datetime64("2024-01-15T00:00:00", "us")
+    ds = read_events(
+        sf_dir, columns=["ts", "event_type", "value"], ts_lo=LO, ts_hi=HI
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        fv = np.floor(b["value"].to_numpy())
+        codes, uniq = pd.factorize(et, use_na_sentinel=False)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        sv = np.bincount(codes, weights=fv, minlength=len(uniq))
+        ti = ts.astype(np.int64)
+        mn = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(mn, codes, ti)
+        np.maximum.at(mx, codes, ti)
+        return pa.table(
+            {
+                "event_type": pa.array(uniq, pa.string()),
+                "n": pa.array(n),
+                "sum_floor": pa.array(sv),
+                "mn": pa.array(mn),
+                "mx": pa.array(mx),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "sum_floor": pd.Series([], dtype=np.float64),
+                    "first_ts": pd.Series([], dtype="datetime64[us]"),
+                    "last_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        s = g.groupby("event_type", sort=True, dropna=False).agg(
+            n_events=("n", "sum"),
+            sum_floor=("sum_floor", "sum"),
+            mn=("mn", "min"),
+            mx=("mx", "max"),
+        )
+        return pd.DataFrame(
+            {
+                "event_type": s.index.to_numpy(),
+                "n_events": s["n_events"].to_numpy().astype(np.int64),
+                "sum_floor": s["sum_floor"].to_numpy().astype(np.float64),
+                "first_ts": s["mn"].to_numpy().astype("datetime64[us]"),
+                "last_ts": s["mx"].to_numpy().astype("datetime64[us]"),
+            }
+        )
+
+    # type cardinality is tiny: one final single-group merge
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("_g", pa.array(np.zeros(b.num_rows, np.int64)))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(final, batch_format="pandas")
+        .sort("event_type")
+    )
 
 
 def winsorized_admin1(sf_dir: str) -> rd.Dataset:
@@ -6527,14 +6613,23 @@ def events_scan_stat(sf_dir: str) -> rd.Dataset:
     (excess desc, cell_row, cell_col, win).  Shape: per-batch partial
     collapse to cylinder counts; the cylinder table is lattice x
     windows bounded, so marginals and scores compute in one final
-    vectorized pass (events_density pattern)."""
+    vectorized pass (events_density pattern).  The study period
+    [T0, T0+30d) is enforced AT THE SCAN (predicate pushdown,
+    sources/events.read_events) — the downstream window guard stays as
+    a second line of defence."""
+    from geoglue_ray.sources.events import read_events
     from geoglue_ray.sources.raster import RXSIZE, RYSIZE
 
     # the events stream's own epoch (driver fixture: 2024-01-01..01-30),
     # NOT the raster's fx.T0
     T0 = np.datetime64("2024-01-01T00:00:00", "us")
     N_WIN = 10  # 30 days / 3-day windows
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    ds = read_events(
+        sf_dir,
+        columns=["event_id", "ts"],
+        ts_lo=T0,
+        ts_hi=T0 + np.timedelta64(N_WIN * 72, "h"),
+    )
 
     def bin_counts(b: pa.Table) -> pa.Table:
         lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
@@ -10324,20 +10419,22 @@ def od_ipf(sf_dir: str, rounds: int = 4) -> rd.Dataset:
     ).sort(["o_admin", "d_admin"])
 
 
-def late_events(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
+def late_events(sf_dir: str, n_shards: int = 64, ts_lo=None, ts_hi=None) -> rd.Dataset:
     """Watermark / late-data accounting — the streaming-semantics audit:
     event_id is the ARRIVAL order, ts the event time; an event is late
     when its timestamp precedes the running max of earlier-arriving
     events of the same user.  Per user: event count, late count, max
     lateness (µs).  Users co-locate in fixed hash shards; each shard
     runs one lexsort + grouped cummax-shift pass (exact integer
-    timestamp arithmetic)."""
+    timestamp arithmetic).  Optional ``[ts_lo, ts_hi)`` audits only a
+    time slice, pushed into the scan (sources/events.read_events)."""
     import pandas as pd
 
     from geoglue_ray.functions.texthash import int_hash64
+    from geoglue_ray.sources.events import read_events
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    ds = read_events(
+        sf_dir, columns=["user_id", "event_id", "ts"], ts_lo=ts_lo, ts_hi=ts_hi
     )
 
     def shard(b: pa.Table) -> pa.Table:
