@@ -2137,6 +2137,45 @@ ORDER BY 1, 2
 """
 
 
+def incremental_dedup_embed() -> str:
+    """Embedding admit-gate twin: the embed_neardup pair SQL (same
+    bit-exact bucket/norm/dot chains, nbits=4, threshold 0.3) restricted
+    to cross-split pairs, counted + max-cosined per arriving vector,
+    left-joined so clean arrivals emit (0, NULL, false)."""
+    from geoglue_ray.stages.similarity import rademacher_signs
+
+    signs = rademacher_signs(_EMB_DIM, 4, seed=23)
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         CAST({_bucket_expr('embedding', signs)} AS BIGINT) AS bucket,
+         sqrt({_normsq_chain('embedding', _EMB_DIM)}) AS nrm
+  FROM embeddings),
+pairs AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ({_dot_chain('a.embedding', 'b.embedding', _EMB_DIM)})
+             / (a.nrm * b.nrm) AS cosine
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+  WHERE cosine >= 0.3),
+cr AS (
+  SELECT CASE WHEN vec_a % 5 = 0 THEN vec_a ELSE vec_b END AS vec_id, cosine
+  FROM pairs
+  WHERE (vec_a % 5 = 0) <> (vec_b % 5 = 0)),
+agg AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_embed_near,
+         max(cosine) AS max_cosine
+  FROM cr GROUP BY 1)
+SELECT e.vec_id,
+       COALESCE(agg.n_embed_near, 0) AS n_embed_near,
+       agg.max_cosine AS max_cosine,
+       COALESCE(agg.n_embed_near, 0) > 0 AS is_duplicate
+FROM embeddings e LEFT JOIN agg USING (vec_id)
+WHERE e.vec_id % 5 = 0
+ORDER BY 1
+"""
+
+
 def embed_knn() -> str:
     return """
 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -7151,6 +7151,92 @@ def incremental_dedup(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
     return j.map_batches(final, batch_format="pyarrow").sort("doc_id")
 
 
+def incremental_dedup_embed(sf_dir: str) -> rd.Dataset:
+    """Embedding-aware INCREMENTAL admit gate — the third dedup family
+    (after incremental_dedup's exact-fingerprint and MinHash signals)
+    consulted at ingest time, so the streaming gate matches the batch
+    curation pipeline's precision: an arriving vector (vec_id % 5 == 0)
+    is flagged when its cosine against any BASE-corpus vector reaches
+    the near-dup threshold.  Pairs come from the LSH-bucketed
+    embedding_neardup stage (same pinned nbits=4 / 0.3 threshold as
+    embed_neardup, so the SQL twin reuses its bit-exact chain
+    expressions); only cross-split pairs count.  Per new vector: base
+    neighbor count, best cosine (max — order-independent), verdict.
+    Scale: pair generation is bucketed (never all-pairs), counts
+    partial-collapse per batch, the gate output is one row per arriving
+    vector."""
+    from geoglue_ray.stages.join import hash_equijoin
+    from geoglue_ray.stages.similarity import embedding_neardup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = embedding_neardup(ds, threshold=0.3, nbits=4)
+
+    def cross(b: pa.Table) -> pa.Table:
+        a = b["vec_a"].to_numpy().astype(np.int64)
+        d = b["vec_b"].to_numpy().astype(np.int64)
+        cs = b["cosine"].to_numpy().astype(np.float64)
+        an, dn = a % 5 == 0, d % 5 == 0
+        s1, s2 = an & ~dn, dn & ~an
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate([a[s1], d[s2]])),
+                "cosine": pa.array(np.concatenate([cs[s1], cs[s2]])),
+            }
+        )
+
+    near = zonal_aggregate(
+        pairs.map_batches(cross, batch_format="pyarrow"),
+        ["count", "max"],
+        keys=["vec_id"],
+        value_col="cosine",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "n_embed_near": pc.cast(b["count"], pa.int64()),
+                "max_cosine": pc.cast(b["max"], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def new_only(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        return pa.table({"vec_id": pa.array(ids[ids % 5 == 0])})
+
+    newv = ds.map_batches(new_only, batch_format="pyarrow")
+    j = hash_equijoin(
+        newv,
+        near,
+        left_on="vec_id",
+        right_on="vec_id",
+        how="left",
+        left_schema=pa.schema([("vec_id", pa.int64())]),
+        right_schema=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("n_embed_near", pa.int64()),
+                ("max_cosine", pa.float64()),
+            ]
+        ),
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        nn = pc.fill_null(b["n_embed_near"], 0).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "n_embed_near": pa.array(nn),
+                "max_cosine": pc.cast(b["max_cosine"], pa.float64()),
+                "is_duplicate": pa.array(nn > 0),
+            }
+        )
+
+    return j.map_batches(final, batch_format="pyarrow").sort("vec_id")
+
+
 def exposure_bands(sf_dir: str) -> rd.Dataset:
     """EXPOSURE ATTRIBUTION — the climate-epidemiology workhorse this
     engine exists for: every event joins the full space-TIME raster at
