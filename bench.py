@@ -222,6 +222,39 @@ def _run_queries() -> dict:
             skew_out["plain"].equals(skew_out["salted"])
         )
 
+        # round-5 write-path bench (S12/S13 at scale): one-pass
+        # day-partitioned parquet write of the derived corpus with
+        # per-partition lineage manifests, plus the manifest-gated
+        # resume (full skip).  Single sample (a warm repeat would just
+        # measure the page cache); pools sized 1/4:1/2 of the session
+        # per the concurrent-fixed-pool rule.
+        import shutil
+        import tempfile
+
+        from geoglue_ray.pipelines.resumable import corpus_daily_write
+
+        write_reps = int(os.environ.get("GRAFT_WRITE_REPLICAS", "2000"))
+        wdir = tempfile.mkdtemp(prefix="bench_corpus_write_")
+        try:
+            t0 = time.perf_counter()
+            s1 = corpus_daily_write(
+                SF_DIR, wdir, replicas=write_reps,
+                concurrency=max(2, NUM_CPUS // 2),
+                derive_concurrency=max(1, NUM_CPUS // 4),
+            )
+            results["corpus_write"] = round(time.perf_counter() - t0, 3)
+            results["corpus_write_rows"] = s1["rows_written"]
+            t0 = time.perf_counter()
+            s2 = corpus_daily_write(
+                SF_DIR, wdir, replicas=write_reps,
+                concurrency=max(2, NUM_CPUS // 2),
+                derive_concurrency=max(1, NUM_CPUS // 4),
+            )
+            results["corpus_write_resume"] = round(time.perf_counter() - t0, 3)
+            assert not s2["written"] and len(s2["skipped"]) == 30
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+
     payload = {
         "metric": "zonal_flagship_elapsed",
         "value": round(headline, 3),
