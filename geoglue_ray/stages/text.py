@@ -258,6 +258,15 @@ def tfidf_top_token(
     Pass 2 streams docs: per-batch tf runs (one lexsort), idf gather via
     ``searchsorted`` on the sorted vocab, argmax per doc with the strict
     tie-break (score desc, token asc) the SQL twin's QUALIFY replays.
+
+    **Broadcast ceiling (stated bound)**: the DF table is one row per
+    distinct token — fine for curated/BPE-sized vocabularies (<= a few
+    100k rows), NOT for a raw 100 TB web corpus's 10^8+-token long tail.
+    At that scale either pre-tokenize to a bounded vocab (bpe_encode) or
+    re-shape to the collocation_lift idiom (token-hash co-shuffle joins,
+    no broadcast): the argmax projection then needs a per-doc top-1
+    merge keyed by doc across token shards — one extra shuffle, which is
+    why the broadcast variant is the default here.
     """
     import pandas as pd
     import ray
