@@ -85,6 +85,7 @@ def sql_int_hash(e: str) -> str:
 
 
 C4 = 0x14650FB0739D0383  # odd, < 2**61: every HUGEINT product stays < 2**126
+C5 = 0x1B873593CC9E2D51  # odd, < 2**61: third rolling-hash multiplier (CDC)
 
 
 def kmv_hash64(ids) -> np.ndarray:

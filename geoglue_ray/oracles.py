@@ -2137,6 +2137,102 @@ ORDER BY 1, 2
 """
 
 
+def cdc_chunks() -> str:
+    """Content-defined chunking twin: rolling hash via lag windows with
+    per-term mod-2^64 reduction (each multiplier < 2^62 keeps products
+    HUGEINT-safe; summing the REDUCED terms matches numpy's uint64
+    wraparound), gaps-and-islands chunk ids, rotate-XOR content hash
+    through a generated powers-of-two table, bit_xor on the
+    two's-complement view."""
+    from geoglue_ray.functions.texthash import (
+        C1,
+        C4,
+        C5,
+        U64,
+        sql_token_hash,
+        sql_u64_to_bigint,
+    )
+
+    p2 = ", ".join(f"({r}, {1 << r}::HUGEINT)" for r in range(64))
+    rot = f"((h * p2.v) % {U64}::HUGEINT + h // ({U64}::HUGEINT // p2.v))"
+    return f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, i.range AS i, len(toks) AS n,
+         list_extract(toks, i.range::INTEGER) AS w
+  FROM tl, range(1, 128) i WHERE i.range <= len(toks)),
+hx AS (SELECT doc_id, i, n, {sql_token_hash('w')} AS h FROM tok),
+roll AS (
+  SELECT doc_id, i, n, h,
+         (h + ({C1}::HUGEINT * COALESCE(lag(h, 1) OVER win, 0::HUGEINT))
+                % {U64}::HUGEINT
+            + ({C4}::HUGEINT * COALESCE(lag(h, 2) OVER win, 0::HUGEINT))
+                % {U64}::HUGEINT
+            + ({C5}::HUGEINT * COALESCE(lag(h, 3) OVER win, 0::HUGEINT))
+                % {U64}::HUGEINT) % {U64}::HUGEINT AS hh
+  FROM hx WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+bnd AS (
+  SELECT *, (i >= 4 AND hh % 8 = 0) OR i = n AS b FROM roll),
+cid AS (
+  SELECT doc_id, i, h, b,
+         COALESCE(CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) OVER
+           (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS chunk
+  FROM bnd),
+rr AS (
+  SELECT doc_id, chunk, h,
+         CAST((i - min(i) OVER (PARTITION BY doc_id, chunk)) % 64 AS BIGINT)
+           AS r
+  FROM cid),
+rx AS (
+  SELECT doc_id, chunk, {sql_u64_to_bigint(rot)} AS rotb
+  FROM rr JOIN (VALUES {p2}) AS p2(r, v) USING (r)),
+ch AS (
+  SELECT doc_id, chunk, bit_xor(rotb) AS chash,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM rx GROUP BY 1, 2),
+agg AS (
+  SELECT chash, n_tokens, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM ch GROUP BY 1, 2)
+SELECT chash, n_tokens, n_occurrences, n_docs
+FROM agg WHERE n_occurrences >= 2
+ORDER BY n_occurrences DESC, chash, n_tokens LIMIT 20
+"""
+
+
+def corpus_mix() -> str:
+    """Temperature-mixing twin: per-language counts, q = one divide +
+    one correctly-rounded sqrt, threshold = floor(q * 2^52) (integral
+    double, exactly representable), admission on the top 52 hash bits."""
+    from geoglue_ray.functions.texthash import sql_kmv_hash
+
+    h52 = f"({sql_kmv_hash('doc_id')}) // 4096::HUGEINT"
+    return f"""
+WITH lc AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+mn AS (SELECT min(n) AS nmin FROM lc),
+q AS (
+  SELECT lang, n,
+         sqrt(CAST(mn.nmin AS DOUBLE) / CAST(n AS DOUBLE)) AS q,
+         CAST(floor(sqrt(CAST(mn.nmin AS DOUBLE) / CAST(n AS DOUBLE))
+                    * 4503599627370496.0) AS BIGINT) AS thr
+  FROM lc, mn),
+adm AS (
+  SELECT d.lang,
+         CAST(count(*) FILTER (WHERE {h52} < q.thr::HUGEINT) AS BIGINT)
+           AS n_admitted
+  FROM documents d JOIN q USING (lang)
+  GROUP BY 1)
+SELECT q.lang, q.n AS n_docs, adm.n_admitted, q.q
+FROM q JOIN adm USING (lang)
+ORDER BY 1
+"""
+
+
 def incremental_dedup_embed() -> str:
     """Embedding admit-gate twin: the embed_neardup pair SQL (same
     bit-exact bucket/norm/dot chains, nbits=4, threshold 0.3) restricted

@@ -7151,6 +7151,100 @@ def incremental_dedup(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
     return j.map_batches(final, batch_format="pyarrow").sort("doc_id")
 
 
+def cdc_chunks(sf_dir: str) -> rd.Dataset:
+    """Content-defined chunking duplicate census over the corpus — the
+    Rabin/FastCDC boundary rule (rolling 4-token hash, H % 8 == 0) that
+    survives insertions where fixed windows re-align every downstream
+    chunk (stages/dedup.cdc_chunk_stats).  Top 20 duplicated chunks by
+    (occurrences desc, content hash, token count); the content hash is
+    the rotate-XOR of SQL-replicable token hashes, so the twin matches
+    bit-for-bit via HUGEINT arithmetic + bit_xor."""
+    from geoglue_ray.stages.dedup import cdc_chunk_stats
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    return cdc_chunk_stats(ds)
+
+
+def corpus_mix(sf_dir: str) -> rd.Dataset:
+    """Temperature-weighted multilingual corpus mixing — the mC4/ROOTS
+    alpha-sampling shape at alpha = 1/2: the rarest language keeps every
+    document (q = 1) and a language with n docs downsamples with
+    probability q_l = sqrt(n_min / n_l), flattening the language
+    distribution toward the temperature target.  Deterministic admission:
+    the top 52 bits of kmv_hash64(doc_id) compare against
+    floor(q_l * 2^52) — 52 bits so the threshold is an exactly-
+    representable integral double on both engines (the 2^53 lesson), and
+    the whole float chain (one divide, one correctly-rounded sqrt, one
+    multiply, floor) mirrors the SQL twin bit-for-bit.
+
+    Scale shape: pass 1 collapses per-batch language counts (partials ->
+    one tiny merge); the driver holds only the LANGUAGE-cardinality
+    threshold table (the corpus_budget rule — bounded by key structure,
+    never corpus size).  Pass 2 streams doc ids through the broadcast
+    thresholds and partial-collapses admitted counts per batch."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import kmv_hash64
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "lang"])
+
+    def cpart(b: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(
+            b["lang"].to_numpy(zero_copy_only=False), use_na_sentinel=False
+        )
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"lang": pa.array(uniq, pa.string()), "n": pa.array(n)})
+
+    lc = (
+        ds.map_batches(cpart, batch_format="pyarrow")
+        .to_pandas()  # bounded: blocks x language cardinality
+        .groupby("lang", sort=True, dropna=False)["n"]
+        .sum()
+    )
+    langs = np.array(lc.index, dtype=object)
+    counts = lc.to_numpy().astype(np.int64)
+    n_min = np.int64(counts.min())
+    q = np.sqrt(np.float64(n_min) / counts.astype(np.float64))
+    thr = np.floor(q * np.float64(1 << 52)).astype(np.int64)
+    lang_sorted = langs.astype(str)  # sorted by the groupby(sort=True)
+
+    def admit(b: pa.Table) -> pa.Table:
+        lg = b["lang"].to_numpy(zero_copy_only=False).astype(str)
+        li = np.searchsorted(lang_sorted, lg)
+        h52 = (kmv_hash64(b["doc_id"].to_numpy()) >> np.uint64(12)).astype(
+            np.int64
+        )
+        adm = h52 < thr[li]
+        cnt = np.bincount(li, weights=adm, minlength=len(lang_sorted)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "lang": pa.array(lang_sorted, pa.string()),
+                "adm": pa.array(cnt),
+            }
+        )
+
+    am = (
+        ds.map_batches(admit, batch_format="pyarrow")
+        .to_pandas()  # bounded: blocks x language cardinality
+        .groupby("lang", sort=True, dropna=False)["adm"]
+        .sum()
+        .to_numpy()
+        .astype(np.int64)
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(lang_sorted, pa.string()),
+                "n_docs": pa.array(counts),
+                "n_admitted": pa.array(am),
+                "q": pa.array(q),
+            }
+        )
+    )
+
+
 def incremental_dedup_embed(sf_dir: str) -> rd.Dataset:
     """Embedding-aware INCREMENTAL admit gate — the third dedup family
     (after incremental_dedup's exact-fingerprint and MinHash signals)

@@ -1428,3 +1428,172 @@ def dedup_corpus(
         batch_format="pyarrow",
     )
     return survivor_corpus(docs_keep, eliminated, broadcast_below=broadcast_below)
+
+
+def cdc_chunk_stats(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 4,
+    mask: int = 8,
+    top_n: int = 20,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """CONTENT-DEFINED chunking duplicate statistics — the Rabin/FastCDC
+    shape fixed-window :func:`chunk_dedup` cannot provide: chunk
+    boundaries fall where a rolling hash of the last ``w`` tokens hits
+    ``H % mask == 0``, so an insertion near a document's head shifts
+    only the chunk it lands in (fixed windows re-align EVERY downstream
+    chunk).  Emits the top ``top_n`` duplicated chunks across the corpus
+    as (chunk content hash, token count, occurrences, distinct docs).
+
+    Everything is SQL-replicable (the texthash discipline): token hashes
+    via :func:`token_hash64`; the rolling hash is three mod-2^64
+    multiply-adds (C1/C4/C5, each < 2^62 so the HUGEINT twin never
+    overflows when each product is reduced before the sum — numpy's
+    uint64 wraparound equals the per-term-mod form); the chunk content
+    hash is XOR of per-token hashes rotated by in-chunk offset % 64
+    (order-sensitive, exactly `bit_xor` of the two's-complement view in
+    DuckDB).  A document's last token always closes a chunk; documents
+    shorter than ``w`` become one chunk.
+
+    Scale shape: one streaming pass — per batch, the whole flattened
+    token array segments vectorized (shifted adds, one
+    ``bitwise_xor.reduceat``) and collapses to (hash, n_tokens, doc)
+    partial counts (~tokens/mask rows); a fixed chunk-hash shard merge
+    counts occurrences + distinct docs, filters singletons, per-shard
+    top-k, then one <= n_shards*top_n global sort.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from geoglue_ray.functions.texthash import C1, C4, C5, int_hash64, token_hash64
+
+    P = np.uint64(n_shards)
+    assert w == 4, "rolling hash is pinned to w=4 (three lag multipliers)"
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "chash": pa.array([], pa.int64()),
+                "ntok": pa.array([], pa.int64()),
+                "doc": pa.array([], pa.int64()),
+                "occ": pa.array([], pa.int64()),
+                "_s": pa.array([], pa.int64()),
+            }
+        )
+        toks = pc.split_pattern(b[text_col], pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_ids = b[id_col].to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(len(b)), lens)
+        keep = flat != ""
+        flat, doc_of = flat[keep], doc_of[keep]
+        n = len(flat)
+        if n == 0:
+            return empty
+        h = token_hash64(flat.astype(str))
+        # within-doc 0-based position
+        new_doc = np.r_[True, doc_of[1:] != doc_of[:-1]]
+        doc_starts = np.flatnonzero(new_doc)
+        p = np.arange(n, dtype=np.int64) - np.repeat(
+            doc_starts, np.diff(np.r_[doc_starts, n])
+        )
+        # rolling hash of the last w tokens (garbage where p < w-1, unused)
+        H = h.copy()
+        for k, c in ((1, C1), (2, C4), (3, C5)):
+            sh = np.zeros(n, np.uint64)
+            sh[k:] = h[:-k]
+            H = H + np.uint64(c) * sh
+        bnd = (p >= w - 1) & (H % np.uint64(mask) == np.uint64(0))
+        bnd[np.r_[doc_starts[1:] - 1, n - 1]] = True  # doc ends close chunks
+        starts_flag = np.r_[True, bnd[:-1]] | new_doc
+        sidx = np.flatnonzero(starts_flag)
+        clen = np.diff(np.r_[sidx, n]).astype(np.int64)
+        r = (np.arange(n, dtype=np.int64) - np.repeat(sidx, clen)).astype(
+            np.uint64
+        ) % np.uint64(64)
+        # shift amount 64 is undefined for uint64 (mod-64 on x86): clamp
+        # the dead branch so np.where never evaluates h >> 64
+        amt = np.where(r == 0, np.uint64(1), np.uint64(64) - r)
+        rot = (h << r) | np.where(r == 0, np.uint64(0), h >> amt)
+        chash = np.bitwise_xor.reduceat(rot, sidx).view(np.int64)
+        cdoc = doc_ids[doc_of[sidx]]
+        # collapse to per-batch (hash, ntok, doc) occurrence counts
+        o = np.lexsort((cdoc, clen, chash))
+        chash, clen, cdoc = chash[o], clen[o], cdoc[o]
+        first = np.r_[
+            True,
+            (chash[1:] != chash[:-1])
+            | (clen[1:] != clen[:-1])
+            | (cdoc[1:] != cdoc[:-1]),
+        ]
+        starts2 = np.flatnonzero(first)
+        occ = np.diff(np.r_[starts2, len(chash)]).astype(np.int64)
+        chash, clen, cdoc = chash[starts2], clen[starts2], cdoc[starts2]
+        return pa.table(
+            {
+                "chash": pa.array(chash),
+                "ntok": pa.array(clen),
+                "doc": pa.array(cdoc),
+                "occ": pa.array(occ),
+                "_s": pa.array((int_hash64(chash) % P).astype(np.int64)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["chash", "n_tokens", "n_occurrences", "n_docs"]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "chash": pd.Series([], dtype=np.int64),
+                    "n_tokens": pd.Series([], dtype=np.int64),
+                    "n_occurrences": pd.Series([], dtype=np.int64),
+                    "n_docs": pd.Series([], dtype=np.int64),
+                }
+            )[cols]
+        ch = g["chash"].to_numpy().astype(np.int64)
+        nt = g["ntok"].to_numpy().astype(np.int64)
+        dc = g["doc"].to_numpy().astype(np.int64)
+        oc = g["occ"].to_numpy().astype(np.int64)
+        o = np.lexsort((dc, nt, ch))
+        ch, nt, dc, oc = ch[o], nt[o], dc[o], oc[o]
+        grp = np.r_[True, (ch[1:] != ch[:-1]) | (nt[1:] != nt[:-1])]
+        gid = np.cumsum(grp) - 1
+        n_grp = gid[-1] + 1
+        occ_tot = np.bincount(gid, weights=oc, minlength=n_grp).astype(np.int64)
+        # docs are sorted within each group: distinct = run starts
+        doc_new = grp | np.r_[True, dc[1:] != dc[:-1]]
+        ndocs = np.bincount(gid, weights=doc_new, minlength=n_grp).astype(
+            np.int64
+        )
+        gs = np.flatnonzero(grp)
+        out = pd.DataFrame(
+            {
+                "chash": ch[gs],
+                "n_tokens": nt[gs],
+                "n_occurrences": occ_tot,
+                "n_docs": ndocs,
+            }
+        )
+        out = out[out["n_occurrences"] >= 2]
+        return (
+            out.sort_values(
+                ["n_occurrences", "chash", "n_tokens"],
+                ascending=[False, True, True],
+                kind="mergesort",
+            )
+            .head(top_n)
+            .reset_index(drop=True)[cols]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(merge, batch_format="pandas")
+        .sort(
+            ["n_occurrences", "chash", "n_tokens"],
+            descending=[True, False, False],
+        )
+        .limit(top_n)
+    )

@@ -1191,3 +1191,45 @@ def test_collocation_lift_no_driver_vocab():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_cdc_chunks_shift_resistance():
+    """The CDC property fixed-window chunking lacks: inserting one token
+    at a document's head changes only the chunks up to the first
+    boundary after the insertion — the chunk-hash multiset of the
+    suffix is preserved (boundaries are content-defined)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoglue_ray.stages.dedup import cdc_chunk_stats
+
+    rng = np.random.default_rng(17)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "eps", "zeta",
+                      "eta", "theta", "iota", "kappa"])
+    base = " ".join(rng.choice(vocab, size=120))
+
+    def chunks_of(text: str) -> list[tuple[int, int]]:
+        ds = rd.from_arrow(pa.table({"doc_id": [0], "text": [text]}))
+        df = cdc_chunk_stats(ds, top_n=1000).to_pandas()
+        # top_n census filters singletons; recover ALL chunks by running
+        # the doc twice under two ids (every chunk then occurs >= 2x)
+        ds2 = rd.from_arrow(
+            pa.table({"doc_id": [0, 1], "text": [text, text]})
+        )
+        df = cdc_chunk_stats(ds2, top_n=100000).to_pandas()
+        return sorted(
+            (int(r.chash), int(r.n_tokens))
+            for r in df.itertuples()
+            for _ in range(int(r.n_occurrences) // 2)
+        )
+
+    orig = chunks_of(base)
+    shifted = chunks_of("inserted " + base)
+    orig_set = pd.Series(orig).value_counts()
+    shift_set = pd.Series(shifted).value_counts()
+    common = sum(min(orig_set.get(k, 0), shift_set.get(k, 0))
+                 for k in set(orig_set.index) | set(shift_set.index))
+    # all but the first couple of chunks survive the shift
+    assert common >= len(orig) - 3, (common, len(orig), len(shifted))
+    assert len(orig) > 10
