@@ -567,6 +567,90 @@ FROM w ORDER BY 1, 2
 """
 
 
+def resample_kriging() -> str:
+    """remapok twin: ordinary kriging on the 3 nearest corners, linear
+    variogram.  Mirrors stages/resample.kriging3 op-for-op — the corner
+    distances reuse the idw chain; the drop-farthest CASE checks
+    (11, 10, 01) in order (first match == numpy's where-chain with
+    last-index tie preference); select-then-compute equals the engine's
+    compute-then-select bitwise because exactly one branch is taken;
+    den/u/t/mu/weights are the same left-associated chains."""
+    HD = "sqrt(0.125*0.125)"
+    VD = "sqrt(0.125*0.125)"
+    DG = "sqrt(0.125*0.125 + 0.125*0.125)"
+    dist = {
+        "d00": ("(gx - i0)", "(gy - j0)"),
+        "d01": ("(gx - (i0+1))", "(gy - j0)"),
+        "d10": ("(gx - i0)", "(gy - (j0+1))"),
+        "d11": ("(gx - (i0+1))", "(gy - (j0+1))"),
+    }
+    dsel = ",\n         ".join(
+        f"sqrt(({dx}*0.125)*({dx}*0.125) + ({dy}*0.125)*({dy}*0.125)) AS {k}"
+        for k, (dx, dy) in dist.items()
+    )
+
+    def pick(c11: str, c10: str, c01: str, c00: str) -> str:
+        return (
+            "CASE WHEN d11 >= d10 AND d11 >= d01 AND d11 >= d00 "
+            f"THEN {c11} "
+            f"WHEN d10 >= d01 AND d10 >= d00 THEN {c10} "
+            f"WHEN d01 >= d00 THEN {c01} ELSE {c00} END"
+        )
+
+    sels = ",\n         ".join(
+        f"{pick(*cases)} AS {name}"
+        for name, cases in (
+            ("a", (HD, HD, VD, DG)),
+            ("b", (VD, DG, DG, VD)),
+            ("c", (DG, VD, HD, HD)),
+            ("g1", ("d00", "d00", "d00", "d01")),
+            ("g2", ("d01", "d01", "d10", "d10")),
+            ("g3", ("d10", "d11", "d11", "d11")),
+            ("v1", ("v00", "v00", "v00", "v01")),
+            ("v2", ("v01", "v01", "v10", "v10")),
+            ("v3", ("v10", "v11", "v11", "v11")),
+        )
+    )
+    return f"""
+WITH {_era5_targets()},
+g AS (
+  SELECT tr, tc, (x - 96.0625)/0.125 AS gx, (31.9375 - y)/0.125 AS gy FROM targets),
+h AS (
+  SELECT tr, tc, gx, gy,
+         CAST(floor(gx) AS BIGINT) AS i0, CAST(floor(gy) AS BIGINT) AS j0
+  FROM g),
+d AS (
+  SELECT tr, tc,
+         {_wval('i0', 'j0')} AS v00, {_wval('i0+1', 'j0')} AS v01,
+         {_wval('i0', 'j0+1')} AS v10, {_wval('i0+1', 'j0+1')} AS v11,
+         {dsel}
+  FROM h),
+s AS (
+  SELECT tr, tc, d00, d01, d10, d11, v00, v01, v10, v11,
+         {sels}
+  FROM d),
+u AS (
+  SELECT *, (((2.0*a)*b)*c) AS den FROM s),
+uu AS (
+  SELECT *,
+         ((-(c*c))*g1 + (b*c)*g2 + (a*c)*g3) / den AS u1,
+         ((b*c)*g1 + (-(b*b))*g2 + (a*b)*g3) / den AS u2,
+         ((a*c)*g1 + (a*b)*g2 + (-(a*a))*g3) / den AS u3,
+         ((-(c*c)) + (b*c) + (a*c)) / den AS t1,
+         ((b*c) + (-(b*b)) + (a*b)) / den AS t2,
+         ((a*c) + (a*b) + (-(a*a))) / den AS t3
+  FROM u),
+mm AS (
+  SELECT *, ((u1 + u2 + u3) - 1.0) / (t1 + t2 + t3) AS mu FROM uu)
+SELECT CAST(tr AS INTEGER) AS cell_row, CAST(tc AS INTEGER) AS cell_col,
+       CASE WHEN d00 = 0 THEN v00 WHEN d01 = 0 THEN v01
+            WHEN d10 = 0 THEN v10 WHEN d11 = 0 THEN v11
+            ELSE (u1 - mu*t1)*v1 + (u2 - mu*t2)*v2 + (u3 - mu*t3)*v3 END
+         AS resampled
+FROM mm ORDER BY 1, 2
+"""
+
+
 def _rval(i: str, j: str) -> str:
     """ERA5 t2m hour-0 value at (col i, north-row j); NULL on ocean holes."""
     from geoglue_ray.sources.raster import HOLE_MOD, RXSIZE, VAL_MOD

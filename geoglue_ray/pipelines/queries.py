@@ -853,6 +853,18 @@ def resample_idw(sf_dir: str) -> rd.Dataset:
     return _resample_weights_to_era5("remapdis")
 
 
+def resample_kriging(sf_dir: str) -> rd.Dataset:
+    """Ordinary-kriging resampling of the weights grid onto the ERA5
+    grid — the geostatistical interpolator on top of the variogram
+    family (stages/resample.kriging3): 3 nearest of the 4 surrounding
+    centers, LINEAR variogram (the exact-arithmetic model — weights are
+    slope-invariant), closed-form bordered solve.  Every float op is a
+    fixed correctly-rounded IEEE chain mirrored verbatim by the DuckDB
+    twin, so the result (negative screening weights and all) is
+    bit-exact."""
+    return _resample_weights_to_era5("remapok")
+
+
 def resample_conservative(sf_dir: str) -> rd.Dataset:
     """First-order conservative regrid (CDO ``remapcon``, reference
     resample.py:81-161's remap grammar) of the integer weights field onto

@@ -137,11 +137,90 @@ def inverse_distance(
     return np.where(~np.isnan(exact), exact, out)
 
 
+def kriging3(
+    grid: np.ndarray, spec: GridSpec, x: np.ndarray, y: np.ndarray
+) -> np.ndarray:
+    """ORDINARY KRIGING on the 3 nearest of the 4 surrounding cell
+    centers under a LINEAR variogram ``gamma(h) = h`` — the exact-
+    arithmetic member of the kriging family (spherical/exponential
+    models need transcendentals, which never mirror bit-for-bit;
+    the linear model's weights are scale-invariant so the unit slope
+    loses nothing).  The 3-point bordered system
+
+        [A  1][w]   [g]        A = pairwise corner distances,
+        [1' 0][mu] = [1]       g = target-corner distances
+
+    has the closed form ``w = A^-1 g - mu A^-1 1`` with
+    ``A^-1 = adj/(2abc)`` for the zero-diagonal symmetric 3x3 — every
+    step below is a FIXED chain of correctly-rounded IEEE ops mirrored
+    verbatim by the DuckDB twin (oracles.resample_kriging), so results
+    are bit-exact.  Kriging weights may be negative (screening) — that
+    is correct behaviour, not an error.
+
+    Corner selection: drop the farthest of the 4 corners (ties drop the
+    LAST corner in (00, 01, 10, 11) order — the SQL CASE chain's
+    first-match rule).  Exact hits (d == 0) return the source value in
+    corner order, as in :func:`inverse_distance`."""
+    gx, gy = _index_space(x, y, spec)
+    i0 = np.clip(np.floor(gx).astype(np.int64), 0, spec.xsize - 2)
+    j0 = np.clip(np.floor(gy).astype(np.int64), 0, spec.ysize - 2)
+    d: dict[str, np.ndarray] = {}
+    v: dict[str, np.ndarray] = {}
+    for key, (dj, di) in (
+        ("00", (0, 0)), ("01", (0, 1)), ("10", (1, 0)), ("11", (1, 1))
+    ):
+        vi = grid[j0 + dj, i0 + di]
+        dx = (gx - (i0 + di)) * spec.xinc
+        dy = (gy - (j0 + dj)) * spec.yinc
+        d[key] = np.sqrt(dx * dx + dy * dy)  # NOT hypot (oracle mirror)
+        v[key] = vi
+    hd = np.sqrt(spec.xinc * spec.xinc)
+    vd = np.sqrt(spec.yinc * spec.yinc)
+    dg = np.sqrt(spec.xinc * spec.xinc + spec.yinc * spec.yinc)
+    # drop the farthest corner; ties drop the LAST index (the SQL CASE
+    # chain checks 11, 10, 01 in order, first match wins)
+    m11 = (d["11"] >= d["10"]) & (d["11"] >= d["01"]) & (d["11"] >= d["00"])
+    m10 = ~m11 & (d["10"] >= d["01"]) & (d["10"] >= d["00"])
+    m01 = ~m11 & ~m10 & (d["01"] >= d["00"])
+
+    def sel(c11, c10, c01, c00):
+        return np.where(m11, c11, np.where(m10, c10, np.where(m01, c01, c00)))
+
+    # kept triples per dropped corner, in ascending corner order:
+    # drop11 -> (00,01,10)  a=hd b=vd c=dg
+    # drop10 -> (00,01,11)  a=hd b=dg c=vd
+    # drop01 -> (00,10,11)  a=vd b=dg c=hd
+    # drop00 -> (01,10,11)  a=dg b=vd c=hd
+    a = sel(hd, hd, vd, dg)
+    b = sel(vd, dg, dg, vd)
+    c = sel(dg, vd, hd, hd)
+    g1 = sel(d["00"], d["00"], d["00"], d["01"])
+    g2 = sel(d["01"], d["01"], d["10"], d["10"])
+    g3 = sel(d["10"], d["11"], d["11"], d["11"])
+    v1 = sel(v["00"], v["00"], v["00"], v["01"])
+    v2 = sel(v["01"], v["01"], v["10"], v["10"])
+    v3 = sel(v["10"], v["11"], v["11"], v["11"])
+    den = ((2.0 * a) * b) * c
+    u1 = ((-(c * c)) * g1 + (b * c) * g2 + (a * c) * g3) / den
+    u2 = ((b * c) * g1 + (-(b * b)) * g2 + (a * b) * g3) / den
+    u3 = ((a * c) * g1 + (a * b) * g2 + (-(a * a)) * g3) / den
+    t1 = ((-(c * c)) + (b * c) + (a * c)) / den
+    t2 = ((b * c) + (-(b * b)) + (a * b)) / den
+    t3 = ((a * c) + (a * b) + (-(a * a))) / den
+    mu = ((u1 + u2 + u3) - 1.0) / (t1 + t2 + t3)
+    pred = (u1 - mu * t1) * v1 + (u2 - mu * t2) * v2 + (u3 - mu * t3) * v3
+    # exact hits override in corner order (00 first = applied last)
+    for key in ("11", "10", "01", "00"):
+        pred = np.where((d[key] == 0) & ~np.isnan(v[key]), v[key], pred)
+    return pred
+
+
 _METHODS = {
     "remapnn": nearest,
     "remapbil": bilinear,
     "remapdis": inverse_distance,
     "sremapbil": bilinear_sparse,
+    "remapok": kriging3,
 }
 
 
