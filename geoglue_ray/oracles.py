@@ -5090,6 +5090,42 @@ FROM cnt JOIN l USING (fid) ORDER BY admin_fid
 """
 
 
+def admin_lisa() -> str:
+    """Areal LISA twin: cleared-mean integer scores (z' = N*x - S), the
+    closed-form triangle adjacency, binary-W lag sums, all-BIGINT
+    quadrant CASE — no float arithmetic anywhere."""
+    return f"""
+WITH e AS (
+  SELECT {fx.sql_lon('event_id')} AS lon, {fx.sql_lat('event_id')} AS lat
+  FROM events WHERE event_id % {fx.OUT_MOD} <> 0),
+asg AS (SELECT {fx.sql_admin2_inside('lon', 'lat')} AS fid FROM e),
+c AS (SELECT fid, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY 1),
+u AS (SELECT range AS fid FROM range({fx.N_ADMIN2})),
+cnt AS (SELECT u.fid, COALESCE(c.n, 0) AS n FROM u LEFT JOIN c USING (fid)),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS s FROM cnt),
+z AS (SELECT fid, n, {fx.N_ADMIN2} * n - tot.s AS z FROM cnt, tot),
+cells AS (
+  SELECT range AS cell, range % {fx.NX} AS cx, range // {fx.NX} AS cy
+  FROM range({fx.NX * fx.NY})),
+p AS (
+  SELECT 2 * cell AS a, 2 * cell + 1 AS b FROM cells
+  UNION ALL
+  SELECT 2 * cell, 2 * ((cy - 1) * {fx.NX} + cx) + 1 FROM cells WHERE cy >= 1
+  UNION ALL
+  SELECT 2 * cell, 2 * (cy * {fx.NX} + cx - 1) + 1 FROM cells WHERE cx >= 1),
+adj AS (SELECT a AS focal, b AS nb FROM p UNION ALL SELECT b, a FROM p),
+l AS (
+  SELECT adj.focal AS fid, CAST(sum(z.z) AS BIGINT) AS lag_n
+  FROM adj JOIN z ON z.fid = adj.nb GROUP BY 1)
+SELECT z.fid AS admin_fid, z.n AS n_events, z.z AS z_n, l.lag_n,
+       z.z * l.lag_n AS local_i_num,
+       CASE WHEN z.z > 0 AND l.lag_n > 0 THEN 'HH'
+            WHEN z.z > 0 THEN 'HL'
+            WHEN l.lag_n > 0 THEN 'LH' ELSE 'LL' END AS quadrant
+FROM z JOIN l USING (fid) ORDER BY 1
+"""
+
+
 def _kmeans_cte_parts(k: int, rounds: int, dim: int) -> list:
     """Shared Lloyd CTE chain (quantize, seed, ``rounds`` assign/M-step
     pairs) — reused by embed_kmeans and kmeans_silhouette."""

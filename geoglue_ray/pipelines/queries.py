@@ -9394,6 +9394,152 @@ def hits_scores(sf_dir: str, rounds: int = 3, qscale: int = 1024) -> rd.Dataset:
     )
 
 
+def admin_lisa(sf_dir: str) -> rd.Dataset:
+    """AREAL local Moran (LISA) cluster map over the admin-2
+    tessellation — the pysal Local_Moran / epidemiology cluster-map
+    companion of admin_spatial_lag, ALL-INTEGER by clearing the mean:
+    with x_i = event count and S = sum(x), the centered score is
+    z'_i = N*x_i - S (= N*(x_i - mean)), the unnormalized-binary-W lag
+    is lag'_i = sum of neighbor z', and the local Moran numerator is
+    z'_i * lag'_i — signs and the HH/HL/LH/LL quadrant are exactly the
+    classical ones, with zero float arithmetic anywhere (max |z'*lag'|
+    ~ 3e15 at sf0.1, comfortably int64).  Composition: PIP spatial join
+    -> per-admin partial counts -> range() universe left join -> scalar
+    total -> rook edges from WKB shared-edge detection -> one
+    key-cardinality lag co-shuffle."""
+    import ray
+
+    from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+    from geoglue_ray.stages.geometry import contiguity_pairs
+    from geoglue_ray.stages.join import hash_equijoin
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        b = b.filter(pa.array(ids % fx.OUT_MOD != 0))
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "value": pa.array(np.zeros(len(b))),
+            }
+        )
+
+    admin = build_admin_table()
+    index = AdminIndex.build(admin)
+    assigned = spatial_join(
+        ds.map_batches(prep, batch_format="pyarrow").map_batches(
+            encode_cells, batch_format="pyarrow"
+        ),
+        index_ref=ray.put(index),
+    )
+
+    def to_fid(b: pa.Table) -> pa.Table:
+        fid = pc.cast(pc.utf8_slice_codeunits(b["admin_id"], 5, 99), pa.int64())
+        return pa.table({"fid": fid})
+
+    counts = zonal_aggregate(
+        assigned.map_batches(to_fid, batch_format="pyarrow"),
+        ["count"],
+        keys=["fid"],
+        value_col="fid",
+    )
+    universe = rd.range(fx.N_ADMIN2).map_batches(
+        lambda b: pa.table({"fid": b["id"]}), batch_format="pyarrow"
+    )
+    cnt_full = hash_equijoin(
+        universe, counts, left_on="fid", right_on="fid", how="left"
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "fid": b["fid"],
+                "n": pc.cast(pc.fill_null(b["count"], 0.0), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed three times: total, z, final join
+    total = int(cnt_full.sum("n") or 0)
+    N = np.int64(fx.N_ADMIN2)
+
+    def zscore(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"fid": b["fid"], "z": pa.array(N * n - np.int64(total))}
+        )
+
+    zd = cnt_full.map_batches(zscore, batch_format="pyarrow").materialize()
+
+    def adm_prep(b: pa.Table) -> pa.Table:
+        fid = pc.cast(pc.utf8_slice_codeunits(b["admin_id"], 5, 99), pa.int64())
+        return pa.table({"fid": fid, "geometry_wkb": b["geometry_wkb"]})
+
+    pairs = contiguity_pairs(
+        rd.from_arrow(admin)
+        .repartition(8)
+        .map_batches(adm_prep, batch_format="pyarrow"),
+        id_col="fid",
+    )
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b["admin_a"].to_numpy()
+        bb = b["admin_b"].to_numpy()
+        return pa.table(
+            {
+                "focal": pa.array(np.concatenate([a, bb])),
+                "nb": pa.array(np.concatenate([bb, a])),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    lag = zonal_aggregate(
+        hash_equijoin(edges, zd, left_on="nb", right_on="fid").select_columns(
+            ["focal", "z"]
+        ),
+        ["sum"],
+        keys=["focal"],
+        value_col="z",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "fid": b["focal"],
+                "lag_n": pc.cast(b["sum"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    j = hash_equijoin(
+        hash_equijoin(zd, cnt_full, left_on="fid", right_on="fid"),
+        lag,
+        left_on="fid",
+        right_on="fid",
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        z = b["z"].to_numpy().astype(np.int64)
+        lg = b["lag_n"].to_numpy().astype(np.int64)
+        quad = np.where(
+            (z > 0) & (lg > 0),
+            "HH",
+            np.where(z > 0, "HL", np.where(lg > 0, "LH", "LL")),
+        )
+        return pa.table(
+            {
+                "admin_fid": b["fid"],
+                "n_events": pc.cast(b["n"], pa.int64()),
+                "z_n": pa.array(z),
+                "lag_n": pa.array(lg),
+                "local_i_num": pa.array(z * lg),
+                "quadrant": pa.array(quad.astype(object), pa.string()),
+            }
+        )
+
+    return j.map_batches(final, batch_format="pyarrow").sort("admin_fid")
+
+
 def q13_custdist(sf_dir: str, excl_priority: str = "1-URGENT") -> rd.Dataset:
     """TPC-H Q13 shape: distribution of customers by order count, counting
     the zero-order bucket.  Orders collapse to per-customer partial counts
