@@ -2221,6 +2221,68 @@ ORDER BY 1, 2
 """
 
 
+def keyword_textrank(k: int = 25) -> str:
+    """TextRank twin: positional bigram word graph on two's-complement
+    token-hash node ids, the pagerank_parts unrolled HUGEINT fixed
+    point, names re-attached by hash."""
+    from geoglue_ray.functions.texthash import sql_token_hash, sql_u64_to_bigint
+
+    h = sql_u64_to_bigint(sql_token_hash("w"))
+    it = """
+  SELECT e.dst AS node,
+         15 * CAST(4294967296 AS HUGEINT) // 100
+         + 85 * SUM({rank} // d.d) // 100 AS rank
+  FROM pr_edges e JOIN deg d ON d.src = e.src{join}
+  GROUP BY e.dst"""
+    return (
+        f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, i.range AS i, list_extract(toks, i.range::INTEGER) AS w
+  FROM tl, range(1, 128) i WHERE i.range <= len(toks)),
+hx AS (SELECT doc_id, i, {h} AS h, w FROM tok),
+bg AS (
+  SELECT a.h AS src, b.h AS dst
+  FROM hx a JOIN hx b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  WHERE a.h <> b.h),
+pr_edges AS (
+  SELECT DISTINCT src, dst
+  FROM (SELECT src, dst FROM bg UNION ALL SELECT dst, src FROM bg)),
+deg AS (SELECT src, count(*) AS d FROM pr_edges GROUP BY src),
+r1 AS ("""
+        + it.format(rank="CAST(4294967296 AS HUGEINT)", join="")
+        + "),\nr2 AS ("
+        + it.format(rank="r.rank", join=" JOIN r1 r ON r.node = e.src")
+        + "),\nr3 AS ("
+        + it.format(rank="r.rank", join=" JOIN r2 r ON r.node = e.src")
+        + f"""),
+names AS (SELECT DISTINCT h, w FROM hx)
+SELECT n.w AS token, CAST(r3.rank AS BIGINT) AS rank
+FROM r3 JOIN names n ON n.h = r3.node
+ORDER BY 2 DESC, 1 LIMIT {k}
+"""
+    )
+
+
+def source_ablation() -> str:
+    """Ablation twin: exact integer partials, one division per mean,
+    one subtraction per delta — the engine's chain verbatim."""
+    return """
+WITH p AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s
+  FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss FROM p)
+SELECT p.source, p.n AS n_docs, p.s AS sum_chars,
+       CAST(t.ss - p.s AS DOUBLE) / CAST(t.nn - p.n AS DOUBLE) AS mean_without,
+       CAST(t.ss - p.s AS DOUBLE) / CAST(t.nn - p.n AS DOUBLE)
+         - CAST(t.ss AS DOUBLE) / CAST(t.nn AS DOUBLE) AS delta_vs_all
+FROM p, t ORDER BY 1
+"""
+
+
 def cdc_chunks() -> str:
     """Content-defined chunking twin: rolling hash via lag windows with
     per-term mod-2^64 reduction (each multiplier < 2^62 keeps products

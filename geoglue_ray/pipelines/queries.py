@@ -7163,6 +7163,143 @@ def incremental_dedup(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
     return j.map_batches(final, batch_format="pyarrow").sort("doc_id")
 
 
+def keyword_textrank(sf_dir: str, k: int = 25) -> rd.Dataset:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank
+    over the adjacent-token co-occurrence graph, composed from this
+    repo's own operators: stages/text.adjacency_edges (distinct
+    symmetric window-2 word graph on token_hash64 node ids) into
+    stages/graph.pagerank_fixedpoint (3 exact-integer damped rounds,
+    the pagerank rule: edges stream, only the vocab-cardinality rank
+    vector is driver state — the graph family's stated bound), token
+    names re-attached by a hash join against the distinct (node, token)
+    table.  Top-k by (rank desc, token) — bit-exact vs the unrolled
+    HUGEINT CTE twin."""
+    from geoglue_ray.functions.texthash import token_hash64
+    from geoglue_ray.stages.graph import pagerank_fixedpoint
+    from geoglue_ray.stages.join import hash_equijoin
+    from geoglue_ray.stages.text import adjacency_edges
+
+    import pandas as pd
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    ranks = pagerank_fixedpoint(adjacency_edges(ds, "text"), iters=3)
+    ranks = ranks.rename_columns(["node", "rank"])
+
+    def names(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(b["text"], pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        u = np.unique(toks.to_numpy(zero_copy_only=False))
+        h = token_hash64(u.astype(str)).view(np.int64)
+        sh = (h.view(np.uint64) % np.uint64(16)).astype(np.int64)
+        return pa.table(
+            {
+                "_n": pa.array(sh),
+                "node": pa.array(h),
+                "token": pa.array(u, pa.string()),
+            }
+        )
+
+    def ndedup(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "node": np.array([], np.int64),
+                    "token": pd.array([], dtype="string"),
+                }
+            )
+        return (
+            g[["node", "token"]]
+            .drop_duplicates("node")
+            .reset_index(drop=True)
+        )
+
+    name_ds = (
+        ds.map_batches(names, batch_format="pyarrow")
+        .groupby("_n")
+        .map_groups(ndedup, batch_format="pandas")
+        # pandas map_groups reports Python-typed block schemas; the join
+        # builds its output schema from Arrow types — re-type explicitly
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pc.cast(b["node"], pa.int64()),
+                    "token": pc.cast(b["token"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    j = hash_equijoin(
+        rd.from_arrow(ranks),
+        name_ds,
+        left_on="node",
+        right_on="node",
+        left_schema=pa.schema([("node", pa.int64()), ("rank", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("token", pa.string())]),
+    )
+    return (
+        j.map_batches(
+            lambda b: pa.table({"token": b["token"], "rank": b["rank"]}),
+            batch_format="pyarrow",
+        )
+        .sort(["rank", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def source_ablation(sf_dir: str) -> rd.Dataset:
+    """Leave-one-source-out ablation report — the data-valuation shape a
+    curation pipeline runs before dropping a source: for each source,
+    the corpus mean document length WITHOUT that source and its delta
+    vs the full-corpus mean.  All inputs are exact int64 partial sums
+    (n_chars is integer), each mean is ONE division and the delta one
+    subtraction — the whole float chain mirrors the SQL twin.  Shape:
+    per-batch per-source partials -> one tiny merge (source cardinality
+    bounded); no shuffle of document rows."""
+    import pandas as pd
+
+    ds = read_documents_cols(sf_dir, ["source", "n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(
+            b["source"].to_numpy(zero_copy_only=False), use_na_sentinel=False
+        )
+        nc = b["n_chars"].to_numpy().astype(np.int64)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        s = np.bincount(codes, weights=nc, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(uniq, pa.string()),
+                "n": pa.array(n),
+                "s": pa.array(s),
+            }
+        )
+
+    lc = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .to_pandas()  # bounded: blocks x source cardinality
+        .groupby("source", sort=True, dropna=False)
+        .sum()
+    )
+    src = np.array(lc.index, dtype=object)
+    n = lc["n"].to_numpy().astype(np.int64)
+    s = lc["s"].to_numpy().astype(np.int64)
+    N, S = np.int64(n.sum()), np.int64(s.sum())
+    mean_all = np.float64(S) / np.float64(N)
+    mean_wo = (S - s).astype(np.float64) / (N - n).astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(src, pa.string()),
+                "n_docs": pa.array(n),
+                "sum_chars": pa.array(s),
+                "mean_without": pa.array(mean_wo),
+                "delta_vs_all": pa.array(mean_wo - mean_all),
+            }
+        )
+    )
+
+
 def cdc_chunks(sf_dir: str) -> rd.Dataset:
     """Content-defined chunking duplicate census over the corpus — the
     Rabin/FastCDC boundary rule (rolling 4-token hash, H % 8 == 0) that

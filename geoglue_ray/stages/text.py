@@ -1149,3 +1149,80 @@ def collocation_lift(
         .sort(["lift", "tok1", "tok2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def adjacency_edges(
+    ds: rd.Dataset, text_col: str = "text", n_shards: int = 64
+) -> rd.Dataset:
+    """Distinct directed ADJACENT-TOKEN edges (both directions, no
+    self-loops) over ``token_hash64`` node ids — the TextRank word
+    graph (Mihalcea & Tarau 2004, window 2).  Same two-pass distinct
+    shape as graph.basket_edges, but pair identity lives in the two
+    full-width hash columns (token hashes span the whole int64 range,
+    so no packed key): per-batch lexsort dedup -> fixed pair-hash shard
+    -> global lexsort dedup."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64, token_hash64
+
+    P = np.uint64(n_shards)
+
+    def part(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "_e": pa.array([], pa.int64()),
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+            }
+        )
+        toks = pc.split_pattern(b[text_col], pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep_tok = flat != ""
+        # adjacency within the FILTERED token sequence of each doc: drop
+        # empties first, then pair positions whose successor shares a doc
+        # (SQL splits then filters, so positions are post-filter too)
+        flat2 = flat[keep_tok]
+        doc_of = np.repeat(np.arange(len(b)), lens)[keep_tok]
+        n = len(flat2)
+        if n < 2:
+            return empty
+        same = np.flatnonzero(np.r_[doc_of[1:] == doc_of[:-1], False])
+        if len(same) == 0:
+            return empty
+        h1 = token_hash64(flat2[same].astype(str))
+        h2 = token_hash64(flat2[same + 1].astype(str))
+        sel = h1 != h2
+        src = np.concatenate([h1[sel], h2[sel]]).view(np.int64)
+        dst = np.concatenate([h2[sel], h1[sel]]).view(np.int64)
+        o = np.lexsort((dst, src))
+        src, dst = src[o], dst[o]
+        u = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+        src, dst = src[u], dst[u]
+        sh = (
+            (int_hash64(src) * np.uint64(31) + int_hash64(dst)) % P
+        ).astype(np.int64)
+        return pa.table(
+            {"_e": pa.array(sh), "src": pa.array(src), "dst": pa.array(dst)}
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "src": np.array([], np.int64),
+                    "dst": np.array([], np.int64),
+                }
+            )
+        src = g["src"].to_numpy().astype(np.int64)
+        dst = g["dst"].to_numpy().astype(np.int64)
+        o = np.lexsort((dst, src))
+        src, dst = src[o], dst[o]
+        u = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+        return pd.DataFrame({"src": src[u], "dst": dst[u]})
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_e")
+        .map_groups(dedup, batch_format="pandas")
+    )
