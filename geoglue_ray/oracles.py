@@ -2221,6 +2221,34 @@ ORDER BY 1, 2
 """
 
 
+def mean_subsample_ci(B: int = 64) -> str:
+    """Subsampling-CI twin: kmv block assignment, exact integer block
+    sums (floor before CAST — DuckDB CAST rounds), one division per
+    block mean, quantile_disc selection (== the engine's ceil(q*n)-1
+    rule, the winsorized parity)."""
+    from geoglue_ray.functions.texthash import sql_kmv_hash
+
+    return f"""
+WITH b AS (
+  SELECT CAST(({sql_kmv_hash('event_id')}) % {B}::HUGEINT AS BIGINT) AS blk,
+         CAST(floor(value) AS BIGINT) AS v
+  FROM events),
+per AS (
+  SELECT blk, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s
+  FROM b GROUP BY 1),
+m AS (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_b FROM per),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM per)
+SELECT t.nn AS n_events, t.nb AS n_blocks,
+       CAST(t.ss AS DOUBLE) / CAST(t.nn AS DOUBLE) AS mean_all,
+       quantile_disc(m.mean_b, 0.05) AS p05,
+       quantile_disc(m.mean_b, 0.5) AS p50,
+       quantile_disc(m.mean_b, 0.95) AS p95
+FROM m, t GROUP BY t.nn, t.nb, t.ss
+"""
+
+
 def keyword_textrank(k: int = 25) -> str:
     """TextRank twin: positional bigram word graph on two's-complement
     token-hash node ids, the pagerank_parts unrolled HUGEINT fixed

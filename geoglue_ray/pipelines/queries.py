@@ -7163,6 +7163,65 @@ def incremental_dedup(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
     return j.map_batches(final, batch_format="pyarrow").sort("doc_id")
 
 
+def mean_subsample_ci(sf_dir: str, B: int = 64) -> rd.Dataset:
+    """Distributed subsampling confidence interval for the mean event
+    value — the bag-of-little-bootstraps / disjoint-block shape (each of
+    B deterministic hash blocks is an iid subsample; the spread of block
+    means estimates the sampling distribution without any resampling
+    pass): kmv_hash64 block assignment, exact int64 block sums, one
+    division per block mean, quantile_disc-selected p05/p50/p95 of the
+    B means (ceil(q*n)-1 element selection — the engine's established
+    quantile_disc twin rule).  Per-batch partials -> one B-bounded
+    merge; the driver holds B rows."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import kmv_hash64
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        blk = (kmv_hash64(b["event_id"].to_numpy()) % np.uint64(B)).astype(
+            np.int64
+        )
+        fv = np.floor(b["value"].to_numpy()).astype(np.int64)
+        n = np.bincount(blk, minlength=B).astype(np.int64)
+        s = np.bincount(blk, weights=fv, minlength=B).astype(np.int64)
+        k = np.arange(B, dtype=np.int64)
+        return pa.table(
+            {"blk": pa.array(k), "n": pa.array(n), "s": pa.array(s)}
+        )
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .to_pandas()  # bounded: blocks x B rows
+        .groupby("blk", sort=True)
+        .sum()
+    )
+    n = agg["n"].to_numpy().astype(np.int64)
+    s = agg["s"].to_numpy().astype(np.int64)
+    keep = n > 0
+    n, s = n[keep], s[keep]
+    nb = len(n)
+    m = np.sort(s.astype(np.float64) / n.astype(np.float64))
+
+    def qd(q: float) -> float:
+        return float(m[int(np.ceil(q * nb)) - 1])
+
+    N, S = np.int64(n.sum()), np.int64(s.sum())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_events": pa.array([N]),
+                "n_blocks": pa.array([np.int64(nb)]),
+                "mean_all": pa.array([np.float64(S) / np.float64(N)]),
+                "p05": pa.array([qd(0.05)]),
+                "p50": pa.array([qd(0.5)]),
+                "p95": pa.array([qd(0.95)]),
+            }
+        )
+    )
+
+
 def keyword_textrank(sf_dir: str, k: int = 25) -> rd.Dataset:
     """TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank
     over the adjacent-token co-occurrence graph, composed from this
