@@ -2221,6 +2221,46 @@ ORDER BY 1, 2
 """
 
 
+def perm_test_events(B: int = 128, group: str = "purchase") -> str:
+    """Randomization-test twin: cleared-denominator statistic
+    |sA*nB - sB*nA| on exact BIGINTs, B hashed reallocations via the
+    kmv HUGEINT chain (hash input event_id*B + j, j in 0..B-1 — the
+    engine's 0-based replicate hash), one final division."""
+    from geoglue_ray.functions.texthash import sql_kmv_hash
+
+    h = sql_kmv_hash(f"e.event_id * {B} + j.range")
+    return f"""
+WITH e AS (
+  SELECT event_id, event_type, CAST(floor(value) AS BIGINT) AS v
+  FROM events),
+ob AS (
+  SELECT CAST(count(*) FILTER (WHERE event_type = '{group}') AS BIGINT) AS na,
+         CAST(count(*) FILTER (WHERE event_type <> '{group}') AS BIGINT) AS nb,
+         CAST(sum(v) FILTER (WHERE event_type = '{group}') AS BIGINT) AS sa,
+         CAST(sum(v) FILTER (WHERE event_type <> '{group}') AS BIGINT) AS sb
+  FROM e),
+obt AS (SELECT na, nb, abs(sa * nb - sb * na) AS t0 FROM ob),
+reps AS (
+  SELECT j.range AS j,
+         CAST(({h}) % 2::HUGEINT AS BIGINT) AS side, e.v
+  FROM e, range({B}) j),
+per AS (
+  SELECT j,
+         CAST(sum(v) FILTER (WHERE side = 0) AS BIGINT) AS sa,
+         CAST(sum(v) FILTER (WHERE side = 1) AS BIGINT) AS sb,
+         CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS na,
+         CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS nb
+  FROM reps GROUP BY 1),
+tb AS (SELECT abs(sa * nb - sb * na) AS t FROM per),
+ge AS (SELECT CAST(count(*) FILTER (WHERE tb.t >= obt.t0) AS BIGINT) AS n_ge
+       FROM tb, obt GROUP BY obt.t0)
+SELECT obt.na AS n_a, obt.nb AS n_b, obt.t0 AS t_obs,
+       ge.n_ge AS n_perm_ge,
+       CAST(1 + ge.n_ge AS DOUBLE) / CAST({B + 1} AS DOUBLE) AS p_value
+FROM obt, ge
+"""
+
+
 def mean_subsample_ci(B: int = 64) -> str:
     """Subsampling-CI twin: kmv block assignment, exact integer block
     sums (floor before CAST — DuckDB CAST rounds), one division per

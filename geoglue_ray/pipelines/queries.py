@@ -7163,6 +7163,82 @@ def incremental_dedup(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
     return j.map_batches(final, batch_format="pyarrow").sort("doc_id")
 
 
+def perm_test_events(sf_dir: str, B: int = 128, group: str = "purchase") -> rd.Dataset:
+    """Distributed RANDOMIZATION test (the permutation-inference shape):
+    is the mean event value of the ``purchase`` group different from the
+    rest?  Test statistic with CLEARED denominators — T = |sA*nB - sB*nA|
+    (zero iff the two group means are equal; all exact int64) — and B
+    deterministic pseudo-reallocations: replicate b reassigns every
+    event to A' by ``kmv_hash64(event_id*B + b) % 2`` (the random-
+    reallocation variant of the permutation test: group sizes are
+    binomial rather than fixed, standard for large n).  One-sided
+    p = (1 + #{T_b >= T_obs}) / (B + 1) — an integer count and one
+    division.  Scale shape: each batch emits 2*(B+1) partial-sum rows
+    (observed + every replicate, vectorized n x B hash matrix), one
+    (B+1)-bounded merge, driver holds 2*(B+1) integers."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import kmv_hash64
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    Bn = np.int64(B)
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy().astype(np.int64)
+        fv = np.floor(b["value"].to_numpy()).astype(np.int64)
+        obs_a = pc.equal(b["event_type"], group).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        # replicate 0 = OBSERVED assignment; replicates 1..B = hashed
+        h = kmv_hash64(
+            (ids[:, None] * Bn + np.arange(B, dtype=np.int64)[None, :]).ravel()
+        ).reshape(n, B)
+        side = (h % np.uint64(2)).astype(np.int64)  # n x B
+        rep = np.repeat(np.arange(1, B + 1, dtype=np.int64), n)
+        key = np.concatenate(
+            [
+                np.where(obs_a, 0, 1),  # replicate 0 keys 0/1
+                (rep * 2 + side.T.ravel()),
+            ]
+        )
+        w = np.concatenate([fv, np.tile(fv, B)])
+        s = np.bincount(key, weights=w, minlength=2 * (B + 1)).astype(np.int64)
+        c = np.bincount(key, minlength=2 * (B + 1)).astype(np.int64)
+        k = np.arange(2 * (B + 1), dtype=np.int64)
+        return pa.table(
+            {"k": pa.array(k), "n": pa.array(c), "s": pa.array(s)}
+        )
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .to_pandas()  # bounded: blocks x 2*(B+1) rows
+        .groupby("k", sort=True)
+        .sum()
+    )
+    n = np.zeros(2 * (B + 1), np.int64)
+    s = np.zeros(2 * (B + 1), np.int64)
+    n[agg.index.to_numpy()] = agg["n"].to_numpy()
+    s[agg.index.to_numpy()] = agg["s"].to_numpy()
+    nA, nBc = n[0::2], n[1::2]
+    sA, sBc = s[0::2], s[1::2]
+    T = np.abs(sA * nBc - sBc * nA)  # bounded: s ~ 5e7, n ~ 1e5 at sf0.1
+    t_obs = T[0]
+    n_ge = int(np.sum(T[1:] >= t_obs))
+    p = np.float64(1 + n_ge) / np.float64(B + 1)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_a": pa.array([n[0]]),
+                "n_b": pa.array([n[1]]),
+                "t_obs": pa.array([t_obs]),
+                "n_perm_ge": pa.array([np.int64(n_ge)]),
+                "p_value": pa.array([p]),
+            }
+        )
+    )
+
+
 def mean_subsample_ci(sf_dir: str, B: int = 64) -> rd.Dataset:
     """Distributed subsampling confidence interval for the mean event
     value — the bag-of-little-bootstraps / disjoint-block shape (each of
