@@ -2221,6 +2221,31 @@ ORDER BY 1, 2
 """
 
 
+def split_leakage_audit() -> str:
+    """Leakage-audit twin: the minhash pair CTE + the split_assign hash
+    rule on both pair members, canonical (least, greatest) label pair,
+    all-integer counts."""
+    from geoglue_ray.functions.texthash import sql_int_hash
+
+    def split(e: str) -> str:
+        h = f"({sql_int_hash(e)}) % 10"
+        return (
+            f"CASE WHEN {h} < 8 THEN 'train' "
+            f"WHEN {h} = 8 THEN 'val' ELSE 'test' END"
+        )
+
+    return f"""
+WITH {_sql_minhash_cte(0.4)},
+lab AS (
+  SELECT {split('doc_a')} AS sa, {split('doc_b')} AS sb FROM mh_pairs),
+canon AS (
+  SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b FROM lab)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       split_a <> split_b AS is_leakage
+FROM canon GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def perm_test_events(B: int = 128, group: str = "purchase") -> str:
     """Randomization-test twin: cleared-denominator statistic
     |sA*nB - sB*nA| on exact BIGINTs, B hashed reallocations via the

@@ -7163,6 +7163,71 @@ def incremental_dedup(sf_dir: str, n_shards: int = 64) -> rd.Dataset:
     return j.map_batches(final, batch_format="pyarrow").sort("doc_id")
 
 
+def split_leakage_audit(sf_dir: str) -> rd.Dataset:
+    """Train/test NEAR-DUP LEAKAGE audit — the curation check that a
+    random document split silently fails: every MinHash+LSH near-dup
+    pair (same 0.4 threshold as minhash_neardup) is labeled with its two
+    members' split assignments (the split_assign hash rule,
+    int_hash64 % 10 -> 8/1/1) and counted per canonical (split, split)
+    combination.  Any pair off the diagonal IS eval-set contamination —
+    the measurement that motivates dedup-before-split.  Composition of
+    two existing oracle-backed operators; the pair set is bounded (LSH
+    collisions), so the count table is split²-bounded."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+    from geoglue_ray.stages.dedup import minhash_neardup as mh
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    pairs = mh(ds, threshold=0.4)
+
+    LABELS = np.array(["train", "val", "test"], dtype=object)
+
+    def lab(ids: np.ndarray) -> np.ndarray:
+        b = (int_hash64(ids) % np.uint64(10)).astype(np.int64)
+        return LABELS[np.where(b < 8, 0, np.where(b == 8, 1, 2))]
+
+    def tag(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy().astype(np.int64)
+        d = b["doc_b"].to_numpy().astype(np.int64)
+        sa, sb = lab(a), lab(d)
+        lo = np.where(sa <= sb, sa, sb)
+        hi = np.where(sa <= sb, sb, sa)
+        codes, uniq = pd.factorize(
+            np.char.add(np.char.add(lo.astype(str), "|"), hi.astype(str)),
+            use_na_sentinel=False,
+        )
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        parts = np.char.partition(uniq.astype(str), "|")
+        return pa.table(
+            {
+                "split_a": pa.array(parts[:, 0], pa.string()),
+                "split_b": pa.array(parts[:, 2], pa.string()),
+                "n": pa.array(n),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .to_pandas()  # bounded: blocks x <= 6 split combinations
+        .groupby(["split_a", "split_b"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "split_a": pa.array(agg["split_a"], pa.string()),
+                "split_b": pa.array(agg["split_b"], pa.string()),
+                "n_pairs": pa.array(agg["n"].to_numpy().astype(np.int64)),
+                "is_leakage": pa.array(
+                    (agg["split_a"] != agg["split_b"]).to_numpy()
+                ),
+            }
+        )
+    )
+
+
 def perm_test_events(sf_dir: str, B: int = 128, group: str = "purchase") -> rd.Dataset:
     """Distributed RANDOMIZATION test (the permutation-inference shape):
     is the mean event value of the ``purchase`` group different from the
