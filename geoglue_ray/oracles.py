@@ -1031,6 +1031,42 @@ SELECT node AS part_key, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY 1
     )
 
 
+def sssp_parts(rounds: int = 4) -> str:
+    """Weighted SSSP twin: exact pair counts (count DISTINCT baskets),
+    the inverse-strength weight, and ``rounds`` unrolled min/plus
+    relaxations — each round AS MATERIALIZED (two references per round:
+    the raster_jacobi inlining lesson)."""
+    parts = [
+        """pairs AS (
+  SELECT a.l_partkey AS i1, b.l_partkey AS i2,
+         CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS n
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+e2 AS MATERIALIZED (
+  SELECT i1 AS src, i2 AS dst, 1 + 1000 // n AS w FROM pairs
+  UNION ALL
+  SELECT i2, i1, 1 + 1000 // n FROM pairs),
+d0 AS MATERIALIZED (
+  SELECT min(src) AS node, CAST(0 AS BIGINT) AS d FROM e2)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+d{r} AS MATERIALIZED (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst, p.d + e.w FROM e2 e JOIN d{r - 1} p ON p.node = e.src)
+  GROUP BY 1)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT node AS part_key, CAST(d AS BIGINT) AS dist FROM d{rounds} ORDER BY 1
+"""
+    )
+
+
 def bfs_parts() -> str:
     """BFS twin: depth-guarded recursive closure with UNION dedup (the
     accumulated (src, node, d) set is bounded by sources x nodes x

@@ -3551,6 +3551,27 @@ def bfs_parts(sf_dir: str) -> pa.Table:
     return t.take(idx)
 
 
+def sssp_parts(sf_dir: str) -> pa.Table:
+    """Weighted single-source shortest paths over the part co-purchase
+    graph — the WEIGHTED companion of bfs_parts: edge weight
+    ``1 + 1000 // n_cobaskets`` (inverse tie strength), 4 Bellman-Ford
+    relaxation rounds from the smallest part id
+    (stages/graph.sssp_fixed_rounds: edges stream per round, the driver
+    holds only the reached-node distance vector — the pagerank rule).
+    All min/plus int64 — bit-exact vs the unrolled AS MATERIALIZED CTE
+    twin."""
+    from geoglue_ray.stages.graph import sssp_fixed_rounds, weighted_cooccur_edges
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    t = sssp_fixed_rounds(
+        weighted_cooccur_edges(li, "l_orderkey", "l_partkey"), rounds=4
+    )
+    idx = pc.sort_indices(t, sort_keys=[("node", "ascending")])
+    return t.take(idx).rename_columns(["part_key", "dist"])
+
+
 def raster_focal_mean(sf_dir: str) -> rd.Dataset:
     """3x3 focal (moving-window) mean over two days of the hourly raster
     — the stencil operator: row-band x hour-chunk partitioning with a

@@ -885,3 +885,196 @@ def temporal_reachability(
             "t_infect": pa.array(T[inf]),
         }
     )
+
+
+def weighted_cooccur_edges(
+    ds: rd.Dataset,
+    basket_col: str,
+    item_col: str,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Symmetric weighted item graph from basket co-occurrence: edge
+    weight ``w = 1 + 1000 // n_baskets`` (strong ties are CHEAP — the
+    inverse-strength metric shortest-path queries want), exact pair
+    counts via the cooccur_topk two-pass shape without the top-k cut."""
+    from geoglue_ray.functions.texthash import int_hash64
+    from geoglue_ray.stages.dedup import _run_pairs
+
+    def shard(b: pa.Table) -> pa.Table:
+        k = b[basket_col].to_numpy()
+        return pa.table(
+            {
+                "_sh": pa.array(
+                    (int_hash64(k) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                basket_col: b[basket_col],
+                item_col: b[item_col],
+            }
+        )
+
+    def gen_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "packed": np.array([], np.int64),
+                "n": np.array([], np.int64),
+                "_ps": np.array([], np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        bk = g[basket_col].to_numpy()
+        it = g[item_col].to_numpy()
+        o = np.lexsort((it, bk))
+        bk, it = bk[o], it[o]
+        uniq = np.r_[True, (bk[1:] != bk[:-1]) | (it[1:] != it[:-1])]
+        bk, it = bk[uniq], it[uniq]
+        ia, ib = _run_pairs(bk)
+        if len(ia) == 0:
+            return empty
+        packed = (it[ia].astype(np.int64) << np.int64(32)) | it[ib].astype(
+            np.int64
+        )
+        pu, cnt = np.unique(packed, return_counts=True)
+        return pd.DataFrame(
+            {
+                "packed": pu,
+                "n": cnt.astype(np.int64),
+                "_ps": (int_hash64(pu) % np.uint64(n_shards)).astype(np.int64),
+            }
+        )
+
+    def to_edges(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "src": np.array([], np.int64),
+                    "dst": np.array([], np.int64),
+                    "w": np.array([], np.int64),
+                }
+            )
+        pu, inv = np.unique(g["packed"].to_numpy(), return_inverse=True)
+        n = np.bincount(inv, weights=g["n"].to_numpy()).astype(np.int64)
+        i1 = (pu >> np.int64(32)).astype(np.int64)
+        i2 = (pu & np.int64(0xFFFFFFFF)).astype(np.int64)
+        w = np.int64(1) + np.int64(1000) // n
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([i1, i2]),
+                "dst": np.concatenate([i2, i1]),
+                "w": np.concatenate([w, w]),
+            }
+        )
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_sh")
+        .map_groups(gen_pairs, batch_format="pandas")
+        .groupby("_ps")
+        .map_groups(to_edges, batch_format="pandas")
+    )
+
+
+def sssp_fixed_rounds(
+    edges: rd.Dataset,
+    rounds: int = 4,
+    n_merge: int = 32,
+    source: int | None = None,
+) -> pa.Table:
+    """Single-source WEIGHTED shortest paths by ``rounds`` Bellman-Ford
+    relaxations — the weighted companion of :func:`bfs_hops` (same
+    bounded-round rule: never run to convergence on an unknown graph at
+    scale; ``rounds`` caps the hop count of the reported paths).  Source
+    defaults to the smallest node id (deterministic, SQL-selectable).
+
+    Per round the driver broadcasts the REACHED (node, dist) table
+    (node-cardinality — the pagerank rule) and the edge set streams once
+    through ``map_batches``: each batch gathers dist[src] by binary
+    search, emits per-batch min-collapsed (dst, dist+w) candidates, a
+    fixed-shard min merge reduces them, and the driver folds the new
+    minima in.  All arithmetic is int64 min/plus — bit-reproducible by
+    the unrolled AS MATERIALIZED CTE twin (two refs per round: the
+    raster_jacobi inlining lesson)."""
+    edges = edges.materialize()  # one pass per round + the source scan
+
+    if source is None:
+        def src_min(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"m": pa.array([], pa.int64())})
+            return pa.table(
+                {"m": pa.array([int(b["src"].to_numpy().min())], pa.int64())}
+            )
+
+        source = int(
+            edges.map_batches(src_min, batch_format="pyarrow").min("m")
+        )
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    nodes = np.array([source], dtype=np.int64)
+    dist = np.array([0], dtype=np.int64)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": np.array([], np.int64), "val": np.array([], np.int64)}
+        )
+
+    for _ in range(rounds):
+        ref = ray.put((nodes, dist))
+
+        def relax(b: pa.Table, ref=ref) -> pa.Table:
+            nn, dd = ray.get(ref)
+            s = b["src"].to_numpy().astype(np.int64)
+            t = b["dst"].to_numpy().astype(np.int64)
+            w = b["w"].to_numpy().astype(np.int64)
+            idx = np.searchsorted(nn, s)
+            idx_c = np.clip(idx, 0, len(nn) - 1)
+            hit = nn[idx_c] == s
+            t, cand = t[hit], dd[idx_c[hit]] + w[hit]
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "_m": pa.array([], pa.int64()),
+                        "node": pa.array([], pa.int64()),
+                        "val": pa.array([], pa.int64()),
+                    }
+                )
+            o = np.lexsort((cand, t))
+            t, cand = t[o], cand[o]
+            first = np.r_[True, t[1:] != t[:-1]]
+            t, cand = t[first], cand[first]  # per-batch min per dst
+            return pa.table(
+                {
+                    "_m": pa.array(
+                        (int_hash64(t) % np.uint64(n_merge)).astype(np.int64)
+                    ),
+                    "node": pa.array(t),
+                    "val": pa.array(cand),
+                }
+            )
+
+        def min_merge(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0:
+                return _empty()
+            t = g["node"].to_numpy().astype(np.int64)
+            v = g["val"].to_numpy().astype(np.int64)
+            o = np.lexsort((v, t))
+            t, v = t[o], v[o]
+            first = np.r_[True, t[1:] != t[:-1]]
+            return pd.DataFrame({"node": t[first], "val": v[first]})
+
+        upd = (
+            edges.map_batches(relax, batch_format="pyarrow")
+            .groupby("_m")
+            .map_groups(min_merge, batch_format="pandas")
+            .to_pandas()  # bounded: reached-node cardinality
+        )
+        # fold: min(existing, candidate), append newly reached
+        all_nodes = np.union1d(nodes, upd["node"].to_numpy().astype(np.int64))
+        new_dist = np.full(len(all_nodes), np.int64(1) << np.int64(60), np.int64)
+        pos = np.searchsorted(all_nodes, nodes)
+        new_dist[pos] = dist
+        up = np.searchsorted(all_nodes, upd["node"].to_numpy().astype(np.int64))
+        np.minimum.at(new_dist, up, upd["val"].to_numpy().astype(np.int64))
+        nodes, dist = all_nodes, new_dist
+
+    return pa.table({"node": pa.array(nodes), "dist": pa.array(dist)})
