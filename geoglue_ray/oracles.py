@@ -4020,6 +4020,20 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def hopping_distinct_users() -> str:
+    """Hopping-window distinct-count twin: the hopping_window unnest +
+    COUNT(DISTINCT user_id) per window."""
+    return """
+SELECT w AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM (SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS w,
+             user_id
+      FROM events)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_window_profile() -> str:
     """One-week slice profile twin: the WHERE window mirrors the
     engine's scan-level predicate pushdown; floored sums stay

@@ -3062,6 +3062,81 @@ def hopping_window(sf_dir: str, ts_lo=None, ts_hi=None) -> rd.Dataset:
     return out.sort(["window_start", "event_type"])
 
 
+def hopping_distinct_users(sf_dir: str) -> rd.Dataset:
+    """DISTINCT-count over hopping windows — the streaming COUNT
+    (DISTINCT) every dashboard asks for and naive aggregation gets
+    wrong (a user seen twice in a window must count once): 2h windows
+    hopping 1h (each event in exactly two), per-window EXACT distinct
+    users via per-batch (window, user) dedup partials -> fixed
+    (window, user)-hash shard dedup -> window-cardinality counts.
+    Shuffle payload is distinct (window, user) pairs, never events."""
+    import pandas as pd
+
+    from geoglue_ray.functions.texthash import int_hash64
+
+    HOUR = 3_600_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        w1 = (t // HOUR) * HOUR
+        w = np.concatenate([w1 - HOUR, w1])
+        u = b["user_id"].to_numpy().astype(np.int64)
+        u2 = np.concatenate([u, u])
+        # per-batch dedup of (window, user)
+        key = (w // HOUR) * np.int64(1 << 32) + u2  # users < 2^32 (fixture)
+        ku = np.unique(key)
+        wv = (ku // np.int64(1 << 32)) * HOUR
+        uv = ku % np.int64(1 << 32)
+        sh = (int_hash64(ku) % np.uint64(64)).astype(np.int64)
+        return pa.table(
+            {
+                "_s": pa.array(sh),
+                "w": pa.array(wv),
+                "u": pa.array(uv),
+            }
+        )
+
+    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "w": np.array([], np.int64),
+                    "n": np.array([], np.int64),
+                }
+            )
+        w = g["w"].to_numpy().astype(np.int64)
+        u = g["u"].to_numpy().astype(np.int64)
+        o = np.lexsort((u, w))
+        w, u = w[o], u[o]
+        first = np.r_[True, (w[1:] != w[:-1]) | (u[1:] != u[:-1])]
+        w = w[first]
+        bnd = np.r_[True, w[1:] != w[:-1]]
+        starts = np.nonzero(bnd)[0]
+        n = np.diff(np.r_[starts, len(w)]).astype(np.int64)
+        return pd.DataFrame({"w": w[starts], "n": n})
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(dedup_count, batch_format="pandas")
+    )
+    # a (window, user) pair lives in ONE shard, but a window's users span
+    # shards: final window-cardinality merge
+    agg = zonal_aggregate(out, ["sum"], keys=["w"], value_col="n")
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "window_start": pa.array(
+                    b["w"].to_numpy().astype("datetime64[us]")
+                ),
+                "n_users": pc.cast(b["sum"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("window_start")
+
+
 def events_window_profile(sf_dir: str) -> rd.Dataset:
     """Per-type profile of ONE week of the event stream ([2024-01-08,
     2024-01-15)): count, sum of floored values (integer-valued — order-
