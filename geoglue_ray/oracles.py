@@ -5295,6 +5295,43 @@ FROM cnt JOIN l USING (fid) ORDER BY admin_fid
 """
 
 
+def admin_geary() -> str:
+    """Areal Geary twin: exact integer difference and cleared-mean sums
+    over the closed-form adjacency, one fixed float chain for C."""
+    return f"""
+WITH e AS (
+  SELECT {fx.sql_lon('event_id')} AS lon, {fx.sql_lat('event_id')} AS lat
+  FROM events WHERE event_id % {fx.OUT_MOD} <> 0),
+asg AS (SELECT {fx.sql_admin2_inside('lon', 'lat')} AS fid FROM e),
+c AS (SELECT fid, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY 1),
+u AS (SELECT range AS fid FROM range({fx.N_ADMIN2})),
+cnt AS (SELECT u.fid, COALESCE(c.n, 0) AS n FROM u LEFT JOIN c USING (fid)),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS s FROM cnt),
+zz AS (SELECT CAST(sum(({fx.N_ADMIN2} * n - tot.s) * ({fx.N_ADMIN2} * n - tot.s))
+               AS BIGINT) AS ssz
+       FROM cnt, tot),
+cells AS (
+  SELECT range AS cell, range % {fx.NX} AS cx, range // {fx.NX} AS cy
+  FROM range({fx.NX * fx.NY})),
+p AS (
+  SELECT 2 * cell AS a, 2 * cell + 1 AS b FROM cells
+  UNION ALL
+  SELECT 2 * cell, 2 * ((cy - 1) * {fx.NX} + cx) + 1 FROM cells WHERE cy >= 1
+  UNION ALL
+  SELECT 2 * cell, 2 * (cy * {fx.NX} + cx - 1) + 1 FROM cells WHERE cx >= 1),
+dd AS (
+  SELECT CAST(sum((ca.n - cb.n) * (ca.n - cb.n)) AS BIGINT) AS ssd,
+         CAST(count(*) AS BIGINT) AS w
+  FROM p JOIN cnt ca ON ca.fid = p.a JOIN cnt cb ON cb.fid = p.b)
+SELECT CAST({fx.N_ADMIN2} AS BIGINT) AS n_units, dd.w AS n_pairs,
+       dd.ssd, zz.ssz,
+       (CAST({fx.N_ADMIN2 - 1} AS DOUBLE) * CAST(dd.ssd AS DOUBLE)
+          * CAST({fx.N_ADMIN2 * fx.N_ADMIN2} AS DOUBLE))
+         / (CAST(2 * dd.w AS DOUBLE) * CAST(zz.ssz AS DOUBLE)) AS geary_c
+FROM dd, zz
+"""
+
+
 def admin_lisa() -> str:
     """Areal LISA twin: cleared-mean integer scores (z' = N*x - S), the
     closed-form triangle adjacency, binary-W lag sums, all-BIGINT

@@ -9973,6 +9973,141 @@ def admin_lisa(sf_dir: str) -> rd.Dataset:
     return j.map_batches(final, batch_format="pyarrow").sort("admin_fid")
 
 
+def admin_geary(sf_dir: str) -> rd.Dataset:
+    """GLOBAL Geary's C over the admin-2 tessellation — the pair
+    statistic completing admin_lisa (local Moran): C compares
+    neighboring-unit DIFFERENCES to total variance,
+    ``C = (n-1) * sum_w (x_i - x_j)^2 * n^2 / (2W * sum z'^2)`` with
+    z' = n*x - S (cleared mean).  The two sums are exact int64
+    (differences need no centering; max ~1.3e12 and ~9e17 at sf0.1) and
+    C is ONE fixed left-associated float chain — the only rounding is
+    in the final >2^53 products, identical on both engines.  Shape:
+    per-admin counts (partial/final), one rook-pair co-shuffle join for
+    the difference sum, scalar outputs."""
+    import ray
+
+    from geoglue_ray.sources.admin import AdminIndex, build_admin_table
+    from geoglue_ray.stages.geometry import contiguity_pairs
+    from geoglue_ray.stages.join import hash_equijoin
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        b = b.filter(pa.array(ids % fx.OUT_MOD != 0))
+        lon, lat = fx.derive_lonlat(b["event_id"].to_numpy())
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "value": pa.array(np.zeros(len(b))),
+            }
+        )
+
+    admin = build_admin_table()
+    index = AdminIndex.build(admin)
+    assigned = spatial_join(
+        ds.map_batches(prep, batch_format="pyarrow").map_batches(
+            encode_cells, batch_format="pyarrow"
+        ),
+        index_ref=ray.put(index),
+    )
+
+    def to_fid(b: pa.Table) -> pa.Table:
+        fid = pc.cast(pc.utf8_slice_codeunits(b["admin_id"], 5, 99), pa.int64())
+        return pa.table({"fid": fid})
+
+    counts = zonal_aggregate(
+        assigned.map_batches(to_fid, batch_format="pyarrow"),
+        ["count"],
+        keys=["fid"],
+        value_col="fid",
+    )
+    universe = rd.range(fx.N_ADMIN2).map_batches(
+        lambda b: pa.table({"fid": b["id"]}), batch_format="pyarrow"
+    )
+    cnt_full = hash_equijoin(
+        universe, counts, left_on="fid", right_on="fid", how="left"
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "fid": b["fid"],
+                "n": pc.cast(pc.fill_null(b["count"], 0.0), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed: total, ssz, two pair joins
+    N = np.int64(fx.N_ADMIN2)
+    S = np.int64(int(cnt_full.sum("n") or 0))
+
+    def ssz_part(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy().astype(np.int64)
+        z = N * n - S
+        return pa.table({"v": pa.array([int((z * z).sum())], pa.int64())})
+
+    ssz = np.int64(
+        int(cnt_full.map_batches(ssz_part, batch_format="pyarrow").sum("v") or 0)
+    )
+
+    def adm_prep(b: pa.Table) -> pa.Table:
+        fid = pc.cast(pc.utf8_slice_codeunits(b["admin_id"], 5, 99), pa.int64())
+        return pa.table({"fid": fid, "geometry_wkb": b["geometry_wkb"]})
+
+    pairs = contiguity_pairs(
+        rd.from_arrow(admin)
+        .repartition(8)
+        .map_batches(adm_prep, batch_format="pyarrow"),
+        id_col="fid",
+    ).map_batches(
+        lambda b: pa.table(
+            {"admin_a": b["admin_a"], "admin_b": b["admin_b"]}
+        ),
+        batch_format="pyarrow",
+    )
+    ja = hash_equijoin(
+        pairs, cnt_full, left_on="admin_a", right_on="fid"
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "admin_b": b["admin_b"],
+                "xa": pc.cast(b["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    jb = hash_equijoin(ja, cnt_full, left_on="admin_b", right_on="fid")
+
+    def diff_part(b: pa.Table) -> pa.Table:
+        xa = b["xa"].to_numpy().astype(np.int64)
+        xb = b["n"].to_numpy().astype(np.int64)
+        d = xa - xb
+        return pa.table(
+            {
+                "ssd": pa.array([int((d * d).sum())], pa.int64()),
+                "w": pa.array([len(d)], pa.int64()),
+            }
+        )
+
+    dp = jb.map_batches(diff_part, batch_format="pyarrow").to_pandas()
+    ssd = np.int64(int(dp["ssd"].sum()))
+    W = np.int64(int(dp["w"].sum()))  # undirected pair count
+    c = (
+        np.float64(N - 1) * np.float64(ssd) * np.float64(N * N)
+    ) / (np.float64(2 * W) * np.float64(ssz))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_units": pa.array([N]),
+                "n_pairs": pa.array([W]),
+                "ssd": pa.array([ssd]),
+                "ssz": pa.array([ssz]),
+                "geary_c": pa.array([c]),
+            }
+        )
+    )
+
+
 def q13_custdist(sf_dir: str, excl_priority: str = "1-URGENT") -> rd.Dataset:
     """TPC-H Q13 shape: distribution of customers by order count, counting
     the zero-order bucket.  Orders collapse to per-customer partial counts
