@@ -2395,6 +2395,31 @@ ORDER BY 2 DESC, 1 LIMIT {k}
     )
 
 
+def source_lang_purity() -> str:
+    """Purity twin: exact (source, lang) counts, Gini = one division of
+    HUGEINT-safe squares, majority by (count desc, lang) row_number."""
+    return """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+s AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(n * n) AS BIGINT) AS ss
+  FROM c GROUP BY 1),
+m AS (
+  SELECT source, lang, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+  FROM c)
+SELECT s.source, s.nn AS n_docs,
+       CAST(s.nn * s.nn - s.ss AS DOUBLE) / CAST(s.nn * s.nn AS DOUBLE)
+         AS gini_impurity,
+       m.lang AS majority_lang, m.n AS majority_n,
+       CAST(m.n AS DOUBLE) / CAST(s.nn AS DOUBLE) AS majority_share
+FROM s JOIN m ON m.source = s.source AND m.rn = 1
+ORDER BY 1
+"""
+
+
 def source_ablation() -> str:
     """Ablation twin: exact integer partials, one division per mean,
     one subtraction per delta — the engine's chain verbatim."""

@@ -7543,6 +7543,71 @@ def keyword_textrank(sf_dir: str, k: int = 25) -> rd.Dataset:
     )
 
 
+def source_lang_purity(sf_dir: str) -> rd.Dataset:
+    """Per-source language PURITY report — the mixture audit run before
+    trusting a source's language tag: per source, the Gini impurity of
+    its language distribution ``1 - sum p_l^2 = (n^2 - sum c_l^2)/n^2``
+    (log-free — entropy never mirrors; Gini ranks the same), the
+    majority language and its share.  Every float is ONE division of
+    exact int64 counts.  Shape: per-batch (source, lang) partials ->
+    one tiny merge (source x lang cardinality)."""
+    import pandas as pd
+
+    ds = read_documents_cols(sf_dir, ["source", "lang"])
+
+    def part(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        lg = b["lang"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(
+            np.char.add(np.char.add(src.astype(str), "|"), lg.astype(str)),
+            use_na_sentinel=False,
+        )
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        parts = np.char.partition(uniq.astype(str), "|")
+        return pa.table(
+            {
+                "source": pa.array(parts[:, 0], pa.string()),
+                "lang": pa.array(parts[:, 2], pa.string()),
+                "n": pa.array(n),
+            }
+        )
+
+    lc = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .to_pandas()  # bounded: blocks x (source x lang) cardinality
+        .groupby(["source", "lang"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    rows = []
+    for src, g in lc.groupby("source", sort=True):
+        c = g["n"].to_numpy().astype(np.int64)
+        n = np.int64(c.sum())
+        gini = np.float64(n * n - (c * c).sum()) / np.float64(n * n)
+        # majority: count desc, lang asc (strict total order)
+        o = np.lexsort((g["lang"].to_numpy(), -c))
+        maj = g["lang"].to_numpy()[o[0]]
+        maj_n = np.int64(c[o[0]])
+        rows.append(
+            (src, int(n), gini, maj, int(maj_n),
+             np.float64(maj_n) / np.float64(n))
+        )
+    import pyarrow as _pa
+
+    return rd.from_arrow(
+        _pa.table(
+            {
+                "source": _pa.array([r[0] for r in rows], _pa.string()),
+                "n_docs": _pa.array([r[1] for r in rows], _pa.int64()),
+                "gini_impurity": _pa.array([r[2] for r in rows], _pa.float64()),
+                "majority_lang": _pa.array([r[3] for r in rows], _pa.string()),
+                "majority_n": _pa.array([r[4] for r in rows], _pa.int64()),
+                "majority_share": _pa.array([r[5] for r in rows], _pa.float64()),
+            }
+        )
+    )
+
+
 def source_ablation(sf_dir: str) -> rd.Dataset:
     """Leave-one-source-out ablation report — the data-valuation shape a
     curation pipeline runs before dropping a source: for each source,
