@@ -2005,6 +2005,28 @@ SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1 ORDER BY 1
 """
 
 
+def dup_cluster_sizes() -> str:
+    """Cluster-size histogram twin: the component closure, per-cluster
+    counts, then (size, n_clusters, size*n_clusters)."""
+    return f"""
+WITH RECURSIVE {_sql_minhash_cte(0.4)},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY 1),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS m FROM cl GROUP BY 1)
+SELECT m AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       m * CAST(count(*) AS BIGINT) AS n_docs
+FROM sz GROUP BY 1 ORDER BY 1
+"""
+
+
 def dedup_corpus() -> str:
     """Composed survivor corpus: the recursive component closure over the
     SQL-recomputed pair set, then an anti-join keeping each cluster's

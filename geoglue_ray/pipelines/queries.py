@@ -1130,6 +1130,47 @@ def dedup_clusters(sf_dir: str) -> rd.Dataset:
     return duplicate_clusters(mh(ds, threshold=0.4)).sort("doc_id")
 
 
+def dup_cluster_sizes(sf_dir: str) -> rd.Dataset:
+    """Duplicate-cluster SIZE distribution — the headline table of every
+    dedup paper (how much of the corpus sits in 2-clusters vs mega-
+    clusters): MinHash+LSH pairs -> connected components -> per-cluster
+    member counts -> histogram (cluster_size, n_clusters, n_docs).
+    Composition of oracle-backed operators; the histogram is
+    size-cardinality bounded."""
+    from geoglue_ray.stages.dedup import duplicate_clusters, minhash_neardup as mh
+
+    import pandas as pd
+
+    ds = read_documents_cols(sf_dir, ["doc_id", "text"])
+    labels = duplicate_clusters(mh(ds, threshold=0.4))
+
+    def part(b: pa.Table) -> pa.Table:
+        # per-batch (cluster_id, members) partial counts
+        cid = b["cluster_id"].to_numpy().astype(np.int64)
+        u, c = np.unique(cid, return_counts=True)
+        return pa.table(
+            {"cluster_id": pa.array(u), "m": pa.array(c.astype(np.int64))}
+        )
+
+    per = (
+        labels.map_batches(part, batch_format="pyarrow")
+        .to_pandas()  # bounded: clustered docs << corpus (LSH pair set)
+        .groupby("cluster_id", sort=True)["m"]
+        .sum()
+    )
+    sizes = per.to_numpy().astype(np.int64)
+    u, c = np.unique(sizes, return_counts=True)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cluster_size": pa.array(u),
+                "n_clusters": pa.array(c.astype(np.int64)),
+                "n_docs": pa.array((u * c).astype(np.int64)),
+            }
+        )
+    )
+
+
 def dedup_corpus(sf_dir: str) -> rd.Dataset:
     """Composed fuzzy dedup end to end: LSH pairs -> components -> the
     surviving (canonical) corpus rows with their payload columns."""
